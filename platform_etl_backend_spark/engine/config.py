@@ -1,0 +1,52 @@
+"""Configuration model for IO resources and steps.
+
+Reference parity: ``backend/Configuration.scala`` — HOCON → pureconfig case
+classes. Here: plain dataclasses (optionally loadable from dict/JSON/YAML-ish
+nested dicts), with the same write-mode validation
+(``Configuration.scala:188-197`` checks against Spark's five modes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+WRITE_MODES = frozenset({"error", "errorifexists", "append", "overwrite", "ignore"})
+
+
+def validate_write_mode(mode: str) -> str:
+    """Reject anything that isn't one of Spark's DataFrameWriter modes."""
+    if mode.lower() not in WRITE_MODES:
+        raise ValueError(f"Invalid write mode '{mode}'; valid: {sorted(WRITE_MODES)}")
+    return mode.lower()
+
+
+@dataclass(frozen=True)
+class IOResourceConfig:
+    """One named input or output (reference ``IOResourceConfig``,
+    Configuration.scala:205-210): format + path + reader/writer options +
+    optional partition columns."""
+
+    format: str
+    path: str
+    options: Mapping[str, str] = field(default_factory=dict)
+    partition_by: tuple[str, ...] = ()
+    write_mode: str = "error"
+
+    def __post_init__(self) -> None:
+        validate_write_mode(self.write_mode)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "IOResourceConfig":
+        return cls(
+            format=d["format"],
+            path=d["path"],
+            options=dict(d.get("options", {})),
+            partition_by=tuple(d.get("partition_by", ())),
+            write_mode=d.get("write_mode", "error"),
+        )
+
+
+def parse_input_map(conf: Mapping[str, Mapping[str, Any]]) -> dict[str, IOResourceConfig]:
+    """A step's input block: name → IOResourceConfig (IoHelpers.scala:42-43)."""
+    return {name: IOResourceConfig.from_dict(d) for name, d in conf.items()}
