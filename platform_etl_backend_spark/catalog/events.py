@@ -1,0 +1,246 @@
+"""Event-stream operator coverage: sessionization, time-bucket rollups,
+lead/lag analytics, running aggregates, JSON extraction, and the openfda
+LLR / Monte-Carlo disproportionality pipeline re-targeted at the synthetic
+``events``/``orders`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.catalog.registry import register, table, dec6, dbl
+from platform_etl_backend_spark.operators.stats import (
+    llr_contingency,
+    montecarlo_critical_values,
+    summary_statistics,
+)
+
+_EPOCH_DUCK = "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)"
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with an epoch-seconds column.
+
+    The parquet file stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read it as raw INT64 nanoseconds (legacy conf)
+    and derive epoch seconds — works under any driver-owned session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ep", F.expr("ts div 1000000000").cast("bigint"))
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    flagged AS (
+      SELECT user_id, event_id, value, ep,
+             CASE WHEN ep - LAG(ep) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    sessions AS (
+      SELECT user_id, value, ep,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    description="gap-based sessionization (30 min) via lag + running sum — the batch twin "
+    "of the streaming session-window operator",
+    tags=("window", "events"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ep") - F.lag("ep").over(w) > 1800, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(run).cast("bigint"))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ep") - F.min("ep")).cast("bigint").alias("duration_s"),
+        dbl(F.sum(dec6("value"))).alias("total_value"),
+    )
+
+
+@register(
+    "q_time_buckets",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY bucket, event_type
+    """,
+    description="tumbling time-window rollup (batch twin of streaming windowed agg)",
+    tags=("agg", "events"),
+)
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.from_unixtime(F.expr("(ep div 3600) * 3600"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dbl(F.sum(dec6("value"))).alias("total_value"))
+    )
+
+
+@register(
+    "q_lead_lag",
+    oracle=f"""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY {_EPOCH_DUCK}, event_id)
+               AS delta
+    FROM events
+    """,
+    description="lead/lag delta per key (window family; not in the reference — engine extension)",
+    tags=("window", "events"),
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    return e.select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@register(
+    "q_running_sum",
+    oracle=f"""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY {_EPOCH_DUCK}, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    description="running (cumulative) aggregate over an ordered window",
+    tags=("window", "events"),
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", dbl(F.sum(dec6("value")).over(w)).alias("running_value"))
+
+
+@register(
+    "q_running_collect",
+    oracle=f"""
+    SELECT event_id,
+           list(event_type) OVER (PARTITION BY user_id ORDER BY {_EPOCH_DUCK}, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seen_types
+    FROM events
+    """,
+    description="ordered-window collect_list (running accumulation) "
+    "(W6; Processing.scala:65-111, Embedding.scala:42-47)",
+    tags=("window", "events", "nesting"),
+)
+def q_running_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", F.collect_list("event_type").over(w).alias("seen_types"))
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    description="column-level JSON extraction (engine extension; reference parses JSON "
+    "only at reader level, SURVEY §2.8)",
+    tags=("scalar", "events"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# openfda disproportionality pipeline analog: drug := event_type,
+# reaction := props.k decile, report := event_id.
+# ---------------------------------------------------------------------------
+
+_LLR_ORACLE = """
+WITH base AS (
+  SELECT event_id AS report,
+         event_type AS drug,
+         CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS reaction
+  FROM events),
+stats AS (
+  SELECT report, drug, reaction,
+         COUNT(DISTINCT report) OVER (PARTITION BY reaction) AS n_reaction,
+         COUNT(DISTINCT report) OVER (PARTITION BY drug) AS n_drug,
+         COUNT(DISTINCT report) OVER (PARTITION BY drug, reaction) AS n_pair
+  FROM base),
+contingency AS (
+  SELECT DISTINCT drug, reaction,
+         CAST(n_pair AS DOUBLE) AS A,
+         CAST(n_reaction - n_pair AS DOUBLE) AS B,
+         CAST(n_drug - n_pair AS DOUBLE) AS C,
+         CAST((SELECT COUNT(DISTINCT report) FROM base) - n_drug - n_reaction + n_pair AS DOUBLE) AS D
+  FROM stats)
+SELECT drug, reaction, A, B, C, D,
+       ROUND(A * (ln(A) - ln(A + B)) + C * (ln(C) - ln(C + D))
+             - (A + C) * (ln(A + C) - ln(A + B + C + D)), 6) AS llr
+FROM contingency
+WHERE NOT isnan(A * (ln(A) - ln(A + B)) + C * (ln(C) - ln(C + D))
+                - (A + C) * (ln(A + C) - ln(A + B + C + D)))
+"""
+
+
+def _event_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir).select(
+        F.col("event_id").alias("report"),
+        F.col("event_type").alias("drug"),
+        F.floor(F.get_json_object("props", "$.k").cast("int") / 10).cast("int").alias("reaction"),
+    )
+    total = e.select("report").distinct().count()
+    stats = summary_statistics(e, "report", "drug", "reaction")
+    return llr_contingency(stats, "drug", "reaction", total)
+
+
+@register(
+    "q_llr_contingency",
+    oracle=_LLR_ORACLE,
+    description="FAERS-style LLR disproportionality contingency "
+    "(PrepareSummaryStatistics + PrepareForMontecarlo semantics, exact counts)",
+    tags=("stats", "window", "events"),
+)
+def q_llr_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _event_contingency(spark, sf_dir)
+    return out.select(
+        "drug", "reaction", "A", "B", "C", "D", F.round("llr", 6).alias("llr")
+    )
+
+
+@register(
+    "q_montecarlo_critical",
+    oracle=None,  # seeded simulation: not SQL-expressible; driver rows-only check
+    description="per-drug Monte-Carlo critical values (X4; MonteCarloSampling.scala:23-48) "
+    "as a seeded grouped applyInPandas — deterministic per group key",
+    tags=("stats", "pandas-udf", "events"),
+)
+def q_montecarlo_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    contingency = _event_contingency(spark, sf_dir)
+    return montecarlo_critical_values(contingency, "drug", permutations=100, percentile=0.95)

@@ -1,0 +1,993 @@
+"""Relational operator coverage (SURVEY.md §2.2–§2.8) as oracle-paired queries.
+
+Each query is the PySpark-native expression of an operator family the
+reference uses, exercised on the driver's TPC-H-ish tables. Reference sites
+are cited per query. Oracles follow the determinism conventions in
+``catalog/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.catalog.registry import register, table, dec2, dbl
+from platform_etl_backend_spark.functions.columns import (
+    flatten_cat,
+    harmonic_fn,
+    transpose_dataframe,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregation family (A3, P3) — TPC-H Q1 flavour. Reference: grouped
+# statistical aggs à la Search.scala:140,817; Expression.scala:83-86.
+# ---------------------------------------------------------------------------
+
+_DEC_ONE = "cast(1 as decimal(4,2))"
+
+
+@register(
+    "q_agg_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST({_DEC_ONE} - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST({_DEC_ONE} - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                    * CAST({_DEC_ONE} + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Grouped statistical aggregation with exact decimal arithmetic (TPC-H Q1 shape)",
+    tags=("agg", "filter"),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    one_minus_disc = (F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    one_plus_tax = (F.expr(_DEC_ONE) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(dec2("l_quantity"))).alias("sum_qty"),
+            dbl(F.sum(dec2("l_extendedprice"))).alias("sum_base_price"),
+            dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("sum_disc_price"),
+            dbl(F.sum(dec2("l_extendedprice") * one_minus_disc * one_plus_tax)).alias("sum_charge"),
+            (dbl(F.sum(dec2("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_scalar_filter_sum",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="Whole-table scalar aggregate with selective pushdown filters (TPC-H Q6 shape; A7)",
+    tags=("agg", "filter"),
+)
+def q_scalar_filter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dbl(F.sum(dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / predicates / conditionals (P1-P7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           o_orderstatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket, o_orderstatus
+    """,
+    description="when/otherwise conditional buckets (P4; Vectors.scala:29-33)",
+    tags=("projection",),
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("bucket")
+    )
+    return (
+        o.select(bucket, "o_orderstatus", "o_totalprice")
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dbl(F.sum(dec2("o_totalprice"))).alias("total"))
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="distinct projection (P6; Ensembl.scala:54)",
+    tags=("projection",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1
+    """,
+    description="Deterministic dedup-by-latest — the engine's fix for the reference's "
+    "arbitrary-row dropDuplicates (SURVEY §4 caveat; PreProcessing.scala:8-16)",
+    tags=("window", "dedup"),
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+    )
+
+
+@register(
+    "q_left_join_fill",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    description="left_outer accretion + na.fill (J2, P7; Target.scala:107-167, Processing.scala:100-103)",
+    tags=("join", "agg"),
+)
+def q_left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    out = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dbl(F.sum(dec2("o_totalprice"))).alias("spend"),
+    )
+    return out.na.fill({"spend": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1-J10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           CAST(o.o_orderdate AS DATE) AS odate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, odate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    description="3-way inner join + grouped revenue + global top-k (J1; TPC-H Q3 shape; "
+    "broadcast of the small dim side, Target.scala:342-346)",
+    tags=("join", "agg", "topk"),
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    one_minus_disc = (F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+        .agg(dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"))
+        .select("l_orderkey", "revenue", "odate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1),
+         sc AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+    SELECT COALESCE(cc.nk, sc.nk) AS nationkey,
+           COALESCE(cc.c_cnt, 0) AS c_cnt,
+           COALESCE(sc.s_cnt, 0) AS s_cnt
+    FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+    """,
+    description="full_outer join with coalesced keys (J3; Search.scala:342, Expression.scala:103)",
+    tags=("join",),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    sc = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return (
+        cc.join(sc, cc.nk == sc.nk, "full")
+        .select(
+            F.coalesce(cc.nk, sc.nk).alias("nationkey"),
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+            F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+        )
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+    description="left_anti exclusion (J4; EventsFiltering.scala:10-15, Ensembl.scala:220-224)",
+    tags=("join",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000)
+    """,
+    description="left_semi existence join (exclusion dual of J4)",
+    tags=("join",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_nationkey", "n_name")
+
+
+@register(
+    "q_expr_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS late_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    description="expression join with non-equi conjunct (J6; Ensembl.scala:72-77, Target.scala:432)",
+    tags=("join",),
+)
+def q_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date") > F.date_add(o.o_orderdate.cast("date"), 60)
+    )
+    return o.join(li, cond).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("late_lines"))
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT NULLIF(l_returnflag, 'N') AS k, COUNT(*) AS cnt_a
+               FROM lineitem GROUP BY 1),
+         b AS (SELECT NULLIF(l_returnflag, 'N') AS k,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_b
+               FROM lineitem GROUP BY 1)
+    SELECT a.k, a.cnt_a, b.qty_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    description="null-safe equality join (J7; PreProcessing.scala:23-27 <=>)",
+    tags=("join",),
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    k = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k")
+    a = li.groupBy(k).agg(F.count(F.lit(1)).alias("cnt_a"))
+    b = li.groupBy(k).agg(dbl(F.sum(dec2("l_quantity"))).alias("qty_b"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "cnt_a", "qty_b")
+
+
+@register(
+    "q_self_join",
+    oracle="""
+    SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+    """,
+    description="self-join, same table in two roles (J9; Search.scala:295-311)",
+    tags=("join",),
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_name") < F.col("n2.n_name")),
+        )
+        .select(
+            F.col("n1.n_regionkey").alias("regionkey"),
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+        )
+    )
+
+
+@register(
+    "q_join_lut_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region, nation
+    """,
+    description="LUT joins with explicit broadcast hints (J8/J10; GeneOntology.scala:64-73)",
+    tags=("join", "agg"),
+)
+def q_join_lut_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dbl(F.sum(dec2("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect_set / collect_list nesting family (A1, A2, A4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_collect_set",
+    oracle="""
+    SELECT n.n_name, list_sort(list_distinct(list(c.c_mktsegment))) AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="groupBy + collect_set, the reference's workhorse nesting agg "
+    "(A1; target/Reactome.scala:52-63, GeneOntology.scala:174-176)",
+    tags=("agg", "nesting"),
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+@register(
+    "q_flatten_collect",
+    oracle="""
+    SELECT p_brand,
+           list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))) AS words
+    FROM part GROUP BY p_brand
+    """,
+    description="flatten(collect_set(array)) merge (A2; Target.scala:240-251, Ncbi.scala:44-49)",
+    tags=("agg", "nesting"),
+)
+def q_flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
+    return p.groupBy("p_brand").agg(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("words")))).alias("words")
+    )
+
+
+@register(
+    "q_topk_banded_labels",
+    oracle="""
+    SELECT n_name,
+           list(c_name ORDER BY c_acctbal DESC, c_custkey) FILTER (WHERE rnk <= 3) AS top_names
+    FROM (SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey,
+                 RANK() OVER (PARTITION BY n.n_name
+                              ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    GROUP BY n_name
+    """,
+    description="top-k-banded label aggregation: collect_list(when(rank<=k, label)) "
+    "(A4+W1; Search.scala:128-141,347-359)",
+    tags=("agg", "window", "nesting"),
+)
+def q_topk_banded_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.rank().over(w))
+    )
+    # collect in rank order deterministically: collect structs, sort, project label
+    item = F.when(F.col("rnk") <= 3, F.struct("rnk", "c_name"))
+    return ranked.groupBy("n_name").agg(
+        F.transform(F.array_sort(F.collect_list(item)), lambda x: x["c_name"]).alias("top_names")
+    )
+
+
+@register(
+    "q_stats_per_group",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS cnt,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    description="statistical aggs incl. exact distinct count (A3; Search.scala:140,358,817)",
+    tags=("agg",),
+)
+def q_stats_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dbl(F.sum(dec2("c_acctbal"))).alias("sum_bal"),
+            (dbl(F.sum(dec2("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "q_rowwise_sum",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(p_size AS DECIMAL(18,2)) + CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_metric
+    FROM part GROUP BY p_brand
+    """,
+    description="horizontal fold across N columns (A9; ProjectScores.scala:31-39)",
+    tags=("agg",),
+)
+def q_rowwise_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    cols = [dec2(F.col("p_size").cast("double")), dec2("p_retailprice")]
+    rowsum = reduce(lambda a, b: a + b, cols)
+    return p.groupBy("p_brand").agg(dbl(F.sum(rowsum)).alias("total_metric"))
+
+
+@register(
+    "q_global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    """,
+    description="whole-table agg → driver scalar (A7; Search.scala:605,794)",
+    tags=("agg",),
+)
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        dbl(F.sum(dec2("l_quantity"))).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family (W1-W7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rank_topk",
+    oracle="""
+    SELECT n_name, rnk, c_name, c_acctbal
+    FROM (SELECT n.n_name, c.c_name, c.c_acctbal,
+                 CAST(RANK() OVER (PARTITION BY n.n_name
+                                   ORDER BY c.c_acctbal DESC, c.c_custkey) AS BIGINT) AS rnk
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    WHERE rnk <= 3
+    """,
+    description="rank over partition + top-k filter (W1/O2; Search.scala:118-126,335-344)",
+    tags=("window", "topk"),
+)
+def q_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q_dense_rank_best",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS dr
+          FROM orders)
+    WHERE dr = 1
+    """,
+    description="dense_rank keep-best (W3; Grounding.scala:187-194)",
+    tags=("window",),
+)
+def q_dense_rank_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("dr", F.dense_rank().over(w))
+        .where(F.col("dr") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_ntile_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS cnt, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+    FROM (SELECT p_retailprice,
+                 CAST(NTILE(6) OVER (ORDER BY p_retailprice, p_partkey) AS BIGINT) AS bucket
+          FROM part)
+    GROUP BY bucket
+    """,
+    description="ntile sextile binning (W4; GeneticConstraints.scala:48-50)",
+    tags=("window",),
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return (
+        p.withColumn("bucket", F.ntile(6).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("p_retailprice").alias("lo"),
+            F.max("p_retailprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_min_over_windows",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS min_cust,
+           MIN(o_totalprice) OVER () AS min_all
+    FROM orders
+    """,
+    description="min over two nested windows (W5; Grounding.scala:107-130)",
+    tags=("window",),
+)
+def q_min_over_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    w_all = Window.partitionBy()
+    return (
+        o.select(
+            "o_custkey",
+            F.min("o_totalprice").over(w_cust).alias("min_cust"),
+            F.min("o_totalprice").over(w_all).alias("min_all"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_global_rank_multiplier",
+    oracle="""
+    SELECT o_orderkey, rnk,
+           1 + (CAST(mx - rnk AS DOUBLE) / (mx - 1)) AS mult
+    FROM (SELECT o_orderkey,
+                 CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS mx
+          FROM orders WHERE o_totalprice > 150000)
+    """,
+    description="global unpartitioned rank + relevance multiplier 1+((max-rank)/(max-1)) "
+    "(W2; Search.scala:600-606). Single-partition sort confined to a pre-filtered subset.",
+    tags=("window",),
+)
+def q_global_rank_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("mx"),
+    )
+    return ranked.select(
+        "o_orderkey",
+        "rnk",
+        (F.lit(1) + (F.col("mx") - F.col("rnk")).cast("double") / (F.col("mx") - 1)).alias("mult"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / array-sort family (O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    description="global order + limit top-k (O1; Spark plans this as TakeOrderedAndProject — "
+    "no full sort at scale)",
+    tags=("topk",),
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(F.desc("o_totalprice"), "o_orderkey").limit(10)
+
+
+@register(
+    "q_sorted_names_array",
+    oracle="""
+    SELECT n.n_name, list(c.c_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="array_sort with custom comparator lambda — pure Catalyst, no UDF "
+    "(O4/X2; Target.scala:331-361 speciesDistanceSort)",
+    tags=("agg", "array"),
+)
+def q_sorted_names_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    items = F.collect_list(F.struct(F.col("c_acctbal").alias("bal"),
+                                    F.col("c_custkey").alias("k"),
+                                    F.col("c_name").alias("name")))
+    comparator = (
+        "array_sort(items, (x, y) -> CASE WHEN x.bal > y.bal THEN -1 WHEN x.bal < y.bal THEN 1 "
+        "WHEN x.k < y.k THEN -1 WHEN x.k > y.k THEN 1 ELSE 0 END)"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(items.alias("items"))
+        .select("n_name", F.transform(F.expr(comparator), lambda x: x["name"]).alias("names"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / reshaping (U1-U9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_parties",
+    oracle="""
+    SELECT c_name AS name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           c_nationkey AS nationkey, 'customer' AS kind, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE),
+           s_nationkey, 'supplier', NULL
+    FROM supplier
+    """,
+    description="unionByName with null-padding for missing columns (U2/U3/U4; "
+    "Grounding.scala:266,325, Helpers.scala:209-239)",
+    tags=("setop",),
+)
+def q_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        dbl(dec2("c_acctbal")).alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        dbl(dec2("s_acctbal")).alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "q_except_nations",
+    oracle="""
+    SELECT n_name FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    EXCEPT
+    SELECT n_name FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+    description="except / subtract set-difference (U5; Expression.scala:133)",
+    tags=("setop",),
+)
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    with_cust = n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_name")
+    with_supp = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_name")
+    return with_cust.subtract(with_supp)
+
+
+@register(
+    "q_intersect_nations",
+    oracle="""
+    SELECT n_name FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    INTERSECT
+    SELECT n_name FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+    description="intersect set operation (companion of U5)",
+    tags=("setop",),
+)
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    with_cust = n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_name")
+    with_supp = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_name")
+    return with_cust.intersect(with_supp)
+
+
+@register(
+    "q_melt_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT n.n_name,
+             CAST(COUNT(DISTINCT c.c_custkey) AS DOUBLE) AS n_customers,
+             CAST(COALESCE(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bal
+      FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, 'n_customers' AS row_name, n_customers AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'total_bal', total_bal FROM wide
+    """,
+    description="melt / unpivot wide→long (U6; Helpers.scala:186-200 transposeDataframe, "
+    "Expression.scala:70-72)",
+    tags=("reshape",),
+)
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    wide = (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").cast("double").alias("n_customers"),
+            F.coalesce(dbl(F.sum(dec2("c_acctbal"))), F.lit(0.0)).alias("total_bal"),
+        )
+    )
+    return transpose_dataframe(wide, ["n_name"])
+
+
+@register(
+    "q_explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+    description="explode over split arrays (§2.8 explode; Search.scala:196)",
+    tags=("reshape", "array"),
+)
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_flatten_cat_labels",
+    oracle="""
+    WITH lab AS (
+      SELECT n.n_name,
+             list_filter(list_distinct(flatten([
+                 coalesce(string_split(c.c_name, '#'), []),
+                 coalesce(string_split(c.c_mktsegment, '#'), [])])),
+                 x -> x IS NOT NULL AND x <> '') AS lbl
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT n_name, list_sort(list_distinct(flatten(list(lbl)))) AS labels
+    FROM lab GROUP BY n_name
+    """,
+    description="flattenCat label-merging primitive over multiple array columns "
+    "(Helpers.scala:154-167, used ~30x in Search)",
+    tags=("array", "nesting"),
+)
+def q_flatten_cat_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", flatten_cat(F.split("c_name", "#"), F.split("c_mktsegment", "#")).alias("lbl")
+    )
+    return df.groupBy("n_name").agg(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("lbl")))).alias("labels")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function catalog (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(\\d+)', 1) AS digits,
+           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS id_num,
+           split_part(c_name, '#', 1) AS prefix,
+           translate(c_name, '#', '_') AS underscored,
+           concat_ws('|', c_mktsegment, c_name) AS tag,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           lower(c_mktsegment) AS seg_lower,
+           upper(split_part(c_name, '#', 1)) AS prefix_upper,
+           trim(concat(' ', c_mktsegment, ' ')) AS seg_trim
+    FROM customer
+    """,
+    description="string function catalog: regexp_extract, substring_index, translate, "
+    "concat_ws, length, case ops (§2.8; Grounding.scala:148-150, GeneCode.scala:22-35)",
+    tags=("scalar",),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+    return c.select(
+        "c_custkey",
+        digits.alias("digits"),
+        digits.cast("bigint").alias("id_num"),
+        F.substring_index("c_name", "#", 1).alias("prefix"),
+        F.translate("c_name", "#", "_").alias("underscored"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tag"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.upper(F.substring_index("c_name", "#", 1)).alias("prefix_upper"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(CAST(o_orderdate AS DATE)) AS first_day
+    FROM orders GROUP BY yr, mo
+    """,
+    description="date part extraction + grouping (§2.8 date/time; Grounding.scala:349-354)",
+    tags=("scalar", "agg"),
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dbl(F.sum(dec2("o_totalprice"))).alias("total"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+        )
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(ln(1 + l_discount)) AS DOUBLE), 6) AS sum_log1p_disc,
+           ROUND(CAST(SUM(sqrt(l_quantity)) AS DOUBLE), 6) AS sum_sqrt_qty,
+           CAST(SUM(CAST(pow(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_sq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="math catalog: log1p, sqrt, pow (§2.8; Search.scala:290,425,558, "
+    "PrepareForMontecarlo.scala:30-33). Transcendental outputs rounded per convention.",
+    tags=("scalar", "agg"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.log1p("l_discount")), 6).alias("sum_log1p_disc"),
+        F.round(F.sum(F.sqrt("l_quantity")), 6).alias("sum_sqrt_qty"),
+        dbl(F.sum(F.pow("l_quantity", F.lit(2)).cast("decimal(18,2)"))).alias("sum_qty_sq"),
+    )
+
+
+@register(
+    "q_harmonic_scores",
+    oracle="""
+    SELECT n_name, ROUND(SUM(bal / (rn * rn)), 6) AS harmonic
+    FROM (SELECT n.n_name, CAST(c.c_acctbal AS DOUBLE) AS bal,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                         ORDER BY c.c_acctbal DESC) AS DOUBLE) AS rn
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    GROUP BY n_name
+    """,
+    description="harmonic-sum scoring via sort_array + zip_with + aggregate, pure Catalyst "
+    "(Helpers.scala:262-267 harmonicFn; Processing.scala:18-23)",
+    tags=("array", "agg"),
+)
+def q_harmonic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.collect_list(F.col("c_acctbal").cast("double")).alias("bals"))
+        .select("n_name", harmonic_fn("bals", precision=6).alias("harmonic"))
+    )

@@ -1,0 +1,265 @@
+"""LLM-training-data text operators over the ``documents`` table:
+deduplication (exact, fingerprint, n-gram Jaccard, MinHash+LSH, SimHash,
+winnowing) and text analysis (token counting, quality, language-ID).
+
+Oracle SQL is generated from the SAME constants (shingle k, hash seeds,
+band layout, stopword lists) as the Spark implementations, so both sides
+mirror by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.catalog.registry import register, table
+from platform_etl_backend_spark.operators import dedup as D
+from platform_etl_backend_spark.operators import textqa as TQ
+
+# DuckDB fragments ----------------------------------------------------------
+
+_T = "string_split_regex(trim(text), ' +')"
+
+
+def _duck_shingles(k: int) -> str:
+    return (
+        f"CASE WHEN len(t) >= {k} THEN "
+        f"list_distinct([array_to_string(t[i:i+{k - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(t)-{k - 1}, 0)+1)]) "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_T} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle FROM toks),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    WITH g AS (SELECT md5(trim(text)) AS fp, COUNT(*) AS cnt FROM documents GROUP BY fp)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS n_dup_docs
+    FROM g
+    """,
+    description="exact dedup via hash-groupBy fingerprint — corpus summary",
+    tags=("dedup", "text"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_summary(table(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "q_fingerprint_groups",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_T})), ' ')) AS fp
+      FROM documents)
+    SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS canonical_id,
+           list_sort(list(doc_id)) AS members
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    description="order-insensitive bag-of-words fingerprint dedup groups",
+    tags=("dedup", "text"),
+)
+def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.bag_fingerprint_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+    FROM inter JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5
+    """,
+    description="exact n-gram Jaccard near-dup pairs via shared-shingle join "
+    "(small-scale baseline; MinHash+LSH is the 100TB path)",
+    tags=("dedup", "text"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+def _minhash_oracle(k: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    hash_cols = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * r + rr}' for rr in range(r))})) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
+    keyed AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cands c JOIN sh a ON a.doc_id = c.id_a
+                   JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+    FROM inter JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= {threshold}
+    """
+
+
+@register(
+    "q_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description="MinHash+LSH near-dup pipeline: shingle → 8 min-hashes → 4 bands → "
+    "bucket-join candidates → exact-Jaccard verify (the scale path)",
+    tags=("dedup", "text", "lsh"),
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, num_hashes=8, bands=4, threshold=0.5,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = []
+    for b in range(bits):
+        c, j = b // 4 + 1, b % 4
+        sums.append(
+            f"SUM((((strpos('0123456789abcdef', h[{c}]) - 1) >> {j}) & 1) * 2 - 1) AS s{b}"
+        )
+    hash_terms = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS tok FROM documents),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    sums AS (SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({hash_terms} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_oracle(),
+    description="16-bit frequency-weighted SimHash per document (near-dup sketch)",
+    tags=("dedup", "text"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents)
+    SELECT doc_id,
+           list_min(list_transform({_duck_shingles(5)}, s -> md5(s))) AS fingerprint
+    FROM toks
+    """,
+    description="winnowing-style rolling 5-gram min-hash document fingerprint",
+    tags=("dedup", "text"),
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@register(
+    "q_doc_tokens",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_T})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TQ.BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    description="token counting: whitespace + BPE-ish regex pre-tokenizer",
+    tags=("text",),
+)
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws, bpe = TQ.token_counts("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TQ.LANG_STOPWORDS[lang]) + "]"
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_T}) AS BIGINT) AS n_tokens,
+             CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
+             CAST(len(list_filter({_T}, x -> list_contains({_stop_list_sql('en')}, lower(x))))
+                  AS BIGINT) AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_chars_trim - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+           ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CASE WHEN n_tokens < 5
+                     OR ROUND(CAST(n_chars_trim - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) < 2
+                THEN 'low'
+                WHEN ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) > 0.05 THEN 'high'
+                ELSE 'mid' END AS quality_bucket
+    FROM m
+    """,
+    description="document quality scoring: length, mean word length, stopword ratio, bucket",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TQ.quality_metrics(table(spark, sf_dir, "documents"), "text")
+    return d.select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "quality_bucket")
+
+
+def _langid_oracle() -> str:
+    langs = list(TQ.LANG_STOPWORDS)
+    hit_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> list_contains({_stop_list_sql(lang)}, lower(x)))) AS BIGINT)"
+        f" AS hits_{lang}"
+        for lang in langs
+    )
+    greatest = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_T} AS t FROM documents),
+    hits AS (SELECT doc_id, lang, {hit_cols} FROM toks),
+    scored AS (SELECT doc_id, lang, {greatest} AS best, * FROM hits)
+    SELECT lang, CASE WHEN best <= 0 THEN 'unk' ELSE {pred} END AS pred_lang,
+           COUNT(*) AS cnt
+    FROM scored GROUP BY lang, pred_lang
+    """
+
+
+@register(
+    "q_langid_confusion",
+    oracle=_langid_oracle(),
+    description="n-gram/stopword-heuristic language ID vs labeled lang (confusion counts)",
+    tags=("text",),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TQ.langid_scores(table(spark, sf_dir, "documents"), "text")
+    return d.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,103 @@
+"""Similarity-search operator coverage over the ``embeddings`` table
+(array<float> column): exact brute-force cosine top-k baseline and the
+sign-bit-bucketed (LSH) approximate variant that survives 100TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.catalog.registry import register, table
+from platform_etl_backend_spark.operators import similarity as S
+
+_COS = (
+    "ROUND(list_dot_product(qv, bv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv))), 6)"
+)
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q, b WHERE query_id <> neighbor_id)
+    SELECT query_id, rn, neighbor_id, cos
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+    description="exact ANN baseline: brute-force cosine top-3 for 10 query vectors "
+    "(broadcast queries, zip_with/aggregate dot products — no UDF)",
+    tags=("similarity", "vectors"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+def _bucket_sql(col: str, nbits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"CAST({terms} AS INTEGER)"
+
+
+@register(
+    "q_ann_bucketed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      {_bucket_sql('embedding', 4)} AS bucket
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+                 AS cos
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+    description="bucketed ANN (sign-bit LSH on leading dims): within-bucket top-1 — "
+    "the join-bounded scale path for embedding near-dup / retrieval",
+    tags=("similarity", "vectors", "lsh"),
+)
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.bucketed_ann_top1(emb, "vec_id", "embedding", nbits=4)
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND(list_dot_product(x.vec, y.vec) /
+                 (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))), 6)
+               AS cos
+    FROM a x JOIN a y ON x.vec_id < y.vec_id
+    WHERE list_dot_product(x.vec, y.vec) /
+          (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))) >= 0.95
+    """,
+    description="embedding-cosine near-duplicate pairs (threshold 0.95) — exact variant",
+    tags=("similarity", "dedup", "vectors"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.where(cos >= 0.95)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )

@@ -1,0 +1,227 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All variants are pure Catalyst expressions (no UDFs): tokenization, shingling
+and hashing happen with built-in string/array higher-order functions, so the
+hot path stays inside whole-stage codegen and scales linearly.
+
+Scale design:
+- exact / fingerprint dedup: one hash-shuffle on the fingerprint — the
+  minimal possible cost; fingerprints are computed map-side.
+- n-gram Jaccard: the exact all-pairs variant joins on shared shingles —
+  correct but quadratic in the worst case; it is the small-data oracle
+  baseline. The scale path is MinHash+LSH below.
+- MinHash+LSH: per-doc signature (H hashes) computed in ONE aggregation,
+  banded into B keys; candidate generation joins only within buckets, which
+  bounds the blow-up to bucket sizes. This is the 100TB-safe route.
+- The min-over-md5-hex trick: ``min(md5(seed || ':' || shingle))`` is a
+  valid min-hash family (md5 is uniform on hex strings, lexicographic min of
+  a uniform hash = min-hash) and — unlike murmur/xxhash — is bit-identical
+  across engines, which makes the operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ws_tokens(c: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(c), r" +")
+
+
+def k_shingles(tokens: Column, k: int) -> Column:
+    """Distinct word k-grams; whole doc as single shingle when shorter than k."""
+    whole = F.array(F.concat_ws(" ", tokens))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.array_distinct(F.when(F.size(tokens) >= k, grams).otherwise(whole))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows — one per distinct shingle per doc."""
+    return df.select(
+        F.col(id_col), F.explode(k_shingles(ws_tokens(text_col), k)).alias("shingle")
+    )
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str) -> DataFrame:
+    """Exact dedup via md5-fingerprint hash-groupBy: corpus-level summary."""
+    fp = df.select(F.md5(F.trim(F.col(text_col))).alias("fp"))
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)).alias("n_dup_docs"),
+    )
+
+
+def bag_fingerprint_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint (sorted distinct tokens → md5);
+    returns collision groups with >1 member."""
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(ws_tokens(text_col)))))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("cnt") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shared-shingle join (baseline path)."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "inter", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """H min-hashes per doc in a single aggregation pass."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs.
+
+    The scale path: no all-pairs join — only within-bucket joins.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    keyed = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (the full pipeline)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over all tokens (frequency-weighted), engine-portable.
+
+    Bit b of a token comes from hex-digit arithmetic on md5 (bit-identical in
+    any engine); the doc hash sets bit b iff the token-weighted sum of
+    (2·bit−1) is positive.
+    """
+    assert bits % 4 == 0
+    tok = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", F.md5("tok"))
+    sums = []
+    for b in range(bits):
+        c, j = b // 4 + 1, b % 4
+        v = F.instr(F.lit("0123456789abcdef"), F.substring("h", c, 1)) - 1
+        bit = F.shiftright(v, j).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    agg = tok.groupBy(id_col).agg(*sums)
+    hash_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return agg.select(F.col(id_col), hash_expr.cast("bigint").alias("simhash"))
+
+
+def winnow_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over rolling k-gram
+    windows (rolling-hash family via md5)."""
+    sh = k_shingles(ws_tokens(text_col), k)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Pure Catalyst implementations: dot products via ``zip_with`` + ``aggregate``
+higher-order functions (JVM-side, codegen'd), so no Python boundary is paid
+per row.
+
+Scale design:
+- ``brute_force_topk``: broadcast the (small) query set against the full
+  corpus — one pass over the corpus, no shuffle of the big side; the
+  per-query top-k is a windowed rank over (query, candidate) pairs. This is
+  the exact baseline; cost O(|corpus|·|queries|).
+- ``bucketed_ann``: sign-bit bucketing on leading dimensions (a fixed
+  random-hyperplane LSH with axis-aligned planes — deterministic and
+  oracle-checkable). Candidates join only within buckets: at 100TB the
+  corpus-self-join becomes |corpus|·avg_bucket_size instead of |corpus|².
+  Recall is tunable via the number of sign bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    precision: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, windowed rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("bv")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("bv")), precision).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("query_id", "rn", "neighbor_id", "cos")
+    )
+
+
+def sign_bucket(vec: Column, nbits: int) -> Column:
+    """LSH bucket id from the sign bits of the first ``nbits`` dimensions."""
+    acc = F.lit(0)
+    for i in range(nbits):
+        acc = acc + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def bucketed_ann_top1(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nbits: int = 4,
+    precision: int = 6,
+) -> DataFrame:
+    """Approximate nearest neighbor: candidates share the sign-bit bucket."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(vec_col).alias("vec"),
+    ).withColumn("bucket", sign_bucket(F.col("vec"), nbits))
+    a = v.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket")
+    b = v.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("bv")), precision).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cos")
+    )
