@@ -11,9 +11,8 @@ from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table, dec6, dbl
 from platform_etl_backend_spark.operators.stats import (
-    llr_contingency,
+    contingency_via_groupby,
     montecarlo_critical_values,
-    summary_statistics,
 )
 
 _EPOCH_DUCK = "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)"
@@ -215,9 +214,7 @@ def _event_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("drug"),
         F.floor(F.get_json_object("props", "$.k").cast("int") / 10).cast("int").alias("reaction"),
     )
-    total = e.select("report").distinct().count()
-    stats = summary_statistics(e, "report", "drug", "reaction")
-    return llr_contingency(stats, "drug", "reaction", total)
+    return contingency_via_groupby(e, "report", "drug", "reaction")
 
 
 @register(

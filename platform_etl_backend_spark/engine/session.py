@@ -41,6 +41,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Read ntz parquet timestamps as TIMESTAMP_NTZ so values are not
     # reinterpreted through the session zone (testdata is written ntz).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Split small single-file inputs down to row-group granularity so local
+    # CPU-heavy stages parallelize; on a real cluster inputs are many files
+    # and this floor is a no-op.
+    "spark.sql.files.minPartitionNum": "32",
     "spark.ui.enabled": "false",
 }
 

@@ -41,9 +41,20 @@ def k_shingles(tokens: Column, k: int) -> Column:
     return F.array_distinct(F.when(F.size(tokens) >= k, grams).otherwise(whole))
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by key to engine parallelism before CPU-heavy map work.
+
+    Small single-file inputs otherwise run shingling/hashing on one task;
+    the same hash partitioning is what downstream groupBy(key) needs, so
+    the exchange is reused, not added.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) rows — one per distinct shingle per doc."""
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col), F.explode(k_shingles(ws_tokens(text_col), k)).alias("shingle")
     )
 
@@ -165,9 +176,41 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact Jaccard (the full pipeline)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
-    sh = exploded_shingles(df, id_col, text_col, k)
+    """MinHash-LSH candidates verified with exact Jaccard (the full pipeline).
+
+    The shingle table feeds both signature-building and verification, so it
+    is persisted (the reference's persist-at-reuse-points pattern,
+    Target.scala:154) instead of recomputing tokenize+md5 twice.
+    """
+    sh = exploded_shingles(df, id_col, text_col, k).persist()
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*sig_aggs)
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bb).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{bb * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("key"),
+        )
+        for bb in range(bands)
+    ])
+    keyed = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    ka = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
+    kb = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
+    cands = (
+        ka.join(kb, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -203,7 +246,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     (2·bit−1) is positive.
     """
     assert bits % 4 == 0
-    tok = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    tok = spread(df, id_col).select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     sums = []
     for b in range(bits):

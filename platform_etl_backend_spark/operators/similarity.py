@@ -52,7 +52,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    b = corpus.select(
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    b = corpus.repartition(n).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("bv")
     )
     pairs = (
@@ -88,7 +89,8 @@ def bucketed_ann_top1(
     precision: int = 6,
 ) -> DataFrame:
     """Approximate nearest neighbor: candidates share the sign-bit bucket."""
-    v = corpus.select(
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    v = corpus.repartition(n).select(
         F.col(id_col).alias("vid"),
         as_double_array(vec_col).alias("vec"),
     ).withColumn("bucket", sign_bucket(F.col("vec"), nbits))

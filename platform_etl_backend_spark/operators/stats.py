@@ -93,6 +93,59 @@ def llr_contingency(
     )
 
 
+def contingency_via_groupby(
+    df: DataFrame, report_col: str, drug_col: str, reaction_col: str
+) -> DataFrame:
+    """Scale-path contingency: partial-aggregating groupBys + broadcast joins.
+
+    Equivalent to ``summary_statistics`` + ``llr_contingency`` but with no
+    full-table windows (3 shuffles of every event row) and no driver-side
+    ``count()`` action: per-dimension totals are small aggregates broadcast
+    back onto the pair counts, and N rides along via a broadcast single-row
+    cross join. This is the formulation that survives 100TB.
+    """
+    base = df.select(report_col, drug_col, reaction_col).distinct()
+    pair = base.groupBy(drug_col, reaction_col).agg(
+        F.countDistinct(report_col).alias("n_pair")
+    )
+    drug_tot = base.groupBy(drug_col).agg(F.countDistinct(report_col).alias("n_drug"))
+    reac_tot = base.groupBy(reaction_col).agg(
+        F.countDistinct(report_col).alias("n_reaction")
+    )
+    total = base.agg(F.countDistinct(report_col).alias("n_total"))
+    joined = (
+        pair.join(F.broadcast(drug_tot), drug_col)
+        .join(F.broadcast(reac_tot), reaction_col)
+        .crossJoin(F.broadcast(total))
+    )
+    a = F.col("n_pair").cast("double")
+    b = (F.col("n_reaction") - F.col("n_pair")).cast("double")
+    c = (F.col("n_drug") - F.col("n_pair")).cast("double")
+    d = (F.col("n_total") - F.col("n_drug") - F.col("n_reaction") + F.col("n_pair")).cast(
+        "double"
+    )
+    aterm = F.col("A") * (F.log("A") - F.log(F.col("A") + F.col("B")))
+    cterm = F.col("C") * (F.log("C") - F.log(F.col("C") + F.col("D")))
+    acterm = (F.col("A") + F.col("C")) * (
+        F.log(F.col("A") + F.col("C"))
+        - F.log(F.col("A") + F.col("B") + F.col("C") + F.col("D"))
+    )
+    return (
+        joined.select(
+            drug_col,
+            reaction_col,
+            a.alias("A"),
+            b.alias("B"),
+            c.alias("C"),
+            d.alias("D"),
+            F.col("n_drug").alias("drug_total"),
+            F.col("n_reaction").alias("reaction_total"),
+        )
+        .withColumn("llr", aterm + cterm - acterm)
+        .where(F.col("llr").isNotNull() & ~F.isnan("llr"))
+    )
+
+
 def critical_value(
     permutations: int, n_j: int, n_i: np.ndarray, total: int, prob: float, seed: int
 ) -> float:
