@@ -1,0 +1,26 @@
+"""Step dataflows mirroring the reference's CLI dispatch
+(``Main.scala:13-31``): each step is a pure function
+``dict[str, DataFrame] -> dict[str, DataFrame]`` wired between
+``engine.io.read_from`` and ``engine.io.write_to``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from platform_etl_backend_spark.steps.reactome import reactome_step
+from platform_etl_backend_spark.steps.go import go_step
+
+STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
+    "reactome": reactome_step,
+    "go": go_step,
+}
+
+
+def run_step(spark: SparkSession, name: str, inputs: Mapping[str, DataFrame], **params):
+    """Dispatch like Main.scala:15-29; unknown step names raise."""
+    if name not in STEPS:
+        raise ValueError(f"unknown step '{name}'; known: {sorted(STEPS)}")
+    return STEPS[name](spark, inputs, **params)

@@ -1,0 +1,91 @@
+"""Structured Streaming twins of the batch event operators.
+
+The reference is batch-only (SURVEY §1.1: no streaming anywhere), so these
+are engine extensions: the same logical operators (tumbling windows,
+session windows, dedup) expressed over unbounded input with watermarks.
+
+Scale notes: watermark bounds state; session windows use Spark's native
+``session_window`` (merging state store sessions); streaming dedup keys
+must be bounded by the watermark to avoid unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("event_ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark (streaming twin of
+    q_time_buckets)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (streaming twin of q_sessionize)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-style dedup on event_id within the watermark horizon."""
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
+    """Drain a bounded file-source stream into an in-memory table (tests)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming and _has_agg(df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

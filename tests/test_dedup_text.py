@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators import dedup as D
+from platform_etl_backend_spark.operators import textqa as TQ
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),  # near-dup of 1
+    (3, "completely different text about spark query engines and big data systems"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_summary(spark, docs):
+    row = D.exact_dedup_summary(docs, "text").first()
+    assert (row.n_docs, row.n_distinct, row.n_dup_docs) == (5, 4, 2)
+
+
+def test_bag_fingerprint_groups(spark, docs):
+    groups = D.bag_fingerprint_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].members == [1, 4]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any({3, 5} & set(p) for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # planted near-dup
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_dups_close(spark, docs):
+    h = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert h[1] == h[4]
+    ham_12 = bin(h[1] ^ h[2]).count("1")
+    ham_13 = bin(h[1] ^ h[3]).count("1")
+    assert ham_12 <= ham_13
+
+def test_winnow_fingerprint_stability(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in
+          D.winnow_fingerprint(docs, "doc_id", "text", k=5).collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
+    assert len(fp) == 5  # short doc still fingerprints (whole-doc shingle)
+
+
+def test_token_counts(spark, docs):
+    ws, bpe = TQ.token_counts("text")
+    row = docs.where(F.col("doc_id") == 5).select(ws.alias("w"), bpe.alias("b")).first()
+    assert row.w == 2 and row.b == 2
+
+
+def test_quality_metrics_buckets(spark, docs):
+    out = {r.doc_id: r for r in TQ.quality_metrics(docs, "text").collect()}
+    assert out[5].quality_bucket == "low"  # < 5 tokens
+    assert out[1].quality_bucket == "high"  # many 'the'
+    assert out[1].n_tokens == 14
+
+
+def test_langid_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "el gato y la casa de los perros"),
+         (3, "der hund und die katze ist ein tier"),
+         (4, "xyzzy plugh qwerty")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.pred_lang for r in TQ.langid_scores(df, "text").collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "unk"

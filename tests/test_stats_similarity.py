@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators import similarity as S
+from platform_etl_backend_spark.operators.stats import (
+    contingency_via_groupby,
+    critical_value,
+    llr_contingency,
+    montecarlo_critical_values,
+    summary_statistics,
+)
+
+
+def test_critical_value_deterministic_and_positive():
+    n_i = np.array([50, 30, 20])
+    a = critical_value(100, 40, n_i, 100, 0.95, seed=7)
+    b = critical_value(100, 40, n_i, 100, 0.95, seed=7)
+    assert a == b
+    assert a > 0
+    c = critical_value(100, 80, n_i, 100, 0.95, seed=7)
+    assert c != a  # different drug total changes the distribution
+
+
+def test_critical_value_degenerate_single_reaction():
+    # single-category multinomial: all mass on one cell, LLR collapses to 0
+    v = critical_value(50, 10, np.array([100]), 100, 0.95, seed=1)
+    assert v == 0.0
+
+
+def test_window_and_groupby_contingency_agree(spark):
+    rows = [(i, f"d{i % 3}", f"r{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["report", "drug", "reaction"])
+    via_windows = llr_contingency(
+        summary_statistics(df, "report", "drug", "reaction"), "drug", "reaction", 60
+    )
+    via_groupby = contingency_via_groupby(df, "report", "drug", "reaction")
+    a = {(r.drug, r.reaction): (r.A, r.B, r.C, r.D, round(r.llr, 9))
+         for r in via_windows.collect()}
+    b = {(r.drug, r.reaction): (r.A, r.B, r.C, r.D, round(r.llr, 9))
+         for r in via_groupby.collect()}
+    assert a == b
+
+
+def test_montecarlo_per_group_deterministic(spark):
+    rows = [(i, f"d{i % 2}", f"r{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["report", "drug", "reaction"])
+    cont = contingency_via_groupby(df, "report", "drug", "reaction")
+    out1 = {r.drug: r.critical_value for r in
+            montecarlo_critical_values(cont, "drug").collect()}
+    out2 = {r.drug: r.critical_value for r in
+            montecarlo_critical_values(cont, "drug").collect()}
+    assert out1 == out2
+    assert all(v >= 0 for v in out1.values())
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: bigint, embedding: array<float>")
+    out = S.brute_force_topk(df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+    got = [(r.rn, r.neighbor_id) for r in out.orderBy("rn").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_bucketed_ann_respects_buckets(spark):
+    vecs = [
+        (0, [1.0, 1.0]), (1, [0.9, 0.8]),       # bucket 3
+        (2, [-1.0, -1.0]), (3, [-0.9, -0.8]),   # bucket 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: bigint, embedding: array<float>")
+    out = {r.query_id: r.neighbor_id for r in
+           S.bucketed_ann_top1(df, "vec_id", "embedding", nbits=2).collect()}
+    assert out == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_multimodal_plumbing(spark):
+    from platform_etl_backend_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two-longer"))],
+        "media_id: bigint, data: binary",
+    )
+    with_meta = M.attach_media_meta(df, "data")
+    meta = {r.media_id: r.meta for r in with_meta.collect()}
+    assert meta[1].format == "fake" and meta[1].width >= 1
+
+    feats = {r.media_id: r.features for r in
+             M.decode_features(df, "media_id", "data").collect()}
+    assert len(feats[1]) == M.FEATURE_DIM
+    # deterministic across runs
+    again = {r.media_id: r.features for r in
+             M.decode_features(df, "media_id", "data").collect()}
+    assert feats == again
+
+    frames = M.frame_sample(df, "media_id", "data", every=2).collect()
+    assert all(r.frame_no % 2 == 0 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        M.decode_or_raise(b"x")

@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from platform_etl_backend_spark.sources.flatfile import (
+    parse_obo,
+    read_delimited_records,
+    read_obo,
+    parse_uniprot_records,
+)
+from platform_etl_backend_spark.steps import run_step
+from platform_etl_backend_spark.steps.embedding import export_vectors, train_word2vec
+
+OBO_SAMPLE = textwrap.dedent("""\
+    format-version: 1.2
+
+    [Term]
+    id: GO:0000001
+    name: mitochondrion inheritance
+    is_a: GO:0048308 ! organelle inheritance
+    is_a: GO:0048311 ! mitochondrion distribution
+
+    [Term]
+    id: GO:0000002
+    name: obsolete thing
+    is_obsolete: true
+
+    [Typedef]
+    id: part_of
+    name: part of
+""")
+
+UNIPROT_SAMPLE = (
+    "ID   001R_FRG3G              Reviewed;         256 AA.\n"
+    "AC   Q6GZX4; A1A1A1;\n"
+    "DE   RecName: Full=Putative transcription factor 001R;\n"
+    "GN   ORFNames=FV3-001R;\n"
+    "DR   EMBL; AY548484; AAT09660.1; -; Genomic_DNA.\n"
+    "CC   -!- FUNCTION: Transcription activation.\n"
+    "//\n"
+    "ID   002L_FRG3G              Reviewed;         320 AA.\n"
+    "AC   Q6GZX3;\n"
+    "DE   RecName: Full=Uncharacterized protein 002L;\n"
+    "//\n"
+)
+
+
+def test_parse_obo(tmp_path):
+    p = tmp_path / "go.obo"
+    p.write_text(OBO_SAMPLE)
+    terms = list(parse_obo(str(p)))
+    assert len(terms) == 2
+    assert terms[0]["id"] == "GO:0000001"
+    assert terms[0]["is_a"] == ["GO:0048308", "GO:0048311"]
+    assert terms[1]["obsolete"] is True
+
+
+def test_go_step(spark, tmp_path):
+    p = tmp_path / "go.obo"
+    p.write_text(OBO_SAMPLE)
+    out = run_step(spark, "go", {"go_terms": read_obo(spark, str(p))})["go"]
+    rows = out.collect()
+    assert [(r.id, r.name) for r in rows] == [("GO:0000001", "mitochondrion inheritance")]
+
+
+def test_unknown_step_raises(spark):
+    with pytest.raises(ValueError, match="unknown step"):
+        run_step(spark, "nope", {})
+
+
+def test_read_delimited_records(spark, tmp_path):
+    p = tmp_path / "uniprot.txt"
+    p.write_text(UNIPROT_SAMPLE)
+    recs = read_delimited_records(spark, str(p), "//\n")
+    assert recs.count() == 2
+
+
+def test_parse_uniprot_records(spark, tmp_path):
+    p = tmp_path / "uniprot.txt"
+    p.write_text(UNIPROT_SAMPLE)
+    out = parse_uniprot_records(read_delimited_records(spark, str(p), "//\n"))
+    rows = {r.entry_name: r for r in out.collect()}
+    assert set(rows) == {"001R_FRG3G", "002L_FRG3G"}
+    assert rows["001R_FRG3G"].accessions == ["Q6GZX4", "A1A1A1"]
+    assert rows["002L_FRG3G"].accessions == ["Q6GZX3"]
+    assert any("Putative transcription factor" in d for d in rows["001R_FRG3G"].descriptions)
+
+
+def test_reactome_step(spark):
+    pathways = spark.createDataFrame(
+        [
+            ("R-1", "root", "Homo sapiens"),
+            ("R-2", "mid", "Homo sapiens"),
+            ("R-3", "leaf", "Homo sapiens"),
+            ("R-X", "mouse thing", "Mus musculus"),
+        ],
+        ["_c0", "_c1", "_c2"],
+    )
+    relations = spark.createDataFrame(
+        [("R-1", "R-2"), ("R-2", "R-3"), ("R-1", "R-X")], ["_c0", "_c1"]
+    )
+    out = run_step(spark, "reactome", {"pathways": pathways, "relations": relations})[
+        "reactome"
+    ]
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {"R-1", "R-2", "R-3"}  # mouse filtered
+    assert rows["R-3"].ancestors == ["R-1", "R-2"]
+    assert rows["R-1"].isRoot and not rows["R-1"].isLeaf
+    assert rows["R-3"].isLeaf
+    assert rows["R-3"].path == [["R-1", "R-2", "R-3"]]
+    assert rows["R-1"].path == [["R-1"]]
+
+
+def test_word2vec_roundtrip(spark, tmp_path):
+    sents = spark.createDataFrame(
+        [(["spark", "query", "engine"],), (["spark", "fast", "engine"],)] * 5,
+        "tokens: array<string>",
+    )
+    model = train_word2vec(sents, vector_size=8, num_partitions=2, max_iter=1)
+    vecs = export_vectors(model)
+    rows = vecs.collect()
+    assert {r.word for r in rows} == {"spark", "query", "engine", "fast"}
+    assert all(len(r.vector) == 8 for r in rows)
+    assert all(r.norm >= 0 for r in rows)
+    path = str(tmp_path / "w2v")
+    model.save(path)
+    from pyspark.ml.feature import Word2VecModel
+
+    reloaded = Word2VecModel.load(path)
+    assert reloaded.getVectors().count() == 4

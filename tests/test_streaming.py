@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+
+from platform_etl_backend_spark.streaming import jobs as J
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return J.read_events_stream(spark, sf_dir)
+
+
+def _batch_events(spark, sf_dir):
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    return events_table(spark, sf_dir)
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, events_stream):
+    from pyspark.sql import functions as F
+
+    out = J.windowed_counts(events_stream)
+    q = J.run_to_memory(out, "win_counts")
+    try:
+        got = {
+            (str(r.window_start), r.event_type): r.cnt
+            for r in spark.table("win_counts").collect()
+        }
+        batch = _batch_events(spark, sf_dir)
+        expected = {
+            (str(r.bucket), r.event_type): r.cnt
+            for r in batch.groupBy(
+                F.timestamp_seconds(F.expr("(ep div 3600) * 3600")).alias("bucket"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == expected
+        assert sum(got.values()) == batch.count()
+    finally:
+        q.stop()
+
+
+def test_session_windows_bounded(spark, sf_dir, events_stream):
+    out = J.session_windows(events_stream, gap="30 minutes")
+    q = J.run_to_memory(out, "sessions")
+    try:
+        rows = spark.table("sessions").collect()
+        assert len(rows) > 0
+        assert all(r.session_end >= r.session_start for r in rows)
+        assert all(r.n_events >= 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(spark, sf_dir, events_stream):
+    out = J.streaming_dedup(events_stream)
+    q = J.run_to_memory(out, "deduped")
+    try:
+        n = spark.table("deduped").count()
+        assert n == _batch_events(spark, sf_dir).count()  # event_ids unique already
+    finally:
+        q.stop()
