@@ -919,6 +919,42 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_selectexpr_fragments",
+    oracle="""
+    SELECT c_custkey,
+           ifnull(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           trim(translate(lower(c_name), '#', ' ')) AS clean_name
+    FROM customer
+    """,
+    description="selectExpr with SQL fragments (P2; PrepareAdverseEventData.scala:18-31 "
+    "ifnull/trim/translate idiom)",
+    tags=("projection", "scalar"),
+)
+def q_selectexpr_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "ifnull(nullif(c_mktsegment, 'BUILDING'), 'OTHER') as seg_or_other",
+        "trim(translate(lower(c_name), '#', ' ')) as clean_name",
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design (A5 preserves
+    # the approximation; exact-distinct twins live in q_stats_per_group)
+    description="approx_count_distinct per group (A5; PrepareSummaryStatistics.scala:38-46, "
+    "Grounding.scala:198-200 — approximation intentionally preserved)",
+    tags=("agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
     "q_date_parts",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -30,6 +30,16 @@ class IOResource:
 
 
 def read_single(spark: SparkSession, conf: IOResourceConfig) -> DataFrame:
+    # engine-native flat-file formats the reference parsed outside Spark
+    if conf.format == "obo":
+        from platform_etl_backend_spark.sources.flatfile import read_obo
+
+        return read_obo(spark, conf.path)
+    if conf.format == "record_text":
+        from platform_etl_backend_spark.sources.flatfile import read_delimited_records
+
+        delim = dict(conf.options).get("delimiter", "//\n")
+        return read_delimited_records(spark, conf.path, delim)
     reader = spark.read.format(conf.format)
     if conf.options:
         reader = reader.options(**dict(conf.options))

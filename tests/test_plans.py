@@ -1,0 +1,82 @@
+"""Physical-plan guard rails: these tests fail when a plan regression
+(lost pushdown, lost broadcast, accidental cartesian, codegen break) sneaks
+in — the 100TB failure modes that small-data correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from platform_etl_backend_spark.catalog import QUERIES
+from platform_etl_backend_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+    shuffle_count,
+)
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q("q_scalar_filter_sum", spark, sf_dir)
+    assert_pushed_filters(df, "IsNotNull(l_quantity)")
+    assert_pushed_filters(df, "LessThan(l_quantity,24.0)")
+
+
+def test_partition_filters_and_codegen_agg(spark, sf_dir):
+    df = q("q_agg_basic", spark, sf_dir)
+    assert_wholestage_codegen(df)
+    # one shuffle for the groupBy, nothing else
+    assert shuffle_count(df) <= 1
+
+
+def test_lut_joins_broadcast(spark, sf_dir):
+    df = q("q_join_lut_broadcast", spark, sf_dir)
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_multi_join_broadcasts_dim(spark, sf_dir):
+    df = q("q_join_multi", spark, sf_dir)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    from platform_etl_backend_spark.plans import explain_str
+
+    df = q("q_scalar_filter_sum", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    # only the needed columns are read, not all 11 lineitem columns
+    assert "l_extendedprice" in scan_lines[0]
+    assert "l_orderkey" not in scan_lines[0]
+    assert "l_returnflag" not in scan_lines[0]
+
+
+def test_semi_and_anti_joins_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(q("q_semi_join", spark, sf_dir))
+    assert_no_cartesian(q("q_anti_join", spark, sf_dir))
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from platform_etl_backend_spark.plans import explain_str
+
+    df = q("q_order_limit", spark, sf_dir)
+    # global order+limit must plan as TakeOrderedAndProject (no full sort)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    df = q("q_cosine_topk", spark, sf_dir)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_llr_contingency_broadcast_totals(spark, sf_dir):
+    df = q("q_llr_contingency", spark, sf_dir)
+    assert_broadcast_join(df, at_least=2)
