@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table
 from platform_etl_backend_spark.operators import dedup as D
+from platform_etl_backend_spark.operators import nlp as NLP
 from platform_etl_backend_spark.operators import textqa as TQ
 
 # DuckDB fragments ----------------------------------------------------------
@@ -198,6 +199,27 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ws).cast("bigint").alias("ws_tokens"),
         F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "q_label_keys",
+    oracle=f"""
+    SELECT {NLP.duckdb_label_key_sql('p_name')} AS label_key,
+           COUNT(*) AS n_parts,
+           MIN(p_partkey) AS sample_part
+    FROM part GROUP BY label_key
+    """,
+    description="entity-grounding labelN join keys: normalize → tokenize → de-stop → "
+    "stem → sorted-distinct-join, all Catalyst (X7 port; Grounding.scala:380-400)",
+    tags=("text", "nlp"),
+)
+def q_label_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(NLP.label_key("p_name").alias("label_key"), "p_partkey")
+        .groupBy("label_key")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("p_partkey").alias("sample_part"))
     )
 
 

@@ -145,6 +145,66 @@ def replace_spaces_schema(df: DataFrame, replacement: str = "_") -> DataFrame:
     return rename_all_cols(df, lambda n: n.replace(" ", replacement))
 
 
+def bucket_columns_to_structs(
+    df: DataFrame, pattern: str, value_cols_to: str = "buckets"
+) -> DataFrame:
+    """Column-name-driven reshape (U8; Tractability.scala:17-39): columns
+    whose names match ``pattern`` (regex with groups ``modality`` and ``id``)
+    collapse into one ``array<struct<modality,id,value>>`` column.
+    """
+    rx = re.compile(pattern)
+    matched = [(c, rx.match(c)) for c in df.columns]
+    structs = [
+        F.struct(
+            F.lit(m.group("modality")).alias("modality"),
+            F.lit(m.group("id")).alias("id"),
+            F.col(c).cast("double").alias("value"),
+        )
+        for c, m in matched
+        if m
+    ]
+    drop = [c for c, m in matched if m]
+    return df.withColumn(value_cols_to, F.array(*structs)).drop(*drop)
+
+
+def priority_dedup_array(
+    arr: Column, priority: dict[str, int], id_field: str = "id", src_field: str = "source"
+) -> Column:
+    """Priority-ranked array dedup, pure Catalyst (X1/O5 port — the
+    reference's ``cleanProteinIds`` Scala UDF, Target.scala:525-593:
+    swissprot > trembl > uniprot > ensembl_PRO, first occurrence per id).
+
+    Sort by (priority, id), then fold left keeping the first struct per id —
+    no explode, no UDF, no shuffle.
+    """
+    keyed = F.transform(
+        arr,
+        lambda x: F.struct(
+            _priority_rank(x[src_field], priority).alias("rank"),
+            x[id_field].alias("key"),
+            x.alias("item"),
+        ),
+    )
+    sorted_arr = F.array_sort(keyed)
+    deduped = F.aggregate(
+        sorted_arr,
+        F.array().cast(
+            "array<struct<rank:int,key:string,item:struct<id:string,source:string>>>"
+        ),
+        lambda acc, x: F.when(
+            F.exists(acc, lambda y: y["key"] == x["key"]), acc
+        ).otherwise(F.array_append(acc, x)),
+    )
+    return F.transform(deduped, lambda x: x["item"])
+
+
+def _priority_rank(src: Column, priority: dict[str, int]) -> Column:
+    out = F.lit(len(priority))
+    for s, r in priority.items():
+        out = F.when(src == s, F.lit(r)).otherwise(out)
+    return out.cast("int")
+
+
 def validate_df(required: Iterable[str], df: DataFrame) -> DataFrame:
     """Runtime schema assertion (Helpers.scala:327-333): the PySpark stand-in
     for the reference's typed-Dataset ``.as[T]`` contracts."""
