@@ -12,10 +12,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from platform_etl_backend_spark.steps.reactome import reactome_step
 from platform_etl_backend_spark.steps.go import go_step
+from platform_etl_backend_spark.steps.otar import otar_step
+from platform_etl_backend_spark.steps.search_ebi import search_ebi_step
+from platform_etl_backend_spark.steps.expression import expression_step
+from platform_etl_backend_spark.steps.interaction import interaction_step
+from platform_etl_backend_spark.steps.openfda import openfda_step
 
 STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
     "reactome": reactome_step,
     "go": go_step,
+    "otar": otar_step,
+    "search_ebi": search_ebi_step,
+    "expression": expression_step,
+    "interaction": interaction_step,
+    "openfda": openfda_step,
 }
 
 

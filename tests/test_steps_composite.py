@@ -1,0 +1,150 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.steps import run_step
+
+
+def test_otar_step(spark):
+    diseases = spark.createDataFrame(
+        [("EFO_1", ["EFO_ROOT"]), ("EFO_2", ["EFO_ROOT", "EFO_1"])],
+        "id: string, ancestors: array<string>",
+    )
+    meta = spark.createDataFrame(
+        [("OTAR_A", "Project A", "Active", "yes"), ("OTAR_B", "Project B", "Closed", None)],
+        ["otar_code", "project_name", "project_status", "integrates_in_PPP"],
+    )
+    lookup = spark.createDataFrame(
+        [("OTAR_A", "EFO_1"), ("OTAR_B", "EFO_2")], ["otar_code", "efo_disease_id"]
+    )
+    out = run_step(spark, "otar", {
+        "diseases": diseases, "otar_meta": meta, "otar_project_to_efo": lookup,
+    })["otar_projects"]
+    rows = {r.efo_id: r.projects for r in out.collect()}
+    # EFO_1 gets project A directly; EFO_ROOT gets both via ancestors;
+    # EFO_2 gets B directly and A not (A maps to EFO_1, propagation is upward)
+    assert {p.otar_code for p in rows["EFO_ROOT"]} == {"OTAR_A", "OTAR_B"}
+    assert {p.otar_code for p in rows["EFO_1"]} == {"OTAR_A", "OTAR_B"}
+    assert {p.otar_code for p in rows["EFO_2"]} == {"OTAR_B"}
+    ref = [p.reference for p in rows["EFO_2"]]
+    assert ref == ["http://home.opentargets.org/OTAR_B"]
+
+
+def test_search_ebi_step(spark):
+    targets = spark.createDataFrame(
+        [("T1", "BRCA1"), ("T2", "TP53")], ["id", "approvedSymbol"]
+    )
+    diseases = spark.createDataFrame(
+        [("D1", "carcinoma")], ["id", "name"]
+    )
+    assoc = spark.createDataFrame(
+        [("T1", "D1", 0.8), ("T2", "D2", 0.5)],  # D2 missing -> dropped by inner join
+        ["targetId", "diseaseId", "associationScore"],
+    )
+    evid = spark.createDataFrame(
+        [("T1", "D1", 0.9)], ["targetId", "diseaseId", "score"]
+    )
+    out = run_step(spark, "search_ebi", {
+        "target": targets, "disease": diseases, "association": assoc, "evidence": evid,
+    })
+    a = out["ebisearchAssociations"].collect()
+    assert [(r.targetId, r.diseaseId, r.approvedSymbol, r.name, r.score) for r in a] == [
+        ("T1", "D1", "BRCA1", "carcinoma", 0.8)
+    ]
+    e = out["ebisearchEvidence"].collect()
+    assert [(r.score) for r in e] == [0.9]
+
+
+def _expression_inputs(spark):
+    tissues = spark.createDataFrame(
+        [
+            ("G1", "Liver", "hepatocytes", "High", "Approved"),
+            ("G1", "Brain", "neurons", "N/A", "Uncertain"),     # filtered out
+            ("G2", "Liver", "hepatocytes", "Low", "Uncertain"),
+        ],
+        ["Gene", "Tissue", "Cell type", "Level", "Reliability"],
+    )
+    rna = spark.createDataFrame([("G1", 10.0, 0.0), ("G2", 3.0, 1.0)],
+                                ["ID", "liver", "brain"])
+    binned = spark.createDataFrame([("G1", 3.0, 0.0), ("G2", 1.0, 0.0)],
+                                   ["ID", "liver", "brain"])
+    zscore = spark.createDataFrame([("G1", 2.0, 0.0), ("G2", 1.0, 0.0)],
+                                   ["ID", "liver", "brain"])
+    efomap = spark.createDataFrame(
+        [("liver", "UBERON_0002107", "liver", ["digestive"], ["liver organ"])],
+        ["tissue_id", "efo_code", "label", "anatomical_systems", "organs"],
+    )
+    exprmap = spark.createDataFrame([("liver", "liver")], ["_c0", "_c1"])
+    return {
+        "tissues": tissues, "rna": rna, "binned": binned,
+        "zscore": zscore, "efomap": efomap, "exprmap": exprmap,
+    }
+
+
+def test_interaction_step(spark):
+    interactions = spark.createDataFrame(
+        [
+            ("P100-2", "uniprot", None, "Q200_HUMAN", "uniprot", None,
+             "intact", 0.9, ["ev1", "ev2"]),
+            ("P100", "uniprot", None, "P300", "uniprot", None,
+             "string", 0.5, ["ev3"]),
+        ],
+        "intA: string, intA_source: string, speciesA: string, "
+        "intB: string, intB_source: string, speciesB: string, "
+        "sourceDatabase: string, interactionScore: double, evidencesList: array<string>",
+    ).withColumn("intABiologicalRole", F.lit("unspecified")) \
+     .withColumn("intBBiologicalRole", F.lit("unspecified"))
+    mapping = spark.createDataFrame(
+        [("ENSG1", "P100"), ("ENSG2", "Q200"), ("ENSG3", "P300")],
+        ["gene_id", "mapped_id"],
+    )
+    out = run_step(spark, "interaction", {
+        "interactions": interactions, "mapping": mapping,
+    })
+    ev = out["interaction_evidences"].collect()
+    # intact row is symmetric: 2 evidences x 2 directions; string: 1 evidence x 1
+    assert len(ev) == 5
+    intact_targets = {(r.targetA, r.targetB) for r in ev if r.sourceDatabase == "intact"}
+    assert intact_targets == {("ENSG1", "ENSG2"), ("ENSG2", "ENSG1")}  # id truncation worked
+    agg = out["interactions_agg"].collect()
+    counts = {(r.targetA, r.targetB): r["count"] for r in agg}
+    assert counts[("ENSG1", "ENSG2")] == 2
+    assert counts[("ENSG1", "ENSG3")] == 1
+
+
+def test_openfda_step(spark):
+    # drug d0 strongly associated with reaction r0, background noise elsewhere
+    rows = []
+    rid = 0
+    for _ in range(30):
+        rows.append((rid, "D0", "R0")); rid += 1
+    for i in range(60):
+        rows.append((rid, f"D{i % 3}", f"R{i % 5}")); rid += 1
+    raw = spark.createDataFrame(rows, ["safetyreportid", "drug_name", "reaction"])
+    drug_list = spark.createDataFrame([("D0",), ("D1",), ("D2",)], ["drug_name"])
+    blacklist = spark.createDataFrame([("R4",)], ["reactions"])
+    out = run_step(spark, "openfda", {
+        "fda_events": raw, "drug_list": drug_list, "blacklist": blacklist,
+    })
+    unfiltered = out["unfiltered"].collect()
+    assert all(r.reaction != "r4" for r in unfiltered)  # blacklist applied
+    sig = out["significant"].collect()
+    pairs = {(r.drug, r.event) for r in sig}
+    assert ("d0", "r0") in pairs  # the planted association is detected
+    top = max(sig, key=lambda r: r.llr)
+    assert (top.drug, top.event) == ("d0", "r0")  # ...and dominates
+    assert all(r.llr > r.critval for r in sig)
+
+
+def test_expression_step(spark):
+    out = run_step(spark, "expression", _expression_inputs(spark))["expressions"]
+    rows = {r.id: r.tissues for r in out.collect()}
+    assert "G1" in rows
+    liver = [t for t in rows["G1"] if t.efo_code == "UBERON_0002107"]
+    assert liver, rows["G1"]
+    t = liver[0]
+    assert t.label == "liver"
+    assert t.rna.value == 10.0 and t.rna.level == 3.0
+    assert t.protein.reliability is True and t.protein.level == 3
+    assert t.protein.cell_type[0].name == "hepatocytes"
+    assert t.organs == ["liver organ"]
