@@ -17,8 +17,12 @@ from platform_etl_backend_spark.steps.search_ebi import search_ebi_step
 from platform_etl_backend_spark.steps.expression import expression_step
 from platform_etl_backend_spark.steps.interaction import interaction_step
 from platform_etl_backend_spark.steps.openfda import openfda_step
+from platform_etl_backend_spark.steps.search_facet import search_facet_step
+from platform_etl_backend_spark.steps.literature import literature_step
+from platform_etl_backend_spark.steps.search import search_step
 
 STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
+    "search": search_step,
     "reactome": reactome_step,
     "go": go_step,
     "otar": otar_step,
@@ -26,6 +30,8 @@ STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
     "expression": expression_step,
     "interaction": interaction_step,
     "openfda": openfda_step,
+    "search_facet": search_facet_step,
+    "literature": literature_step,
 }
 
 

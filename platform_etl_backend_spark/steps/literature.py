@@ -1,0 +1,146 @@
+"""Literature step (core grounding + co-occurrence dataflow).
+
+Reference (``backend/literature/*``): entity LUT built by NLP-normalizing
+disease/target/drug names into ``labelN`` keys (Grounding.scala:405-564),
+sentence-level match grounding (Grounding.scala:152-333), per-publication
+relevance via section-weighted harmonic scores (Processing.scala:50-117),
+Word2Vec embedding (steps/embedding.py), and EPMC evidence exports
+(Epmc.scala:80-115, EpmcCooccurrences.scala:22-57).
+
+This port re-expresses the pipeline with the Catalyst-only NLP stack
+(operators/nlp.py): the labelN contract is identical; the Spark-NLP
+annotator chain is replaced per SURVEY §7.3's native-ops strategy.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.functions.columns import harmonic_fn
+from platform_etl_backend_spark.operators.nlp import label_key
+
+# section weights (Processing.scala section-weight semantics: title counts
+# more than abstract, abstract more than body)
+SECTION_WEIGHTS = {"title": 1.0, "abstract": 0.8, "body": 0.5}
+
+
+def build_entity_lut(entities: DataFrame) -> DataFrame:
+    """(id, name, type) + synonyms → (keywordId, type, labelN) grounding LUT.
+
+    Keeps the best keyword per normalized label via dense_rank (the
+    reference's ambiguity resolution, Grounding.scala:187-194).
+    """
+    base = entities.select(
+        F.col("id").alias("keywordId"),
+        F.col("type"),
+        F.explode(
+            F.array_union(F.array(F.col("name")), F.coalesce(
+                F.col("synonyms"), F.array().cast("array<string>")))
+        ).alias("label"),
+        F.coalesce(F.col("priority"), F.lit(1.0)).alias("score"),
+    )
+    keyed = base.withColumn("labelN", label_key("label")).where(F.col("labelN") != "")
+    w = Window.partitionBy("type", "labelN").orderBy(F.desc("score"), F.asc("keywordId"))
+    return (
+        keyed.withColumn("dr", F.dense_rank().over(w))
+        .where(F.col("dr") == 1)
+        .select("keywordId", "type", "labelN")
+        .distinct()
+    )
+
+
+def split_sentences(publications: DataFrame, text_col: str = "text") -> DataFrame:
+    """pmid/section/text → one row per sentence (explode)."""
+    return publications.select(
+        "pmid",
+        "section",
+        F.posexplode(F.split(F.col(text_col), r"(?<=[.!?])\s+")).alias("sentence_idx", "sentence"),
+    ).where(F.length(F.trim("sentence")) > 0)
+
+
+def match_sentences(sentences: DataFrame, lut: DataFrame, max_ngram: int = 3) -> DataFrame:
+    """Ground candidate n-gram spans against the LUT on labelN keys.
+
+    Candidate generation is pure Catalyst: token n-grams (n ≤ max_ngram) per
+    sentence, normalized through the same label_key pipeline as the LUT —
+    the join is then a plain (broadcastable) equi-join, exactly the shape
+    Grounding.scala:232-268 produces from NER output.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("sentence")), r"[^a-z0-9 ]", " ")), r"\s+")
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_ngram)),
+            lambda n: F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    candidates = sentences.select(
+        "pmid", "section", "sentence_idx", F.explode(F.array_distinct(spans)).alias("span")
+    ).withColumn("labelN", label_key("span")).where(F.col("labelN") != "")
+    return (
+        candidates.join(F.broadcast(lut), "labelN")
+        .select("pmid", "section", "sentence_idx", "keywordId", "type")
+        .distinct()
+    )
+
+
+def publication_relevance(matches: DataFrame) -> DataFrame:
+    """Per-(publication, keyword) section-weighted harmonic relevance
+    (Processing.scala:50-117 semantics)."""
+    weight = F.coalesce(
+        *[
+            F.when(F.col("section") == s, F.lit(w))
+            for s, w in SECTION_WEIGHTS.items()
+        ],
+        F.lit(0.25),
+    )
+    weighted = matches.withColumn("weight", weight)
+    return (
+        weighted.groupBy("pmid", "keywordId", "type")
+        .agg(F.collect_list("weight").alias("weights"))
+        .select(
+            "pmid", "keywordId", "type",
+            F.round(harmonic_fn("weights"), 6).alias("relevance"),
+        )
+    )
+
+
+def cooccurrences(matches: DataFrame) -> DataFrame:
+    """Same-sentence entity pairs across types (EpmcCooccurrences.scala:22-57)."""
+    a = matches.select(
+        "pmid", "section", "sentence_idx",
+        F.col("keywordId").alias("keywordId1"), F.col("type").alias("type1"),
+    )
+    b = matches.select(
+        "pmid", "section", "sentence_idx",
+        F.col("keywordId").alias("keywordId2"), F.col("type").alias("type2"),
+    )
+    pairs = a.join(b, ["pmid", "section", "sentence_idx"]).where(
+        (F.col("type1") < F.col("type2"))
+        | ((F.col("type1") == F.col("type2")) & (F.col("keywordId1") < F.col("keywordId2")))
+    )
+    return pairs.groupBy("keywordId1", "type1", "keywordId2", "type2").agg(
+        F.count(F.lit(1)).alias("cooccurrenceCount"),
+        F.countDistinct("pmid").alias("publicationCount"),
+    )
+
+
+def literature_step(
+    spark: SparkSession, inputs: Mapping[str, DataFrame]
+) -> Mapping[str, DataFrame]:
+    lut = build_entity_lut(inputs["entities"])
+    sentences = split_sentences(inputs["publications"])
+    matches = match_sentences(sentences, lut)
+    return {
+        "matches": matches,
+        "relevance": publication_relevance(matches),
+        "cooccurrences": cooccurrences(matches),
+    }

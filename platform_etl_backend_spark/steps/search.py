@@ -1,0 +1,175 @@
+"""Search step: entity search indexes with cross-entity label propagation.
+
+Reference (``backend/Search.scala``): five entity indexes share the
+``SearchIndex`` schema (:42-71 — id, name, description, entity, category,
+keywords, prefixes, ngrams, terms, terms25, terms5, multiplier). The
+distinctive machinery, ported here:
+- top-k-banded cross-entity labels: rank associations per entity
+  (W1, :118-126), then collect labels under rank cutoffs 50/25/5
+  (A4, :128-141) into terms/terms25/terms5;
+- relevance multiplier ``log1p(mean score) + 1`` with 0.01 fallback
+  (:289-291, 424-426, 558-559);
+- keyword/prefix/ngram generation from names + synonyms via flattenCat
+  (:784 concat_ws + lower idiom);
+- associations-with-drugs rollup (:85-97).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.functions.columns import flatten_cat
+
+SEARCH_INDEX_COLS = (
+    "id", "name", "description", "entity", "category", "keywords",
+    "prefixes", "ngrams", "terms", "terms25", "terms5", "multiplier",
+)
+
+
+def word_ngrams(name: Column, max_n: int = 3) -> Column:
+    """Lowercased word n-grams of a label (ngram search field)."""
+    toks = F.split(F.trim(F.lower(name)), r"\s+")
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(max_n)),
+                lambda n: F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+    )
+
+
+def banded_labels(
+    associations: DataFrame, id_col: str, label_col: str, score_col: str,
+    bands: tuple[int, ...] = (50, 25, 5),
+) -> DataFrame:
+    """Top-k-banded label aggregation (W1+A4): per entity, labels of its
+    top-ranked counterparts at each cutoff."""
+    w = Window.partitionBy(id_col).orderBy(F.desc(score_col), F.asc(label_col))
+    ranked = associations.withColumn("rnk", F.rank().over(w))
+    aggs = [
+        F.sort_array(
+            F.collect_set(F.when(F.col("rnk") <= b, F.col(label_col)))
+        ).alias(f"labels_{b}")
+        for b in bands
+    ]
+    return ranked.groupBy(id_col).agg(*aggs)
+
+
+def relevance_multiplier(mean_score: Column) -> Column:
+    """log1p(mean score)+1, 0.01 when the entity has no associations."""
+    return F.when(mean_score.isNotNull(), F.log1p(mean_score) + F.lit(1.0)).otherwise(
+        F.lit(0.01)
+    )
+
+
+def associations_with_drugs(evidence: DataFrame) -> DataFrame:
+    """Search.scala:85-97: per-association drug sets from evidence rows."""
+    return (
+        evidence.where(F.col("drugId").isNotNull())
+        .select("drugId", "targetId", "diseaseId")
+        .withColumn("associationId", F.concat_ws("-", "diseaseId", "targetId"))
+        .groupBy("associationId")
+        .agg(
+            F.collect_set("drugId").alias("drugIds"),
+            F.first("targetId").alias("targetId"),
+            F.first("diseaseId").alias("diseaseId"),
+        )
+    )
+
+
+def _search_index(
+    entities: DataFrame,
+    entity: str,
+    category: Column,
+    name_col: str = "name",
+    synonyms_col: str | None = "synonyms",
+    description_col: str | None = None,
+    extra_keyword_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    syn = (
+        F.coalesce(F.col(synonyms_col), F.array().cast("array<string>"))
+        if synonyms_col
+        else F.array().cast("array<string>")
+    )
+    extras = [F.array(F.col(c)) for c in extra_keyword_cols]
+    keywords = flatten_cat(F.array(F.col(name_col)), syn, *extras)
+    empty = F.array().cast("array<string>")
+    return entities.select(
+        F.col("id"),
+        F.col(name_col).alias("name"),
+        (F.col(description_col) if description_col else F.lit(None).cast("string")).alias(
+            "description"
+        ),
+        F.lit(entity).alias("entity"),
+        category.alias("category"),
+        keywords.alias("keywords"),
+        F.transform(keywords, F.lower).alias("prefixes"),
+        word_ngrams(F.col(name_col)).alias("ngrams"),
+        F.coalesce(F.col("terms"), empty).alias("terms"),
+        F.coalesce(F.col("terms25"), empty).alias("terms25"),
+        F.coalesce(F.col("terms5"), empty).alias("terms5"),
+        relevance_multiplier(F.col("relevance")).alias("multiplier"),
+    )
+
+
+def search_step(
+    spark: SparkSession, inputs: Mapping[str, DataFrame]
+) -> Mapping[str, DataFrame]:
+    targets = inputs["targets"]
+    diseases = inputs["diseases"]
+    associations = inputs["associations"]  # targetId, diseaseId, score
+    evidence = inputs.get("evidence")
+
+    disease_names = F.broadcast(
+        diseases.select(F.col("id").alias("diseaseId"), F.col("name").alias("diseaseName"))
+    )
+    target_names = F.broadcast(
+        targets.select(F.col("id").alias("targetId"), F.col("approvedSymbol"))
+    )
+    assoc = associations.join(disease_names, "diseaseId").join(target_names, "targetId")
+
+    t_bands = banded_labels(assoc, "targetId", "diseaseName", "score").withColumnsRenamed(
+        {"labels_50": "terms", "labels_25": "terms25", "labels_5": "terms5"}
+    )
+    t_rel = assoc.groupBy("targetId").agg(F.mean("score").alias("relevance"))
+    target_docs = (
+        targets.withColumnRenamed("id", "targetId")
+        .join(t_bands, "targetId", "left")
+        .join(t_rel, "targetId", "left")
+        .withColumnRenamed("targetId", "id")
+        .withColumnRenamed("approvedName", "name")
+    )
+    search_targets = _search_index(
+        target_docs, "target", F.lit("target"), "name", "synonyms", None,
+        extra_keyword_cols=("approvedSymbol",),
+    )
+
+    d_bands = banded_labels(assoc, "diseaseId", "approvedSymbol", "score").withColumnsRenamed(
+        {"labels_50": "terms", "labels_25": "terms25", "labels_5": "terms5"}
+    )
+    d_rel = assoc.groupBy("diseaseId").agg(F.mean("score").alias("relevance"))
+    disease_docs = (
+        diseases.withColumnRenamed("id", "diseaseId")
+        .join(d_bands, "diseaseId", "left")
+        .join(d_rel, "diseaseId", "left")
+        .withColumnRenamed("diseaseId", "id")
+    )
+    search_diseases = _search_index(
+        disease_docs, "disease", F.lit("disease"), "name", "synonyms", "description"
+        if "description" in diseases.columns else None,
+    )
+
+    out = {"search_target": search_targets, "search_disease": search_diseases}
+    if evidence is not None:
+        out["associations_with_drugs"] = associations_with_drugs(evidence)
+    return out

@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.steps import run_step
+
+
+def _targets(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "ENSG1", "BRCA1", "breast cancer gene 1",
+                [{"location": "nucleus", "source": "HPA"}],
+                [{"label": "Enzyme", "level": "l1"}],
+                [{"pathway": "DNA Repair", "pathwayId": "R-1"}],
+                [{"id": "GO:1", "aspect": "GO_P"}],
+                [{"modality": "SM", "id": "High-Quality Pocket", "value": True},
+                 {"modality": "AB", "id": "Surface", "value": False}],
+            ),
+            (
+                "ENSG2", "TP53", "tumor protein p53",
+                [], [], [], [{"id": "GO:1", "aspect": "GO_P"}], [],
+            ),
+        ],
+        "id: string, approvedSymbol: string, approvedName: string, "
+        "subcellularLocations: array<struct<location:string,source:string>>, "
+        "targetClass: array<struct<label:string,level:string>>, "
+        "pathways: array<struct<pathway:string,pathwayId:string>>, "
+        "go: array<struct<id:string,aspect:string>>, "
+        "tractability: array<struct<modality:string,id:string,value:boolean>>",
+    )
+
+
+def test_search_facet_step(spark):
+    go = spark.createDataFrame([("GO:1", "DNA repair")], ["id", "name"])
+    diseases = spark.createDataFrame(
+        [("EFO_1", "breast carcinoma", ["EFO_CANCER"])],
+        "id: string, name: string, therapeuticAreas: array<string>",
+    )
+    out = run_step(spark, "search_facet", {
+        "targets": _targets(spark), "go": go, "diseases": diseases,
+    })
+    tf = out["facets_target"].collect()
+    by_cat = {}
+    for r in tf:
+        by_cat.setdefault(r.category, []).append(r)
+    assert {r.label for r in by_cat["Approved Symbol"]} == {"BRCA1", "TP53"}
+    assert by_cat["Subcellular Location"][0].datasourceId == "HPA"
+    # GO facet resolves names through the LUT and shares both entities
+    go_rows = by_cat["GO:BP"]
+    assert go_rows[0].label == "DNA repair"
+    assert sorted(go_rows[0].entityIds) == ["ENSG1", "ENSG2"]
+    # tractability keeps only value==true, modality mapped
+    tract = by_cat["Tractability Small Molecule"]
+    assert [r.label for r in tract] == ["High-Quality Pocket"]
+    assert "Tractability Antibody" not in by_cat
+
+    df_rows = out["facets_disease"].collect()
+    cats = {r.category for r in df_rows}
+    assert cats == {"Disease", "Therapeutic Area"}
+
+
+def test_search_step(spark):
+    targets = spark.createDataFrame(
+        [("ENSG1", "BRCA1", "breast cancer gene 1", ["RNF53"]),
+         ("ENSG2", "TP53", "tumor protein p53", None)],
+        "id: string, approvedSymbol: string, approvedName: string, synonyms: array<string>",
+    )
+    diseases = spark.createDataFrame(
+        [("EFO_1", "breast carcinoma", ["cancer of breast"]),
+         ("EFO_2", "lung carcinoma", None)],
+        "id: string, name: string, synonyms: array<string>",
+    )
+    associations = spark.createDataFrame(
+        [("ENSG1", "EFO_1", 0.9), ("ENSG1", "EFO_2", 0.4), ("ENSG2", "EFO_2", 0.7)],
+        ["targetId", "diseaseId", "score"],
+    )
+    evidence = spark.createDataFrame(
+        [("ENSG1", "EFO_1", "CHEMBL1", 0.8)],
+        ["targetId", "diseaseId", "drugId", "score"],
+    )
+    out = run_step(spark, "search", {
+        "targets": targets, "diseases": diseases,
+        "associations": associations, "evidence": evidence,
+    })
+    t = {r.id: r for r in out["search_target"].collect()}
+    assert t["ENSG1"].terms == ["breast carcinoma", "lung carcinoma"]
+    assert t["ENSG1"].terms5 == ["breast carcinoma", "lung carcinoma"]
+    import math
+    assert abs(t["ENSG1"].multiplier - (math.log1p(0.65) + 1.0)) < 1e-9
+    assert "brca1" in t["ENSG1"].prefixes and "RNF53" in t["ENSG1"].keywords
+    assert "breast cancer" in t["ENSG1"].ngrams  # word bigram of the name
+    d = {r.id: r for r in out["search_disease"].collect()}
+    assert d["EFO_2"].terms == ["BRCA1", "TP53"]
+    awd = out["associations_with_drugs"].collect()
+    assert [(r.associationId, r.drugIds) for r in awd] == [("EFO_1-ENSG1", ["CHEMBL1"])]
+
+
+def test_literature_step(spark):
+    entities = spark.createDataFrame(
+        [
+            ("ENSG1", "target", "TNF alpha", ["tnf-α receptors"], 1.0),
+            ("EFO_1", "disease", "breast carcinoma", ["carcinoma of the breast"], 1.0),
+            ("CHEMBL1", "drug", "aspirin", None, 1.0),
+        ],
+        "id: string, type: string, name: string, synonyms: array<string>, priority: double",
+    )
+    pubs = spark.createDataFrame(
+        [
+            ("pm1", "title", "TNF alpha in breast carcinoma."),
+            ("pm1", "abstract", "We studied aspirin. The TNF-α receptors were elevated."),
+            ("pm2", "body", "Nothing relevant here."),
+        ],
+        ["pmid", "section", "text"],
+    )
+    out = run_step(spark, "literature", {"entities": entities, "publications": pubs})
+    matches = out["matches"].collect()
+    matched = {(r.pmid, r.keywordId) for r in matches}
+    assert ("pm1", "ENSG1") in matched
+    assert ("pm1", "EFO_1") in matched
+    assert ("pm1", "CHEMBL1") in matched
+    assert not any(r.pmid == "pm2" for r in matches)
+
+    rel = {(r.pmid, r.keywordId): r.relevance for r in out["relevance"].collect()}
+    # title match outweighs abstract-only match
+    assert rel[("pm1", "EFO_1")] >= rel[("pm1", "CHEMBL1")]
+
+    cooc = {(r.keywordId1, r.keywordId2): r.cooccurrenceCount
+            for r in out["cooccurrences"].collect()}
+    # TNF + carcinoma share the title sentence
+    assert (("EFO_1", "ENSG1") in cooc) or (("ENSG1", "EFO_1") in cooc)
