@@ -21,8 +21,11 @@ from platform_etl_backend_spark.steps.search_facet import search_facet_step
 from platform_etl_backend_spark.steps.literature import literature_step
 from platform_etl_backend_spark.steps.search import search_step
 
+from platform_etl_backend_spark.steps.target import target_step
+
 STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
     "search": search_step,
+    "target": target_step,
     "reactome": reactome_step,
     "go": go_step,
     "otar": otar_step,
