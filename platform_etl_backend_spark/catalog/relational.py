@@ -919,6 +919,52 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="skew-safe two-phase salted aggregation — semantics-preserving, so the "
+    "oracle is the plain groupBy (explicit fallback beside AQE skew handling)",
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "cnt": (F.count(F.lit(1)), F.sum("cnt")),
+            "total_qty": (F.sum(dec2("l_quantity")), dbl(F.sum("total_qty"))),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        buckets=16,
+    )
+
+
+@register(
+    "q_file_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name, COUNT(*) AS cnt FROM documents
+    """,
+    description="input_file_name provenance column (S11; Grounding.scala:340)",
+    tags=("scan",),
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.substring_index(F.input_file_name(), "/", -1).alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "q_selectexpr_fragments",
     oracle="""
     SELECT c_custkey,

@@ -12,7 +12,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("petl-tests", master="local[4]",
-                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+                      extra_conf={"spark.sql.shuffle.partitions": "4",
+                                  "spark.sql.warehouse.dir": "/tmp/petl-warehouse"})
     yield spark
     spark.stop()
 
