@@ -76,6 +76,45 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_ann_top1(emb, "vec_id", "embedding", nbits=4)
 
 
+_IVF_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+    scored AS (
+      SELECT vid, vec, cell_id, {_IVF_COS.format(a='vec', b='cv')} AS cell_cos
+      FROM v, cents),
+    assigned AS (
+      SELECT vid, vec, cell_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                                         ORDER BY cell_cos DESC, cell_id) AS rn
+            FROM scored) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vid AS query_id, b.vid AS neighbor_id,
+             {_IVF_COS.format(a='a.vec', b='b.vec')} AS cos
+      FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vid <> b.vid)
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs) WHERE rn = 1
+    """,
+    description="IVF ANN: broadcast coarse quantizer (nearest-centroid cells), "
+    "within-cell top-1 — the inverted-file scale path beside sign-bit LSH",
+    tags=("similarity", "vectors", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    return S.ivf_top1(emb, centroids, "vec_id", "embedding")
+
+
 @register(
     "q_embedding_near_dup",
     oracle=f"""

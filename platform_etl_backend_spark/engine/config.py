@@ -32,6 +32,10 @@ class IOResourceConfig:
     options: Mapping[str, str] = field(default_factory=dict)
     partition_by: tuple[str, ...] = ()
     write_mode: str = "error"
+    # S9 single-file outputs (Epmc.scala:73, OpenFdaCompute.scala:63-64):
+    # only set when single-file is a semantic requirement — at scale it
+    # serializes the write through one task.
+    coalesce: int | None = None
 
     def __post_init__(self) -> None:
         validate_write_mode(self.write_mode)
@@ -44,6 +48,7 @@ class IOResourceConfig:
             options=dict(d.get("options", {})),
             partition_by=tuple(d.get("partition_by", ())),
             write_mode=d.get("write_mode", "error"),
+            coalesce=d.get("coalesce"),
         )
 
 

@@ -71,6 +71,8 @@ def write_single(resource: IOResource, extra_formats: tuple[str, ...] = ()) -> N
 
 
 def _write(df: DataFrame, conf: IOResourceConfig, fmt: str, path: str) -> None:
+    if conf.coalesce:
+        df = df.coalesce(conf.coalesce)
     writer = df.write.mode(conf.write_mode)
     if conf.partition_by:
         writer = writer.partitionBy(*conf.partition_by)

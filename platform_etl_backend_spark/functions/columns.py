@@ -66,6 +66,8 @@ def harmonic_fn(scores_col: Column | str, precision: int | None = None) -> Colum
     idx = F.sequence(F.lit(1), F.greatest(F.size(c), F.lit(1)))
     terms = F.zip_with(sorted_desc, idx, lambda s, i: s / (i.cast("double") * i))
     total = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    # empty array → 0.0 (zip_with would null-pad against [1]); null stays null
+    total = F.when(F.size(c) > 0, total).otherwise(F.lit(0.0))
     return F.round(total, precision) if precision is not None else total
 
 

@@ -73,6 +73,60 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are broadcast; assignment is one pass over the corpus with a
+    windowed argmin — no corpus self-join. At production scale centroids
+    come from a k-means sample; any deterministic centroid set plugs in.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cv")
+    )
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vid", "vec", "cell_id",
+        F.round(cosine(F.col("vec"), F.col("cv")), 6).alias("cell_cos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "vec", "cell_id")
+    )
+
+
+def ivf_top1(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """IVF ANN (nprobe=1): candidates share the assigned centroid cell, so
+    the pair join is bounded by cell sizes instead of |corpus|²."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "cell_id")
+    b = assigned.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"), "cell_id")
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("bv")), precision).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def sign_bucket(vec: Column, nbits: int) -> Column:
     """LSH bucket id from the sign bits of the first ``nbits`` dimensions."""
     acc = F.lit(0)
