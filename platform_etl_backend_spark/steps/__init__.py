@@ -22,8 +22,10 @@ from platform_etl_backend_spark.steps.literature import literature_step
 from platform_etl_backend_spark.steps.search import search_step
 
 from platform_etl_backend_spark.steps.target import target_step
+from platform_etl_backend_spark.steps.embedding import embedding_step
 
 STEPS: dict[str, Callable[..., Mapping[str, DataFrame]]] = {
+    "embedding": embedding_step,
     "search": search_step,
     "target": target_step,
     "reactome": reactome_step,

@@ -59,3 +59,22 @@ def export_vectors(model: Word2VecModel) -> DataFrame:
 
 def synonyms(model: Word2VecModel, word: str, n: int = 5) -> DataFrame:
     return model.findSynonyms(word, n)
+
+
+def embedding_step(spark, inputs, model_path: str | None = None, **w2v_params):
+    """Runner-compatible step: publications(text) → tokens → Word2Vec →
+    exported vectors; optionally persists the model directory
+    (IOResourceML flow, Literature.scala → Embedding → Vectors)."""
+    from pyspark.sql import functions as F
+
+    sentences = inputs["publications"].select(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "").alias(
+            "tokens"
+        )
+    )
+    model = train_word2vec(sentences, **w2v_params)
+    if model_path:
+        from platform_etl_backend_spark.engine.io import IOMLResource
+
+        IOMLResource(model, model_path).save()
+    return {"vectors": export_vectors(model)}
