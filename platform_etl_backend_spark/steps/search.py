@@ -172,4 +172,76 @@ def search_step(
     out = {"search_target": search_targets, "search_disease": search_diseases}
     if evidence is not None:
         out["associations_with_drugs"] = associations_with_drugs(evidence)
+    if "drugs" in inputs and evidence is not None:
+        out["search_drug"] = drug_index(
+            inputs["drugs"], evidence, targets, diseases
+        )
     return out
+
+
+def drug_index(
+    drugs: DataFrame, evidence: DataFrame, targets: DataFrame, diseases: DataFrame
+) -> DataFrame:
+    """Drug search index (Search.scala:430-560 semantics): associated
+    target/disease ids from evidence, propagated labels, flattenCat
+    keywords over synonyms/tradeNames, evidence-score relevance."""
+    assoc = (
+        evidence.where(F.col("drugId").isNotNull())
+        .groupBy("drugId")
+        .agg(
+            F.collect_set("targetId").alias("targetIds"),
+            F.collect_set("diseaseId").alias("diseaseIds"),
+            F.mean("score").alias("relevance"),
+        )
+    )
+    t_labels = (
+        assoc.select("drugId", F.explode("targetIds").alias("targetId"))
+        .join(
+            F.broadcast(targets.select(F.col("id").alias("targetId"), "approvedSymbol")),
+            "targetId",
+        )
+        .groupBy("drugId")
+        .agg(F.sort_array(F.collect_set("approvedSymbol")).alias("target_labels"))
+    )
+    d_labels = (
+        assoc.select("drugId", F.explode("diseaseIds").alias("diseaseId"))
+        .join(
+            F.broadcast(
+                diseases.select(F.col("id").alias("diseaseId"), F.col("name").alias("dname"))
+            ),
+            "diseaseId",
+        )
+        .groupBy("drugId")
+        .agg(F.sort_array(F.collect_set("dname")).alias("disease_labels"))
+    )
+    empty = F.array().cast("array<string>")
+    docs = (
+        drugs.withColumnRenamed("id", "drugId")
+        .join(assoc, "drugId", "left")
+        .join(t_labels, "drugId", "left")
+        .join(d_labels, "drugId", "left")
+    )
+    syn = F.coalesce(F.col("synonyms"), empty)
+    trade = (
+        F.coalesce(F.col("tradeNames"), empty) if "tradeNames" in drugs.columns else empty
+    )
+    keywords = flatten_cat(F.array(F.col("name")), F.array(F.col("drugId")), syn, trade)
+    return docs.select(
+        F.col("drugId").alias("id"),
+        F.col("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("drug").alias("entity"),
+        (F.col("drugType") if "drugType" in drugs.columns else F.lit("drug")).alias(
+            "category"
+        ),
+        keywords.alias("keywords"),
+        F.transform(keywords, F.lower).alias("prefixes"),
+        word_ngrams(F.col("name")).alias("ngrams"),
+        flatten_cat(
+            F.coalesce(F.col("disease_labels"), empty),
+            F.coalesce(F.col("target_labels"), empty),
+        ).alias("terms"),
+        empty.alias("terms25"),
+        empty.alias("terms5"),
+        relevance_multiplier(F.col("relevance")).alias("multiplier"),
+    )

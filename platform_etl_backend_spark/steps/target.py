@@ -176,6 +176,50 @@ def merge_hgnc(ensembl: DataFrame, hgnc: DataFrame) -> DataFrame:
     )
 
 
+def add_uniprot(core: DataFrame, uniprot: DataFrame, hgnc: DataFrame) -> DataFrame:
+    """Accrete UniprotKB accessions onto the ENSG core.
+
+    Reference shape (Target.scala:450-473 + addEnsemblIdsToUniprot): uniprot
+    entries map to genes through HGNC's uniprot_ids; accessions merge into
+    ``proteinIds`` with source 'uniprot' at lower priority than swissprot/
+    trembl. Input is the DISTRIBUTED flat-file parse
+    (sources/flatfile.parse_uniprot_records), not a driver-side loop.
+    """
+    if "record" in uniprot.columns:
+        from platform_etl_backend_spark.sources.flatfile import parse_uniprot_records
+
+        uniprot = parse_uniprot_records(uniprot)
+    u = uniprot.select(F.explode("accessions").alias("acc"))
+    h = hgnc.select(
+        F.col("ensembl_gene_id").alias("id"),
+        F.explode("uniprot_ids").alias("acc"),
+    )
+    mapped = (
+        u.join(h, "acc")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("acc").alias("id"), F.lit("uniprot").alias("source")))
+            ).alias("uniprotProteinIds")
+        )
+    )
+    empty = F.array().cast("array<struct<id:string,source:string>>")
+    return (
+        core.join(F.broadcast(mapped), "id", "left")
+        .withColumn(
+            "proteinIds",
+            priority_dedup_array(
+                F.concat(
+                    F.coalesce(F.col("proteinIds"), empty),
+                    F.coalesce(F.col("uniprotProteinIds"), empty),
+                ),
+                PROTEIN_ID_PRIORITY,
+            ),
+        )
+        .drop("uniprotProteinIds")
+    )
+
+
 def add_tss(df: DataFrame) -> DataFrame:
     """Target.scala:181-188: transcription start site from strand."""
     return df.withColumn(
@@ -205,6 +249,8 @@ def target_step(
     )
     if "hgnc" in inputs:
         core = merge_hgnc(core, inputs["hgnc"])
+        if "uniprot" in inputs:
+            core = add_uniprot(core, inputs["uniprot"], inputs["hgnc"])
     annotations: dict[str, tuple[DataFrame, str]] = {}
     if "go" in inputs:
         go_by_gene = (

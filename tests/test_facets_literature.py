@@ -96,6 +96,43 @@ def test_search_step(spark):
     assert [(r.associationId, r.drugIds) for r in awd] == [("EFO_1-ENSG1", ["CHEMBL1"])]
 
 
+def test_search_step_drug_index(spark):
+    targets = spark.createDataFrame(
+        [("ENSG1", "BRCA1", "g1", None)],
+        "id: string, approvedSymbol: string, approvedName: string, synonyms: array<string>",
+    )
+    diseases = spark.createDataFrame(
+        [("EFO_1", "breast carcinoma", None)],
+        "id: string, name: string, synonyms: array<string>",
+    )
+    associations = spark.createDataFrame(
+        [("ENSG1", "EFO_1", 0.9)], ["targetId", "diseaseId", "score"]
+    )
+    evidence = spark.createDataFrame(
+        [("ENSG1", "EFO_1", "CHEMBL1", 0.8)],
+        ["targetId", "diseaseId", "drugId", "score"],
+    )
+    drugs = spark.createDataFrame(
+        [("CHEMBL1", "aspirin", ["acetylsalicylic acid"], ["Aspro"], "small molecule"),
+         ("CHEMBL2", "orphanol", None, None, "small molecule")],
+        "id: string, name: string, synonyms: array<string>, tradeNames: array<string>, "
+        "drugType: string",
+    )
+    out = run_step(spark, "search", {
+        "targets": targets, "diseases": diseases, "associations": associations,
+        "evidence": evidence, "drugs": drugs,
+    })["search_drug"]
+    rows = {r.id: r for r in out.collect()}
+    a = rows["CHEMBL1"]
+    assert a.terms == ["breast carcinoma", "BRCA1"]
+    assert "acetylsalicylic acid" in a.keywords and "Aspro" in a.keywords
+    assert a.category == "small molecule"
+    import math
+    assert abs(a.multiplier - (math.log1p(0.8) + 1.0)) < 1e-9
+    assert rows["CHEMBL2"].multiplier == 0.01  # no evidence
+    assert rows["CHEMBL2"].terms == []
+
+
 def test_literature_step(spark):
     entities = spark.createDataFrame(
         [

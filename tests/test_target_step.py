@@ -83,3 +83,29 @@ def test_target_step_accretion(spark):
     ]
     # un-annotated gene still present with null annotations
     assert rows["ENSG003"].go is None
+
+
+def test_target_step_with_uniprot_records(spark, tmp_path):
+    from platform_etl_backend_spark.sources.flatfile import read_delimited_records
+
+    up = tmp_path / "uniprot.txt"
+    up.write_text(
+        "ID   X1_HUMAN   Reviewed;  100 AA.\n"
+        "AC   U100; U101;\n"
+        "//\n"
+    )
+    hgnc = spark.createDataFrame(
+        [("ENSG001", "HGNC:1", ["S1A"], ["gene one"], ["U100"])],
+        "ensembl_gene_id: string, hgnc_id: string, alias_symbol: array<string>, "
+        "alias_name: array<string>, uniprot_ids: array<string>",
+    )
+    out = run_step(spark, "target", {
+        "ensembl": _genes(spark),
+        "hgnc": hgnc,
+        "uniprot": read_delimited_records(spark, str(up), "//\n"),
+    })["target"]
+    t = {r.id: r for r in out.collect()}["ENSG001"]
+    # swissprot P1 + trembl T1 from ensembl, U100 accreted via hgnc mapping
+    assert [(p.id, p.source) for p in t.proteinIds] == [
+        ("P1", "uniprot_swissprot"), ("T1", "uniprot_trembl"), ("U100", "uniprot")
+    ]
