@@ -71,6 +71,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    flagged AS (
+      SELECT user_id, value, ep,
+             CASE WHEN ep - LAG(ep) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    sessions AS (
+      SELECT user_id, value, ep,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep
+                                    ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged)
+    SELECT user_id, CAST(MIN(ep) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, s
+    """,
+    description="native session_window gap-merge aggregation (the batch form of the "
+    "streaming session operator; boundary: gap >= 30min starts a new session)",
+    tags=("window", "events", "session"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir).withColumn("tss", F.timestamp_seconds("ep"))
+    return (
+        e.groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dbl(F.sum(dec6("value"))).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q_time_buckets",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

@@ -181,6 +181,46 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+    SELECT component, COUNT(*) AS cluster_size, list_sort(list(node)) AS members
+    FROM comp GROUP BY component
+    """,
+    description="near-dup pairs → duplicate clusters via distributed connected "
+    "components (min-label propagation) — the group-level dedup output",
+    tags=("dedup", "text", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import connected_components
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sort_array(F.collect_set("node")).alias("members"),
+    )
+
+
+@register(
     "q_doc_tokens",
     oracle=f"""
     SELECT source,

@@ -99,6 +99,58 @@ def closure_tables(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The Spark-native dedup-clustering primitive: near-duplicate PAIRS
+    (from MinHash/Jaccard/embedding operators) become duplicate GROUPS.
+    Each round every node adopts the minimum label among itself and its
+    neighbors; converges in O(component diameter) rounds. Lineage is cut
+    per round with localCheckpoint. Returns (node, component) where
+    component is the minimum node id in the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
 def driver_closure(edges: DataFrame, src: str = "src", dst: str = "dst"):
     """Collect-to-driver networkx closure (reference-parity path for small
     ontologies; GraphNode.scala:45-48 does exactly this collect).
