@@ -95,17 +95,27 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--cpus", default="8")
+    ap.add_argument("--vanilla", action="store_true",
+                    help="plain SparkSession without engine defaults "
+                         "(simulates the driver's own session)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from platform_etl_backend_spark.engine.session import get_spark
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
 
-    spark = get_spark("check-oracle", master=f"local[{args.cpus}]",
-                      extra_conf={"spark.sql.shuffle.partitions": args.cpus})
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.appName("check-oracle-vanilla")
+                 .master(f"local[{args.cpus}]").getOrCreate())
+    else:
+        from platform_etl_backend_spark.engine.session import get_spark
+
+        spark = get_spark("check-oracle", master=f"local[{args.cpus}]",
+                          extra_conf={"spark.sql.shuffle.partitions": args.cpus})
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
