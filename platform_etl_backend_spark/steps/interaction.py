@@ -82,10 +82,81 @@ def aggregate_interactions(evidences: DataFrame) -> DataFrame:
     )
 
 
+# STRING evidence channels → (detection method short name, MI identifier)
+# (stringProtein/StringProtein.scala:60-69)
+STRING_EVIDENCE_CHANNELS = (
+    ("coexpression", "MI:2231"),
+    ("cooccurence", "MI:2231"),
+    ("neighborhood", "MI:0057"),
+    ("fusion", "MI:0036"),
+    ("homology", "MI:2163"),
+    ("experimental", "MI:0591"),
+    ("database", ""),
+    ("textmining", "MI:0110"),
+)
+
+
+def prepare_string_interactions(
+    string_df: DataFrame, score_threshold: int = 0, taxon_prefix: str = "9606."
+) -> DataFrame:
+    """Normalize STRING protein links to the common interaction schema.
+
+    Reference semantics (stringProtein/StringProtein.scala:49-120): score
+    threshold filter, per-channel evidence structs (only channels with a
+    positive score become evidences), human-taxon filter, protein-id prefix
+    strip, fixed biological role/source columns.
+    """
+    df = string_df.withColumn(
+        "interactionScore", F.ltrim(F.col("combined_score")).cast("int")
+    ).where(F.col("interactionScore") >= score_threshold)
+    evidences = F.filter(
+        F.array(*[
+            F.struct(
+                F.lit(name).alias("interaction_detection_method_short_name"),
+                F.lit(mi).alias("interaction_detection_method_mi_identifier"),
+                F.col(name).cast("long").alias("evidence_score"),
+            )
+            for name, mi in STRING_EVIDENCE_CHANNELS
+        ]),
+        lambda e: e["evidence_score"] > 0,
+    )
+    return (
+        df.where(
+            F.col("protein1").contains(taxon_prefix)
+            & F.col("protein2").contains(taxon_prefix)
+        )
+        .select(
+            F.regexp_replace("protein1", taxon_prefix, "").alias("intA"),
+            F.regexp_replace("protein2", taxon_prefix, "").alias("intB"),
+            F.lit("ensembl_protein").alias("intA_source"),
+            F.lit("ensembl_protein").alias("intB_source"),
+            F.lit("unspecified role").alias("intABiologicalRole"),
+            F.lit("unspecified role").alias("intBBiologicalRole"),
+            F.lit("Homo sapiens").alias("speciesA"),
+            F.lit("Homo sapiens").alias("speciesB"),
+            F.lit("string").alias("sourceDatabase"),
+            (F.col("interactionScore").cast("double") / 1000).alias("interactionScore"),
+            evidences.alias("evidencesList"),
+        )
+    )
+
+
 def interaction_step(
-    spark: SparkSession, inputs: Mapping[str, DataFrame]
+    spark: SparkSession,
+    inputs: Mapping[str, DataFrame],
+    string_score_threshold: int = 0,
 ) -> Mapping[str, DataFrame]:
-    mapped = map_interactors(inputs["interactions"], inputs["mapping"])
+    interactions = inputs.get("interactions")
+    if "string" in inputs:
+        normalized = prepare_string_interactions(
+            inputs["string"], string_score_threshold
+        )
+        interactions = (
+            normalized
+            if interactions is None
+            else interactions.unionByName(normalized.select(*interactions.columns))
+        )
+    mapped = map_interactors(interactions, inputs["mapping"])
     full = add_reverse_interactions(mapped)
     evidences = explode_evidences(full)
     return {

@@ -112,6 +112,31 @@ def test_interaction_step(spark):
     assert counts[("ENSG1", "ENSG3")] == 1
 
 
+def test_interaction_step_string_source(spark):
+    string_df = spark.createDataFrame(
+        [
+            ("9606.ENSP1", "9606.ENSP2", " 900", 800, 0, 0, 0, 0, 700, 0, 0),
+            ("9606.ENSP1", "9606.ENSP3", " 100", 0, 0, 0, 0, 0, 0, 0, 100),  # below threshold
+            ("10090.ENSP9", "9606.ENSP2", " 950", 0, 0, 0, 0, 0, 0, 0, 950),  # mouse: dropped
+        ],
+        ["protein1", "protein2", "combined_score", "coexpression", "cooccurence",
+         "neighborhood", "fusion", "homology", "experimental", "database", "textmining"],
+    )
+    mapping = spark.createDataFrame(
+        [("ENSG1", "ENSP1"), ("ENSG2", "ENSP2")], ["gene_id", "mapped_id"]
+    )
+    out = run_step(spark, "interaction", {"string": string_df, "mapping": mapping},
+                   string_score_threshold=400)
+    ev = out["interaction_evidences"].collect()
+    # one interaction above threshold, 2 scored channels, string is directional
+    assert len(ev) == 2
+    assert {r.evidences.interaction_detection_method_short_name for r in ev} == {
+        "coexpression", "experimental"
+    }
+    assert ev[0].targetA == "ENSG1" and ev[0].targetB == "ENSG2"
+    assert ev[0].interactionScore == 0.9
+
+
 def test_openfda_step(spark):
     # drug d0 strongly associated with reaction r0, background noise elsewhere
     rows = []
