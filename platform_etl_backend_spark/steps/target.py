@@ -28,6 +28,13 @@ from platform_etl_backend_spark.functions.columns import (
 
 INCLUDE_CHROMOSOMES = tuple([str(i) for i in range(1, 23)] + ["X", "Y", "MT"])
 
+# reference.conf:356-370 hgnc_ortholog_species (taxonomy-id prefixed)
+DEFAULT_TARGET_SPECIES = [
+    "9606-human", "9598-chimpanzee", "9544-macaque", "10090-mouse",
+    "10116-rat", "9986-rabbit", "10141-guineapig", "9615-dog", "9823-pig",
+    "8364-frog", "7955-zebrafish", "7227-fly", "6239-worm",
+]
+
 PROTEIN_ID_PRIORITY = {
     "uniprot_swissprot": 0,
     "uniprot_trembl": 1,
@@ -242,6 +249,8 @@ def accrete(core: DataFrame, annotations: Mapping[str, tuple[DataFrame, str]]) -
 def target_step(
     spark: SparkSession, inputs: Mapping[str, DataFrame]
 ) -> Mapping[str, DataFrame]:
+    from platform_etl_backend_spark.steps import target_annotations as TA
+
     core = (
         ensembl_normalize(inputs["ensembl"])
         .transform(select_best_non_reference_gene)
@@ -266,5 +275,45 @@ def target_step(
             .agg(F.sort_array(F.collect_set(F.struct("pathwayId", "pathway"))).alias("pathways"))
         )
         annotations["reactome"] = (pathways, "ensemblId")
-    doc = accrete(core.persist(), annotations).transform(add_tss)
-    return {"target": doc}
+    if "tractability" in inputs:
+        annotations["tractability"] = (
+            TA.tractability_normalize(inputs["tractability"]),
+            "ensemblGeneId",
+        )
+    if "constraints" in inputs:
+        annotations["constraints"] = (
+            TA.genetic_constraints_normalize(inputs["constraints"]),
+            "gc_id",
+        )
+    if "project_scores" in inputs and "dependency_matrix" in inputs:
+        annotations["project_scores"] = (
+            TA.project_scores_normalize(
+                inputs["project_scores"], inputs["dependency_matrix"]
+            ),
+            "ps_id",
+        )
+    core = core.persist()
+    lookup = TA.ensg_symbol_lookup(core)
+    if "safety" in inputs:
+        annotations["safety"] = (
+            TA.safety_normalize(inputs["safety"], lookup, inputs.get("diseases")),
+            "safety_id",
+        )
+    doc = accrete(core, annotations)
+    if "hallmarks" in inputs:
+        doc = doc.join(
+            F.broadcast(TA.hallmarks_normalize(inputs["hallmarks"])), ["approvedSymbol"], "left"
+        )
+    if {"homology_dict", "homology_coding", "homology_gene_dict"} <= set(inputs):
+        orthologs = TA.ortholog_normalize(
+            inputs["homology_dict"],
+            inputs["homology_coding"],
+            inputs["homology_gene_dict"],
+            list(inputs.get("target_species", [])) or DEFAULT_TARGET_SPECIES,
+        )
+        doc = TA.add_homologues(doc, orthologs)
+    doc = doc.transform(add_tss)
+    out = {"target": doc}
+    if "gene_essentiality" in inputs:
+        out["targetEssentiality"] = TA.gene_essentiality(inputs["gene_essentiality"], lookup)
+    return out
