@@ -176,7 +176,121 @@ def search_step(
         out["search_drug"] = drug_index(
             inputs["drugs"], evidence, targets, diseases
         )
+    if "variants" in inputs:
+        out["search_variant"] = variant_index(inputs["variants"])
+    if "studies" in inputs:
+        out["search_study"] = study_index(
+            inputs["studies"], targets, inputs.get("credible_sets")
+        )
     return out
+
+
+def variant_index(variants: DataFrame) -> DataFrame:
+    """Variant search index (Search.scala:563-593): keywords/prefixes fan the
+    variant id out across three location spellings (chr_pos_, chr-pos-,
+    chr:pos:) plus hgvs/rsIds/dbXref ids; constant multiplier 1."""
+    empty = F.array().cast("array<string>")
+    v = (
+        variants.withColumn(
+            "locationUnderscore", F.concat("chromosome", F.lit("_"), "position", F.lit("_"))
+        )
+        .withColumn("locationDash", F.concat("chromosome", F.lit("-"), "position", F.lit("-")))
+        .withColumn("locationColon", F.concat("chromosome", F.lit(":"), "position", F.lit(":")))
+    )
+    xref_ids = (
+        F.col("dbXrefs.id") if "dbXrefs" in variants.columns else F.lit(None).cast("array<string>")
+    )
+    rs = F.col("rsIds") if "rsIds" in variants.columns else F.lit(None).cast("array<string>")
+    hgvs = (
+        F.array(F.col("hgvsId")) if "hgvsId" in variants.columns else F.lit(None).cast("array<string>")
+    )
+    keywords = flatten_cat(
+        F.array(F.col("variantId")), hgvs, xref_ids, rs,
+        F.array(F.col("locationUnderscore")),
+        F.array(F.col("locationDash")),
+        F.array(F.col("locationColon")),
+    )
+    prefixes = flatten_cat(
+        F.array(F.col("variantId")), hgvs, xref_ids, rs, F.array(F.col("locationColon"))
+    )
+    return v.select(
+        F.col("variantId").alias("id"),
+        F.col("variantId").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("variant").alias("entity"),
+        F.lit("variant").alias("category"),
+        keywords.alias("keywords"),
+        prefixes.alias("prefixes"),
+        flatten_cat(F.array(F.col("variantId")), xref_ids).alias("ngrams"),
+        empty.alias("terms"),
+        empty.alias("terms25"),
+        empty.alias("terms5"),
+        F.lit(1.0).alias("multiplier"),
+    )
+
+
+def study_index(
+    studies: DataFrame, targets: DataFrame, credible_sets: DataFrame | None
+) -> DataFrame:
+    """Study search index (Search.scala:595-636): global rank over
+    (credibleSetCount desc, nSamples desc) feeds a linear relevance
+    multiplier 1+((max-rank)/(max-1)); terms propagate trait/disease/target
+    labels. The unpartitioned window (W2) is preserved from the reference —
+    studies are O(100k) rows, a deliberate single-partition pass; studyId
+    added as tiebreak and the max==1 division guarded (reference yields null
+    there)."""
+    s = studies.withColumnRenamed("geneId", "targetId").join(
+        F.broadcast(targets.select(F.col("id").alias("targetId"), "approvedSymbol")),
+        ["targetId"],
+        "left",
+    )
+    if credible_sets is not None:
+        counts = (
+            credible_sets.select("studyId")
+            .groupBy("studyId")
+            .agg(F.count("studyId").cast("double").alias("credibleSetCount"))
+        )
+        s = s.join(counts, ["studyId"], "left")
+    else:
+        s = s.withColumn("credibleSetCount", F.lit(None).cast("double"))
+    w = Window.orderBy(
+        F.desc_nulls_last("credibleSetCount"), F.desc_nulls_last("nSamples"), F.asc("studyId")
+    )
+    ranked = s.withColumn("rank", F.rank().over(w))
+    max_rank = ranked.agg(F.max("rank")).first()[0]  # A7 driver scalar, as reference :605
+    multiplier = (
+        F.lit(1.0) + (F.lit(max_rank) - F.col("rank")) / F.lit(max_rank - 1)
+        if max_rank and max_rank > 1
+        else F.lit(1.0)
+    )
+    empty = F.array().cast("array<string>")
+    keyword_srcs = [
+        F.array(F.col("studyId")),
+        F.array(F.col("pubmedId")) if "pubmedId" in studies.columns else F.lit(None).cast("array<string>"),
+        F.array(F.col("publicationFirstAuthor"))
+        if "publicationFirstAuthor" in studies.columns
+        else F.lit(None).cast("array<string>"),
+    ]
+    terms = flatten_cat(
+        F.array(F.col("traitFromSource")) if "traitFromSource" in studies.columns else F.lit(None).cast("array<string>"),
+        F.col("diseaseIds") if "diseaseIds" in studies.columns else F.lit(None).cast("array<string>"),
+        F.array(F.col("approvedSymbol")),
+        F.array(F.col("targetId")),
+    )
+    return ranked.select(
+        F.col("studyId").alias("id"),
+        F.col("studyId").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("study").alias("entity"),
+        F.lit("study").alias("category"),
+        flatten_cat(*keyword_srcs).alias("keywords"),
+        flatten_cat(*keyword_srcs).alias("prefixes"),
+        flatten_cat(F.array(F.col("studyId"))).alias("ngrams"),
+        terms.alias("terms"),
+        terms.alias("terms25"),
+        terms.alias("terms5"),
+        multiplier.alias("multiplier"),
+    )
 
 
 def drug_index(

@@ -166,3 +166,51 @@ def test_literature_step(spark):
             for r in out["cooccurrences"].collect()}
     # TNF + carcinoma share the title sentence
     assert (("EFO_1", "ENSG1") in cooc) or (("ENSG1", "EFO_1") in cooc)
+
+
+def test_search_variant_and_study_index(spark):
+    targets = spark.createDataFrame(
+        [("ENSG1", "BRCA1", "g1", None)],
+        "id: string, approvedSymbol: string, approvedName: string, synonyms: array<string>",
+    )
+    diseases = spark.createDataFrame(
+        [("EFO_1", "breast carcinoma", None)],
+        "id: string, name: string, synonyms: array<string>",
+    )
+    associations = spark.createDataFrame(
+        [("ENSG1", "EFO_1", 0.9)], ["targetId", "diseaseId", "score"]
+    )
+    variants = spark.createDataFrame(
+        [("1_100_A_G", ["rs123"], "hgvs:1", [("dbsnp", "rs123x")], "1", "100")],
+        "variantId: string, rsIds: array<string>, hgvsId: string, "
+        "dbXrefs: array<struct<source:string,id:string>>, chromosome: string, position: string",
+    )
+    studies = spark.createDataFrame(
+        [("GCST1", "height", "pm1", "Doe J", ["EFO_1"], 1000, "ENSG1"),
+         ("GCST2", "bmi", "pm2", "Roe A", ["EFO_1"], 500, "ENSG1"),
+         ("GCST3", "t2d", None, None, None, 200, None)],
+        "studyId: string, traitFromSource: string, pubmedId: string, "
+        "publicationFirstAuthor: string, diseaseIds: array<string>, nSamples: long, "
+        "geneId: string",
+    )
+    credible_sets = spark.createDataFrame(
+        [("GCST1",), ("GCST1",), ("GCST2",)], "studyId: string"
+    )
+    out = run_step(spark, "search", {
+        "targets": targets, "diseases": diseases, "associations": associations,
+        "variants": variants, "studies": studies, "credible_sets": credible_sets,
+    })
+    v = out["search_variant"].collect()[0]
+    assert v.id == "1_100_A_G" and v.entity == "variant"
+    assert {"1_100_", "1-100-", "1:100:", "rs123", "rs123x", "hgvs:1"} <= set(v.keywords)
+    assert "1:100:" in v.prefixes and "1_100_" not in v.prefixes
+    assert set(v.ngrams) == {"1_100_A_G", "rs123x"}
+    assert v.multiplier == 1.0
+    s = {r.id: r for r in out["search_study"].collect()}
+    # ranks: GCST1 (2 credible sets) > GCST2 (1) > GCST3 (0) -> multipliers 2, 1.5, 1
+    assert s["GCST1"].multiplier == 2.0
+    assert s["GCST2"].multiplier == 1.5
+    assert s["GCST3"].multiplier == 1.0
+    assert {"height", "EFO_1", "BRCA1", "ENSG1"} == set(s["GCST1"].terms)
+    assert {"GCST1", "pm1", "Doe J"} == set(s["GCST1"].keywords)
+    assert s["GCST3"].terms == ["t2d"]  # no target/disease labels, trait only
