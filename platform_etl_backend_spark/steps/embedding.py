@@ -43,7 +43,9 @@ def train_word2vec(
 
 
 def export_vectors(model: Word2VecModel) -> DataFrame:
-    """model.getVectors → (word, vector array<double>, norm) — Vectors.scala:17-49."""
+    """model.getVectors → (category, word, norm, vector array<double>) —
+    Vectors.scala:22-37: category from the keyword-id prefix (ENSG→target,
+    CHEMBL→drug, else disease)."""
     vecs = model.getVectors().select(
         "word", vector_to_array(F.col("vector")).alias("vector")
     )
@@ -54,7 +56,14 @@ def export_vectors(model: Word2VecModel) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
-    return vecs.withColumn("norm", norm)
+    category = (
+        F.when(F.col("word").startswith("ENSG"), F.lit("target"))
+        .when(F.col("word").startswith("CHEMBL"), F.lit("drug"))
+        .otherwise(F.lit("disease"))
+    )
+    return vecs.select(
+        category.alias("category"), "word", norm.alias("norm"), "vector"
+    )
 
 
 def synonyms(model: Word2VecModel, word: str, n: int = 5) -> DataFrame:
@@ -67,10 +76,10 @@ def embedding_step(spark, inputs, model_path: str | None = None, **w2v_params):
     (IOResourceML flow, Literature.scala → Embedding → Vectors)."""
     from pyspark.sql import functions as F
 
+    # No lowercasing: the reference trains over keyword-id sequences
+    # (ENSG…/CHEMBL…/EFO…), whose case carries the category downstream.
     sentences = inputs["publications"].select(
-        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "").alias(
-            "tokens"
-        )
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias("tokens")
     )
     model = train_word2vec(sentences, **w2v_params)
     if model_path:

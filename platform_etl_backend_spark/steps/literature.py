@@ -133,14 +133,145 @@ def cooccurrences(matches: DataFrame) -> DataFrame:
     )
 
 
+# reference.conf epmc defaults (sections + uri prefixes)
+EPMC_SECTIONS_OF_INTEREST = ["title", "abstract"]
+EPMC_URIS = {
+    "ensembl": "https://www.ensembl.org/Homo_sapiens/Gene/Summary?g=",
+    "chembl": "https://www.ebi.ac.uk/chembl/compound_report_card/",
+    "ontologies": "http://purl.obolibrary.org/obo/",
+}
+
+COOCCURRENCE_TYPE_LABELS = {
+    "DS-CD": "Disease Drug Relationship",
+    "GP-CD": "Gene Drug Relationship",
+    "GP-DS": "Gene Disease Relationship",
+}
+
+
+def epmc_evidence(
+    raw: DataFrame,
+    excluded_target_terms: list[str] | None = None,
+    sections_of_interest: list[str] | None = None,
+) -> DataFrame:
+    """Europe-PMC gene-disease evidence export (Epmc.scala:83-117 compute +
+    :30-42 evidence projection): section filter, GP-DS mapped rows under 600
+    chars, grouped per (publication, target, disease, year), resourceScore =
+    sum of sentence scores with a >1 significance floor."""
+    excluded = excluded_target_terms or []
+    sections = sections_of_interest or EPMC_SECTIONS_OF_INTEREST
+    grouped = (
+        raw.filter(F.col("section").isin(sections))
+        .withColumn("pmid", F.trim(F.col("pmid").cast("string")))
+        .withColumn("publicationIdentifier", F.coalesce("pmid", "pmcid"))
+        .filter(
+            (F.col("type") == "GP-DS")
+            & F.col("isMapped")
+            & F.col("publicationIdentifier").isNotNull()
+            & (F.length("text") < 600)
+            & ~F.col("label1").isin(excluded)
+        )
+        .withColumnRenamed("keywordId1", "targetFromSourceId")
+        .withColumnRenamed("keywordId2", "diseaseFromSourceMappedId")
+        .groupBy(
+            "publicationIdentifier", "targetFromSourceId", "diseaseFromSourceMappedId", "year"
+        )
+        .agg(
+            F.sort_array(F.collect_set("pmcid")).alias("pmcIds"),
+            F.sort_array(F.collect_set("pmid")).alias("literature"),
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col("text"),
+                        F.col("start1").alias("tStart"),
+                        F.col("end1").alias("tEnd"),
+                        F.col("start2").alias("dStart"),
+                        F.col("end2").alias("dEnd"),
+                        F.col("section"),
+                    )
+                )
+            ).alias("textMiningSentences"),
+            F.sum("evidence_score").alias("resourceScore"),
+        )
+        .withColumn("pmcIds", F.when(F.size("pmcIds") != 0, F.col("pmcIds")))
+        .filter(F.col("resourceScore") > 1)
+    )
+    return grouped.select(
+        F.lit("europepmc").alias("datasourceId"),
+        F.lit("literature").alias("datatypeId"),
+        F.col("targetFromSourceId"),
+        F.col("diseaseFromSourceMappedId"),
+        F.col("resourceScore"),
+        F.col("literature"),
+        F.col("textMiningSentences"),
+        F.col("pmcIds"),
+        F.col("year").alias("publicationYear"),
+    )
+
+
+def epmc_annotations(raw: DataFrame, uris: Mapping[str, str] | None = None) -> DataFrame:
+    """Europe-PMC annotation export (EpmcCooccurrences.scala:22-57): one row
+    per publication (PMC preferred over MED), annotations nested with typed
+    labels and entity URIs resolved from keyword-id prefixes."""
+    u = dict(EPMC_URIS, **(uris or {}))
+
+    def gen_uri(kw):
+        return (
+            F.when(kw.startswith("ENSG"), F.concat(F.lit(u["ensembl"]), kw))
+            .when(kw.startswith("CHEMBL"), F.concat(F.lit(u["chembl"]), kw))
+            .otherwise(F.concat(F.lit(u["ontologies"]), kw))
+        )
+
+    ctype = F.col("type")
+    mapped_type = F.coalesce(
+        *[F.when(ctype == k, F.lit(v)) for k, v in COOCCURRENCE_TYPE_LABELS.items()]
+    )
+    return (
+        raw.select(
+            F.when(F.col("pmcid").isNotNull(), F.lit("PMC")).otherwise(F.lit("MED")).alias("src"),
+            F.when(F.col("pmcid").isNotNull(), F.col("pmcid"))
+            .otherwise(F.col("pmid"))
+            .alias("id"),
+            mapped_type.alias("type"),
+            F.col("text").alias("exact"),
+            F.col("section"),
+            F.array(
+                F.struct(
+                    F.col("label1").alias("name"), gen_uri(F.col("keywordId1")).alias("uri")
+                ),
+                F.struct(
+                    F.col("label2").alias("name"), gen_uri(F.col("keywordId2")).alias("uri")
+                ),
+            ).alias("tags"),
+        )
+        .groupBy("src", "id")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("type", "exact", "section", "tags"))
+            ).alias("anns")
+        )
+        .withColumn("provider", F.lit("OpenTargets"))
+    )
+
+
 def literature_step(
     spark: SparkSession, inputs: Mapping[str, DataFrame]
 ) -> Mapping[str, DataFrame]:
-    lut = build_entity_lut(inputs["entities"])
-    sentences = split_sentences(inputs["publications"])
-    matches = match_sentences(sentences, lut)
-    return {
-        "matches": matches,
-        "relevance": publication_relevance(matches),
-        "cooccurrences": cooccurrences(matches),
-    }
+    out: dict[str, DataFrame] = {}
+    if "entities" in inputs and "publications" in inputs:
+        lut = build_entity_lut(inputs["entities"])
+        sentences = split_sentences(inputs["publications"])
+        matches = match_sentences(sentences, lut)
+        out.update(
+            {
+                "matches": matches,
+                "relevance": publication_relevance(matches),
+                "cooccurrences": cooccurrences(matches),
+            }
+        )
+    if "epmc_cooccurrences" in inputs:
+        raw = inputs["epmc_cooccurrences"]
+        # coalesce(1) mirrors the reference's single-file contract (S9,
+        # Epmc.scala:73) — callers re-partition when writing at scale.
+        out["epmc"] = epmc_evidence(raw).coalesce(1)
+        out["epmcCooccurrences"] = epmc_annotations(raw)
+    return out

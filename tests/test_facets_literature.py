@@ -214,3 +214,77 @@ def test_search_variant_and_study_index(spark):
     assert {"height", "EFO_1", "BRCA1", "ENSG1"} == set(s["GCST1"].terms)
     assert {"GCST1", "pm1", "Doe J"} == set(s["GCST1"].keywords)
     assert s["GCST3"].terms == ["t2d"]  # no target/disease labels, trait only
+
+
+def _epmc_raw(spark):
+    rows = [
+        # two GP-DS sentences for the same (pub, target, disease): scores sum
+        ("123", "PMC1", "title", "GP-DS", True, "BRCA1 causes breast cancer",
+         "BRCA1", "breast cancer", "ENSG1", "EFO_1", 0, 5, 13, 26, 2020, 0.9),
+        ("123", "PMC1", "abstract", "GP-DS", True, "BRCA1 linked to breast cancer",
+         "BRCA1", "breast cancer", "ENSG1", "EFO_1", 0, 5, 16, 29, 2020, 0.8),
+        # below the resourceScore>1 floor
+        ("124", None, "title", "GP-DS", True, "weak link",
+         "G2", "d2", "ENSG2", "EFO_2", 0, 2, 5, 7, 2021, 0.5),
+        # wrong section: excluded
+        ("125", None, "body", "GP-DS", True, "body text",
+         "G3", "d3", "ENSG3", "EFO_3", 0, 2, 5, 7, 2021, 5.0),
+        # drug pair: kept for annotations, not evidence
+        ("126", None, "title", "GP-CD", True, "aspirin hits COX2",
+         "COX2", "aspirin", "ENSG4", "CHEMBL25", 0, 4, 10, 17, 2022, 2.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pmid: string, pmcid: string, section: string, type: string, isMapped: boolean, "
+        "text: string, label1: string, label2: string, keywordId1: string, "
+        "keywordId2: string, start1: int, end1: int, start2: int, end2: int, "
+        "year: int, evidence_score: double",
+    )
+
+
+def test_epmc_evidence_export(spark):
+    from platform_etl_backend_spark.steps.literature import epmc_evidence
+
+    out = epmc_evidence(_epmc_raw(spark)).collect()
+    assert len(out) == 1
+    e = out[0]
+    assert e.datasourceId == "europepmc" and e.datatypeId == "literature"
+    assert (e.targetFromSourceId, e.diseaseFromSourceMappedId) == ("ENSG1", "EFO_1")
+    assert abs(e.resourceScore - 1.7) < 1e-9
+    assert e.pmcIds == ["PMC1"] and e.literature == ["123"]
+    assert len(e.textMiningSentences) == 2
+    assert e.textMiningSentences[0].tStart == 0 and e.publicationYear == 2020
+
+
+def test_epmc_annotations_export(spark):
+    from platform_etl_backend_spark.steps.literature import epmc_annotations
+
+    rows = {(r.src, r.id): r for r in epmc_annotations(_epmc_raw(spark)).collect()}
+    assert ("PMC", "PMC1") in rows and ("MED", "126") in rows
+    pmc = rows[("PMC", "PMC1")]
+    assert pmc.provider == "OpenTargets"
+    assert {a.type for a in pmc.anns} == {"Gene Disease Relationship"}
+    tag_uris = {t.uri for a in pmc.anns for t in a.tags}
+    assert any(u.endswith("Summary?g=ENSG1") for u in tag_uris)
+    assert any(u.startswith("http://purl.obolibrary.org") for u in tag_uris)
+    drug = rows[("MED", "126")]
+    assert drug.anns[0].type == "Gene Drug Relationship"
+    assert any(t.uri.endswith("CHEMBL25") for t in drug.anns[0].tags)
+
+
+def test_embedding_vectors_category(spark):
+    from platform_etl_backend_spark.steps.embedding import embedding_step
+
+    pubs = spark.createDataFrame(
+        [("ENSG1 EFO_1 CHEMBL25 ENSG1 EFO_1",)] * 8, "text: string"
+    )
+    vecs = embedding_step(
+        spark, {"publications": pubs}, vector_size=8, num_partitions=2
+    )["vectors"]
+    assert vecs.columns == ["category", "word", "norm", "vector"]
+    cats = {r.word: r.category for r in vecs.collect()}
+    assert cats["ENSG1"] == "target" and cats["CHEMBL25"] == "drug"
+    assert cats["EFO_1"] == "disease"
+    row = vecs.where(F.col("word") == "ENSG1").collect()[0]
+    import math
+    assert abs(row.norm - math.sqrt(sum(x * x for x in row.vector))) < 1e-9
