@@ -118,16 +118,33 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", "inter", "jaccard")
 
 
+def shingle_docs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingles array) — one row per doc, shingling map-side."""
+    return spread(df, id_col).select(
+        F.col(id_col), k_shingles(ws_tokens(text_col), k).alias("shingles")
+    )
+
+
+def _min_hash(shingles: Column, seed: int) -> Column:
+    """min over md5(seed:shingle) of a shingle ARRAY — a map-side min-hash
+    (higher-order transform + array_min; no explode, no aggregation)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """H min-hashes per doc in a single aggregation pass."""
-    sh = exploded_shingles(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """H min-hashes per doc, computed entirely map-side (no shuffle): the
+    shingle set stays an array column and each hash is an
+    array_min∘transform over it, keeping signature-building inside
+    whole-stage codegen — at 100TB this stage is embarrassingly parallel."""
+    docs = shingle_docs(df, id_col, text_col, k)
+    return docs.select(
+        id_col,
+        *[_min_hash(F.col("shingles"), i).alias(f"h{i}") for i in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(
@@ -143,20 +160,8 @@ def lsh_candidate_pairs(
     The scale path: no all-pairs join — only within-bucket joins.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ])
-    keyed = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    keyed = _banded_keys(sig, id_col, num_hashes, bands)
     a = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
     b = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -164,6 +169,24 @@ def lsh_candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def _banded_keys(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 
@@ -178,31 +201,25 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the full pipeline).
 
-    The shingle table feeds both signature-building and verification, so it
-    is persisted (the reference's persist-at-reuse-points pattern,
-    Target.scala:154) instead of recomputing tokenize+md5 twice.
+    Plan shape (the 100TB-safe route):
+    1. shingle ARRAYS per doc + H map-side min-hashes — one narrow stage,
+       no shuffle, no exploded shingle table;
+    2. band keys explode (B rows/doc) → within-bucket self-join → distinct
+       candidate pairs — the only quadratic-risk point, bounded by bucket
+       sizes;
+    3. verification joins the (small) pair set back to the doc shingle
+       arrays and computes ``size(array_intersect)`` row-wise — no
+       per-shingle shuffle.
+    The doc-shingles frame feeds both signatures and verification, so it is
+    persisted (the reference's persist-at-reuse-points pattern,
+    Target.scala:154) instead of recomputing tokenize+shingle twice.
     """
-    sh = exploded_shingles(df, id_col, text_col, k).persist()
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*sig_aggs)
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(bb).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{bb * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("key"),
-        )
-        for bb in range(bands)
-    ])
-    keyed = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    docs = shingle_docs(df, id_col, text_col, k).persist()
+    sig = docs.select(
+        id_col,
+        *[_min_hash(F.col("shingles"), i).alias(f"h{i}") for i in range(num_hashes)],
     )
+    keyed = _banded_keys(sig, id_col, num_hashes, bands)
     ka = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
     kb = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
     cands = (
@@ -211,28 +228,14 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
-        )
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
