@@ -228,7 +228,16 @@ def add_uniprot(core: DataFrame, uniprot: DataFrame, hgnc: DataFrame) -> DataFra
 
 
 def add_tss(df: DataFrame) -> DataFrame:
-    """Target.scala:181-188: transcription start site from strand."""
+    """Target.scala:181-188: transcription start site from strand — the
+    canonical transcript (GeneCode input, strand '+'/'-') when present,
+    falling back to the gene's genomic location (strand ±1)."""
+    if "canonicalTranscript" in df.columns:
+        return df.withColumn(
+            "tss",
+            F.when(
+                F.col("canonicalTranscript.strand") == "+", F.col("canonicalTranscript.start")
+            ).when(F.col("canonicalTranscript.strand") == "-", F.col("canonicalTranscript.end")),
+        )
     return df.withColumn(
         "tss",
         F.when(F.col("genomicLocation.strand") == 1, F.col("genomicLocation.start")).when(
@@ -292,6 +301,13 @@ def target_step(
             ),
             "ps_id",
         )
+    if "gene_code" in inputs:
+        annotations["gene_code"] = (TA.gene_code_normalize(inputs["gene_code"]), "gc_gene_id")
+    if "hpa" in inputs:
+        annotations["hpa"] = (
+            TA.gene_with_location_normalize(inputs["hpa"], inputs.get("sl_locations")),
+            "gwl_id",
+        )
     core = core.persist()
     lookup = TA.ensg_symbol_lookup(core)
     if "safety" in inputs:
@@ -299,7 +315,28 @@ def target_step(
             TA.safety_normalize(inputs["safety"], lookup, inputs.get("diseases")),
             "safety_id",
         )
+    if "tep" in inputs:
+        annotations["tep"] = (TA.tep_normalize(inputs["tep"], lookup), "tep_id")
+    if "chemical_probes" in inputs:
+        annotations["chemical_probes"] = (
+            TA.chemical_probes_normalize(inputs["chemical_probes"], lookup),
+            "cp_id",
+        )
+    if "ncbi" in inputs:
+        annotations["ncbi"] = (TA.ncbi_normalize(inputs["ncbi"]), "ncbi_id")
     doc = accrete(core, annotations)
+    if "ncbiSynonyms" in doc.columns:
+        # addNcbiEntrezSynonyms (Target.scala:166): entrez labels fold into
+        # the synonym arrays; removeDuplicatedSynonyms (:193-197) dedups.
+        existing = (
+            F.coalesce(F.col("synonyms"), F.array().cast("array<string>"))
+            if "synonyms" in doc.columns
+            else F.array().cast("array<string>")
+        )
+        doc = doc.withColumn(
+            "synonyms",
+            F.array_distinct(safe_array_union(existing, F.col("ncbiSynonyms.label"))),
+        ).drop("ncbiSynonyms", "ncbiSymbolSynonyms", "ncbiNameSynonyms")
     if "hallmarks" in inputs:
         doc = doc.join(
             F.broadcast(TA.hallmarks_normalize(inputs["hallmarks"])), ["approvedSymbol"], "left"

@@ -357,6 +357,173 @@ def ensg_symbol_lookup(core: DataFrame) -> DataFrame:
     return core.select(F.col("id").alias("ensgId"), F.array_distinct(merged).alias("name"))
 
 
+def ncbi_normalize(df: DataFrame) -> DataFrame:
+    """Ncbi.scala:20-64: Homo_sapiens.gene_info rows → per-ENSG synonym
+    structs tagged source=NCBI_entrez; '|'-separated multi-value cells, the
+    ENSG id fished out of the dbXrefs column, '-' placeholders dropped."""
+    from platform_etl_backend_spark.functions.columns import safe_array_union
+
+    base = (
+        df.select(
+            F.split(F.col("Symbol"), r"\|").alias("sy"),
+            F.split(F.col("dbXrefs"), r"\|").alias("xref"),
+            F.split(F.col("Synonyms"), r"\|").alias("s"),
+            F.split(F.col("Other_designations"), r"\|").alias("od"),
+        )
+        .withColumn("xref", F.explode("xref"))
+        .filter(F.col("xref").startswith("Ensembl"))
+        .withColumn("ncbi_id", F.explode(F.split("xref", ":")))
+        .filter(F.col("ncbi_id").startswith("ENSG"))
+        .select(
+            "ncbi_id",
+            safe_array_union("s", "od", "sy").alias("synonyms"),
+            safe_array_union("s", "sy").alias("symbolSynonyms"),
+            safe_array_union("od").alias("nameSynonyms"),
+        )
+        .groupBy("ncbi_id")
+        .agg(
+            F.sort_array(F.flatten(F.collect_set("synonyms"))).alias("synonyms"),
+            F.sort_array(F.flatten(F.collect_set("symbolSynonyms"))).alias("symbolSynonyms"),
+            F.sort_array(F.flatten(F.collect_set("nameSynonyms"))).alias("nameSynonyms"),
+        )
+    )
+    to_structs = lambda c: F.transform(  # noqa: E731
+        F.filter(F.col(c), lambda x: x != "-"),
+        lambda x: F.struct(x.alias("label"), F.lit("NCBI_entrez").alias("source")),
+    )
+    return base.select(
+        "ncbi_id",
+        to_structs("synonyms").alias("ncbiSynonyms"),
+        to_structs("symbolSynonyms").alias("ncbiSymbolSynonyms"),
+        to_structs("nameSynonyms").alias("ncbiNameSynonyms"),
+    )
+
+
+def tep_normalize(tep: DataFrame, lookup: DataFrame) -> DataFrame:
+    """Tep.scala:22-34 + Target.scala:268-288 addTep: trimmed TEP rows mapped
+    to ENSG through the symbol lookup, nested as one ``tep`` struct."""
+    fields = ["targetFromSourceId", "description", "therapeuticArea", "url"]
+    trimmed = tep.select(*[F.trim(F.col(f)).alias(f) for f in fields])
+    lut = lookup.select(
+        F.col("ensgId").alias("tep_id"), F.explode("name").alias("symbol")
+    )
+    return (
+        trimmed.join(lut, lut["symbol"] == trimmed["targetFromSourceId"], "inner")
+        .select("tep_id", F.struct(*fields).alias("tep"))
+        .dropDuplicates(["tep_id"])
+    )
+
+
+def gene_code_normalize(df: DataFrame) -> DataFrame:
+    """GeneCode.scala:14-43: GFF positional columns → canonical transcript
+    struct per gene (version suffix stripped from ENSG/ENST ids, chromosome
+    M→MT)."""
+    return (
+        df.filter((F.col("_c2") == "transcript") & F.col("_c8").contains("Ensembl_canonical"))
+        .select(
+            F.regexp_extract(F.col("_c8"), r"gene_id=(.*?);", 1).alias("gid"),
+            F.regexp_extract(F.col("_c8"), r"transcript_id=(.*?);", 1).alias("tid"),
+            F.regexp_extract(F.col("_c0"), r"([0-9]{1,2}|X|Y|M)", 1).alias("chromosome"),
+            F.col("_c3").cast("long").alias("start"),
+            F.col("_c4").cast("long").alias("end"),
+            F.col("_c6").alias("strand"),
+        )
+        .select(
+            F.regexp_extract("gid", r"(.*?)\.", 1).alias("gc_gene_id"),
+            F.struct(
+                F.regexp_extract("tid", r"(.*?)\.", 1).alias("id"),
+                F.when(F.col("chromosome") == "M", "MT")
+                .otherwise(F.col("chromosome"))
+                .alias("chromosome"),
+                F.col("start"),
+                F.col("end"),
+                F.col("strand"),
+            ).alias("canonicalTranscript"),
+        )
+        .dropDuplicates(["gc_gene_id"])
+    )
+
+
+def protein_classification_normalize(df: DataFrame) -> DataFrame:
+    """ProteinClassification.scala:22-60: ChEMBL target docs → per-accession
+    ``targetClass`` array<struct<id,label,level>> across hierarchy levels
+    l1..l6 (null levels dropped)."""
+    zipped = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("_metadata.protein_classification").alias("protein_classification"),
+                F.col("target_components.accession").alias("accession"),
+            )
+        ).alias("s")
+    ).select(F.col("s.accession").alias("accession"), F.col("s.protein_classification.*"))
+    levels = F.array(*[
+        F.struct(
+            F.col("protein_class_id").alias("id"),
+            F.col(f"l{i}").alias("label"),
+            F.lit(f"l{i}").alias("level"),
+        )
+        for i in range(1, 7)
+    ])
+    return (
+        zipped.select("accession", F.explode(levels).alias("l"))
+        .filter(F.col("l.label").isNotNull())
+        .groupBy("accession")
+        .agg(F.sort_array(F.collect_set("l")).alias("targetClass"))
+    )
+
+
+def gene_with_location_normalize(hpa: DataFrame, sl_locations: DataFrame | None = None) -> DataFrame:
+    """GeneWithLocation.scala:26-86: HPA main/additional/extracellular
+    locations (';'-separated) → per-gene location structs, left-joined to the
+    subcellular-location ontology mapping."""
+    def tagged(col: str, source: str):
+        return F.transform(
+            F.coalesce(F.split(F.col(col), ";"), F.array().cast("array<string>")),
+            lambda x: F.struct(x.alias("location"), F.lit(source).alias("source")),
+        )
+
+    exploded = hpa.select(
+        F.col("Gene").alias("gwl_id"),
+        F.explode(
+            F.concat(
+                tagged("Main location", "HPA_main"),
+                tagged("Additional location", "HPA_additional"),
+                tagged("Extracellular location", "HPA_extracellular_location"),
+            )
+        ).alias("loc"),
+    ).select("gwl_id", "loc.location", "loc.source")
+    if sl_locations is not None:
+        exploded = exploded.join(
+            F.broadcast(sl_locations), F.col("location") == F.col("HPA_location"), "left"
+        ).drop("HPA_location")
+    else:
+        exploded = exploded.withColumn("termSL", F.lit(None).cast("string")).withColumn(
+            "labelSL", F.lit(None).cast("string")
+        )
+    return (
+        exploded.select(
+            "gwl_id", F.struct("location", "source", "termSL", "labelSL").alias("locations")
+        )
+        .groupBy("gwl_id")
+        .agg(F.sort_array(F.collect_list("locations")).alias("locations"))
+    )
+
+
+def chemical_probes_normalize(probes: DataFrame, lookup: DataFrame) -> DataFrame:
+    """Target.scala:427-448 addChemicalProbes: probes mapped to ENSG by
+    symbol (array_contains expression join), nested per gene."""
+    payload = [c for c in probes.columns if c != "ensgId"]
+    joined = probes.join(
+        F.broadcast(lookup.select("ensgId", "name")),
+        F.expr("array_contains(name, targetFromSourceId)"),
+    )
+    return (
+        joined.select(F.col("ensgId").alias("cp_id"), F.struct(*payload).alias("probe"))
+        .groupBy("cp_id")
+        .agg(F.sort_array(F.collect_set("probe")).alias("chemicalProbes"))
+    )
+
+
 def gene_essentiality(essentiality: DataFrame, lookup: DataFrame) -> DataFrame:
     """Target.scala:291-321 addGeneEssentiality: symbol-resolved DepMap
     essentiality rows nested per gene — the step's side output."""

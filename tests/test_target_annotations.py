@@ -235,3 +235,147 @@ def test_target_step_full_annotation_wiring(spark):
     assert t.tss == 100
     side = out["targetEssentiality"].collect()
     assert side[0].id == "ENSG001" and side[0].geneEssentiality[0].score == 0.5
+
+
+def test_ncbi_normalize(spark):
+    from platform_etl_backend_spark.steps.target_annotations import ncbi_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("BRCA1", "MIM:604370|Ensembl:ENSG001|HGNC:1100", "RNF53|PPP1R53", "ring finger 53"),
+            ("XYZ", "MIM:1", "-", "-"),  # no ensembl xref: dropped
+        ],
+        "Symbol: string, dbXrefs: string, Synonyms: string, Other_designations: string",
+    )
+    rows = ncbi_normalize(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ncbi_id == "ENSG001"
+    labels = {s.label for s in r.ncbiSynonyms}
+    assert labels == {"RNF53", "PPP1R53", "ring finger 53", "BRCA1"}
+    assert all(s.source == "NCBI_entrez" for s in r.ncbiSynonyms)
+    assert {s.label for s in r.ncbiNameSynonyms} == {"ring finger 53"}
+
+
+def test_gene_code_normalize(spark):
+    from platform_etl_backend_spark.steps.target_annotations import gene_code_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("chrM", "x", "transcript", 5, 99,
+             ".", "+", ".", "gene_id=ENSG99.7;transcript_id=ENST99.2;tag=Ensembl_canonical;"),
+            ("chr17", "x", "transcript", 100, 200,
+             ".", "-", ".", "gene_id=ENSG01.3;transcript_id=ENST01.1;tag=Ensembl_canonical;"),
+            ("chr17", "x", "gene", 100, 200, ".", "-", ".", "gene_id=ENSG01.3;"),
+        ],
+        "_c0: string, _c1: string, _c2: string, _c3: long, _c4: long, "
+        "_c5: string, _c6: string, _c7: string, _c8: string",
+    )
+    rows = {r.gc_gene_id: r.canonicalTranscript for r in gene_code_normalize(df).collect()}
+    assert set(rows) == {"ENSG99", "ENSG01"}
+    ct = rows["ENSG01"]
+    assert (ct.id, ct.chromosome, ct.start, ct.end, ct.strand) == (
+        "ENST01", "17", 100, 200, "-")
+    assert rows["ENSG99"].chromosome == "MT"
+
+
+def test_protein_classification_normalize(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        protein_classification_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                {"protein_classification": [
+                    {"protein_class_id": 7, "l1": "Enzyme", "l2": "Kinase",
+                     "l3": None, "l4": None, "l5": None, "l6": None}]},
+                {"accession": ["P1"]},
+            )
+        ],
+        "_metadata: struct<protein_classification:array<struct<protein_class_id:long,"
+        "l1:string,l2:string,l3:string,l4:string,l5:string,l6:string>>>, "
+        "target_components: struct<accession:array<string>>",
+    )
+    rows = protein_classification_normalize(df).collect()
+    assert rows[0].accession == "P1"
+    got = {(t.label, t.level) for t in rows[0].targetClass}
+    assert got == {("Enzyme", "l1"), ("Kinase", "l2")}
+
+
+def test_gene_with_location_normalize(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        gene_with_location_normalize,
+    )
+
+    hpa = spark.createDataFrame(
+        [("ENSG001", "Nucleoplasm;Cytosol", "Vesicles", None)],
+        "`Gene`: string, `Main location`: string, `Additional location`: string, "
+        "`Extracellular location`: string",
+    )
+    sl = spark.createDataFrame(
+        [("Cytosol", "SL-0091", "Cytosol term")],
+        "HPA_location: string, termSL: string, labelSL: string",
+    )
+    rows = gene_with_location_normalize(hpa, sl).collect()
+    locs = {(x.location, x.source, x.termSL) for x in rows[0].locations}
+    assert ("Nucleoplasm", "HPA_main", None) in locs
+    assert ("Cytosol", "HPA_main", "SL-0091") in locs
+    assert ("Vesicles", "HPA_additional", None) in locs
+
+
+def test_tep_and_chemical_probes(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        chemical_probes_normalize,
+        tep_normalize,
+    )
+
+    lookup = spark.createDataFrame(
+        [("ENSG001", ["SYM1", "P1"])], "ensgId: string, name: array<string>"
+    )
+    tep = spark.createDataFrame(
+        [(" SYM1 ", "tep desc", "oncology", "http://tep")],
+        "targetFromSourceId: string, description: string, therapeuticArea: string, url: string",
+    )
+    t = tep_normalize(tep, lookup).collect()
+    assert t[0].tep_id == "ENSG001" and t[0].tep.description == "tep desc"
+    assert t[0].tep.targetFromSourceId == "SYM1"  # trimmed
+
+    probes = spark.createDataFrame(
+        [("SYM1", "probe-1", 90), ("NOPE", "probe-2", 10)],
+        "targetFromSourceId: string, id: string, probesDrugsScore: int",
+    )
+    cp = chemical_probes_normalize(probes, lookup).collect()
+    assert len(cp) == 1 and cp[0].cp_id == "ENSG001"
+    assert [p.id for p in cp[0].chemicalProbes] == ["probe-1"]
+
+
+def test_target_step_genecode_ncbi_hpa_wiring(spark):
+    from tests.test_target_step import SCHEMA, GENES
+    from platform_etl_backend_spark.steps import run_step
+
+    genes = spark.createDataFrame(GENES, SCHEMA)
+    gene_code = spark.createDataFrame(
+        [("chr1", "x", "transcript", 150, 4000, ".", "-", ".",
+          "gene_id=ENSG001.5;transcript_id=ENST001.9;tag=Ensembl_canonical;")],
+        "_c0: string, _c1: string, _c2: string, _c3: long, _c4: long, "
+        "_c5: string, _c6: string, _c7: string, _c8: string",
+    )
+    ncbi = spark.createDataFrame(
+        [("SYM1", "Ensembl:ENSG001", "EXTRA1", "-")],
+        "Symbol: string, dbXrefs: string, Synonyms: string, Other_designations: string",
+    )
+    hpa = spark.createDataFrame(
+        [("ENSG001", "Nucleoplasm", None, None)],
+        "`Gene`: string, `Main location`: string, `Additional location`: string, "
+        "`Extracellular location`: string",
+    )
+    out = run_step(
+        spark, "target",
+        {"ensembl": genes, "gene_code": gene_code, "ncbi": ncbi, "hpa": hpa},
+    )["target"]
+    t = {r.id: r for r in out.collect()}["ENSG001"]
+    # tss now follows the canonical transcript ('-' strand -> end)
+    assert t.canonicalTranscript.id == "ENST001" and t.tss == 4000
+    assert "EXTRA1" in t.synonyms and "SYM1" in t.synonyms
+    assert t.locations[0].location == "Nucleoplasm"
