@@ -62,3 +62,50 @@ def test_streaming_dedup(spark, sf_dir, events_stream):
         assert n == _batch_events(spark, sf_dir).count()  # event_ids unique already
     finally:
         q.stop()
+
+
+def test_rate_source_soak(spark):
+    """Rate-source soak: continuous synthetic stream through a windowed
+    aggregation, several micro-batches, verifying sustained progress and
+    clean shutdown (the long-running-job smoke the file-replay tests skip)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+    agg = (
+        stream.withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second"), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_soak")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        # watermarked aggs interleave no-data commit batches, so count data
+        # batches from recentProgress rather than polling lastProgress
+        deadline = time.time() + 25
+        data_batches = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if data_batches >= 5:
+                break
+        assert q.isActive and q.exception() is None
+        assert data_batches >= 5, "stream did not sustain progress"
+        rows = spark.sql("select * from rate_soak").collect()
+        assert len(rows) > 0
+        assert {r.bucket for r in rows} <= set(range(10))
+        assert all(r.cnt > 0 for r in rows)
+    finally:
+        q.stop()
