@@ -58,11 +58,45 @@ def filter_blacklist(events: DataFrame, blacklist: DataFrame, event_col: str = "
     return events.join(bl, "reaction", "left_anti")
 
 
+def stratified_sample(
+    raw: DataFrame,
+    clean: DataFrame,
+    significant: DataFrame,
+    target_dimension: str,
+    sample_size: float = 0.1,
+    seed: int | None = 42,
+) -> DataFrame:
+    """Stratified sample of raw FAERS reports (StratifiedSampling.scala:20-63):
+    sample the target dimension's distinct values independently from the
+    clean and the significant subsets, full-outer-merge the two strata,
+    resolve back to report ids, and keep the matching raw reports.
+
+    Divergence (documented, SURVEY §7.3#2): the reference's ``.sample`` has
+    no seed and is acknowledged non-reproducible (README.md:564-569); this
+    port seeds it (pass ``seed=None`` for reference behavior).
+    """
+    kwargs = {"fraction": sample_size}
+    if seed is not None:
+        kwargs["seed"] = seed
+    significant_stratum = significant.select(target_dimension).distinct().sample(**kwargs)
+    clean_stratum = clean.select(target_dimension).distinct().sample(**kwargs)
+    merged = significant_stratum.join(clean_stratum, [target_dimension], "full").distinct()
+    report_ids = (
+        clean.select(target_dimension, "safetyreportid")
+        .join(merged, [target_dimension])
+        .drop(target_dimension)
+        .distinct()
+    )
+    return raw.withColumn("seriousnessdeath", F.lit(1)).join(report_ids, ["safetyreportid"])
+
+
 def openfda_step(
     spark: SparkSession,
     inputs: Mapping[str, DataFrame],
     permutations: int = 100,
     percentile: float = 0.95,
+    sampling_dimension: str | None = None,
+    sample_size: float = 0.1,
 ) -> Mapping[str, DataFrame]:
     events = prepare_events(inputs["fda_events"])
     if "drug_list" in inputs:
@@ -85,4 +119,16 @@ def openfda_step(
             F.col("critical_value").alias("critval"),
         )
     )
-    return {"unfiltered": contingency, "significant": significant}
+    out = {"unfiltered": contingency, "significant": significant}
+    if sampling_dimension is not None:
+        # OpenFda.scala:55-61: optional stratified sample of the raw reports
+        clean = events.withColumnRenamed("report", "safetyreportid")
+        sig = significant.withColumnRenamed("drug", sampling_dimension)
+        out["stratifiedSampling"] = stratified_sample(
+            inputs["fda_events"],
+            clean.withColumnRenamed("drug", sampling_dimension),
+            sig,
+            sampling_dimension,
+            sample_size,
+        )
+    return out

@@ -161,6 +161,32 @@ def test_openfda_step(spark):
     assert all(r.llr > r.critval for r in sig)
 
 
+def test_openfda_stratified_sampling(spark):
+    rows = []
+    rid = 0
+    for _ in range(30):
+        rows.append((rid, "D0", "R0")); rid += 1
+    for i in range(60):
+        rows.append((rid, f"D{i % 3}", f"R{i % 5}")); rid += 1
+    raw = spark.createDataFrame(rows, ["safetyreportid", "drug_name", "reaction"])
+    out = run_step(
+        spark, "openfda", {"fda_events": raw},
+        sampling_dimension="drug", sample_size=0.8,
+    )
+    sample = out["stratifiedSampling"].collect()
+    # sampled reports are real raw reports, marked seriousnessdeath=1
+    assert 0 < len(sample) <= len(rows)
+    assert all(r.seriousnessdeath == 1 for r in sample)
+    raw_ids = {r[0] for r in rows}
+    assert {r.safetyreportid for r in sample} <= raw_ids
+    # deterministic under the default seed
+    again = run_step(
+        spark, "openfda", {"fda_events": raw},
+        sampling_dimension="drug", sample_size=0.8,
+    )["stratifiedSampling"].collect()
+    assert {r.safetyreportid for r in again} == {r.safetyreportid for r in sample}
+
+
 def test_expression_step(spark):
     out = run_step(spark, "expression", _expression_inputs(spark))["expressions"]
     rows = {r.id: r.tissues for r in out.collect()}
