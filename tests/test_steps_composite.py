@@ -199,3 +199,111 @@ def test_expression_step(spark):
     assert t.protein.reliability is True and t.protein.level == 3
     assert t.protein.cell_type[0].name == "hepatocytes"
     assert t.organs == ["liver organ"]
+
+
+def test_interaction_generate_mapping(spark):
+    from platform_etl_backend_spark.steps.interaction import generate_mapping
+
+    targets = spark.createDataFrame(
+        [("ENSG1", [("P100", "uniprot_swissprot")], [("1100", "HGNC")]),
+         ("ENSG2", [("Q200", "uniprot_swissprot")], [])],
+        "id: string, proteinIds: array<struct<id:string,source:string>>, "
+        "dbXRefs: array<struct<id:string,source:string>>",
+    )
+    rna = spark.createDataFrame(
+        [("URS0001", "x", "x", "x", "x", "ENSG1")],
+        "_c0: string, _c1: string, _c2: string, _c3: string, _c4: string, _c5: string",
+    )
+    human = spark.createDataFrame(
+        [
+            # uniprot idmapping layout: (accession, id_type, id_value)
+            ("P100", "Ensembl", "ENSG1"),
+            ("P100-2", "Ensembl", "ENSG1"),
+            ("P100", "Gene_Name", "BRCA1"),   # mapped accession carries the symbol…
+            ("P999", "Gene_Name", "BRCA1"),   # …unmapped sibling resolves through it
+        ],
+        "_c0: string, _c1: string, _c2: string",
+    )
+    pairs = {(r.gene_id, r.mapped_id) for r in
+             generate_mapping(targets, rna, human).collect()}
+    assert ("ENSG1", "P100") in pairs          # protein id
+    assert ("ENSG1", "P100-2") in pairs        # human-mapping accession
+    assert ("ENSG1", "URS0001") in pairs       # rnacentral
+    assert ("ENSG1", "HGNC:1100") in pairs     # hgnc xref
+    assert ("ENSG1", "P999") in pairs          # gene-name sibling resolved
+    assert ("ENSG2", "Q200") in pairs
+
+
+def test_interaction_intact_normalizer(spark):
+    from platform_etl_backend_spark.steps.interaction import (
+        prepare_intact_interactions,
+    )
+
+    org = {"mnemonic": "human", "scientific_name": "Homo sapiens", "taxon_id": 9606}
+    intact = spark.createDataFrame(
+        [
+            # normal A-B interaction, score scaled /1000 when > 1
+            ({"id": "P100", "id_source": "uniprot", "organism": org,
+              "biological_role": "bait"},
+             {"id": "Q200", "id_source": "uniprot", "organism": org,
+              "biological_role": "prey"},
+             {"source_database": "intact", "database_version": "v1"},
+             {"interaction_score": 940.0, "evidence": [{"pubmed_id": "pm1"}]}),
+            # interactorB missing: self-interaction falls back to A
+            ({"id": "P300", "id_source": "uniprot", "organism": org,
+              "biological_role": "self"},
+             None,
+             {"source_database": "signor", "database_version": "v2"},
+             {"interaction_score": 0.75, "evidence": [{"pubmed_id": "pm2"}]}),
+        ],
+        "interactorA: struct<id:string,id_source:string,"
+        "organism:struct<mnemonic:string,scientific_name:string,taxon_id:long>,"
+        "biological_role:string>, "
+        "interactorB: struct<id:string,id_source:string,"
+        "organism:struct<mnemonic:string,scientific_name:string,taxon_id:long>,"
+        "biological_role:string>, "
+        "source_info: struct<source_database:string,database_version:string>, "
+        "interaction: struct<interaction_score:double,"
+        "evidence:array<struct<pubmed_id:string>>>",
+    )
+    rows = {r.intA: r for r in prepare_intact_interactions(intact).collect()}
+    ab = rows["P100"]
+    assert ab.intB == "Q200" and ab.interactionScore == 0.94  # scaled
+    assert ab.speciesA.scientificName == "Homo sapiens"
+    assert ab.speciesA.taxonId == 9606
+    self_row = rows["P300"]
+    assert self_row.intB == "P300"  # B fell back to A
+    assert self_row.intBBiologicalRole == "self"
+    assert self_row.interactionScore == 0.75  # <= 1: unscaled
+
+
+def test_interaction_step_intact_end_to_end(spark):
+    org = {"mnemonic": "human", "scientific_name": "Homo sapiens", "taxon_id": 9606}
+    intact = spark.createDataFrame(
+        [({"id": "P100-2", "id_source": "uniprot", "organism": org,
+           "biological_role": "bait"},
+          {"id": "Q200", "id_source": "uniprot", "organism": org,
+           "biological_role": "prey"},
+          {"source_database": "intact", "database_version": "v1"},
+          {"interaction_score": 900.0, "evidence": [{"pubmed_id": "pm1"}]})],
+        "interactorA: struct<id:string,id_source:string,"
+        "organism:struct<mnemonic:string,scientific_name:string,taxon_id:long>,"
+        "biological_role:string>, "
+        "interactorB: struct<id:string,id_source:string,"
+        "organism:struct<mnemonic:string,scientific_name:string,taxon_id:long>,"
+        "biological_role:string>, "
+        "source_info: struct<source_database:string,database_version:string>, "
+        "interaction: struct<interaction_score:double,"
+        "evidence:array<struct<pubmed_id:string>>>",
+    )
+    targets = spark.createDataFrame(
+        [("ENSG1", [("P100", "uniprot_swissprot")], None),
+         ("ENSG2", [("Q200", "uniprot_swissprot")], None)],
+        "id: string, proteinIds: array<struct<id:string,source:string>>, "
+        "dbXRefs: array<struct<id:string,source:string>>",
+    )
+    out = run_step(spark, "interaction", {"intact": intact, "targets": targets})
+    ev = out["interaction_evidences"].collect()
+    # intact is symmetric: both directions; P100-2 truncates to P100 for mapping
+    assert {(r.targetA, r.targetB) for r in ev} == {("ENSG1", "ENSG2"), ("ENSG2", "ENSG1")}
+    assert out["interactions_unmatched"].count() == 0
