@@ -10,20 +10,20 @@ def _targets(spark):
         [
             (
                 "ENSG1", "BRCA1", "breast cancer gene 1",
-                [{"location": "nucleus", "source": "HPA"}],
+                [{"location": "nucleus", "source": "HPA", "termSl": "SL-0191"}],
                 [{"label": "Enzyme", "level": "l1"}],
                 [{"pathway": "DNA Repair", "pathwayId": "R-1"}],
-                [{"id": "GO:1", "aspect": "GO_P"}],
+                [{"id": "GO:1", "aspect": "P"}],
                 [{"modality": "SM", "id": "High-Quality Pocket", "value": True},
                  {"modality": "AB", "id": "Surface", "value": False}],
             ),
             (
                 "ENSG2", "TP53", "tumor protein p53",
-                [], [], [], [{"id": "GO:1", "aspect": "GO_P"}], [],
+                [], [], [], [{"id": "GO:1", "aspect": "P"}], [],
             ),
         ],
         "id: string, approvedSymbol: string, approvedName: string, "
-        "subcellularLocations: array<struct<location:string,source:string>>, "
+        "subcellularLocations: array<struct<location:string,source:string,termSl:string>>, "
         "targetClass: array<struct<label:string,level:string>>, "
         "pathways: array<struct<pathway:string,pathwayId:string>>, "
         "go: array<struct<id:string,aspect:string>>, "
@@ -34,7 +34,8 @@ def _targets(spark):
 def test_search_facet_step(spark):
     go = spark.createDataFrame([("GO:1", "DNA repair")], ["id", "name"])
     diseases = spark.createDataFrame(
-        [("EFO_1", "breast carcinoma", ["EFO_CANCER"])],
+        [("EFO_1", "breast carcinoma", ["EFO_CANCER"]),
+         ("EFO_CANCER", "cancer or benign tumor", None)],
         "id: string, name: string, therapeuticAreas: array<string>",
     )
     out = run_step(spark, "search_facet", {
@@ -45,19 +46,28 @@ def test_search_facet_step(spark):
     for r in tf:
         by_cat.setdefault(r.category, []).append(r)
     assert {r.label for r in by_cat["Approved Symbol"]} == {"BRCA1", "TP53"}
-    assert by_cat["Subcellular Location"][0].datasourceId == "HPA"
+    # subcellular location datasourceId carries the SL term id (termSl)
+    assert by_cat["Subcellular Location"][0].datasourceId == "SL-0191"
+    # pathway datasourceId carries the reactome pathway id
+    assert by_cat["Reactome"][0].datasourceId == "R-1"
     # GO facet resolves names through the LUT and shares both entities
     go_rows = by_cat["GO:BP"]
     assert go_rows[0].label == "DNA repair"
+    assert go_rows[0].datasourceId == "GO:1"
     assert sorted(go_rows[0].entityIds) == ["ENSG1", "ENSG2"]
     # tractability keeps only value==true, modality mapped
     tract = by_cat["Tractability Small Molecule"]
     assert [r.label for r in tract] == ["High-Quality Pocket"]
     assert "Tractability Antibody" not in by_cat
 
-    df_rows = out["facets_disease"].collect()
-    cats = {r.category for r in df_rows}
-    assert cats == {"Disease", "Therapeutic Area"}
+    df_rows = {r.category: r for r in out["facets_disease"].collect()
+               if r.category == "Therapeutic Area" or r.label == "breast carcinoma"}
+    # disease-name facets keep one row per disease (datasourceId = its id)
+    assert df_rows["Disease"].datasourceId == "EFO_1"
+    # TA label resolved through the disease self-join, datasourceId = TA id
+    ta = df_rows["Therapeutic Area"]
+    assert ta.label == "cancer or benign tumor"
+    assert ta.datasourceId == "EFO_CANCER" and ta.entityIds == ["EFO_1"]
 
 
 def test_search_step(spark):
