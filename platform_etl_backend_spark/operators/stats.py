@@ -96,15 +96,37 @@ def llr_contingency(
 def contingency_via_groupby(
     df: DataFrame, report_col: str, drug_col: str, reaction_col: str
 ) -> DataFrame:
-    """Scale-path contingency: partial-aggregating groupBys + broadcast joins.
+    """Scale-path contingency: one shared-exchange scan + broadcast joins.
 
     Equivalent to ``summary_statistics`` + ``llr_contingency`` but with no
     full-table windows (3 shuffles of every event row) and no driver-side
-    ``count()`` action: per-dimension totals are small aggregates broadcast
-    back onto the pair counts, and N rides along via a broadcast single-row
-    cross join. This is the formulation that survives 100TB.
+    ``count()`` action. The three keyed distinct-report counts hang off ONE
+    explicit ``repartition(report, drug, reaction)`` exchange, so the raw
+    input (and any expensive projection feeding it, e.g. JSON extraction)
+    is scanned and shuffled exactly once; Catalyst/AQE then substitutes
+    ``ReusedExchange`` for the second and third branches. Two details make
+    the reuse possible (verified against the physical plan — without them
+    every branch re-scans the input):
+
+    - The null-key filter is applied EXPLICITLY before the repartition.
+      Otherwise the inner joins infer a different ``isnotnull`` filter per
+      branch (drug / reaction / both), the subtrees stop being canonically
+      equal, and reuse is off.
+    - Each branch is a plain ``groupBy().countDistinct`` ABOVE the barrier;
+      letting Catalyst plan per-branch partial aggregates below their own
+      exchanges (the naive formulation) yields four distinct exchanges.
+
+    The grand total keeps the original null-inclusive semantics and rides a
+    separate column-pruned scan of the report column only (no JSON parse).
+    The per-dimension totals (small) are broadcast back onto the pair
+    counts. This is the formulation that survives 100TB: one wide shuffle
+    of the 3-column projection, then three aggregations of already-
+    co-partitioned data.
     """
-    base = df.select(report_col, drug_col, reaction_col).distinct()
+    projected = df.select(report_col, drug_col, reaction_col)
+    base = projected.where(
+        F.col(drug_col).isNotNull() & F.col(reaction_col).isNotNull()
+    ).repartition(report_col, drug_col, reaction_col)
     pair = base.groupBy(drug_col, reaction_col).agg(
         F.countDistinct(report_col).alias("n_pair")
     )
@@ -112,7 +134,7 @@ def contingency_via_groupby(
     reac_tot = base.groupBy(reaction_col).agg(
         F.countDistinct(report_col).alias("n_reaction")
     )
-    total = base.agg(F.countDistinct(report_col).alias("n_total"))
+    total = projected.agg(F.countDistinct(report_col).alias("n_total"))
     joined = (
         pair.join(F.broadcast(drug_tot), drug_col)
         .join(F.broadcast(reac_tot), reaction_col)
