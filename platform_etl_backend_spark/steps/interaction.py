@@ -13,10 +13,12 @@ the interactor id at '_' then '-') is pure Catalyst here
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SYMMETRIC_SOURCES = ("reactome", "intact", "signor")
 
@@ -96,57 +98,103 @@ STRING_EVIDENCE_CHANNELS = (
 )
 
 
-def _human_species() -> Column:
-    """StringProtein.scala:92-98: fixed human organism struct."""
+def _human_organism() -> Column:
+    """StringProtein.scala:92-98: fixed human organism struct (snake-case
+    field names — the nested input shape, pre camelCase normalization)."""
     return F.struct(
         F.lit("human").alias("mnemonic"),
-        F.lit("Homo sapiens").alias("scientificName"),
-        F.lit(9606).cast("bigint").alias("taxonId"),
+        F.lit("Homo sapiens").alias("scientific_name"),
+        F.lit("9606").cast("bigint").alias("taxon_id"),
     )
 
 
-def prepare_string_interactions(
-    string_df: DataFrame, score_threshold: int = 0, taxon_prefix: str = "9606."
+def string_to_intact_shape(
+    string_df: DataFrame,
+    score_threshold: int = 0,
+    taxon_prefix: str = "9606.",
+    database_version: str = "N/A",
 ) -> DataFrame:
-    """Normalize STRING protein links to the common interaction schema.
+    """STRING protein-links TSV → the nested IntAct-style interaction shape.
 
-    Reference semantics (stringProtein/StringProtein.scala:49-120): score
-    threshold filter, per-channel evidence structs (only channels with a
-    positive score become evidences), human-taxon filter, protein-id prefix
-    strip, fixed biological role/source columns.
+    Reference semantics (stringProtein/StringProtein.scala:49-170): score
+    threshold filter on ltrim(combined_score), one evidence struct per
+    channel (ALL channels kept here — the >0 filter happens after the
+    evidence explode, StringProtein header comment + Interaction.scala:140),
+    human-taxon filter, protein-id prefix strip, fixed biological role /
+    id_source / organism, source_info with the configured STRING version.
+    Producing the nested shape and funnelling it through the SAME
+    ``prepare_intact_interactions`` normalizer mirrors the reference's
+    architecture (one generateInteractions over a shared schema).
     """
     df = string_df.withColumn(
-        "interactionScore", F.ltrim(F.col("combined_score")).cast("int")
-    ).where(F.col("interactionScore") >= score_threshold)
-    evidences = F.filter(
-        F.array(*[
-            F.struct(
-                F.lit(name).alias("interaction_detection_method_short_name"),
-                F.lit(mi).alias("interaction_detection_method_mi_identifier"),
-                F.col(name).cast("long").alias("evidence_score"),
-            )
-            for name, mi in STRING_EVIDENCE_CHANNELS
-        ]),
-        lambda e: e["evidence_score"] > 0,
-    )
+        "interaction_score", F.ltrim(F.col("combined_score")).cast("int")
+    ).where(F.col("interaction_score") >= score_threshold)
+    evidence = F.array(*[
+        F.struct(
+            F.lit(name).alias("interaction_detection_method_short_name"),
+            F.lit(mi).alias("interaction_detection_method_mi_identifier"),
+            F.col(name).cast("long").alias("evidence_score"),
+            F.lit(None).cast("string").alias("interaction_identifier"),
+            F.lit(None).cast("string").alias("pubmed_id"),
+        )
+        for name, mi in STRING_EVIDENCE_CHANNELS
+    ])
+
+    def interactor(protein_col: str) -> Column:
+        return F.struct(
+            F.lit("ensembl_protein").alias("id_source"),
+            F.lit("unspecified role").alias("biological_role"),
+            F.regexp_replace(protein_col, taxon_prefix, "").alias("id"),
+            _human_organism().alias("organism"),
+        )
+
     return (
         df.where(
             F.col("protein1").contains(taxon_prefix)
             & F.col("protein2").contains(taxon_prefix)
         )
         .select(
-            F.regexp_replace("protein1", taxon_prefix, "").alias("intA"),
-            F.regexp_replace("protein2", taxon_prefix, "").alias("intB"),
-            F.lit("ensembl_protein").alias("intA_source"),
-            F.lit("ensembl_protein").alias("intB_source"),
-            F.lit("unspecified role").alias("intABiologicalRole"),
-            F.lit("unspecified role").alias("intBBiologicalRole"),
-            _human_species().alias("speciesA"),
-            _human_species().alias("speciesB"),
-            F.lit("string").alias("sourceDatabase"),
-            (F.col("interactionScore").cast("double") / 1000).alias("interactionScore"),
-            evidences.alias("evidencesList"),
+            interactor("protein1").alias("interactorA"),
+            interactor("protein2").alias("interactorB"),
+            F.struct(
+                F.lit(database_version).alias("database_version"),
+                F.lit("string").alias("source_database"),
+            ).alias("source_info"),
+            F.struct(
+                F.col("interaction_score"),
+                F.lit(False).alias("causal_interaction"),
+                evidence.alias("evidence"),
+            ).alias("interaction"),
         )
+    )
+
+
+def prepare_string_interactions(
+    string_df: DataFrame,
+    score_threshold: int = 0,
+    taxon_prefix: str = "9606.",
+    database_version: str = "N/A",
+) -> DataFrame:
+    """STRING → common flat interaction schema (generateStrings,
+    Interaction.scala:136-143, minus the post-explode evidence filter which
+    the step applies after ``explode_evidences``)."""
+    return prepare_intact_interactions(
+        string_to_intact_shape(string_df, score_threshold, taxon_prefix, database_version)
+    )
+
+
+def transform_ensembl_protein(df: DataFrame) -> DataFrame:
+    """Ensembl GTF (positional TSV, CDS rows) → (gene_id, mapped_id) LUT for
+    the STRING interactor resolution (Interaction.scala:395-401
+    transformEnsemblProtein; the reference names the second column
+    protein_id and renames it to mapped_id in generateStrings :136)."""
+    return (
+        df.where(F.col("_c2") == "CDS")
+        .select(
+            F.regexp_extract(F.col("_c8"), r"ENSG\w{11}", 0).alias("gene_id"),
+            F.regexp_extract(F.col("_c8"), r"ENSP\w{11}", 0).alias("mapped_id"),
+        )
+        .distinct()
     )
 
 
@@ -263,45 +311,149 @@ def prepare_intact_interactions(intact: DataFrame) -> DataFrame:
     )
 
 
-def unmatched_report(evidences: DataFrame) -> DataFrame:
-    """Interaction.scala:366-383 getUnmatch: evidence rows whose interactors
-    failed gene-id resolution, for QC output."""
-    return evidences.where(F.col("targetA").isNull() | F.col("targetB").isNull())
+def remove_null_target_a(df: DataFrame) -> DataFrame:
+    """Interaction.scala:390-391 removeNullTargetA."""
+    return df.where(F.col("targetA").isNotNull())
+
+
+def _is_struct_with(df: DataFrame, column: str, field: str) -> bool:
+    if column not in df.columns:
+        return False
+    dtype = df.schema[column].dataType
+    return isinstance(dtype, T.StructType) and field in dtype.fieldNames()
+
+
+def unmatched_report(*evidence_frames: DataFrame) -> DataFrame:
+    """Interaction.scala:364-383 getUnmatch: distinct intB ids whose human
+    interactor failed gene-id resolution, unioned across sources. The
+    human-taxon filter applies only when the species column is the nested
+    struct (generic pre-flattened inputs may carry opaque species)."""
+    pieces = []
+    for df in evidence_frames:
+        cond = F.col("targetB").isNull()
+        if _is_struct_with(df, "speciesB", "taxonId"):
+            cond = cond & (F.col("speciesB.taxonId") == 9606)
+        pieces.append(df.where(cond).select("intB"))
+    return reduce(lambda a, b: a.unionByName(b), pieces).distinct()
+
+
+def select_fields(df: DataFrame) -> DataFrame:
+    """Evidence-index projection with the evidence struct star-expanded
+    (Interaction.scala:274-290 selectFields)."""
+    return df.selectExpr(
+        "targetA", "intA", "intA_source", "speciesA",
+        "targetB", "intB", "intB_source", "speciesB",
+        "interactionResources", "interactionScore",
+        "evidences.*",
+        "intABiologicalRole", "intBBiologicalRole",
+    )
+
+
+def generate_evidences(
+    intact_like: DataFrame | None, string_ev: DataFrame | None
+) -> DataFrame:
+    """The final interactionsEvidence export (Interaction.scala:341-355
+    generateEvidences): star-expanded evidence fields, STRING channel scores
+    rescaled /1000, null-padded union across the two source schemas, and the
+    whole tree renamed snake_case → lowerCamelCase."""
+    from platform_etl_backend_spark.functions import (
+        snake_to_lower_camel_schema,
+        union_dataframe_different_schema,
+    )
+
+    pieces = []
+    if string_ev is not None:
+        s = select_fields(string_ev)
+        if "evidence_score" in s.columns:
+            s = s.withColumn("evidence_score", F.col("evidence_score") / 1000)
+        pieces.append(s)
+    if intact_like is not None:
+        pieces.append(select_fields(intact_like))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = union_dataframe_different_schema(out, p)
+    return snake_to_lower_camel_schema(out)
 
 
 def interaction_step(
     spark: SparkSession,
     inputs: Mapping[str, DataFrame],
     string_score_threshold: int = 0,
+    string_version: str = "N/A",
 ) -> Mapping[str, DataFrame]:
-    interactions = inputs.get("interactions")
-    if "intact" in inputs:
-        intact_norm = prepare_intact_interactions(inputs["intact"])
-        interactions = (
-            intact_norm
-            if interactions is None
-            else interactions.unionByName(intact_norm, allowMissingColumns=True)
-        )
-    if "string" in inputs:
-        normalized = prepare_string_interactions(
-            inputs["string"], string_score_threshold
-        )
-        interactions = (
-            normalized
-            if interactions is None
-            else interactions.unionByName(normalized.select(*interactions.columns))
-        )
+    """Interaction.scala:404-460 compute(): per-source normalize → map →
+    reverse-union → evidence explode, then targetA-null gating, per-pair
+    aggregation, evidence export, and the unmatched-interactor QC output.
+
+    Faithful wiring details: STRING resolves interactors through its own
+    Ensembl-protein GTF LUT (``ensproteins`` input) while IntAct-shaped
+    sources use the generated 4-source id mapping; the STRING evidence
+    filter (>0) runs after the explode; the unmatched report is computed
+    BEFORE the targetA filter.
+    """
     if "mapping" in inputs:
         mapping = inputs["mapping"]
     else:
         mapping = generate_mapping(
             inputs["targets"], inputs.get("rna_central"), inputs.get("human_mapping")
         )
-    mapped = map_interactors(interactions, mapping)
-    full = add_reverse_interactions(mapped)
-    evidences = explode_evidences(full)
-    return {
-        "interaction_evidences": evidences,
-        "interactions_agg": aggregate_interactions(evidences),
-        "interactions_unmatched": unmatched_report(mapped),
+    string_mapping = (
+        transform_ensembl_protein(inputs["ensproteins"])
+        if "ensproteins" in inputs
+        else mapping
+    )
+
+    def process(flat: DataFrame, lut: DataFrame) -> DataFrame:
+        return explode_evidences(add_reverse_interactions(map_interactors(flat, lut)))
+
+    per_source: dict[str, DataFrame] = {}
+    if "interactions" in inputs:
+        per_source["generic"] = process(inputs["interactions"], mapping)
+    if "intact" in inputs:
+        per_source["intact"] = process(
+            prepare_intact_interactions(inputs["intact"]), mapping
+        )
+    if "string" in inputs:
+        per_source["string"] = process(
+            prepare_string_interactions(
+                inputs["string"], string_score_threshold, database_version=string_version
+            ),
+            string_mapping,
+        ).where(F.col("evidences.evidence_score") > 0)
+
+    frames = list(per_source.values())
+    all_ev = frames[0]
+    for f in frames[1:]:
+        all_ev = all_ev.unionByName(f, allowMissingColumns=True)
+    valid_ev = remove_null_target_a(all_ev)
+    outputs = {
+        "interaction_evidences": valid_ev,
+        "interactions_agg": aggregate_interactions(valid_ev),
+        "interactions_unmatched": unmatched_report(*frames),
     }
+
+    # the index export needs the struct evidence schema + interactionResources
+    def exportable(df: DataFrame) -> bool:
+        return _is_struct_with(df, "evidences", "evidence_score") or (
+            isinstance(df.schema["evidences"].dataType, T.StructType)
+            and "interactionResources" in df.columns
+        )
+
+    intact_like = [
+        remove_null_target_a(df)
+        for name, df in per_source.items()
+        if name != "string" and exportable(df)
+    ]
+    string_export = (
+        remove_null_target_a(per_source["string"])
+        if "string" in per_source and exportable(per_source["string"])
+        else None
+    )
+    if intact_like or string_export is not None:
+        merged_intact = intact_like[0] if intact_like else None
+        for p in intact_like[1:]:
+            merged_intact = merged_intact.unionByName(p, allowMissingColumns=True)
+        outputs["interactions_evidence_export"] = generate_evidences(
+            merged_intact, string_export
+        )
+    return outputs

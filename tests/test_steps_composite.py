@@ -307,3 +307,54 @@ def test_interaction_step_intact_end_to_end(spark):
     # intact is symmetric: both directions; P100-2 truncates to P100 for mapping
     assert {(r.targetA, r.targetB) for r in ev} == {("ENSG1", "ENSG2"), ("ENSG2", "ENSG1")}
     assert out["interactions_unmatched"].count() == 0
+
+
+def test_interaction_string_gtf_mapping_and_export(spark):
+    string_df = spark.createDataFrame(
+        [
+            ("9606.ENSP00000000001", "9606.ENSP00000000002", " 900",
+             800, 0, 0, 0, 0, 700, 0, 0),
+            # ENSP...003 has no CDS row in the GTF -> unmatched targetB
+            ("9606.ENSP00000000001", "9606.ENSP00000000003", " 600",
+             0, 0, 0, 0, 0, 0, 0, 600),
+        ],
+        ["protein1", "protein2", "combined_score", "coexpression", "cooccurence",
+         "neighborhood", "fusion", "homology", "experimental", "database", "textmining"],
+    )
+    # positional GTF shape: _c2 = feature, _c8 = attributes blob
+    ensproteins = spark.createDataFrame(
+        [("x", "y", "CDS", 'gene_id "ENSG00000000011"; protein_id "ENSP00000000001";'),
+         ("x", "y", "CDS", 'gene_id "ENSG00000000012"; protein_id "ENSP00000000002";'),
+         ("x", "y", "exon", 'gene_id "ENSG00000000013"; protein_id "ENSP00000000003";')],
+        ["_c0", "_c1", "_c2", "_c8"],
+    )
+    out = run_step(spark, "interaction", {
+        "string": string_df, "ensproteins": ensproteins,
+        # generated-mapping path needs targets; give an empty-protein target
+        "targets": spark.createDataFrame(
+            [("ENSG00000000011", None)],
+            "id: string, proteinIds: array<struct<id:string,source:string>>"),
+    }, string_version="12.0")
+    ev = out["interaction_evidences"].collect()
+    # pair 1 resolves through the GTF LUT; pair 2 drops its zero channels
+    # except textmining and leaves targetB null (still kept: targetA matched)
+    assert {(r.targetA, r.targetB) for r in ev} == {
+        ("ENSG00000000011", "ENSG00000000012"),
+        ("ENSG00000000011", None),
+    }
+    scored = {r.evidences.interaction_detection_method_short_name for r in ev}
+    assert scored == {"coexpression", "experimental", "textmining"}
+    assert all(r.interactionResources.source_database == "string" for r in ev)
+    assert all(r.interactionResources.database_version == "12.0" for r in ev)
+    # unmatched QC: human interactor whose gene id did not resolve
+    assert [r.intB for r in out["interactions_unmatched"].collect()] == [
+        "ENSP00000000003"
+    ]
+    # evidence export: star-expanded evidence fields, lowerCamel schema,
+    # string channel scores rescaled /1000
+    export = out["interactions_evidence_export"]
+    assert "evidenceScore" in export.columns and "pubmedId" in export.columns
+    assert "intASource" in export.columns
+    rows = {(r.intB, r.evidenceScore) for r in export.collect()}
+    assert (None, None) not in rows
+    assert ("ENSP00000000002", 0.8) in rows and ("ENSP00000000002", 0.7) in rows
