@@ -27,11 +27,13 @@ from platform_etl_backend_spark.operators.nlp import label_key
 SECTION_WEIGHTS = {"title": 1.0, "abstract": 0.8, "body": 0.5}
 
 
-def build_entity_lut(entities: DataFrame) -> DataFrame:
+def build_entity_lut(entities: DataFrame, exact_stemmer: bool = False) -> DataFrame:
     """(id, name, type) + synonyms → (keywordId, type, labelN) grounding LUT.
 
     Keeps the best keyword per normalized label via dense_rank (the
     reference's ambiguity resolution, Grounding.scala:187-194).
+    ``exact_stemmer`` selects the char-exact Porter path (operators/porter.py)
+    matching the reference's Spark-NLP Stemmer; LUT and matcher must agree.
     """
     base = entities.select(
         F.col("id").alias("keywordId"),
@@ -42,7 +44,9 @@ def build_entity_lut(entities: DataFrame) -> DataFrame:
         ).alias("label"),
         F.coalesce(F.col("priority"), F.lit(1.0)).alias("score"),
     )
-    keyed = base.withColumn("labelN", label_key("label")).where(F.col("labelN") != "")
+    keyed = base.withColumn("labelN", label_key("label", exact=exact_stemmer)).where(
+        F.col("labelN") != ""
+    )
     w = Window.partitionBy("type", "labelN").orderBy(F.desc("score"), F.asc("keywordId"))
     return (
         keyed.withColumn("dr", F.dense_rank().over(w))
@@ -61,7 +65,10 @@ def split_sentences(publications: DataFrame, text_col: str = "text") -> DataFram
     ).where(F.length(F.trim("sentence")) > 0)
 
 
-def match_sentences(sentences: DataFrame, lut: DataFrame, max_ngram: int = 3) -> DataFrame:
+def match_sentences(
+    sentences: DataFrame, lut: DataFrame, max_ngram: int = 3,
+    exact_stemmer: bool = False,
+) -> DataFrame:
     """Ground candidate n-gram spans against the LUT on labelN keys.
 
     Candidate generation is pure Catalyst: token n-grams (n ≤ max_ngram) per
@@ -84,7 +91,9 @@ def match_sentences(sentences: DataFrame, lut: DataFrame, max_ngram: int = 3) ->
     )
     candidates = sentences.select(
         "pmid", "section", "sentence_idx", F.explode(F.array_distinct(spans)).alias("span")
-    ).withColumn("labelN", label_key("span")).where(F.col("labelN") != "")
+    ).withColumn("labelN", label_key("span", exact=exact_stemmer)).where(
+        F.col("labelN") != ""
+    )
     return (
         candidates.join(F.broadcast(lut), "labelN")
         .select("pmid", "section", "sentence_idx", "keywordId", "type")
@@ -254,13 +263,14 @@ def epmc_annotations(raw: DataFrame, uris: Mapping[str, str] | None = None) -> D
 
 
 def literature_step(
-    spark: SparkSession, inputs: Mapping[str, DataFrame]
+    spark: SparkSession, inputs: Mapping[str, DataFrame],
+    exact_stemmer: bool = False,
 ) -> Mapping[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     if "entities" in inputs and "publications" in inputs:
-        lut = build_entity_lut(inputs["entities"])
+        lut = build_entity_lut(inputs["entities"], exact_stemmer=exact_stemmer)
         sentences = split_sentences(inputs["publications"])
-        matches = match_sentences(sentences, lut)
+        matches = match_sentences(sentences, lut, exact_stemmer=exact_stemmer)
         out.update(
             {
                 "matches": matches,

@@ -201,6 +201,35 @@ def test_expression_step(spark):
     assert t.organs == ["liver organ"]
 
 
+def test_expression_efo_fallback(spark):
+    """Expression.scala:95-145 fallback semantics: a tissue known only to the
+    expression LUT (not the EFO map) keeps its own name as efoId through the
+    full-join fallback; a tissue known to neither map reaches the except-based
+    missing-label path with a null efoId and is dropped (:205 filter, the
+    reference's 'Missing tissues. Fixme.' behavior)."""
+    inputs = _expression_inputs(spark)
+    inputs["tissues"] = spark.createDataFrame(
+        [
+            ("G2", "Heart", "myocytes", "Medium", "Approved"),   # exprmap-only
+            ("G2", "Kidney", "podocytes", "High", "Approved"),   # unmapped
+        ],
+        ["Gene", "Tissue", "Cell type", "Level", "Reliability"],
+    )
+    inputs["exprmap"] = spark.createDataFrame(
+        [("liver", "liver"), ("heart", "heart")], ["_c0", "_c1"]
+    )
+    rows = {
+        r.id: r.tissues
+        for r in run_step(spark, "expression", inputs)["expressions"].collect()
+    }
+    by_efo = {t.efo_code: t for t in rows["G2"]}
+    assert "heart" in by_efo  # efoId fell back to the LUT name
+    heart = by_efo["heart"]
+    assert heart.label == "heart" and heart.organs == []
+    assert heart.protein.cell_type[0].name == "myocytes"
+    assert "kidney" not in by_efo and None not in by_efo  # unmapped dropped
+
+
 def test_interaction_generate_mapping(spark):
     from platform_etl_backend_spark.steps.interaction import generate_mapping
 
