@@ -27,6 +27,67 @@ from platform_etl_backend_spark.operators.nlp import label_key
 SECTION_WEIGHTS = {"title": 1.0, "abstract": 0.8, "body": 0.5}
 
 
+def load_epmc_ids(df: DataFrame) -> DataFrame:
+    """PMID↔PMCID lookup (Grounding.scala:566-571 loadEPMCIDs): both ids
+    present, PMCID must start with 'PMC', distinct."""
+    return (
+        df.selectExpr("PMID as pmid_lut", "PMCID as pmcid_lut")
+        .where(
+            F.col("pmcid_lut").isNotNull()
+            & F.col("pmid_lut").isNotNull()
+            & F.col("pmcid_lut").startswith("PMC")
+        )
+        .distinct()
+    )
+
+
+def merge_abstracts_fulltexts(
+    abstracts: DataFrame, fulltexts: DataFrame, epmc_ids: DataFrame
+) -> DataFrame:
+    """EPMC abstract/fulltext merge (Grounding.scala:598-620):
+    fulltexts complete their pmid through the broadcast id LUT (join on
+    pmcid, tolerating a null pmid), abstracts that have a fulltext are
+    dropped via left_anti on pmid, and the union tags rows with their kind.
+    """
+    a = abstracts.select(F.col("*"), F.lit("Abstracts").alias("kind"))
+    ft = fulltexts.select(F.col("*"), F.lit("Full_text").alias("kind"))
+    lut = F.broadcast(epmc_ids)
+    complete_ft = (
+        ft.join(
+            lut,
+            (F.col("pmcid") == F.col("pmcid_lut"))
+            & (F.col("pmid").isNull() | (F.col("pmid") == F.col("pmid_lut"))),
+        )
+        .withColumn("pmid", F.coalesce("pmid", "pmid_lut"))
+        .drop("pmid_lut", "pmcid_lut")
+    )
+    abstracts_no_ft = a.join(complete_ft, ["pmid"], "left_anti")
+    return abstracts_no_ft.unionByName(complete_ft, allowMissingColumns=True)
+
+
+def preprocess_epmc(epmc: DataFrame) -> DataFrame:
+    """Dedup-by-latest-version (literature/PreProcessing.scala:8-50):
+    int_timestamp from the timestamp column, per-(pmcid, pmid, kind) max,
+    then a null-safe equality join back to recover the full rows of the
+    winning version (A6 + J7 patterns)."""
+    full = epmc.withColumn("int_timestamp", F.unix_timestamp(F.col("timestamp")))
+    uniq = full.groupBy("pmcid", "pmid", "kind").agg(
+        F.max("int_timestamp").alias("int_timestamp")
+    )
+    u, f = uniq.alias("u"), full.alias("f")
+    return (
+        u.join(
+            f,
+            F.col("u.pmcid").eqNullSafe(F.col("f.pmcid"))
+            & F.col("u.pmid").eqNullSafe(F.col("f.pmid"))
+            & F.col("u.int_timestamp").eqNullSafe(F.col("f.int_timestamp")),
+        )
+        # reference drops the grouped frame's 4 columns, keeping the full
+        # row set (PreProcessing.scala:29-35)
+        .select("f.*")
+    )
+
+
 def build_entity_lut(entities: DataFrame, exact_stemmer: bool = False) -> DataFrame:
     """(id, name, type) + synonyms → (keywordId, type, labelN) grounding LUT.
 
@@ -267,6 +328,13 @@ def literature_step(
     exact_stemmer: bool = False,
 ) -> Mapping[str, DataFrame]:
     out: dict[str, DataFrame] = {}
+    if {"abstracts", "fulltexts", "epmc_ids"} <= set(inputs):
+        from platform_etl_backend_spark.functions.columns import replace_spaces_schema
+
+        merged = merge_abstracts_fulltexts(
+            inputs["abstracts"], inputs["fulltexts"], load_epmc_ids(inputs["epmc_ids"])
+        )
+        out["epmc_publications"] = replace_spaces_schema(preprocess_epmc(merged))
     if "entities" in inputs and "publications" in inputs:
         lut = build_entity_lut(inputs["entities"], exact_stemmer=exact_stemmer)
         sentences = split_sentences(inputs["publications"])

@@ -178,6 +178,42 @@ def test_literature_step(spark):
     assert (("EFO_1", "ENSG1") in cooc) or (("ENSG1", "EFO_1") in cooc)
 
 
+def test_epmc_preprocessing_merge(spark):
+    """Grounding.scala:598-620 + PreProcessing.scala:8-50: fulltext pmid
+    completion through the id LUT, abstract anti-join, dedup-by-latest."""
+    abstracts = spark.createDataFrame(
+        [
+            ("pm1", None, "old abstract", "2021-01-01 00:00:00"),
+            ("pm1", None, "new abstract", "2022-06-01 00:00:00"),  # later wins
+            ("pm2", None, "kept abstract", "2022-01-01 00:00:00"),
+        ],
+        "pmid: string, pmcid: string, text: string, timestamp: string",
+    )
+    fulltexts = spark.createDataFrame(
+        [
+            (None, "PMC1", "fulltext for pm1", "2022-03-01 00:00:00"),
+            ("pm9", "PMC9", "unmapped pmcid", "2022-03-01 00:00:00"),  # not in LUT
+        ],
+        "pmid: string, pmcid: string, text: string, timestamp: string",
+    )
+    epmc_ids = spark.createDataFrame(
+        [("pm1", "PMC1"), ("pmX", "pmc-lowercase"), (None, "PMC7")],
+        "PMID: string, PMCID: string",
+    )
+    out = run_step(spark, "literature", {
+        "abstracts": abstracts, "fulltexts": fulltexts, "epmc_ids": epmc_ids,
+    })["epmc_publications"]
+    rows = {(r.pmid, r.kind): r for r in out.collect()}
+    # pm1 has a fulltext (pmid completed through the LUT) -> abstract dropped
+    assert ("pm1", "Full_text") in rows and ("pm1", "Abstracts") not in rows
+    assert rows[("pm1", "Full_text")].text == "fulltext for pm1"
+    # pm2 has no fulltext -> latest abstract version survives, older dropped
+    assert rows[("pm2", "Abstracts")].text == "kept abstract"
+    assert len([k for k in rows if k[0] == "pm2"]) == 1
+    # fulltext whose pmcid is not in the LUT is dropped by the inner join
+    assert not any(k[0] == "pm9" for k in rows)
+
+
 def test_search_variant_and_study_index(spark):
     targets = spark.createDataFrame(
         [("ENSG1", "BRCA1", "g1", None)],
