@@ -22,9 +22,19 @@ from pyspark.sql import functions as F
 from platform_etl_backend_spark.functions.columns import harmonic_fn
 from platform_etl_backend_spark.operators.nlp import label_key
 
-# section weights (Processing.scala section-weight semantics: title counts
-# more than abstract, abstract more than body)
-SECTION_WEIGHTS = {"title": 1.0, "abstract": 0.8, "body": 0.5}
+# (section, rank, weight) — reference.conf:700-708 publication_section_ranks
+SECTION_RANKS = (
+    ("title", 1, 1.0),
+    ("abstract", 1, 0.8),
+    ("concl", 1, 0.7),
+    ("results", 2, 0.6),
+    ("discuss", 2, 0.5),
+    ("methods", 3, 0.3),
+    ("other", 4, 0.1),
+)
+# unknown sections (Processing.scala:100-103 na.fill)
+UNKNOWN_SECTION_RANK = 100
+UNKNOWN_SECTION_WEIGHT = 0.01
 
 
 def load_epmc_ids(df: DataFrame) -> DataFrame:
@@ -164,21 +174,59 @@ def match_sentences(
 
 def publication_relevance(matches: DataFrame) -> DataFrame:
     """Per-(publication, keyword) section-weighted harmonic relevance
-    (Processing.scala:50-117 semantics)."""
-    weight = F.coalesce(
-        *[
-            F.when(F.col("section") == s, F.lit(w))
-            for s, w in SECTION_WEIGHTS.items()
-        ],
-        F.lit(0.25),
+    (Processing.scala:50-117 filterMatchesForCH).
+
+    Faithful semantics: per-section weight vectors — the title contributes a
+    single titleWeight entry no matter how many title matches, every other
+    section contributes its weight once per match (:104-108); sections join
+    the configured rank/weight table with rank=100 / weight=0.01 fills for
+    unknowns (:100-103); the per-section vectors concatenate in rank order
+    and feed the positional harmonic sum (:110-113).
+
+    Preserve-or-fix divergence (documented): the reference realizes the
+    rank ordering as a running-window ``collect_list`` followed by
+    ``dropDuplicates``, whose surviving row is partition-order-dependent.
+    Here the full vector is assembled with ``array_sort`` over
+    (rank, section) struct keys — same intended result, deterministic
+    (equal-rank sections tiebreak by name instead of arrival order).
+    """
+    from itertools import chain
+
+    rank_map = F.create_map(
+        *chain.from_iterable((F.lit(s), F.lit(r)) for s, r, _ in SECTION_RANKS)
     )
-    weighted = matches.withColumn("weight", weight)
+    weight_map = F.create_map(
+        *chain.from_iterable((F.lit(s), F.lit(w)) for s, _, w in SECTION_RANKS)
+    )
+    title_weight = next(w for s, _, w in SECTION_RANKS if s == "title")
+    m = matches.withColumn(
+        "rank", F.coalesce(rank_map[F.col("section")], F.lit(UNKNOWN_SECTION_RANK))
+    ).withColumn(
+        "weight",
+        F.coalesce(weight_map[F.col("section")], F.lit(UNKNOWN_SECTION_WEIGHT)),
+    )
+    per_section = m.groupBy(
+        "pmid", "keywordId", "type", "section", "rank", "weight"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    section_vec = F.when(
+        F.col("section") == "title", F.array(F.lit(title_weight))
+    ).otherwise(F.expr("array_repeat(weight, int(n))"))
     return (
-        weighted.groupBy("pmid", "keywordId", "type")
-        .agg(F.collect_list("weight").alias("weights"))
+        per_section.withColumn("vec", section_vec)
+        .groupBy("pmid", "keywordId", "type")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "section", "vec"))
+                    ),
+                    lambda x: x["vec"],
+                )
+            ).alias("relevanceV")
+        )
         .select(
             "pmid", "keywordId", "type",
-            F.round(harmonic_fn("weights"), 6).alias("relevance"),
+            F.round(harmonic_fn("relevanceV"), 6).alias("relevance"),
         )
     )
 

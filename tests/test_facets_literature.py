@@ -178,6 +178,36 @@ def test_literature_step(spark):
     assert (("EFO_1", "ENSG1") in cooc) or (("ENSG1", "EFO_1") in cooc)
 
 
+def test_publication_relevance_section_semantics(spark):
+    """Processing.scala:50-117: title counted once, other sections once per
+    match, rank-ordered vectors, unknown-section rank/weight fills."""
+    from platform_etl_backend_spark.steps.literature import publication_relevance
+
+    matches = spark.createDataFrame(
+        [
+            # k1: two title matches (counted ONCE) + one methods match
+            ("pm1", "title", 0, "k1", "target"),
+            ("pm1", "title", 1, "k1", "target"),
+            ("pm1", "methods", 2, "k1", "target"),
+            # k2: two results matches (counted twice) before an abstract?
+            # no — abstract rank 1 sorts first, results rank 2 after
+            ("pm1", "results", 3, "k2", "disease"),
+            ("pm1", "results", 4, "k2", "disease"),
+            ("pm1", "abstract", 5, "k2", "disease"),
+            # k3: unknown section -> rank 100, weight 0.01
+            ("pm1", "acknowledgements", 6, "k3", "drug"),
+        ],
+        ["pmid", "section", "sentence_idx", "keywordId", "type"],
+    )
+    rel = {r.keywordId: r.relevance for r in publication_relevance(matches).collect()}
+    # k1: vec = [1.0 (title, once), 0.3 (methods)] -> 1/1 + 0.3/4
+    assert abs(rel["k1"] - (1.0 + 0.3 / 4)) < 1e-6
+    # k2: vec = [0.8 (abstract, rank 1), 0.6, 0.6 (results, rank 2)]
+    assert abs(rel["k2"] - (0.8 + 0.6 / 4 + 0.6 / 9)) < 1e-6
+    # k3: vec = [0.01]
+    assert abs(rel["k3"] - 0.01) < 1e-6
+
+
 def test_epmc_preprocessing_merge(spark):
     """Grounding.scala:598-620 + PreProcessing.scala:8-50: fulltext pmid
     completion through the id LUT, abstract anti-join, dedup-by-latest."""
