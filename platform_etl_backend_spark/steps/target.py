@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.functions.columns import (
+    mk_flatten_array,
     nest,
     priority_dedup_array,
     safe_array_union,
@@ -36,10 +37,13 @@ DEFAULT_TARGET_SPECIES = [
 ]
 
 PROTEIN_ID_PRIORITY = {
+    # cleanProteinIds hierarchy (Target.scala:578-588): swissprot, trembl,
+    # plain uniprot, ensembl, everything else (uniprot_obsolete) last
     "uniprot_swissprot": 0,
     "uniprot_trembl": 1,
     "uniprot": 2,
     "ensembl_PRO": 3,
+    "uniprot_obsolete": 4,
 }
 
 
@@ -183,47 +187,99 @@ def merge_hgnc(ensembl: DataFrame, hgnc: DataFrame) -> DataFrame:
     )
 
 
-def add_uniprot(core: DataFrame, uniprot: DataFrame, hgnc: DataFrame) -> DataFrame:
-    """Accrete UniprotKB accessions onto the ENSG core.
+def add_uniprot(
+    core: DataFrame,
+    uniprot: DataFrame,
+    hgnc: DataFrame,
+    ssl: DataFrame | None = None,
+) -> DataFrame:
+    """Accrete the full UniprotKB entity onto the ENSG core.
 
-    Reference shape (Target.scala:450-473 + addEnsemblIdsToUniprot): uniprot
-    entries map to genes through HGNC's uniprot_ids; accessions merge into
-    ``proteinIds`` with source 'uniprot' at lower priority than swissprot/
-    trembl. Input is the DISTRIBUTED flat-file parse
+    Reference shape (Target.scala:112-127 + addEnsemblIdsToUniprot
+    :232-260): uniprot entries map to genes through HGNC's uniprot_ids
+    (each mapped accession also becomes a 'uniprot_obsolete' proteinId),
+    per-gene flatten-collects of the entity arrays, then the doc-level
+    merges — proteinIds through the priority dedup, entity synonyms into
+    the doc synonym list, functionDescriptions and subcellularLocations as
+    new annotation columns. Input is the DISTRIBUTED flat-file parse
     (sources/flatfile.parse_uniprot_records), not a driver-side loop.
     """
+    from platform_etl_backend_spark.steps.target_annotations import uniprot_normalize
+
     if "record" in uniprot.columns:
         from platform_etl_backend_spark.sources.flatfile import parse_uniprot_records
 
         uniprot = parse_uniprot_records(uniprot)
-    u = uniprot.select(F.explode("accessions").alias("acc"))
+    entity = uniprot_normalize(uniprot, ssl)
     h = hgnc.select(
         F.col("ensembl_gene_id").alias("id"),
-        F.explode("uniprot_ids").alias("acc"),
+        F.explode("uniprot_ids").alias("uniprotId"),
+    ).withColumn(
+        "uniprotProteinId",
+        F.struct(
+            F.col("uniprotId").alias("id"), F.lit("uniprot_obsolete").alias("source")
+        ),
     )
-    mapped = (
-        u.join(h, "acc")
+    grouped = (
+        h.join(entity, ["uniprotId"])
         .groupBy("id")
         .agg(
             F.sort_array(
-                F.collect_set(F.struct(F.col("acc").alias("id"), F.lit("uniprot").alias("source")))
-            ).alias("uniprotProteinIds")
+                F.flatten(
+                    F.collect_set(
+                        F.concat("synonyms", "nameSynonyms", "symbolSynonyms")
+                    )
+                )
+            ).alias("upSynonyms"),
+            F.sort_array(F.flatten(F.collect_set("functionDescriptions"))).alias(
+                "functionDescriptions"
+            ),
+            F.sort_array(F.flatten(F.collect_set("proteinIds"))).alias("upProteinIds"),
+            F.sort_array(
+                F.flatten(
+                    F.collect_set(
+                        F.coalesce(
+                            F.col("subcellularLocations"),
+                            F.array().cast(
+                                "array<struct<location:string,source:string,"
+                                "termSL:string,labelSL:string>>"
+                            ),
+                        )
+                    )
+                )
+            ).alias("subcellularLocations"),
+            F.sort_array(F.collect_set("uniprotProteinId")).alias("uniprotProteinId"),
         )
+        .withColumn(
+            "upProteinIds", F.array_union("upProteinIds", "uniprotProteinId")
+        )
+        .drop("uniprotProteinId")
     )
     empty = F.array().cast("array<struct<id:string,source:string>>")
+    empty_s = F.array().cast("array<string>")
     return (
-        core.join(F.broadcast(mapped), "id", "left")
+        core.join(F.broadcast(grouped), "id", "left")
         .withColumn(
             "proteinIds",
             priority_dedup_array(
                 F.concat(
                     F.coalesce(F.col("proteinIds"), empty),
-                    F.coalesce(F.col("uniprotProteinIds"), empty),
+                    F.coalesce(F.col("upProteinIds"), empty),
                 ),
                 PROTEIN_ID_PRIORITY,
             ),
         )
-        .drop("uniprotProteinIds")
+        .withColumn(
+            # Target.scala:137-139: synonyms ∪ symbolSynonyms ∪ nameSynonyms
+            "synonyms",
+            F.array_distinct(
+                safe_array_union(
+                    F.coalesce(F.col("synonyms"), empty_s),
+                    F.coalesce(F.col("upSynonyms.label"), empty_s),
+                )
+            ),
+        )
+        .drop("upProteinIds", "upSynonyms")
     )
 
 
@@ -268,7 +324,9 @@ def target_step(
     if "hgnc" in inputs:
         core = merge_hgnc(core, inputs["hgnc"])
         if "uniprot" in inputs:
-            core = add_uniprot(core, inputs["uniprot"], inputs["hgnc"])
+            core = add_uniprot(
+                core, inputs["uniprot"], inputs["hgnc"], inputs.get("uniprot_ssl")
+            )
     annotations: dict[str, tuple[DataFrame, str]] = {}
     if "go" in inputs:
         go_by_gene = (
@@ -349,6 +407,12 @@ def target_step(
             list(inputs.get("target_species", [])) or DEFAULT_TARGET_SPECIES,
         )
         doc = TA.add_homologues(doc, orthologs)
+    if "subcellularLocations" in doc.columns and "locations" in doc.columns:
+        # Target.scala:117-122: uniprot + HPA locations merge into one array
+        doc = doc.withColumn(
+            "subcellularLocations",
+            mk_flatten_array(F.col("subcellularLocations"), F.col("locations")),
+        ).drop("locations")
     doc = doc.transform(add_tss)
     out = {"target": doc}
     if "gene_essentiality" in inputs:

@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from platform_etl_backend_spark.functions.columns import safe_array_union
+
 CANCER_HALLMARKS = [
     "proliferative signalling",
     "invasion and metastasis",
@@ -507,6 +509,97 @@ def gene_with_location_normalize(hpa: DataFrame, sl_locations: DataFrame | None 
         .groupBy("gwl_id")
         .agg(F.sort_array(F.collect_list("locations")).alias("locations"))
     )
+
+
+# subcellular-location extraction regexes (Uniprot.scala:105-112, per
+# opentargets/platform#1710)
+_SSL_FIRST_WORDS = r"^([\w\s]+)"
+_SSL_ISOFORMS = r"(\[.+\]:\s([\w\s]+))"
+_SSL_LAST_AFTER_COMMA = r".*,\s([\w\s]+)"
+
+
+def uniprot_normalize(uniprot: DataFrame, ssl: DataFrame | None = None) -> DataFrame:
+    """Structured UniprotEntry rows → the Uniprot target annotation entity
+    (target/Uniprot.scala:35-160): uniprotId = first accession, the three
+    LabelAndSource synonym arrays (source 'uniprot'), functionDescriptions,
+    obsolete-accession proteinIds, 'DB ID' xrefs re-split into (id, source)
+    structs, and subcellular locations matched against the SSL ontology
+    through the three-regex extraction with the isoform display override.
+    """
+    las = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.struct(x.alias("label"), F.lit("uniprot").alias("source"))
+    )
+    empty = F.array().cast("array<string>")
+    base = uniprot.where(F.size("accessions") > 0).select(
+        F.element_at("accessions", 1).alias("uniprotId"),
+        las(safe_array_union("names", "synonyms")).alias("nameSynonyms"),
+        las(safe_array_union("symbolSynonyms")).alias("symbolSynonyms"),
+        las(
+            safe_array_union(
+                F.coalesce(F.col("names"), empty),
+                F.coalesce(F.col("symbolSynonyms"), empty),
+            )
+        ).alias("synonyms"),
+        F.col("functions").alias("functionDescriptions"),
+        F.transform(
+            "dbXrefs",
+            lambda x: F.struct(
+                F.element_at(F.split(x, " "), 2).alias("id"),
+                F.element_at(F.split(x, " "), 1).alias("source"),
+            ),
+        ).alias("dbXrefs"),
+        F.transform(
+            "accessions",
+            lambda x: F.struct(x.alias("id"), F.lit("uniprot_obsolete").alias("source")),
+        ).alias("proteinIds"),
+        F.col("locations"),
+    )
+    loc = base.select(
+        "uniprotId", F.explode("locations").alias("location")
+    ).select(
+        "uniprotId",
+        "location",
+        F.trim(F.regexp_extract("location", _SSL_FIRST_WORDS, 0)).alias("loc1"),
+        F.trim(F.regexp_extract("location", _SSL_ISOFORMS, 1)).alias("iso"),
+        F.trim(F.regexp_extract("location", _SSL_ISOFORMS, 2)).alias("loc2"),
+        F.trim(F.regexp_extract("location", _SSL_LAST_AFTER_COMMA, 1)).alias("loc3"),
+    )
+    loc = (
+        loc.withColumn(
+            "ssl_match",
+            F.when(F.col("loc1") != "", F.col("loc1"))
+            .when(F.col("loc2") != "", F.col("loc2"))
+            .when(F.col("loc3") != "", F.col("loc3")),
+        )
+        .withColumn(
+            "location",
+            F.when(F.col("iso") != "", F.col("iso")).otherwise(F.col("ssl_match")),
+        )
+        .drop("iso", "loc1", "loc2", "loc3")
+        .where(F.col("location").isNotNull())
+    )
+    if ssl is not None:
+        onto = ssl.select(
+            F.col("`Subcellular location ID`").alias("termSL"),
+            F.col("Name").alias("ssl_match"),
+            F.col("Category").alias("labelSL"),
+        )
+        loc = loc.join(F.broadcast(onto), ["ssl_match"], "left")
+    else:
+        loc = loc.withColumn("termSL", F.lit(None).cast("string")).withColumn(
+            "labelSL", F.lit(None).cast("string")
+        )
+    locations = (
+        loc.select(
+            "uniprotId",
+            F.struct(
+                "location", F.lit("uniprot").alias("source"), "termSL", "labelSL"
+            ).alias("l"),
+        )
+        .groupBy("uniprotId")
+        .agg(F.sort_array(F.collect_list("l")).alias("subcellularLocations"))
+    )
+    return base.drop("locations").join(locations, ["uniprotId"], "left")
 
 
 def chemical_probes_normalize(probes: DataFrame, lookup: DataFrame) -> DataFrame:

@@ -86,6 +86,69 @@ def test_parse_uniprot_records(spark, tmp_path):
     assert rows["001R_FRG3G"].accessions == ["Q6GZX4", "A1A1A1"]
     assert rows["002L_FRG3G"].accessions == ["Q6GZX3"]
     assert any("Putative transcription factor" in d for d in rows["001R_FRG3G"].descriptions)
+    assert rows["001R_FRG3G"].names == ["Putative transcription factor 001R"]
+    assert rows["001R_FRG3G"].symbolSynonyms == ["FV3-001R"]
+    assert rows["001R_FRG3G"].functions == ["Transcription activation."]
+
+
+UNIPROT_P53 = (
+    "ID   P53_HUMAN               Reviewed;         393 AA.\n"
+    "AC   P04637; Q15086; Q15087;\n"
+    "AC   Q16535;\n"
+    "DE   RecName: Full=Cellular tumor antigen p53 {ECO:0000305};\n"
+    "DE   AltName: Full=Antigen NY-CO-13;\n"
+    "DE   AltName: Full=Phosphoprotein p53;\n"
+    "DE   AltName: CD_antigen=CD999;\n"
+    "DE            Short=p53;\n"
+    "GN   Name=TP53 {ECO:0000303}; Synonyms=P53, TRP53;\n"
+    "GN   ORFNames=AB001-1;\n"
+    "DR   EMBL; X02469; CAA26306.1; -; mRNA.\n"
+    "DR   ChEMBL; CHEMBL4096; -.\n"
+    "DR   Ensembl; ENST00000269305.9; ENSP00000269305.4; ENSG00000141510.19.\n"
+    "DR   GO; GO:0005634; C:nucleus; IDA:UniProtKB.\n"
+    "DR   PDB; 1A1U; NMR; -; A/B=324-358.\n"
+    "CC   -!- FUNCTION: Acts as a tumor suppressor in many tumor types;\n"
+    "CC       induces growth arrest or apoptosis. {ECO:0000269}.\n"
+    "CC   -!- SUBCELLULAR LOCATION: Cytoplasm {ECO:0000269}. Nucleus\n"
+    "CC       {ECO:0000269}. Note=Interaction with BANP promotes nuclear\n"
+    "CC       localization.\n"
+    "CC   -!- INTERACTION: Self; NbExp=999;\n"
+    "CC   ---------------------------------------------------------------------\n"
+    "CC   Copyrighted by the UniProt Consortium. License: CC BY 4.0\n"
+    "CC   ---------------------------------------------------------------------\n"
+    "//\n"
+)
+
+
+def test_parse_uniprot_structured_entry(spark, tmp_path):
+    """UniprotConverter.scala:51-95 structured-entry parity on a realistic
+    record: DE name classification, GN symbols, DR db-of-interest xrefs,
+    CC concatenation + FUNCTION/SUBCELLULAR LOCATION partition, license
+    footer cut."""
+    p = tmp_path / "p53.txt"
+    p.write_text(UNIPROT_P53)
+    [r] = parse_uniprot_records(read_delimited_records(spark, str(p), "//\n")).collect()
+    assert r.entry_name == "P53_HUMAN"
+    assert r.accessions == ["P04637", "Q15086", "Q15087", "Q16535"]
+    # evidence braces stripped; RecName/AltName classified
+    assert r.names == ["Cellular tumor antigen p53"]
+    assert r.synonyms == ["Antigen NY-CO-13", "Phosphoprotein p53"]
+    # GN Name + Synonyms (comma-split) + ORFNames, then DE CD_antigen/Short
+    assert r.symbolSynonyms == ["TP53", "P53", "TRP53", "AB001-1", "CD999", "p53"]
+    # only dbs of interest, as 'DB ID' strings (EMBL excluded)
+    assert r.dbXrefs == [
+        "ChEMBL CHEMBL4096",
+        "Ensembl ENST00000269305.9",
+        "GO GO:0005634",
+        "PDB 1A1U",
+    ]
+    # multi-line comment concatenated; INTERACTION + license footer dropped
+    assert r.functions == [
+        "Acts as a tumor suppressor in many tumor types; induces growth "
+        "arrest or apoptosis. ."
+    ]
+    # locations: Note= tail dropped, refs removed, sentences split
+    assert r.locations == ["Cytoplasm", "Nucleus"]
 
 
 def test_reactome_step(spark):

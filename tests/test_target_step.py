@@ -92,6 +92,11 @@ def test_target_step_with_uniprot_records(spark, tmp_path):
     up.write_text(
         "ID   X1_HUMAN   Reviewed;  100 AA.\n"
         "AC   U100; U101;\n"
+        "DE   RecName: Full=Protein X1;\n"
+        "DE   AltName: Full=X one;\n"
+        "GN   Name=X1;\n"
+        "CC   -!- FUNCTION: Does useful things.\n"
+        "CC   -!- SUBCELLULAR LOCATION: Nucleus. Cytoplasm.\n"
         "//\n"
     )
     hgnc = spark.createDataFrame(
@@ -105,7 +110,16 @@ def test_target_step_with_uniprot_records(spark, tmp_path):
         "uniprot": read_delimited_records(spark, str(up), "//\n"),
     })["target"]
     t = {r.id: r for r in out.collect()}["ENSG001"]
-    # swissprot P1 + trembl T1 from ensembl, U100 accreted via hgnc mapping
+    # swissprot P1 + trembl T1 from ensembl; U100/U101 accreted as obsolete
+    # accessions via hgnc mapping + entity (Target.scala:232-260)
     assert [(p.id, p.source) for p in t.proteinIds] == [
-        ("P1", "uniprot_swissprot"), ("T1", "uniprot_trembl"), ("U100", "uniprot")
+        ("P1", "uniprot_swissprot"), ("T1", "uniprot_trembl"),
+        ("U100", "uniprot_obsolete"), ("U101", "uniprot_obsolete"),
     ]
+    # entity annotations accreted onto the doc
+    assert t.functionDescriptions == ["Does useful things."]
+    assert {(loc.location, loc.source) for loc in t.subcellularLocations} == {
+        ("Nucleus", "uniprot"), ("Cytoplasm", "uniprot"),
+    }
+    # uniprot names/symbols folded into the synonym list
+    assert {"Protein X1", "X one", "X1"} <= set(t.synonyms)
