@@ -161,6 +161,95 @@ def test_openfda_step(spark):
     assert all(r.llr > r.critval for r in sig)
 
 
+def test_openfda_raw_faers_preparation(spark):
+    """PrePrepRawFdaData + PrepareAdverseEventData + PrepareDrugList +
+    AttachMeddraData over raw FAERS-shaped documents."""
+    def report(rid, death, qual, charact, reactions, drug_names, brand=None):
+        return {
+            "safetyreportid": rid,
+            "serious": "1",
+            "seriousnessdeath": death,
+            "receivedate": "20240101",
+            "primarysource": {"qualification": qual},
+            "patient": {
+                "reaction": [{"reactionmeddrapt": r} for r in reactions],
+                "drug": [
+                    {
+                        "medicinalproduct": d,
+                        "drugcharacterization": charact,
+                        "openfda": {
+                            "generic_name": [],
+                            "brand_name": brand or [],
+                            "substance_name": [],
+                        },
+                    }
+                    for d in drug_names
+                ],
+            },
+        }
+
+    schema = (
+        "safetyreportid: string, serious: string, seriousnessdeath: string, "
+        "receivedate: string, primarysource: struct<qualification:string>, "
+        "patient: struct<reaction:array<struct<reactionmeddrapt:string>>, "
+        "drug:array<struct<medicinalproduct:string,drugcharacterization:string,"
+        "openfda:struct<generic_name:array<string>,brand_name:array<string>,"
+        "substance_name:array<string>>>>>"
+    )
+    rows = [
+        report("r1", None, "1", "1", ["Headache^s pain"], ["ASPIRIN"], ["Aspro"]),
+        report("r2", "1", "1", "1", ["Nausea"], ["ASPIRIN"]),      # death: dropped
+        report("r3", None, "5", "1", ["Nausea"], ["ASPIRIN"]),     # qualification: dropped
+        report("r4", None, "1", "2", ["Nausea"], ["ASPIRIN"]),     # concomitant: dropped
+        report("r5", None, "2", "1", ["Rash"], ["IBUPROFEN"]),
+    ]
+    raw = spark.createDataFrame(rows, schema)
+    drugs = spark.createDataFrame(
+        [("CHEMBL25", "Aspirin", ["acetylsalicylic acid"], ["Aspro"]),
+         ("CHEMBL521", "Ibuprofen", None, None)],
+        "id: string, name: string, synonyms: array<string>, tradeNames: array<string>",
+    )
+    from platform_etl_backend_spark.steps.openfda import (
+        pre_prep_raw_fda_data, prepare_adverse_event_data, attach_meddra_data,
+    )
+    fda = prepare_adverse_event_data(pre_prep_raw_fda_data(raw))
+    got = {(r.safetyreportid, r.drug_name, r.reaction_reactionmeddrapt)
+           for r in fda.collect()}
+    # quote fix applied; r1 explodes into medicinalproduct + brand name rows
+    assert ("r1", "aspirin", "headache's pain") in got
+    assert ("r1", "aspro", "headache's pain") in got
+    assert ("r5", "ibuprofen", "rash") in got
+    assert not any(rid in {"r2", "r3", "r4"} for rid, _, _ in got)
+
+    # meddra: preferred term wins, low-level term is the fallback
+    pt = spark.createDataFrame([("10019211$headache's pain$x",)], ["_c0"])
+    llt = spark.createDataFrame([("10037844$rash$y",)], ["_c0"])
+    withm = attach_meddra_data(fda, "drug_name", pt, llt)
+    codes = {r.reaction_reactionmeddrapt: r.meddraCode for r in withm.collect()}
+    assert codes["headache's pain"] == "10019211"
+    assert codes["rash"] == "10037844"
+
+    # full step over raw shape with a chembl-shaped drug list; enough rows
+    # that the LLR terms stay finite (a drug needs >1 distinct reaction)
+    more = [
+        report(f"rh{i}", None, "1", "1", ["Headache^s pain"], ["ASPIRIN"])
+        for i in range(4)
+    ] + [
+        report(f"rn{i}", None, "1", "1", ["Nausea"], ["ASPIRIN"]) for i in range(2)
+    ] + [
+        report(f"rr{i}", None, "1", "1", ["Rash"], ["IBUPROFEN"]) for i in range(2)
+    ] + [
+        report(f"rx{i}", None, "1", "1", ["Nausea"], ["IBUPROFEN"]) for i in range(2)
+    ]
+    out = run_step(
+        spark, "openfda",
+        {"fda_events": spark.createDataFrame(rows + more, schema), "drug_list": drugs},
+    )
+    pairs = {(r.drug, r.reaction) for r in out["unfiltered"].collect()}
+    assert ("aspirin", "headache's pain") in pairs
+    assert ("ibuprofen", "rash") in pairs
+
+
 def test_openfda_stratified_sampling(spark):
     rows = []
     rid = 0
