@@ -325,3 +325,82 @@ def _langid_oracle() -> str:
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TQ.langid_scores(table(spark, sf_dir, "documents"), "text")
     return d.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q_repetition_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+          FROM toks WHERE len(t) >= 2),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+    d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, COUNT(*) AS distinct_grams,
+                 CAST(MAX(cnt) AS BIGINT) AS top_gram_count
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_grams, distinct_grams, top_gram_count,
+           ROUND(CAST(top_gram_count AS DOUBLE) / n_grams, 6) AS top_gram_frac,
+           ROUND(1 - CAST(distinct_grams AS DOUBLE) / n_grams, 6) AS dup_gram_frac
+    FROM d
+    """,
+    description="Gopher-style repetition metrics: top-bigram fraction + duplicate-bigram "
+    "fraction per doc (explode → two partial-agg shuffles; linear at 100TB)",
+    tags=("text", "quality"),
+)
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.ngram_repetition(table(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+def _gopher_oracle() -> str:
+    return f"""
+    WITH m AS (SELECT doc_id, {_T} AS t FROM documents),
+    f AS (SELECT doc_id,
+            CAST(len(t) AS BIGINT) AS n_tokens,
+            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+                AS mean_word_len,
+            CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_word_len,
+            ROUND(CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
+                  / len(t), 6) AS alpha_frac,
+            CAST(len(list_filter(t, x -> list_contains({_stop_list_sql('en')}, lower(x))))
+                 AS BIGINT) AS stop_hits
+          FROM m)
+    SELECT doc_id, n_tokens, mean_word_len, max_word_len, alpha_frac, stop_hits,
+           (n_tokens BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+    FROM f
+    """
+
+
+@register(
+    "q_gopher_rules",
+    oracle=_gopher_oracle(),
+    description="heuristic quality-filter rules (Gopher/C4 style): token bounds, "
+    "word-length stats, alphabetic fraction, stopword floor → keep flag (map-side only)",
+    tags=("text", "quality"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.gopher_quality_flags(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PII_Q_PATTERNS = {"email": TQ.PII_PATTERNS["email"], "digit_run": TQ.PII_PATTERNS["digit_run"]}
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '{_PII_Q_PATTERNS["email"]}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(c_name, '{_PII_Q_PATTERNS["digit_run"]}')) AS BIGINT)
+               AS n_digit_run,
+           regexp_replace(regexp_replace(c_name, '{_PII_Q_PATTERNS["email"]}', '[PII]', 'g'),
+                          '{_PII_Q_PATTERNS["digit_run"]}', '[PII]', 'g') AS masked
+    FROM customer
+    """,
+    description="PII detection + masking over a string column (regex catalog shared "
+    "Java-regex/RE2 subset); counts per pattern + deterministic masked copy",
+    tags=("text", "quality", "pii"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    out = TQ.pii_metrics(c, "c_name", _PII_Q_PATTERNS, mask="[PII]")
+    return out.select("c_custkey", "n_email", "n_digit_run", "masked")

@@ -1,13 +1,16 @@
 """Text analysis operators: language-ID, quality scoring, token counting,
+repetition metrics, heuristic quality rules, PII detection/masking —
 all pure Catalyst (built-in string/array functions, no UDFs).
 """
 
 from __future__ import annotations
 
+from typing import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from platform_etl_backend_spark.operators.dedup import ws_tokens
+from platform_etl_backend_spark.operators.dedup import spread, ws_tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Order matters: ties resolve to the earlier language (deterministic).
@@ -77,3 +80,116 @@ def quality_metrics(df: DataFrame, text_col: str) -> DataFrame:
             "quality_bucket": bucket,
         }
     )
+
+
+def ngrams_nondistinct(tokens: Column, n: int) -> Column:
+    """All word n-grams in order, repeats kept (repetition metrics need
+    multiplicity; `dedup.k_shingles` is the distinct variant)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of n-grams
+    taken by the single most frequent n-gram (`top_gram_frac`) and the
+    duplicate-gram fraction (1 − distinct/total).
+
+    Scale shape: explode n-grams → ONE hash shuffle on (id, gram) with
+    map-side partial counts → a second tiny shuffle on id. No windows, no
+    per-doc quadratic in-array work — linear in corpus token count, which is
+    what survives at 100 TB. Documents shorter than ``n`` tokens produce no
+    n-grams and drop out (semantic: repetition is undefined there).
+    """
+    toks = spread(df, id_col).select(
+        F.col(id_col), F.explode(ngrams_nondistinct(ws_tokens(text_col), n)).alias("gram")
+    )
+    counts = toks.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("cnt").alias("top_gram_count"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("distinct_grams").cast("bigint").alias("distinct_grams"),
+        F.col("top_gram_count").cast("bigint").alias("top_gram_count"),
+        F.round(F.col("top_gram_count") / F.col("n_grams"), 6).alias("top_gram_frac"),
+        F.round(F.lit(1) - F.col("distinct_grams") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style heuristic quality rules, entirely map-side: token-count
+    bounds, mean/max word length, alphabetic-word fraction, and an
+    English-stopword floor, combined into a boolean ``keep``. One narrow
+    stage — no shuffle at any scale."""
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    word_lens = F.transform(toks, lambda t: F.length(t).cast("bigint"))
+    sum_len = F.aggregate(word_lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    mean_wlen = F.round(sum_len.cast("double") / n_tok, 6)
+    max_wlen = F.array_max(word_lens)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    alpha_frac = F.round(alpha.cast("double") / n_tok, 6)
+    stop = stopword_hits(toks, "en").cast("bigint")
+    keep = (
+        n_tok.between(min_tokens, max_tokens)
+        & mean_wlen.between(min_mean_wlen, max_mean_wlen)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        max_wlen.alias("max_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+# Default PII pattern catalog. Patterns are restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB/many engines): no backrefs, no lookahead.
+PII_PATTERNS: Mapping[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ().-]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "digit_run": r"[0-9]{6,}",
+}
+
+
+def pii_metrics(
+    df: DataFrame,
+    text_col: str,
+    patterns: Mapping[str, str] = PII_PATTERNS,
+    mask: str = "[PII]",
+    masked_col: str = "masked",
+) -> DataFrame:
+    """Per-row PII match counts (one ``n_<name>`` column per pattern) plus a
+    masked copy of the text with every match replaced. Pure Catalyst
+    (regexp_extract_all / regexp_replace) — map-side only, no shuffle;
+    patterns are applied in dict order so masking is deterministic."""
+    out = df
+    masked = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("bigint"),
+        )
+        masked = F.regexp_replace(masked, pat, mask)
+    return out.withColumn(masked_col, masked)
