@@ -278,3 +278,42 @@ def q_llr_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_montecarlo_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency = _event_contingency(spark, sf_dir)
     return montecarlo_critical_values(contingency, "drug", permutations=100, percentile=0.95)
+
+
+@register(
+    "q_asof_join",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    c AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ep, event_id AS purchase_id, value AS purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ep ORDER BY event_id DESC) AS rn
+          FROM e WHERE event_type = 'purchase'),
+    pd AS (SELECT * FROM p WHERE rn = 1),
+    j AS (SELECT c.event_id, c.user_id, c.ep, pd.purchase_id, pd.purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY pd.ep DESC, pd.purchase_id DESC) AS rn
+          FROM c LEFT JOIN pd ON pd.user_id = c.user_id AND pd.ep <= c.ep)
+    SELECT event_id, user_id, ep,
+           purchase_id AS asof_purchase_id, purchase_value AS asof_purchase_value
+    FROM j WHERE rn = 1
+    """,
+    description="backward as-of join (click → latest purchase at-or-before, per user) "
+    "via the union+window linear scan — no inequality join, one key shuffle; "
+    "the oracle is the quadratic LEFT-JOIN formulation DuckDB can afford at test scale",
+    tags=("join", "asof", "events"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.asof import asof_join_backward
+
+    e = events_table(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ep")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ep",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join_backward(
+        clicks, purchases, on="user_id", probe_ts="ep", build_ts="ep",
+        payload=["purchase_id", "purchase_value"], tiebreak="purchase_id",
+    )

@@ -404,3 +404,30 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     out = TQ.pii_metrics(c, "c_name", _PII_Q_PATTERNS, mask="[PII]")
     return out.select("c_custkey", "n_email", "n_digit_run", "masked")
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS idf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, idf, ROUND(tf * idf, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(tf * idf, 6) DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, idf, score
+    FROM ranked WHERE rk <= 3
+    """,
+    description="per-document top-3 TF-IDF terms: two partial-agg shuffles + broadcast "
+    "vocabulary join + per-doc window top-k (deterministic term tiebreak)",
+    tags=("text", "scoring"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)

@@ -1,0 +1,93 @@
+"""As-of (point-in-time) join — the time-series primitive Spark lacks as a
+built-in, re-expressed scale-first.
+
+Naive formulations plan badly: an inequality join (``t_build <= t_probe``)
+becomes a broadcast-nested-loop or cartesian product, and a per-probe-row
+subquery doesn't distribute at all. The formulation here is the
+union-then-window linear scan used by large-scale time-series stores:
+
+1. tag probe rows side=1 and build rows side=0, null-padding each side's
+   payload, and union them;
+2. ONE window pass partitioned by the join key, ordered by
+   ``(ts, side, tiebreak)``, carrying the build payload forward with
+   ``last(..., ignorenulls=True)`` over rows unbounded-preceding..current;
+3. keep the probe rows: each now holds the payload of the latest build row
+   with ``build_ts <= probe_ts`` (backward as-of; ties at equal ts resolve
+   to the build row because side 0 sorts first).
+
+Cost: one hash shuffle on the key + one sort within partitions — linear in
+total rows, skew-safe with AQE, no quadratic blow-up at any scale. This is
+the plan shape that survives 100 TB; an inequality-join variant would not.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every probe row, attach ``payload`` columns from the build row
+    with the greatest ``build_ts <= probe_ts`` sharing the ``on`` key
+    (null when no such row). All probe columns pass through unchanged;
+    payload columns come back as ``{prefix}{name}``.
+
+    ``tiebreak``: build column deciding among build rows with identical
+    (key, ts) — highest wins — making the result deterministic where the
+    input is ambiguous (same convention as the engine's other dedups:
+    explicit row_number, never arbitrary-row).
+    """
+    if tiebreak:
+        w0 = Window.partitionBy(on, build_ts).orderBy(F.col(tiebreak).desc())
+        build = (
+            build.withColumn("_rn", F.row_number().over(w0))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    probe_struct_fields = [F.col(c) for c in probe.columns]
+    pay_types = {c: build.schema[c].dataType for c in payload}
+    tb: Column = (
+        F.col(tiebreak) if tiebreak and tiebreak in build.columns else F.lit(0)
+    )
+
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct(*probe_struct_fields).alias("_probe"),
+        *[F.lit(None).cast(pay_types[c]).alias(f"_b_{c}") for c in payload],
+    )
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(build_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        tb.cast("long").alias("_tb"),
+        F.lit(None).cast(p.schema["_probe"].dataType).alias("_probe"),
+        *[F.col(c).alias(f"_b_{c}") for c in payload],
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = p.unionByName(b).withColumns(
+        {f"_b_{c}": F.last(f"_b_{c}", ignorenulls=True).over(w) for c in payload}
+    )
+    return carried.where(F.col("_side") == 1).select(
+        F.col("_probe.*"),
+        *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in payload],
+    )

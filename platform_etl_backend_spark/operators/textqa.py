@@ -163,6 +163,39 @@ def gopher_quality_flags(
     )
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df), both rounded to
+    6 d.p. for cross-engine determinism; ties break on term asc).
+
+    Scale shape: explode → (doc, term) partial-agg shuffle → tiny per-term
+    df frame (vocabulary-sized) joined back BROADCAST, corpus size N as a
+    1-row broadcast (no driver action) → per-doc window top-k. The only
+    full-data shuffles are the two partial aggregations — linear at 100 TB;
+    the vocabulary table is the classic small side that must broadcast.
+    """
+    from pyspark.sql import Window
+
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct(id_col).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf", idf)
+        .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"), "idf", "score")
+    )
+
+
 # Default PII pattern catalog. Patterns are restricted to syntax shared by
 # Java regex (Spark) and RE2 (DuckDB/many engines): no backrefs, no lookahead.
 PII_PATTERNS: Mapping[str, str] = {

@@ -1,0 +1,91 @@
+"""Semantics tests for the as-of join operator and TF-IDF scoring on
+crafted inline data (the catalog queries cover synthetic-table integration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators.asof import asof_join_backward
+from platform_etl_backend_spark.operators.textqa import tfidf_top_terms
+
+
+def _asof(spark, probe_rows, build_rows):
+    probe = spark.createDataFrame(probe_rows, ["pid", "k", "t"])
+    build = spark.createDataFrame(build_rows, ["k", "t", "bid", "val"])
+    return {
+        r.pid: (r.asof_bid, r.asof_val)
+        for r in asof_join_backward(
+            probe, build, on="k", probe_ts="t", build_ts="t",
+            payload=["bid", "val"], tiebreak="bid",
+        ).collect()
+    }
+
+
+def test_asof_basic_backward(spark):
+    out = _asof(
+        spark,
+        [(1, "u", 10), (2, "u", 25), (3, "u", 5)],
+        [("u", 8, 100, 1.0), ("u", 20, 200, 2.0), ("u", 30, 300, 3.0)],
+    )
+    assert out[1] == (100, 1.0)  # latest build <= 10 is t=8
+    assert out[2] == (200, 2.0)  # latest build <= 25 is t=20
+    assert out[3] == (None, None)  # nothing at or before t=5
+
+
+def test_asof_tie_at_equal_ts_includes_build(spark):
+    out = _asof(spark, [(1, "u", 10)], [("u", 10, 100, 1.0)])
+    assert out[1] == (100, 1.0)  # <= semantics: equal timestamp matches
+
+
+def test_asof_duplicate_build_ts_resolved_by_tiebreak(spark):
+    out = _asof(
+        spark, [(1, "u", 10)], [("u", 9, 100, 1.0), ("u", 9, 200, 2.0)]
+    )
+    assert out[1] == (200, 2.0)  # highest tiebreak wins deterministically
+
+
+def test_asof_keys_do_not_leak(spark):
+    out = _asof(
+        spark,
+        [(1, "a", 10), (2, "b", 10)],
+        [("a", 5, 100, 1.0)],
+    )
+    assert out[1] == (100, 1.0)
+    assert out[2] == (None, None)
+
+
+def test_asof_plan_has_no_cartesian_or_bnlj(spark):
+    """The whole point: an as-of must NOT plan as an inequality join."""
+    probe = spark.createDataFrame([(1, "u", 10)], ["pid", "k", "t"])
+    build = spark.createDataFrame([("u", 8, 100, 1.0)], ["k", "t", "bid", "val"])
+    plan = (
+        asof_join_backward(probe, build, "k", "t", "t", ["bid", "val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_tfidf_math(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")], ["doc_id", "text"]
+    )
+    rows = tfidf_top_terms(df, "doc_id", "text", k=3).collect()
+    by_key = {(r.doc_id, r.term): r for r in rows}
+    # df: apple 1 doc, banana 2 docs, cherry 1 doc; N = 2
+    idf_apple = round(math.log(2 / 1), 6)
+    idf_banana = round(math.log(2 / 2), 6)
+    assert by_key[(1, "apple")].tf == 2
+    assert by_key[(1, "apple")].score == round(2 * idf_apple, 6)
+    assert by_key[(1, "banana")].idf == idf_banana == 0.0
+    assert by_key[(2, "cherry")].score == round(1 * math.log(2), 6)
+
+
+def test_tfidf_tiebreak_is_term_asc(spark):
+    df = spark.createDataFrame([(1, "b a c d e f")], ["doc_id", "text"])
+    rows = tfidf_top_terms(df, "doc_id", "text", k=3).collect()
+    # all terms have identical tf and idf -> top-3 must be a, b, c
+    assert sorted(r.term for r in rows) == ["a", "b", "c"]
