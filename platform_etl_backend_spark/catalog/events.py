@@ -317,3 +317,38 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, on="user_id", probe_ts="ep", build_ts="ep",
         payload=["purchase_id", "purchase_value"], tiebreak="purchase_id",
     )
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    c AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ep AS s, ep + 3600 AS en, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase'),
+    j AS (SELECT c.event_id, c.user_id, c.ep, p.purchase_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY p.purchase_id DESC) AS rn
+          FROM c JOIN p ON p.user_id = c.user_id AND p.s <= c.ep AND c.ep < p.en)
+    SELECT event_id, user_id, ep, purchase_id AS in_purchase_id FROM j WHERE rn = 1
+    """,
+    description="point-in-interval range join (clicks within 1h of a purchase, per user) "
+    "via bucketed equi-join expansion — no inequality join; the oracle is the "
+    "quadratic formulation DuckDB can afford at test scale",
+    tags=("join", "range", "events"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.asof import range_join_points_in_intervals
+
+    e = events_table(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ep")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ep").alias("s"),
+        (F.col("ep") + 3600).alias("en"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return range_join_points_in_intervals(
+        clicks, purchases, on="user_id", point_ts="ep", start_col="s", end_col="en",
+        payload=["purchase_id"], bucket=3600, tiebreak="purchase_id",
+    )

@@ -91,3 +91,67 @@ def asof_join_backward(
         F.col("_probe.*"),
         *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def range_join_points_in_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    payload: Sequence[str],
+    bucket: int = 3600,
+    prefix: str = "in_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-interval range join: each point row matched to the interval
+    rows (same ``on`` key) with ``start <= point_ts < end``; when several
+    intervals cover a point and ``tiebreak`` is given, only the
+    highest-tiebreak interval is kept (deterministic single match).
+
+    Scale shape — the bucketed equi-join expansion: an inequality join
+    would plan as broadcast-nested-loop/cartesian, quadratic per key.
+    Instead every interval explodes to the coarse time buckets it covers
+    (``sequence(floor(start/b), floor((end-1)/b))`` — cheap when bucket ≈
+    typical interval length), points compute their single bucket, and the
+    join becomes an EQUI-join on (key, bucket) + an exact containment
+    filter. One hash shuffle each side, candidate set bounded by bucket
+    co-residency — linear at 100 TB for bounded interval lengths. Intervals
+    much longer than ``bucket`` multiply build rows; pick ``bucket`` near
+    the p95 interval length.
+    """
+    pt = points.withColumn("_bkt", F.floor(F.col(point_ts) / bucket).cast("long"))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket).cast("long"),
+                F.floor((F.col(end_col) - 1) / bucket).cast("long"),
+            )
+        ),
+    )
+    iv_sel = iv.select(
+        F.col(on).alias("_ik"),
+        "_bkt",
+        F.col(start_col).alias("_start"),
+        F.col(end_col).alias("_end"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    joined = pt.join(
+        iv_sel,
+        (pt[on] == iv_sel["_ik"]) & (pt["_bkt"] == iv_sel["_bkt"]),
+    ).where(
+        (F.col("_start") <= F.col(point_ts)) & (F.col(point_ts) < F.col("_end"))
+    )
+    if tiebreak:
+        w = Window.partitionBy(*[pt[c] for c in points.columns]).orderBy(
+            F.col(f"{prefix}{tiebreak}").desc()
+        )
+        joined = joined.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[F.col(f"{prefix}{c}") for c in payload],
+    )

@@ -67,6 +67,51 @@ def test_asof_plan_has_no_cartesian_or_bnlj(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_range_join_boundaries_and_bucket_span(spark):
+    from platform_etl_backend_spark.operators.asof import range_join_points_in_intervals
+
+    # bucket=10: interval [8, 23) spans buckets 0,1,2; checks half-open ends
+    points = spark.createDataFrame(
+        [(1, "u", 7), (2, "u", 8), (3, "u", 15), (4, "u", 22), (5, "u", 23)],
+        ["pid", "k", "t"],
+    )
+    intervals = spark.createDataFrame([("u", 8, 23, 900)], ["k", "s", "en", "iid"])
+    out = range_join_points_in_intervals(
+        points, intervals, on="k", point_ts="t", start_col="s", end_col="en",
+        payload=["iid"], bucket=10,
+    )
+    assert {r.pid: r.in_iid for r in out.collect()} == {2: 900, 3: 900, 4: 900}
+
+
+def test_range_join_tiebreak_picks_highest(spark):
+    from platform_etl_backend_spark.operators.asof import range_join_points_in_intervals
+
+    points = spark.createDataFrame([(1, "u", 5)], ["pid", "k", "t"])
+    intervals = spark.createDataFrame(
+        [("u", 0, 10, 1), ("u", 4, 9, 2)], ["k", "s", "en", "iid"]
+    )
+    out = range_join_points_in_intervals(
+        points, intervals, on="k", point_ts="t", start_col="s", end_col="en",
+        payload=["iid"], bucket=10, tiebreak="iid",
+    ).collect()
+    assert len(out) == 1 and out[0].in_iid == 2
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from platform_etl_backend_spark.operators.asof import range_join_points_in_intervals
+
+    points = spark.createDataFrame([(1, "u", 5)], ["pid", "k", "t"])
+    intervals = spark.createDataFrame([("u", 0, 10, 1)], ["k", "s", "en", "iid"])
+    plan = (
+        range_join_points_in_intervals(
+            points, intervals, on="k", point_ts="t", start_col="s", end_col="en",
+            payload=["iid"], bucket=10,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_tfidf_math(spark):
     import math
 
@@ -82,6 +127,46 @@ def test_tfidf_math(spark):
     assert by_key[(1, "apple")].score == round(2 * idf_apple, 6)
     assert by_key[(1, "banana")].idf == idf_banana == 0.0
     assert by_key[(2, "cherry")].score == round(1 * math.log(2), 6)
+
+
+def test_asof_matches_bruteforce_property(spark):
+    """Property check: the union+window formulation equals the quadratic
+    brute-force definition on randomized inputs (keys collide, ts collide,
+    empty sides) — pinned via hypothesis."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row_p = st.tuples(st.integers(0, 3), st.integers(0, 20))  # (key, ts)
+    row_b = st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99))
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        probes=st.lists(row_p, min_size=1, max_size=8),
+        builds=st.lists(row_b, max_size=8),
+    )
+    def run(probes, builds):
+        probe = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(probes)], ["pid", "k", "t"]
+        )
+        if builds:
+            build = spark.createDataFrame(builds, ["k", "t", "bid"])
+        else:
+            build = spark.createDataFrame([], "k int, t int, bid int")
+        got = {
+            r.pid: r.asof_bid
+            for r in asof_join_backward(
+                probe, build, "k", "t", "t", ["bid"], tiebreak="bid"
+            ).collect()
+        }
+        for i, (k, t) in enumerate(probes):
+            cands = [(bt, bid) for bk, bt, bid in builds if bk == k and bt <= t]
+            expected = max(cands)[1] if cands else None
+            assert got[i] == expected, (i, k, t, cands)
+
+    run()
 
 
 def test_tfidf_tiebreak_is_term_asc(spark):

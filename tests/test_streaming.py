@@ -109,3 +109,44 @@ def test_rate_source_soak(spark):
         assert all(r.cnt > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_stream):
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("click", "web"), ("purchase", "commerce"), ("view", "web")],
+        ["event_type", "channel"],
+    )
+    out = J.enrich_with_static(events_stream, dim, on="event_type")
+    q = J.run_to_memory(out, "enriched")
+    try:
+        got = spark.table("enriched")
+        assert got.count() == _batch_events(spark, sf_dir).count()
+        channels = {
+            r.event_type: r.channel
+            for r in got.select("event_type", "channel").distinct().collect()
+        }
+        assert channels["click"] == "web" and channels["purchase"] == "commerce"
+        assert channels["error"] is None  # left join keeps unmatched stream rows
+    finally:
+        q.stop()
+
+
+def test_foreachbatch_upsert(spark, sf_dir, events_stream, tmp_path):
+    from pyspark.sql import functions as F
+
+    path, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    latest_per_user = events_stream.select("user_id", "event_type", "event_ts")
+    q = J.upsert_to_parquet(latest_per_user, ["user_id"], path, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(path)
+    batch = _batch_events(spark, sf_dir)
+    # one row per user, carrying that user's latest event
+    assert got.count() == batch.select("user_id").distinct().count()
+    expected_latest = (
+        batch.groupBy("user_id").agg(F.max("ep").alias("ep")).collect()
+    )
+    got_ts = {r.user_id: r.event_ts.timestamp() for r in got.collect()}
+    for r in expected_latest:
+        assert got_ts[r.user_id] == r.ep
