@@ -31,6 +31,10 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ann_bucketed",
     "q_doc_tokens",
+    "q_asof_join",
+    "q_range_join",
+    "q_tfidf_top_terms",
+    "q_repetition_ngrams",
 ]
 
 

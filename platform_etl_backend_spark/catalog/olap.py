@@ -94,3 +94,94 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl(F.coalesce(F.col("N"), F.lit(0))).alias("qty_n"),
         dbl(F.coalesce(F.col("R"), F.lit(0))).alias("qty_r"),
     )
+
+
+@register(
+    "q_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS p99
+    FROM ranked GROUP BY l_returnflag
+    """,
+    description="exact discrete percentiles (p50/p90/p99) per group via rank-pick — "
+    "engine-portable integer logic, no interpolation-formula drift; one window pass",
+    tags=("stats", "window", "olap"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                   F.col("l_quantity"))
+        )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+    description="moment statistics (mean/var/stddev/corr) via DECIMAL power sums — "
+    "the determinism convention for distributed float aggregation: exact partial "
+    "sums shuffle-order-independently, doubles only at the final scalar step",
+    tags=("stats", "agg", "olap"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x, y = dec2("l_quantity"), dec2("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(x)).alias("sx"),
+        dbl(F.sum(x * x)).alias("sxx"),
+        dbl(F.sum(y)).alias("sy"),
+        dbl(F.sum(y * y)).alias("syy"),
+        dbl(F.sum(x * y)).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = [F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    )
