@@ -1,0 +1,95 @@
+"""Multimodal-column queries with REAL oracles: the binary payloads are
+built from ``documents.text`` bytes (pure printable ASCII in the testdata,
+so byte-wise binary ops in Spark equal char-wise string ops in DuckDB),
+which lets the media plumbing — typed metadata, frame sampling, Arrow-
+batched decode — be hash-checked cross-engine instead of rows-only.
+
+``q_multimodal_features`` is the notable one: a ``mapInPandas`` (Python)
+stage whose output still hash-matches an ANSI-SQL oracle, because the stub
+decode is sha256-derived and computed in IEEE double on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.catalog.registry import register, table
+from platform_etl_backend_spark.operators import multimodal as MM
+
+_HEX = "0123456789abcdef"
+
+
+def _byte_expr(hexcol: str, j: int) -> str:
+    """DuckDB: byte j of a hex digest string as an integer."""
+    hi = f"(strpos('{_HEX}', substr({hexcol}, {2 * j + 1}, 1)) - 1)"
+    lo = f"(strpos('{_HEX}', substr({hexcol}, {2 * j + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, length(text) % 8 + 1 AS n_frames FROM documents),
+    f AS (
+      SELECT doc_id, n_frames,
+             unnest(list_filter(range(0, n_frames), i -> i % 2 = 0)) AS frame_no
+      FROM m),
+    x AS (
+      SELECT f.doc_id, f.n_frames, f.frame_no,
+             substring(m.text, f.frame_no * 16 + 1, 16) AS fb
+      FROM f JOIN m ON f.doc_id = m.doc_id)
+    SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           md5(fb) AS frame_md5, CAST(length(fb) AS BIGINT) AS frame_len
+    FROM x
+    """,
+    description="video-style frame sampling over binary media columns (every 2nd "
+    "frame, fixed-stride byte windows): pure Catalyst explode of per-frame slices; "
+    "payloads derived from document bytes so the oracle is exact",
+    tags=("multimodal", "binary"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    meta = MM.attach_media_meta(d, "data")
+    frames = MM.frame_sample(d, "doc_id", "data", every=2)
+    return (
+        frames.join(
+            F.broadcast(meta.select("doc_id", F.col("meta.n_frames").alias("n_frames"))),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_no",
+            F.md5("frame_bytes").alias("frame_md5"),
+            F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        )
+    )
+
+
+def _features_oracle(dim: int = MM.FEATURE_DIM) -> str:
+    # sha256 digest is 32 bytes; the stub resizes to the first `dim` bytes
+    bytes_list = ", ".join(f"{_byte_expr('h', j)} / 255.0" for j in range(dim))
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+    SELECT doc_id, [{bytes_list}] AS features FROM h
+    """
+
+
+@register(
+    "q_multimodal_features",
+    oracle=_features_oracle(),
+    description="Arrow-batched mapInPandas decode stub (sha256-derived pseudo-pixels, "
+    "IEEE-double arithmetic): the Python-stage path that still hash-matches an "
+    "ANSI-SQL oracle — proves the multimodal plumbing end-to-end, not rows-only",
+    tags=("multimodal", "binary", "pandas-udf"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return MM.decode_features(d, "doc_id", "data", dtype="double")

@@ -185,3 +185,42 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "q_zscore_norm",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND((l.l_quantity - s.sx / s.n)
+                 / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z_qty
+    FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+    description="group-wise z-score normalization (feature-pipeline staple): per-key "
+    "moments via DECIMAL power sums broadcast back onto rows — deterministic, one "
+    "shuffle for the tiny stats side, map-side normalization of the big side",
+    tags=("stats", "agg", "olap"),
+)
+def q_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x = dec2("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(x)).alias("sx"),
+        dbl(F.sum(x * x)).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stddev = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        li.join(F.broadcast(s), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.round((F.col("l_quantity") - sx / n) / stddev, 6).alias("z_qty"),
+        )
+    )

@@ -431,3 +431,99 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "q_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                 AS bucket
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 13 THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs, MIN(doc_id) AS sample_doc
+    FROM b GROUP BY source, split
+    """,
+    description="deterministic train/eval split by content-stable hash bucket "
+    "(md5 hex digit, 13/16 ≈ 81% train) — reproducible across engines and runs, "
+    "no RNG; the split assignment is a pure map-side expression",
+    tags=("text", "split"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .select(
+            "source",
+            F.when(F.col("bucket") < 13, "train").otherwise("eval").alias("split"),
+            "doc_id",
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("sample_doc"))
+    )
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topk: int = 3) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(ln((g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                   * (tf.tf * ({k1} + 1))
+                   / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)), 6) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE rk <= {topk}
+    """
+
+
+@register(
+    "q_bm25_top_terms",
+    oracle=_bm25_oracle(),
+    description="per-document top-3 BM25 terms (k1=1.2, b=0.75, +1 idf): tf saturation "
+    "+ length normalization; same broadcast-vocabulary plan shape as TF-IDF",
+    tags=("text", "scoring"),
+)
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    d = table(spark, sf_dir, "documents")
+    tok = D.spread(d, "doc_id").select(
+        F.col("doc_id"), F.explode(D.ws_tokens("text")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .withColumn("score", F.round(idf * sat, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"), "score")
+    )

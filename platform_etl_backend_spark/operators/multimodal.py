@@ -43,26 +43,34 @@ def attach_media_meta(df: DataFrame, data_col: str, fmt: str = "fake") -> DataFr
     )
 
 
-def _decode_impl(payload: bytes) -> np.ndarray:
+def _decode_impl(payload: bytes, dtype=np.float32) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from the payload digest.
 
     Production implementations plug PIL/torchvision/libav here; everything
     around this function (batching, schema, partitioning) is real.
     """
     digest = hashlib.sha256(payload).digest()
-    rng = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
-    return np.resize(rng, FEATURE_DIM) / 255.0
+    rng = np.frombuffer(digest, dtype=np.uint8).astype(dtype)
+    return np.resize(rng, FEATURE_DIM) / dtype(255.0)
 
 
-def decode_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
-    """binary → array<float> feature vectors via Arrow-batched mapInPandas."""
+def decode_features(
+    df: DataFrame, id_col: str, data_col: str, dtype: str = "float"
+) -> DataFrame:
+    """binary → array<float|double> feature vectors via Arrow-batched
+    mapInPandas. ``dtype='float'`` is the production shape (fp32 vectors);
+    ``'double'`` makes the stub's arithmetic bit-identical to any engine
+    computing byte/255 in IEEE double (used by the oracle-paired catalog
+    query — fp32 and fp64 round differently at 6 d.p. for 3 of 256 byte
+    values, so cross-engine checks need the double path)."""
 
-    schema = f"{id_col} bigint, features array<float>"
+    np_dtype = {"float": np.float32, "double": np.float64}[dtype]
+    schema = f"{id_col} bigint, features array<{dtype}>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _decode_impl(bytes(b)) if b is not None else None
+                _decode_impl(bytes(b), np_dtype) if b is not None else None
                 for b in pdf[data_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
