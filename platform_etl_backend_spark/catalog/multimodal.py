@@ -93,3 +93,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("data")
     )
     return MM.decode_features(d, "doc_id", "data", dtype="double")
+
+
+def _hex4_to_int(hexcol: str) -> str:
+    return " + ".join(
+        f"(strpos('{_HEX}', substr({hexcol}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@register(
+    "q_crossencoder_rerank",
+    oracle=f"""
+    WITH q AS (SELECT doc_id AS query_id, text AS qtext, source FROM documents
+               WHERE doc_id < 10),
+    d AS (SELECT doc_id, text AS dtext, source FROM documents),
+    pairs AS (
+      SELECT q.query_id, d.doc_id,
+             sha256(q.qtext || chr(31) || d.dtext) AS h
+      FROM q JOIN d USING (source) WHERE d.doc_id != q.query_id),
+    scored AS (
+      SELECT query_id, doc_id, ({_hex4_to_int('h')}) / 65536.0 AS score FROM pairs),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    description="cross-encoder rerank plumbing: bounded candidate pairs (same-source) "
+    "scored by an Arrow-batched mapInPandas stub (sha256-derived, IEEE double) + "
+    "per-query top-k — the Python scoring stage hash-matches the SQL oracle",
+    tags=("rerank", "similarity", "pandas-udf"),
+)
+def q_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.rerank import crossencoder_rerank
+
+    docs = table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"), "source"
+    )
+    cands = docs.select("doc_id", F.col("text").alias("dtext"), "source")
+    pairs = queries.join(cands, "source").where(F.col("doc_id") != F.col("query_id"))
+    return crossencoder_rerank(pairs, "query_id", "doc_id", "qtext", "dtext", k=3)

@@ -87,3 +87,27 @@ def test_repetition_plan_is_two_partial_aggs(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = ngram_repetition(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_quality_ops_empty_and_null_inputs(spark):
+    """Edge hygiene: empty frames and null text must not throw."""
+    from platform_etl_backend_spark.operators.textqa import (
+        gopher_quality_flags,
+        ngram_repetition,
+        pii_metrics,
+        tfidf_top_terms,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert ngram_repetition(empty, "doc_id", "text").count() == 0
+    assert gopher_quality_flags(empty, "doc_id", "text").count() == 0
+    assert tfidf_top_terms(empty, "doc_id", "text").count() == 0
+    assert pii_metrics(empty, "text").count() == 0
+
+    with_null = spark.createDataFrame([(1, None), (2, "a b")], "doc_id bigint, text string")
+    # null text rows drop out of token-based ops, don't crash them
+    assert ngram_repetition(with_null, "doc_id", "text").count() == 1
+    pii = {r.doc_id: r for r in pii_metrics(with_null, "text").collect()}
+    # null text → null metrics (SQL null-propagation, same as any oracle engine)
+    assert pii[1].n_email is None and pii[1].masked is None
+    assert pii[2].n_email == 0
