@@ -1073,3 +1073,40 @@ def q_harmonic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.col("c_acctbal").cast("double")).alias("bals"))
         .select("n_name", harmonic_fn("bals", precision=6).alias("harmonic"))
     )
+
+
+@register(
+    "q_hash_sample",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                   || CAST(l_linenumber AS VARCHAR)), 2, 1)) - 1))
+             / 256.0 AS u
+      FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sampled_qty
+    FROM s WHERE u < l_quantity / 100.0
+    GROUP BY l_returnflag
+    """,
+    description="deterministic weighted Bernoulli sampling by content hash (keep-prob "
+    "= l_quantity/100): reproducible on any cluster size / engine, unlike seeded "
+    "df.sample whose result depends on partitioning; pure map-side filter",
+    tags=("sampling", "filter"),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sampling import hash_bernoulli_sample
+
+    li = table(spark, sf_dir, "lineitem")
+    sampled = hash_bernoulli_sample(
+        li, ["l_orderkey", "l_linenumber"], F.col("l_quantity") / 100.0
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dbl(F.sum(dec2("l_quantity"))).alias("sampled_qty"),
+    )

@@ -1,0 +1,39 @@
+"""Deterministic sampling operators — no RNG, reproducible on any cluster
+size and across engines (same philosophy as the md5-bucket train/eval
+split): the keep/drop decision is a pure function of row content.
+
+Seeded `df.sample()` is NOT reproducible across partitionings (Spark
+documents per-partition seeding), which is why a 100 TB pipeline that must
+re-run identically samples by content hash instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def hash_uniform(key: Column) -> Column:
+    """Uniform-ish value in [0, 1) from the first 2 hex digits of md5(key)
+    (256 levels — enough for sampling rates down to ~0.4%; widen the digit
+    count for finer rates). The hex-digit arithmetic is portable to any
+    engine with md5 + string ops."""
+    h = F.md5(key)
+    hi = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo) / F.lit(256.0)
+
+
+def hash_bernoulli_sample(
+    df: DataFrame, key_cols: Sequence[str], prob: Column
+) -> DataFrame:
+    """Keep each row independently with probability ``prob`` (a per-row
+    column, so weighted sampling is the same call), decided by content
+    hash of ``key_cols``. Pure map-side filter — pushes into the scan
+    stage, zero shuffle, identical sample on 1 or 1000 executors."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return df.where(hash_uniform(key) < prob)

@@ -111,3 +111,24 @@ def test_quality_ops_empty_and_null_inputs(spark):
     # null text → null metrics (SQL null-propagation, same as any oracle engine)
     assert pii[1].n_email is None and pii[1].masked is None
     assert pii[2].n_email == 0
+
+
+def test_hash_sample_partitioning_invariance(spark):
+    """The whole point of content-hash sampling: identical sample at any
+    parallelism (seeded df.sample is NOT partitioning-stable)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.sampling import hash_bernoulli_sample
+
+    rows = [(i, i % 7 + 1) for i in range(500)]
+    one = spark.createDataFrame(rows, ["id", "w"]).coalesce(1)
+    many = spark.createDataFrame(rows, ["id", "w"]).repartition(17)
+    kept_one = {r.id for r in hash_bernoulli_sample(one, ["id"], F.col("w") / 10.0).collect()}
+    kept_many = {r.id for r in hash_bernoulli_sample(many, ["id"], F.col("w") / 10.0).collect()}
+    assert kept_one == kept_many
+    # weighted: heavier rows kept more often
+    w_rate = {}
+    for w in (1, 7):
+        ids = [i for i, ww in rows if ww == w]
+        w_rate[w] = len([i for i in ids if i in kept_one]) / len(ids)
+    assert w_rate[7] > w_rate[1]
