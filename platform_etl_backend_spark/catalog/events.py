@@ -21,13 +21,22 @@ _EPOCH_DUCK = "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)"
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with an epoch-seconds column.
 
-    The parquet file stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as raw INT64 nanoseconds (legacy conf)
-    and derive epoch seconds — works under any driver-owned session.
+    The ``ts`` column's parquet encoding has varied across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    accepts as raw INT64 via the legacy conf) vs TIMESTAMP(MICROS) (read
+    natively as timestamp_ntz). Handle both: set the legacy conf so a nanos
+    file reads as bigint, then branch on the observed dtype. Session TZ is
+    pinned UTC (engine/session.py), so casting the ntz timestamp through
+    timestamp→bigint yields epoch seconds, truncated — matching DuckDB's
+    ``date_diff('second', epoch, ts)``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = table(spark, sf_dir, "events")
-    return e.withColumn("ep", F.expr("ts div 1000000000").cast("bigint"))
+    if dict(e.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) as raw INT64
+        ep = F.expr("ts div 1000000000")
+    else:  # timestamp / timestamp_ntz
+        ep = F.col("ts").cast("timestamp").cast("bigint")
+    return e.withColumn("ep", ep.cast("bigint"))
 
 
 @register(

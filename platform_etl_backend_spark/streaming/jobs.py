@@ -16,10 +16,17 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp)."""
+    """File-source stream over the events parquet.
+
+    ``ts`` encoding varies by testdata generation (TIMESTAMP(NANOS) → bigint
+    under the legacy conf, TIMESTAMP(MICROS) → timestamp_ntz); probe the
+    batch footer schema (cheap, metadata-only) and declare the stream schema
+    to match — a file-source stream requires an explicit schema.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
         "value double, props string"
     )
     raw = (
@@ -28,7 +35,11 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> Da
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(sf_dir)
     )
-    return raw.withColumn("event_ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    if ts_type == "bigint":
+        event_ts = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    else:
+        event_ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("event_ts", event_ts)
 
 
 def windowed_counts(

@@ -149,4 +149,7 @@ def test_foreachbatch_upsert(spark, sf_dir, events_stream, tmp_path):
     )
     got_ts = {r.user_id: r.event_ts.timestamp() for r in got.collect()}
     for r in expected_latest:
-        assert got_ts[r.user_id] == r.ep
+        # ep is epoch seconds truncated; event_ts may carry sub-second
+        # precision (micros-encoded testdata). floor is monotonic, so the
+        # latest event's floor equals the max of floors.
+        assert int(got_ts[r.user_id]) == r.ep
