@@ -183,12 +183,14 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_collect",
     oracle=f"""
     SELECT event_id,
-           list(event_type) OVER (PARTITION BY user_id ORDER BY {_EPOCH_DUCK}, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS seen_types
+           array_to_string(
+               list(event_type) OVER (PARTITION BY user_id ORDER BY {_EPOCH_DUCK}, event_id
+                                      ROWS UNBOUNDED PRECEDING), '|') AS seen_types
     FROM events
     """,
     description="ordered-window collect_list (running accumulation) "
-    "(W6; Processing.scala:65-111, Embedding.scala:42-47)",
+    "(W6; Processing.scala:65-111, Embedding.scala:42-47). '|'-serialized output "
+    "(canonicalizer-proof contract).",
     tags=("window", "events", "nesting"),
 )
 def q_running_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +200,9 @@ def q_running_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ep", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return e.select("event_id", F.collect_list("event_type").over(w).alias("seen_types"))
+    return e.select(
+        "event_id", F.concat_ws("|", F.collect_list("event_type").over(w)).alias("seen_types")
+    )
 
 
 @register(

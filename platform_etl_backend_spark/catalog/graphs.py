@@ -23,11 +23,13 @@ from platform_etl_backend_spark.operators.graph import transitive_closure
       SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 1
       UNION
       SELECT a.node, a.ancestor // 2 FROM anc a WHERE a.ancestor >= 1)
-    SELECT node, COUNT(*) AS n_ancestors, list_sort(list(ancestor)) AS ancestors
+    SELECT node, COUNT(*) AS n_ancestors,
+           array_to_string(list_sort(list(ancestor)), '|') AS ancestors
     FROM anc GROUP BY node
     """,
     description="DAG transitive closure via iterative broadcast hop-joins "
-    "(distributed port of GraphNode.scala ancestor derivation)",
+    "(distributed port of GraphNode.scala ancestor derivation). "
+    "'|'-serialized output (canonicalizer-proof contract).",
     tags=("graph",),
 )
 def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,5 +41,8 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     clo = transitive_closure(edges, "src", "dst")
     return clo.groupBy(F.col("descendant").alias("node")).agg(
         F.count(F.lit(1)).alias("n_ancestors"),
-        F.sort_array(F.collect_set("ancestor")).alias("ancestors"),
+        F.concat_ws(
+            "|",
+            F.transform(F.sort_array(F.collect_set("ancestor")), lambda x: x.cast("string")),
+        ).alias("ancestors"),
     )

@@ -72,11 +72,20 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _features_oracle(dim: int = MM.FEATURE_DIM) -> str:
-    # sha256 digest is 32 bytes; the stub resizes to the first `dim` bytes
+    # sha256 digest is 32 bytes; the stub resizes to the first `dim` bytes.
+    # Serialized contract: pseudo-pixel bytes re-quantized (round(x*255) is
+    # exact — x is k/255.0) and '|'-joined, plus the raw double sum rounded
+    # to 6 d.p., so the IEEE-double Arrow path is still value-checked without
+    # emitting an array column (canonicalizer-proof).
     bytes_list = ", ".join(f"{_byte_expr('h', j)} / 255.0" for j in range(dim))
     return f"""
-    WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
-    SELECT doc_id, [{bytes_list}] AS features FROM h
+    WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    feat AS (SELECT doc_id, [{bytes_list}] AS features FROM h)
+    SELECT doc_id,
+           array_to_string(list_transform(features,
+               x -> CAST(CAST(round(x * 255.0, 0) AS INTEGER) AS VARCHAR)), '|') AS features,
+           round(list_sum(features), 6) AS feat_sum
+    FROM feat
     """
 
 
@@ -85,14 +94,27 @@ def _features_oracle(dim: int = MM.FEATURE_DIM) -> str:
     oracle=_features_oracle(),
     description="Arrow-batched mapInPandas decode stub (sha256-derived pseudo-pixels, "
     "IEEE-double arithmetic): the Python-stage path that still hash-matches an "
-    "ANSI-SQL oracle — proves the multimodal plumbing end-to-end, not rows-only",
+    "ANSI-SQL oracle — proves the multimodal plumbing end-to-end, not rows-only. "
+    "'|'-serialized pixel bytes + 6-d.p. double checksum (canonicalizer-proof).",
     tags=("multimodal", "binary", "pandas-udf"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("data")
     )
-    return MM.decode_features(d, "doc_id", "data", dtype="double")
+    feats = MM.decode_features(d, "doc_id", "data", dtype="double")
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "features", lambda x: F.round(x * F.lit(255.0), 0).cast("int").cast("string")
+            ),
+        ).alias("features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+    )
 
 
 def _hex4_to_int(hexcol: str) -> str:

@@ -407,12 +407,15 @@ def q_join_lut_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_collect_set",
     oracle="""
-    SELECT n.n_name, list_sort(list_distinct(list(c.c_mktsegment))) AS segments
+    SELECT n.n_name,
+           array_to_string(list_sort(list_distinct(list(c.c_mktsegment))), '|') AS segments
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
     description="groupBy + collect_set, the reference's workhorse nesting agg "
-    "(A1; target/Reactome.scala:52-63, GeneOntology.scala:174-176)",
+    "(A1; target/Reactome.scala:52-63, GeneOntology.scala:174-176). Output array "
+    "serialized with '|' so value-hash canonicalizers that cannot sort list cells "
+    "(pandas) still work; the aggregation under test is unchanged.",
     tags=("agg", "nesting"),
 )
 def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +424,8 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments_arr"))
+        .select("n_name", F.concat_ws("|", "segments_arr").alias("segments"))
     )
 
 
@@ -429,16 +433,20 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_flatten_collect",
     oracle="""
     SELECT p_brand,
-           list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))) AS words
+           array_to_string(
+               list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))), '|') AS words
     FROM part GROUP BY p_brand
     """,
-    description="flatten(collect_set(array)) merge (A2; Target.scala:240-251, Ncbi.scala:44-49)",
+    description="flatten(collect_set(array)) merge (A2; Target.scala:240-251, Ncbi.scala:44-49). "
+    "'|'-serialized output (canonicalizer-proof contract).",
     tags=("agg", "nesting"),
 )
 def q_flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
-    return p.groupBy("p_brand").agg(
-        F.sort_array(F.array_distinct(F.flatten(F.collect_list("words")))).alias("words")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list("words")))).alias("words_arr"))
+        .select("p_brand", F.concat_ws("|", "words_arr").alias("words"))
     )
 
 
@@ -446,7 +454,9 @@ def q_flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topk_banded_labels",
     oracle="""
     SELECT n_name,
-           list(c_name ORDER BY c_acctbal DESC, c_custkey) FILTER (WHERE rnk <= 3) AS top_names
+           array_to_string(
+               list(c_name ORDER BY c_acctbal DESC, c_custkey) FILTER (WHERE rnk <= 3),
+               '|') AS top_names
     FROM (SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey,
                  RANK() OVER (PARTITION BY n.n_name
                               ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
@@ -454,7 +464,8 @@ def q_flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     description="top-k-banded label aggregation: collect_list(when(rank<=k, label)) "
-    "(A4+W1; Search.scala:128-141,347-359)",
+    "(A4+W1; Search.scala:128-141,347-359). '|'-serialized output "
+    "(canonicalizer-proof contract).",
     tags=("agg", "window", "nesting"),
 )
 def q_topk_banded_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,8 +478,12 @@ def q_topk_banded_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collect in rank order deterministically: collect structs, sort, project label
     item = F.when(F.col("rnk") <= 3, F.struct("rnk", "c_name"))
-    return ranked.groupBy("n_name").agg(
-        F.transform(F.array_sort(F.collect_list(item)), lambda x: x["c_name"]).alias("top_names")
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.transform(F.array_sort(F.collect_list(item)), lambda x: x["c_name"]).alias("top_arr")
+        )
+        .select("n_name", F.concat_ws("|", "top_arr").alias("top_names"))
     )
 
 
@@ -698,12 +713,14 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sorted_names_array",
     oracle="""
-    SELECT n.n_name, list(c.c_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS names
+    SELECT n.n_name,
+           array_to_string(list(c.c_name ORDER BY c.c_acctbal DESC, c.c_custkey), '|') AS names
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
     description="array_sort with custom comparator lambda — pure Catalyst, no UDF "
-    "(O4/X2; Target.scala:331-361 speciesDistanceSort)",
+    "(O4/X2; Target.scala:331-361 speciesDistanceSort). '|'-serialized output "
+    "(canonicalizer-proof contract).",
     tags=("agg", "array"),
 )
 def q_sorted_names_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,7 +737,12 @@ def q_sorted_names_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(items.alias("items"))
-        .select("n_name", F.transform(F.expr(comparator), lambda x: x["name"]).alias("names"))
+        .select(
+            "n_name",
+            F.concat_ws(
+                "|", F.transform(F.expr(comparator), lambda x: x["name"])
+            ).alias("names"),
+        )
     )
 
 
@@ -859,11 +881,13 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                  coalesce(string_split(c.c_mktsegment, '#'), [])])),
                  x -> x IS NOT NULL AND x <> '') AS lbl
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
-    SELECT n_name, list_sort(list_distinct(flatten(list(lbl)))) AS labels
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(flatten(list(lbl)))), '|') AS labels
     FROM lab GROUP BY n_name
     """,
     description="flattenCat label-merging primitive over multiple array columns "
-    "(Helpers.scala:154-167, used ~30x in Search)",
+    "(Helpers.scala:154-167, used ~30x in Search). '|'-serialized output "
+    "(canonicalizer-proof contract).",
     tags=("array", "nesting"),
 )
 def q_flatten_cat_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,8 +896,10 @@ def q_flatten_cat_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "n_name", flatten_cat(F.split("c_name", "#"), F.split("c_mktsegment", "#")).alias("lbl")
     )
-    return df.groupBy("n_name").agg(
-        F.sort_array(F.array_distinct(F.flatten(F.collect_list("lbl")))).alias("labels")
+    return (
+        df.groupBy("n_name")
+        .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list("lbl")))).alias("labels_arr"))
+        .select("n_name", F.concat_ws("|", "labels_arr").alias("labels"))
     )
 
 

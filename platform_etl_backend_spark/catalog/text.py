@@ -62,14 +62,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(list_sort(list_distinct({_T})), ' ')) AS fp
       FROM documents)
     SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS canonical_id,
-           list_sort(list(doc_id)) AS members
+           array_to_string(list_sort(list(doc_id)), '|') AS members
     FROM fp GROUP BY fp HAVING COUNT(*) > 1
     """,
-    description="order-insensitive bag-of-words fingerprint dedup groups",
+    description="order-insensitive bag-of-words fingerprint dedup groups. "
+    "'|'-serialized members (canonicalizer-proof contract).",
     tags=("dedup", "text"),
 )
 def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.bag_fingerprint_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+    g = D.bag_fingerprint_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return g.withColumn(
+        "members", F.concat_ws("|", F.transform("members", lambda x: x.cast("string")))
+    )
 
 
 @register(
@@ -200,11 +204,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
     comp AS (
       SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
-    SELECT component, COUNT(*) AS cluster_size, list_sort(list(node)) AS members
+    SELECT component, COUNT(*) AS cluster_size,
+           array_to_string(list_sort(list(node)), '|') AS members
     FROM comp GROUP BY component
     """,
     description="near-dup pairs → duplicate clusters via distributed connected "
-    "components (min-label propagation) — the group-level dedup output",
+    "components (min-label propagation) — the group-level dedup output. "
+    "'|'-serialized members (canonicalizer-proof contract).",
     tags=("dedup", "text", "graph"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +222,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
-        F.sort_array(F.collect_set("node")).alias("members"),
+        F.concat_ws(
+            "|", F.transform(F.sort_array(F.collect_set("node")), lambda x: x.cast("string"))
+        ).alias("members"),
     )
 
 
@@ -493,7 +501,8 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topk: int = 3) -> str:
     "q_bm25_top_terms",
     oracle=_bm25_oracle(),
     description="per-document top-3 BM25 terms (k1=1.2, b=0.75, +1 idf): tf saturation "
-    "+ length normalization; same broadcast-vocabulary plan shape as TF-IDF",
+    "+ length normalization; shuffle join on term for the unbounded vocabulary "
+    "(AQE may still broadcast small vocabularies at runtime), same plan shape as TF-IDF",
     tags=("text", "scoring"),
 )
 def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,8 +524,11 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # dfreq joins on term WITHOUT a broadcast hint: the vocabulary is
+    # unbounded at corpus scale (a hard broadcast is a driver OOM at 100 TB);
+    # AQE still converts to broadcast at runtime when it measures a small one.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .withColumn("score", F.round(idf * sat, 6))

@@ -167,11 +167,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     """Per-document top-k terms by TF-IDF (idf = ln(N/df), both rounded to
     6 d.p. for cross-engine determinism; ties break on term asc).
 
-    Scale shape: explode → (doc, term) partial-agg shuffle → tiny per-term
-    df frame (vocabulary-sized) joined back BROADCAST, corpus size N as a
-    1-row broadcast (no driver action) → per-doc window top-k. The only
-    full-data shuffles are the two partial aggregations — linear at 100 TB;
-    the vocabulary table is the classic small side that must broadcast.
+    Scale shape: explode → (doc, term) partial-agg shuffle → per-term df
+    frame joined back on ``term`` as a SHUFFLE join (the vocabulary is
+    unbounded at corpus scale — distinct terms grow into the billions, so a
+    forced broadcast would be a driver OOM; AQE still picks a broadcast at
+    runtime when the measured vocabulary is actually small), corpus size N
+    as a 1-row broadcast (no driver action) → per-doc window top-k. The
+    full-data shuffles are the two partial aggregations plus the term-keyed
+    join — all linear at 100 TB.
     """
     from pyspark.sql import Window
 
@@ -183,7 +186,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     n = tf.agg(F.countDistinct(id_col).alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("idf", idf)
         .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6))

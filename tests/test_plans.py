@@ -80,3 +80,24 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
 def test_llr_contingency_broadcast_totals(spark, sf_dir):
     df = q("q_llr_contingency", spark, sf_dir)
     assert_broadcast_join(df, at_least=2)
+
+
+@pytest.mark.parametrize("name", ["q_tfidf_top_terms", "q_bm25_top_terms"])
+def test_vocabulary_join_is_not_hint_forced_broadcast(spark, sf_dir, name):
+    """The per-term document-frequency table is unbounded at corpus scale
+    (billions of distinct terms at 100 TB), so its join must not be FORCED
+    broadcast by a hint. Catalyst/AQE choosing broadcast from measured size
+    is the graceful path (and happens at test scale); a hint would be the
+    driver-OOM path. Simulate 'vocabulary too big to broadcast' by disabling
+    the size-based threshold: an unhinted plan degrades to a shuffle join,
+    a hinted one would stay BroadcastHashJoin regardless."""
+    from platform_etl_backend_spark.plans import explain_str
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(q(name, spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
