@@ -100,6 +100,88 @@ def label_key(c: Column | str, exact: bool = False) -> Column:
     return F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
 
 
+# ---------------------------------------------------------------------------
+# Reference-exact grounding keys (X7 parity characterization).
+# ---------------------------------------------------------------------------
+
+# Google stop word list (public:
+# https://meta.wikimedia.org/wiki/Stop_word_list/google_stop_word_list#English),
+# the same source the reference cites for its grounding StopWordsCleaner
+# (Grounding.scala:19-31).
+GOOGLE_STOP_WORDS: tuple[str, ...] = tuple(
+    (
+        "about above after again against all am an and any are aren't as at be because "
+        "been before being below between both but by can't cannot could couldn't did didn't do does doesn't doing don't down "
+        "during each few for from further had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers "
+        "herself him himself his how how's i'd i'll i'm i've if in into is isn't it it's its itself let's me more most mustn't "
+        "my myself no nor not of off on once only or other ought our ours ourselves out over own same shan't she she'd she'll "
+        "she's should shouldn't so some such than that that's the their theirs them themselves then there there's these they "
+        "they'd they'll they're they've this those through to too under until up very was wasn't we we'd we'll we're we've "
+        "were weren't what what's when when's where where's which while who who's whom why why's with won't would wouldn't "
+        "you you'd you'll you're you've your yours yourself yourselves"
+    ).split(" ")
+)
+
+# allStopWords contract (Grounding.scala:30-31): "a", "i", the list, and the
+# capitalized variants — matched CASE-SENSITIVELY on raw (pre-lowercase)
+# tokens, because the reference's StopWordsCleaner runs before its Normalizer.
+REFERENCE_STOP_WORDS: tuple[str, ...] = (
+    ("a", "i") + GOOGLE_STOP_WORDS + tuple(w.capitalize() for w in GOOGLE_STOP_WORDS)
+)
+
+# normalise() greek→latin single-char translate (Grounding.scala:148-150).
+GREEK_SRC = "αβγδεζηικλμνξπτυω"
+GREEK_DST = "abgdezhiklmnxptuo"
+
+# Tokenizer split chars (Grounding.scala:50-59): the label path splits on
+# whitespace plus - / : , ; — the token path (tokenizerSymbol) on : , ; only.
+_SPLIT_LT = r"[\s\-/:,;]+"
+_SPLIT_TT = r"[\s:,;]+"
+
+
+def reference_label_key(c: Column | str, key_type: str = "LT") -> Column:
+    """Char-exact port of the reference's grounding join key.
+
+    Pipeline parity (semantics from ``literature/Grounding.scala``; no code
+    copied — the reference builds this from Spark-NLP annotators):
+
+    - ``normalise`` greek→latin translate (:148-150),
+    - Tokenizer with split chars (:50-59),
+    - StopWordsCleaner, case-sensitive, BEFORE lowercasing (:67-71) —
+      label path only,
+    - Normalizer: strip ``[^\\w\\d\\s]``/``-``/``/`` then lowercase (:73-79),
+    - Spark-NLP ``Stemmer`` == Porter → exact Porter pandas UDF
+      (``operators/porter.py``) — label path only,
+    - ``generateKeysColumn`` (:380-400): keyType LT = array_join of the
+      SORTED DISTINCT non-empty stemmed tokens with NO separator; keyType
+      TT = array_join of the non-empty normalized tokens, original order,
+      not deduplicated, no separator.
+
+    The engine's default ``label_key`` deliberately differs (space-joined,
+    S-stemmer, small stop list) — this function exists to characterize
+    parity against the reference contract; both sides of a grounding join
+    must use the same variant.
+    """
+    from platform_etl_backend_spark.operators.porter import porter_stem_tokens
+
+    c = F.col(c) if isinstance(c, str) else c
+    nlabel = F.translate(c, GREEK_SRC, GREEK_DST)
+    if key_type == "LT":
+        toks = F.filter(F.split(nlabel, _SPLIT_LT), lambda t: t != "")
+        sw = F.array(*[F.lit(w) for w in REFERENCE_STOP_WORDS])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+        norm = F.transform(toks, lambda t: F.lower(F.regexp_replace(t, r"[^\w\d\s]", "")))
+        stemmed = porter_stem_tokens(norm)
+        return F.array_join(
+            F.array_sort(F.filter(F.array_distinct(stemmed), lambda t: t != "")), ""
+        )
+    if key_type == "TT":
+        toks = F.filter(F.split(nlabel, _SPLIT_TT), lambda t: t != "")
+        norm = F.transform(toks, lambda t: F.lower(F.regexp_replace(t, r"[^\w\d\s]", "")))
+        return F.array_join(F.filter(norm, lambda t: t != ""), "")
+    raise ValueError(f"key_type must be LT or TT, got {key_type!r}")
+
+
 def duckdb_label_key_sql(col: str) -> str:
     """The SAME pipeline as DuckDB SQL (oracle mirror, generated from the
     same rule tables)."""
