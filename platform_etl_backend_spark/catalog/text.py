@@ -209,8 +209,9 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp GROUP BY component
     """,
     description="near-dup pairs → duplicate clusters via distributed connected "
-    "components (min-label propagation) — the group-level dedup output. "
-    "'|'-serialized members (canonicalizer-proof contract).",
+    "components (alternating large-star/small-star, O(log n) rounds) — the "
+    "group-level dedup output. '|'-serialized members (canonicalizer-proof "
+    "contract).",
     tags=("dedup", "text", "graph"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

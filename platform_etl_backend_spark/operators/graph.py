@@ -102,53 +102,87 @@ def closure_tables(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014 — public algorithm).
 
     The Spark-native dedup-clustering primitive: near-duplicate PAIRS
     (from MinHash/Jaccard/embedding operators) become duplicate GROUPS.
-    Each round every node adopts the minimum label among itself and its
-    neighbors; converges in O(component diameter) rounds. Lineage is cut
-    per round with localCheckpoint. Returns (node, component) where
-    component is the minimum node id in the component.
+
+    Each round rewires the edge set toward per-component stars rooted at
+    the minimum node id:
+    - large-star: every node attaches its LARGER neighbors to the minimum
+      of its neighborhood (incl. itself);
+    - small-star: every node and its smaller neighbors attach to the
+      minimum smaller neighbor.
+    The fixpoint is one star per component; rounds are O(log n) in
+    component size — unlike min-label propagation, whose O(diameter)
+    rounds crawl on long-chain duplicate graphs (the adversarial shape for
+    chained near-dups at corpus scale). Each round is two key-partitioned
+    groupBy/join pairs; lineage is cut per round with localCheckpoint.
+
+    Returns (node, component) where component is the minimum node id in
+    the component.
     """
-    sym = (
+    e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
+    cur = e.localCheckpoint()
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("nmin"))
+        # large-star: Γ(u) from both edge directions; m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u.
+        sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        lmins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+        large = (
+            sym.join(lmins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient each edge large→small; m = min smaller
+        # neighbor; emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
+        oriented = (
+            large.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+        )
+        smins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        joined = oriented.join(smins, "a")
+        small = (
+            joined.where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(joined.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
+        # fixpoint when the undirected edge set is unchanged
+        new_canon = small.select(F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y"))
+        old_canon = cur.select(F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y"))
+        changed = new_canon.exceptAll(old_canon).unionByName(old_canon.exceptAll(new_canon))
+        cur = small
         if changed.isEmpty():
             break
-    return labels
+    # at fixpoint every edge points (member → component-min root)
+    labels = cur.select(
+        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("component")
+    ).distinct()
+    roots = nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.unionByName(roots)
 
 
 def driver_closure(edges: DataFrame, src: str = "src", dst: str = "dst"):

@@ -135,6 +135,24 @@ def sign_bucket(vec: Column, nbits: int) -> Column:
     return acc.cast("int")
 
 
+def bucket_stats(
+    corpus: DataFrame, vec_col: str, nbits: int
+) -> DataFrame:
+    """Pre-flight skew audit for sign-bit LSH: per-bucket population.
+
+    The within-bucket self-join costs Σ bucket_size² pairs; one hot bucket
+    (correlated leading dimensions — common in real embedding spaces)
+    reintroduces a quadratic island. Run this BEFORE ``bucketed_ann_top1``
+    at a new scale / on a new embedding family: if ``max(n)`` is a large
+    fraction of the corpus, raise ``nbits`` or use the IVF path
+    (``ivf_top1``), whose cells follow the data distribution instead of
+    fixed axis-aligned planes. Returns one row per bucket with its count;
+    aggregate max/Σn² on top as needed.
+    """
+    v = corpus.select(sign_bucket(as_double_array(vec_col), nbits).alias("bucket"))
+    return v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
 def bucketed_ann_top1(
     corpus: DataFrame,
     id_col: str,

@@ -1,0 +1,87 @@
+"""Skew/recall characterization of the sign-bit LSH ANN path
+(``operators/similarity.py``): the scale caveats, pinned.
+
+Single-table sign-bit LSH has two documented failure modes at corpus scale:
+(1) hot buckets when leading dimensions are correlated (skew → quadratic
+island in the within-bucket self-join), and (2) recall decay as nbits grows
+(more planes → true neighbors split across buckets, and no multi-probe).
+These tests pin both behaviors on deterministic data so the envelope in
+SCALE.md stays true; IVF (``ivf_top1``) is the recommended default for real
+embedding distributions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators import similarity as S
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _stats(corpus, nbits):
+    return (
+        S.bucket_stats(corpus, "embedding", nbits)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * F.col("n")).alias("pair_cost"),
+            F.sum("n").alias("n_vectors"),
+        )
+        .collect()[0]
+    )
+
+
+def test_bucket_stats_detects_hot_bucket_on_correlated_embeddings(spark):
+    """All-positive leading dimensions (the correlated-embedding shape) put
+    the ENTIRE corpus in one bucket — the audit must surface it, because the
+    within-bucket join is then |corpus|², not ANN at all."""
+    rows = [(i, [1.0 + (i % 7) * 0.1, 2.0, 0.5 + (i % 3), -1.0 + 0.1 * (i % 5)])
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    st = (
+        S.bucket_stats(df, "embedding", nbits=3)
+        .agg(F.count(F.lit(1)).alias("n_buckets"), F.max("n").alias("max_bucket"))
+        .collect()[0]
+    )
+    assert st.n_buckets == 1
+    assert st.max_bucket == 100
+
+
+def test_nbits_is_the_pair_cost_knob(spark, sf_dir):
+    """On the fixture embeddings, raising nbits must strictly shrink both
+    the hottest bucket and the Σn² candidate-pair cost — the knob that keeps
+    the self-join linear-ish at scale."""
+    emb = _emb(spark, sf_dir)
+    stats = {nbits: _stats(emb, nbits) for nbits in (2, 4, 8)}
+    assert stats[2].max_bucket > stats[4].max_bucket > stats[8].max_bucket
+    assert stats[2].pair_cost > stats[4].pair_cost > stats[8].pair_cost
+    # and no bucket hogs the corpus at the catalog's default (nbits=4)
+    assert stats[4].max_bucket < 0.25 * stats[4].n_vectors
+
+
+def test_single_table_lsh_recall_decays_with_nbits(spark, sf_dir):
+    """Recall@1 vs the exact brute force: ≥0.4 at nbits=2 on this fixture,
+    strictly decaying as nbits grows (single-table, no multi-probe). This is
+    the documented trade that makes IVF the default for real workloads —
+    cutting pair cost via nbits pays directly in recall."""
+    emb = _emb(spark, sf_dir)
+    bf = (
+        S.brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("bf_n"))
+    )
+    recalls = {}
+    for nbits in (2, 4, 8):
+        ann = S.bucketed_ann_top1(emb, "vec_id", "embedding", nbits=nbits).select(
+            "query_id", F.col("neighbor_id").alias("ann_n")
+        )
+        j = bf.join(ann, "query_id")
+        recalls[nbits] = (
+            j.where(F.col("bf_n") == F.col("ann_n")).count() / j.count()
+        )
+    assert recalls[2] >= 0.4, recalls
+    assert recalls[2] > recalls[4] > recalls[8], recalls

@@ -46,3 +46,50 @@ def test_driver_closure_drops_cycles(spark):
     df = spark.createDataFrame(EDGES + [("d", "r")], ["src", "dst"])
     info = driver_closure(df)
     assert info["d"]["ancestors"] == ["a", "b", "c", "r"]
+
+
+# ---------------------------------------------------------------------------
+# connected_components: alternating large-star/small-star (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+def _components(spark, edges, max_iter=30):
+    from platform_etl_backend_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, max_iter=max_iter)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_components_basic(spark):
+    # two components {1,2,3,4} and {10,11}; 5 isolated never appears
+    labels = _components(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path graph is the adversarial case for min-label
+    propagation (O(diameter) = 200 rounds). Large-star/small-star must
+    finish within max_iter=10 ≈ O(log n) rounds — if it needed diameter
+    rounds, the labels below would be wrong."""
+    n = 200
+    chain = [(i, i + 1) for i in range(n)]
+    labels = _components(spark, chain, max_iter=10)
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+
+
+def test_components_match_networkx_on_random_graph(spark):
+    import random
+
+    import networkx as nx
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = nx.Graph(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for node in comp:
+            want[node] = m
+    assert _components(spark, edges) == want
