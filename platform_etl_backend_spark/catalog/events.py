@@ -27,8 +27,11 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively as timestamp_ntz). Handle both: set the legacy conf so a nanos
     file reads as bigint, then branch on the observed dtype. Session TZ is
     pinned UTC (engine/session.py), so casting the ntz timestamp through
-    timestamp→bigint yields epoch seconds, truncated — matching DuckDB's
-    ``date_diff('second', epoch, ts)``.
+    timestamp→bigint yields epoch seconds. Spark's cast floors the
+    micros value while DuckDB's ``date_diff('second', epoch, ts)`` counts
+    boundary crossings (truncation toward zero) — identical for POST-1970
+    timestamps, which all testdata is; pre-1970 data would need floor
+    semantics in the oracle too.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = table(spark, sf_dir, "events")

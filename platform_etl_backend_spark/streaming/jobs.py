@@ -14,24 +14,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Single source of truth for the events input file: the schema probe and the
+# stream's pathGlobFilter must always point at the same file or they desync.
+EVENTS_FILE = "events.parquet"
+
+# Probed ts dtype per sf_dir — the footer read is cheap but there is no
+# reason to repeat it for every stream over the same directory.
+_TS_TYPE_CACHE: dict[str, str] = {}
+
+
+def _events_ts_type(spark, sf_dir: str) -> str:
+    if sf_dir not in _TS_TYPE_CACHE:
+        _TS_TYPE_CACHE[sf_dir] = dict(
+            spark.read.parquet(f"{sf_dir}/{EVENTS_FILE}").dtypes
+        )["ts"]
+    return _TS_TYPE_CACHE[sf_dir]
+
 
 def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet.
 
     ``ts`` encoding varies by testdata generation (TIMESTAMP(NANOS) → bigint
     under the legacy conf, TIMESTAMP(MICROS) → timestamp_ntz); probe the
-    batch footer schema (cheap, metadata-only) and declare the stream schema
-    to match — a file-source stream requires an explicit schema.
+    batch footer schema (cheap, metadata-only, cached per sf_dir) and declare
+    the stream schema to match — a file-source stream requires an explicit
+    schema.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_type = _events_ts_type(spark, sf_dir)
     schema = (
         f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
         "value double, props string"
     )
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", EVENTS_FILE)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(sf_dir)
     )

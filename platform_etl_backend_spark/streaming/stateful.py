@@ -35,7 +35,7 @@ def _detect(
         return
     cnt0, sum0, sumsq0 = state.get if state.exists else (0, 0.0, 0.0)
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_long", "event_id"])
+        pdf = pdf.sort_values(["ts_ord", "event_id"])
         v = pdf["value"].to_numpy(dtype=np.float64)
         n = len(v)
         # prefix aggregates EXCLUDING the current element, seeded with state
@@ -71,7 +71,9 @@ def anomaly_flags(
 ) -> DataFrame:
     """Streaming per-user anomaly flags (append mode).
 
-    ``events`` needs columns: user_id, event_id, value, ts_long.
+    ``events`` needs columns: user_id, event_id, value, ts_ord — any
+    ordering-comparable event-time column (bigint epoch, timestamp, or
+    timestamp_ntz all work; pandas sorts each the same way).
     Pass ``expire_ms`` on long-running production streams to expire idle
     per-key state (ProcessingTimeTimeout); leave None for bounded replays
     (availableNow) where timeout-firing batches would keep the query alive.

@@ -9,7 +9,7 @@ from platform_etl_backend_spark.streaming.stateful import anomaly_flags
 
 def test_stateful_anomaly_flags_stream(spark, sf_dir):
     stream = J.read_events_stream(spark, sf_dir).select(
-        "user_id", "event_id", "value", F.col("ts").alias("ts_long")
+        "user_id", "event_id", "value", F.col("ts").alias("ts_ord")
     )
     out = anomaly_flags(stream, threshold_sigma=3.0)
     q = (

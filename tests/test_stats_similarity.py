@@ -44,6 +44,40 @@ def test_window_and_groupby_contingency_agree(spark):
     assert a == b
 
 
+def test_approx_summary_statistics_within_hll_tolerance(spark):
+    """The reference's FAERS formulation deliberately uses
+    approx_count_distinct over windows (PrepareSummaryStatistics.scala:38-46)
+    — HLL++ with default rsd=0.05. Pin the faithful approx=True variant
+    against the exact path: every distinct-count column must land within a
+    banded relative error (3×rsd guard band; HLL error is a std-dev, not a
+    bound) and the approximation must be deterministic run-to-run."""
+    rows = [(i, f"d{i % 7}", f"r{i % 11}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["report", "drug", "reaction"])
+    cols = ["uniq_report_ids_by_reaction", "uniq_report_ids_by_drug", "uniq_report_ids"]
+    key = ["report", "drug", "reaction"]
+    exact = {tuple(r[k] for k in key): [r[c] for c in cols]
+             for r in summary_statistics(df, "report", "drug", "reaction").collect()}
+    approx = {tuple(r[k] for k in key): [r[c] for c in cols]
+              for r in summary_statistics(
+                  df, "report", "drug", "reaction", approx=True).collect()}
+    assert exact.keys() == approx.keys()
+    rsd_band = 3 * 0.05
+    worst = 0.0
+    for k, ex in exact.items():
+        for e, a in zip(ex, approx[k]):
+            rel = abs(a - e) / e
+            worst = max(worst, rel)
+            assert rel <= rsd_band, (k, ex, approx[k])
+    # the approximation must actually be within a tight envelope here
+    # (counts ~180-285 are well inside HLL++'s sparse/accurate regime)
+    assert worst <= rsd_band
+    # determinism: HLL sketches are deterministic for a fixed dataset
+    approx2 = {tuple(r[k] for k in key): [r[c] for c in cols]
+               for r in summary_statistics(
+                   df, "report", "drug", "reaction", approx=True).collect()}
+    assert approx == approx2
+
+
 def test_montecarlo_per_group_deterministic(spark):
     rows = [(i, f"d{i % 2}", f"r{i % 5}") for i in range(200)]
     df = spark.createDataFrame(rows, ["report", "drug", "reaction"])
