@@ -117,6 +117,88 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_image_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s
+               FROM documents WHERE length(text) >= 96),
+    px AS (SELECT doc_id, p, ascii(substr(s, CAST(p AS INTEGER), 1)) AS v
+           FROM d, range(1, 97) t(p))
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 0), 6) AS mean_r,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 1), 6) AS mean_g,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 2), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    description="REAL image decode: Catalyst builds binary PPM (P6) payloads "
+    "(header + 8x4 RGB raster from document bytes), an Arrow mapInPandas stage "
+    "parses them with the pure-numpy codec (operators/codecs.py) and extracts "
+    "dimensions + channel means; DuckDB recomputes the means from the raw text "
+    "without ever seeing the container — a mis-parsed header breaks the hashes",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 96)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(b"P6\n8 4\n255\n"),
+                F.encode(F.substring("text", 1, 96), "utf-8"),
+            ).alias("ppm"),
+        )
+    )
+    feats = MM.image_decode_features(d, "doc_id", "ppm")
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "q_audio_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 64) AS s
+               FROM documents WHERE length(text) >= 64),
+    smp AS (SELECT doc_id, p,
+                   (ascii(substr(s, CAST(p AS INTEGER), 1)) - 128) * 256 AS v
+            FROM d, range(1, 65) t(p)),
+    lagd AS (SELECT doc_id, p, v,
+                    lag(v) OVER (PARTITION BY doc_id ORDER BY p) AS pv
+             FROM smp)
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           round(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+           CAST(COALESCE(SUM(CASE WHEN pv * v < 0 THEN 1 END), 0) AS BIGINT)
+               AS zero_crossings
+    FROM lagd GROUP BY doc_id
+    """,
+    description="REAL audio codec: document bytes become int16 PCM samples, the "
+    "mapInPandas stage encodes a canonical RIFF/WAVE and decodes it back through "
+    "the pure-numpy chunk parser (operators/codecs.py), then extracts RMS + "
+    "zero-crossings; DuckDB recomputes both from the raw text — wrong chunk "
+    "offsets or fmt fields would corrupt every sample and break the hashes",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 64)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 64), "utf-8").alias("pcm"),
+        )
+    )
+    feats = MM.audio_roundtrip_features(d, "doc_id", "pcm")
+    return feats.select(
+        "doc_id", "n_samples", F.round("rms", 6).alias("rms"), "zero_crossings"
+    )
+
+
 def _hex4_to_int(hexcol: str) -> str:
     return " + ".join(
         f"(strpos('{_HEX}', substr({hexcol}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this environment):
-``fake_decode`` derives deterministic pseudo-pixels from the payload hash so
-the Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is real and testable; swap ``_decode_impl`` for PIL/libav in production.
+Two decode tiers:
+- REAL codecs for formats parseable in pure numpy (PPM images, RIFF/WAVE
+  PCM16 audio — ``operators/codecs.py``): ``image_decode_features`` and
+  ``audio_roundtrip_features`` genuinely parse the containers.
+- STUB for library-bound formats (JPEG/PNG/MP3/video): ``_decode_impl``
+  derives deterministic pseudo-pixels from the payload hash so the
+  Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+  real and testable; ``decode_or_raise`` raises honestly for those formats.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
 processes Arrow record batches (no per-row pickling); feature vectors come
@@ -97,9 +101,71 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every: int = 2) -> D
     ).select(id_col, "frame.frame_no", "frame.frame_bytes")
 
 
-def decode_or_raise(payload: bytes) -> np.ndarray:
-    """The honest production signature: raises until a real codec is wired."""
-    raise NotImplementedError(
-        "image/audio decoding requires PIL/libav, not present in this "
-        "environment; use decode_features (deterministic stub) for plumbing"
-    )
+def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
+    """Production decode entrypoint. PPM and WAV decode for REAL via the
+    pure-numpy parsers in ``operators/codecs.py``; library-bound formats
+    (JPEG/PNG/MP3/video) still raise honestly."""
+    from platform_etl_backend_spark.operators.codecs import decode_media
+
+    return decode_media(payload, fmt)
+
+
+def image_decode_features(df: DataFrame, id_col: str, ppm_col: str) -> DataFrame:
+    """REAL image decode via Arrow-batched ``mapInPandas``: parse each binary
+    PPM payload (header + raster) with the pure-numpy P6 codec and emit
+    dimensions + per-channel means. The decode is genuine — a mis-parsed
+    header offset would shift every pixel and break the oracle pairing.
+    Means come back raw (IEEE double); callers round at the SQL layer per
+    the cross-engine conventions."""
+    from platform_etl_backend_spark.operators import codecs
+
+    schema = f"{id_col} bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[ppm_col]):
+                px = codecs.decode_ppm(bytes(payload))
+                feats = codecs.image_features(px)
+                rows.append(
+                    (mid, px.shape[1], px.shape[0],
+                     feats["mean_r"], feats["mean_g"], feats["mean_b"])
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.select(id_col, ppm_col).mapInPandas(batches, schema)
+
+
+def audio_roundtrip_features(
+    df: DataFrame, id_col: str, pcm_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """REAL audio codec exercise via ``mapInPandas``: raw byte payloads →
+    int16 samples ((byte-128)*256) → encode to a canonical RIFF/WAVE →
+    decode back through the chunk parser → RMS / zero-crossing features.
+    The encode+decode round-trip runs inside the stage because Catalyst
+    cannot pack little-endian int16; a parser bug (chunk offsets, fmt
+    fields) would corrupt the samples and break the oracle pairing."""
+    from platform_etl_backend_spark.operators import codecs
+
+    schema = f"{id_col} bigint, n_samples bigint, rms double, zero_crossings bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[pcm_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                samples = ((raw.astype(np.int32) - 128) * 256).astype(np.int16)
+                wav = codecs.encode_wav(samples, sample_rate=sample_rate)
+                sr, ch, decoded = codecs.decode_wav(wav)
+                assert sr == sample_rate and ch == 1
+                feats = codecs.audio_features(decoded)
+                rows.append(
+                    (mid, feats["n_samples"], feats["rms"], feats["zero_crossings"])
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_samples", "rms", "zero_crossings"]
+            )
+
+    return df.select(id_col, pcm_col).mapInPandas(batches, schema)
