@@ -476,6 +476,57 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle FROM toks),
+    ev AS (SELECT DISTINCT shingle, doc_id AS eval_id FROM sh WHERE doc_id < 15),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 15)
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_hit_shingles,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
+           MIN(ev.eval_id) AS sample_eval
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+    description="benchmark decontamination: flag training docs sharing verbatim "
+    "word 3-grams with an eval set (docs 0-14 as the stand-in benchmark) — "
+    "map-side shingling both sides, broadcast of the bounded eval set, "
+    "per-doc hit counts (the pre-train verbatim-leak check)",
+    tags=("dedup", "text", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return D.decontamination_hits(
+        d.where(F.col("doc_id") >= 15),
+        d.where(F.col("doc_id") < 15),
+        "doc_id",
+        "text",
+        k=3,
+    )
+
+
+@register(
+    "q_bottomk_sample",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source), doc_id, source
+    LIMIT 20
+    """,
+    description="exactly-k deterministic uniform sample: bottom-k by content "
+    "hash rank (distributed reservoir-sampling equivalent — mergeable across "
+    "shards, identical on any cluster size; plans as TakeOrderedAndProject, "
+    "no global sort)",
+    tags=("sampling", "text"),
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sampling import bottomk_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return bottomk_sample(d, ["doc_id", "source"], k=20)
+
+
 def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topk: int = 3) -> str:
     return f"""
     WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),

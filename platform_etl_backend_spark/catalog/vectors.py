@@ -140,3 +140,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(cos >= 0.95)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id, vec, scale,
+                 list_transform(vec, x -> CAST(round(x / scale, 0) AS INTEGER)) AS codes
+          FROM s WHERE scale > 0)
+    SELECT vec_id,
+           array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), '|') AS codes,
+           round(scale, 6) AS scale,
+           round(sqrt(list_sum(list_transform(range(1, len(vec) + 1),
+                 i -> (vec[CAST(i AS INTEGER)] - codes[CAST(i AS INTEGER)] * scale)
+                    * (vec[CAST(i AS INTEGER)] - codes[CAST(i AS INTEGER)] * scale)))), 6)
+               AS l2_err
+    FROM q
+    """,
+    description="symmetric per-vector int8 quantization (scale = max|v|/127) with "
+    "L2 reconstruction error — the fp32->int8 storage trade before ANN serving; "
+    "pure Catalyst HOFs, map-side, '|'-serialized codes (canonicalizer-proof)",
+    tags=("similarity", "vectors", "quantization"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    nonzero = emb.where(
+        F.array_max(F.transform(S.as_double_array("embedding"), lambda x: F.abs(x))) > 0
+    )
+    return S.quantize_int8(nonzero, "vec_id", "embedding")

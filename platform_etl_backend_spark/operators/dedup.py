@@ -118,6 +118,47 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", "inter", "jaccard")
 
 
+def decontamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, overlap with an
+    evaluation/benchmark set measured in shared distinct word k-grams —
+    the standard verbatim-leak check a training-data pipeline runs before
+    every model train.
+
+    Scale shape: both sides shingle map-side; the eval set is BROADCAST by
+    default because benchmark suites are fixed-size (thousands of docs)
+    regardless of corpus scale — a bounded-cardinality side, unlike the
+    TF-IDF vocabulary. Pass ``broadcast_eval=False`` for an eval set that
+    grows with the corpus, which degrades to a shingle-keyed shuffle join
+    (still linear). Output: one row per CONTAMINATED training doc with
+    distinct-shingle hits, distinct eval docs matched, and the smallest
+    matching eval id as the audit sample.
+    """
+    tr = exploded_shingles(train, id_col, text_col, k)
+    ev = (
+        exploded_shingles(eval_df, id_col, text_col, k)
+        .select(F.col(id_col).alias("eval_id"), "shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("sample_eval"),
+        )
+    )
+
+
 def shingle_docs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingles array) — one row per doc, shingling map-side."""
     return spread(df, id_col).select(

@@ -37,3 +37,20 @@ def hash_bernoulli_sample(
     stage, zero shuffle, identical sample on 1 or 1000 executors."""
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     return df.where(hash_uniform(key) < prob)
+
+
+def bottomk_sample(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+    """Exactly-k uniform sample without RNG: keep the k rows with the
+    SMALLEST md5(content) — the deterministic, distributed equivalent of
+    reservoir sampling (bottom-k sketch). Each executor keeps a local
+    bottom-k, the driver merges k·partitions candidates: Spark plans the
+    orderBy+limit as TakeOrderedAndProject, so no global sort materializes.
+    Mergeable across shards and identical on any cluster size — properties
+    a sequential reservoir cannot offer. Ties broken by the key itself."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        df.withColumn("_rank_hash", F.md5(key))
+        .orderBy("_rank_hash", *key_cols)
+        .limit(k)
+        .drop("_rank_hash")
+    )

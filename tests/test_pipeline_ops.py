@@ -1,0 +1,105 @@
+"""Tests for the round-2 training-data pipeline additions: benchmark
+decontamination, deterministic bottom-k sampling, int8 embedding
+quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators.dedup import decontamination_hits
+from platform_etl_backend_spark.operators.sampling import bottomk_sample
+from platform_etl_backend_spark.operators.similarity import quantize_int8
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontamination_finds_verbatim_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely unrelated text with different words entirely"),
+            (102, "quick brown fox is a common pangram fragment"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "benchmark contains the quick brown fox exactly")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           decontamination_hits(train, eval_df, "doc_id", "text", k=3).collect()}
+    # 100 shares 'the quick brown' + 'quick brown fox'; 102 shares 'quick brown fox'
+    assert set(out) == {100, 102}
+    assert out[100].n_hit_shingles == 2
+    assert out[102].n_hit_shingles == 1
+    assert out[100].n_eval_docs == 1
+    assert out[100].sample_eval == 1
+
+
+def test_decontamination_broadcasts_bounded_eval_side(spark, sf_dir):
+    from platform_etl_backend_spark.plans import assert_broadcast_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontamination_hits(
+        d.where(F.col("doc_id") >= 15), d.where(F.col("doc_id") < 15),
+        "doc_id", "text", k=3,
+    )
+    assert_broadcast_join(out, at_least=1)
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sampling
+# ---------------------------------------------------------------------------
+
+def test_bottomk_sample_is_partitioning_invariant(spark):
+    rows = [(i, f"s{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted((r.doc_id, r.source) for r in
+               bottomk_sample(df, ["doc_id", "source"], 25).collect())
+    b = sorted((r.doc_id, r.source) for r in
+               bottomk_sample(df.repartition(13), ["doc_id", "source"], 25).collect())
+    assert a == b
+    assert len(a) == 25
+
+
+def test_bottomk_sample_plans_as_take_ordered(spark):
+    from platform_etl_backend_spark.plans import explain_str
+
+    df = spark.createDataFrame([(i, "x") for i in range(100)], ["doc_id", "source"])
+    plan = explain_str(bottomk_sample(df, ["doc_id"], 5), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [100.0, 50.0, -100.0, 10.0]),
+        (3, [0.001, 0.002, -0.003, 0.004]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for vid, vec in vecs:
+        r = out[vid]
+        codes = [int(c) for c in r.codes.split("|")]
+        assert len(codes) == len(vec)
+        assert all(-127 <= c <= 127 for c in codes)
+        # max|v| quantizes to ±127 exactly
+        peak = max(range(len(vec)), key=lambda i: abs(vec[i]))
+        assert abs(codes[peak]) == 127
+        # per-element error ≤ scale/2 → L2 ≤ (scale/2)·√dim (+ rounding slack)
+        scale = max(abs(x) for x in vec) / 127.0
+        assert r.l2_err <= scale / 2 * len(vec) ** 0.5 + 1e-6
+
+
+def test_quantize_int8_is_map_side_only(spark):
+    from platform_etl_backend_spark.plans import shuffle_count
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    assert shuffle_count(quantize_int8(df, "vec_id", "embedding")) == 0
