@@ -35,6 +35,10 @@ HEADLINE = [
     "q_range_join",
     "q_tfidf_top_terms",
     "q_repetition_ngrams",
+    # round-2 additions (keep prior names stable for cross-round deltas)
+    "q_bm25_top_terms",
+    "q_unigram_surprisal",
+    "q_image_decode",
 ]
 
 

@@ -527,6 +527,33 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_sample(d, ["doc_id", "source"], k=20)
 
 
+@register(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT SUM(cf) AS n_total FROM cf)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(tf AS DECIMAL(18,0)) *
+                          CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
+                                     / 0.6931471805599453, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(tf) AS DOUBLE), 6) AS mean_surprisal_bits
+    FROM tf JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    description="per-document mean unigram surprisal (bits/token) under the "
+    "corpus's empirical unigram model — the cheap perplexity-style quality "
+    "signal for ranking/filtering training documents; term-probability join "
+    "is hint-free shuffle (unbounded vocabulary), decimal-sum determinism",
+    tags=("text", "quality", "scoring"),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.unigram_surprisal(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topk: int = 3) -> str:
     return f"""
     WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),

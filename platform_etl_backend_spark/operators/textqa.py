@@ -199,6 +199,45 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     )
 
 
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram surprisal (bits/token) under the corpus's
+    own empirical unigram model — the cheap perplexity-style quality signal
+    a training pipeline uses to rank/filter documents (low surprisal ≈
+    repetitive boilerplate, high ≈ rare-token noise).
+
+    Scale shape mirrors TF-IDF: explode → (doc, term) and term partial
+    aggregations, then the unbounded term-probability table joins back on
+    ``term`` WITHOUT a broadcast hint (vocabulary grows with the corpus;
+    AQE may still broadcast a small measured one), corpus total as a 1-row
+    broadcast. All shuffles linear; surprisal math is ln-based rounded to
+    6 d.p. for cross-engine determinism.
+    """
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("n_total"))
+    # -log2 p(term) = (ln N - ln cf) / ln 2, accumulated per doc weighted by tf
+    surprisal = (F.log(F.col("n_total").cast("double")) - F.log(F.col("cf").cast("double"))) / F.lit(
+        0.6931471805599453
+    )
+    # per-term contributions ride DECIMAL so the distributed sum order
+    # cannot change the result (see repo determinism conventions)
+    contrib = F.round(surprisal, 6).cast("decimal(18,6)") * F.col("tf")
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(contrib).cast("double") / F.sum("tf").cast("double"), 6
+            ).alias("mean_surprisal_bits"),
+        )
+    )
+
+
 # Default PII pattern catalog. Patterns are restricted to syntax shared by
 # Java regex (Spark) and RE2 (DuckDB/many engines): no backrefs, no lookahead.
 PII_PATTERNS: Mapping[str, str] = {

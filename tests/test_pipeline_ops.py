@@ -103,3 +103,28 @@ def test_quantize_int8_is_map_side_only(spark):
 
     df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
     assert shuffle_count(quantize_int8(df, "vec_id", "embedding")) == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal
+# ---------------------------------------------------------------------------
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+
+    from platform_etl_backend_spark.operators.textqa import unigram_surprisal
+
+    # corpus: 'a' x3, 'b' x2, 'c' x1 → N=6
+    df = spark.createDataFrame([(1, "a a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
+
+    def bits(cf, n=6):
+        return round((math.log(float(n)) - math.log(float(cf))) / 0.6931471805599453, 6)
+
+    d1 = round((2 * bits(3) + 1 * bits(2)) / 3, 6)
+    d2 = round((bits(3) + bits(2) + bits(1)) / 3, 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+    assert out[1].mean_surprisal_bits == pytest.approx(d1, abs=1e-9)
+    assert out[2].mean_surprisal_bits == pytest.approx(d2, abs=1e-9)
+    # rare tokens score higher than common ones
+    assert out[2].mean_surprisal_bits > out[1].mean_surprisal_bits
