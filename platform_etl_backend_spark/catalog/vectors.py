@@ -76,6 +76,39 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_ann_top1(emb, "vec_id", "embedding", nbits=4)
 
 
+@register(
+    "q_ann_multiprobe",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      {_bucket_sql('embedding', 4)} AS bucket
+               FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, vec AS qv,
+                  unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                          xor(bucket, 4), xor(bucket, 8)]) AS bucket
+           FROM v),
+    pairs AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, b.vec) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+                 AS cos
+      FROM qb q JOIN v b ON q.bucket = b.bucket AND q.query_id <> b.vec_id)
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+    description="multi-probe sign-bit ANN (nbits=4, probes=4 = every Hamming-1 "
+    "bucket): the query side fans out to adjacent buckets, recovering the recall "
+    "single-table LSH loses (0.16 -> 0.55 recall@1 on the fixture) at a bounded "
+    "(1+probes)x candidate cost — still never |corpus|^2",
+    tags=("similarity", "vectors", "lsh", "multiprobe"),
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.bucketed_ann_top1(emb, "vec_id", "embedding", nbits=4, probes=4)
+
+
 _IVF_COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"

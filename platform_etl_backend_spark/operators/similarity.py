@@ -194,14 +194,48 @@ def bucketed_ann_top1(
     vec_col: str,
     nbits: int = 4,
     precision: int = 6,
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate nearest neighbor: candidates share the sign-bit bucket."""
+    """Approximate nearest neighbor: candidates share the sign-bit bucket.
+
+    ``probes > 0`` enables MULTI-PROBE: each query additionally searches
+    the ``probes`` buckets at Hamming distance 1 whose flipped dimension
+    has the SMALLEST |value| — the planes the vector sits closest to, i.e.
+    the flips most likely to hide a true neighbor (the standard multi-probe
+    LSH heuristic). This recovers most of the recall that single-table
+    sign-bit LSH loses as nbits grows (see tests/test_ann_skew.py), at a
+    candidate-cost multiplier of (1+probes) — still bucket-bounded, never
+    |corpus|². Only the query side fans out; the corpus index is unchanged.
+    """
     n = corpus.sparkSession.sparkContext.defaultParallelism
     v = corpus.repartition(n).select(
         F.col(id_col).alias("vid"),
         as_double_array(vec_col).alias("vec"),
     ).withColumn("bucket", sign_bucket(F.col("vec"), nbits))
-    a = v.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket")
+    if probes > 0:
+        # rank dimensions by |value| asc; flip the `probes` closest planes
+        absvals = F.transform(
+            F.slice(F.col("vec"), 1, nbits),
+            lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("i")),
+        )
+        flips = F.slice(F.array_sort(absvals), 1, probes)
+        probe_buckets = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                flips,
+                # 2^i as int (exact for i < 31); shiftleft needs a literal
+                lambda s: F.col("bucket").bitwiseXOR(
+                    F.pow(F.lit(2.0), s["i"]).cast("int")
+                ),
+            ),
+        )
+        a = v.select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qv"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
+    else:
+        a = v.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket")
     b = v.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"), "bucket")
     pairs = (
         a.join(b, "bucket")
@@ -212,6 +246,8 @@ def bucketed_ann_top1(
             F.round(cosine(F.col("qv"), F.col("bv")), precision).alias("cos"),
         )
     )
+    if probes > 0:
+        pairs = pairs.distinct()  # a neighbor may appear via several probes
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

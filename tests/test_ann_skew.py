@@ -85,3 +85,27 @@ def test_single_table_lsh_recall_decays_with_nbits(spark, sf_dir):
         )
     assert recalls[2] >= 0.4, recalls
     assert recalls[2] > recalls[4] > recalls[8], recalls
+
+
+def test_multiprobe_recovers_recall(spark, sf_dir):
+    """Multi-probe (query fans out to Hamming-1 buckets of the planes it
+    sits closest to) must recover most of the recall single-probe loses:
+    on the fixture, nbits=4 goes 0.164 -> ~0.55 with probes=4. Pin a 2×
+    floor so the probe selection logic can't silently regress."""
+    emb = _emb(spark, sf_dir)
+    bf = (
+        S.brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("bf_n"))
+    )
+
+    def recall(probes):
+        ann = S.bucketed_ann_top1(
+            emb, "vec_id", "embedding", nbits=4, probes=probes
+        ).select("query_id", F.col("neighbor_id").alias("ann_n"))
+        j = bf.join(ann, "query_id")
+        return j.where(F.col("bf_n") == F.col("ann_n")).count() / j.count()
+
+    single, multi = recall(0), recall(4)
+    assert multi >= 2 * single, (single, multi)
+    assert multi >= 0.5, (single, multi)
