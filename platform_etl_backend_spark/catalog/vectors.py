@@ -205,3 +205,78 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(S.as_double_array("embedding"), lambda x: F.abs(x))) > 0
     )
     return S.quantize_int8(nonzero, "vec_id", "embedding")
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Generated CTE chain replicating kmeans_fit + ivf_top1 exactly:
+    bottom-k-hash init, per-iteration rounded-cosine argmax assignment and
+    decimal-sum dimension means, final within-cell top-1."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        "v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""cent0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cell_id,
+                 vec AS cvec
+          FROM (SELECT vid, vec FROM v
+                ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        asg_cos = cos.format(a="v.vec", b="c.cvec")
+        parts.append(f"""asg{i} AS (
+          SELECT vid, vec, cell_id
+          FROM (SELECT v.vid, v.vec, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vid
+                                          ORDER BY {asg_cos} DESC, c.cell_id) AS rn
+                FROM v, cent{i} c)
+          WHERE rn = 1)""")
+        parts.append(f"""dim{i} AS (
+          SELECT cell_id, d,
+                 CAST(SUM(CAST(vec[CAST(d AS INTEGER)] AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*) AS m
+          FROM asg{i}, range(1, {dim + 1}) t(d) GROUP BY cell_id, d)""")
+        parts.append(
+            f"cent{i + 1} AS (SELECT cell_id, list(m ORDER BY d) AS cvec "
+            f"FROM dim{i} GROUP BY cell_id)"
+        )
+    fasg_cos = cos.format(a="v.vec", b="c.cvec")
+    parts.append(f"""fasg AS (
+      SELECT vid, vec, cell_id
+      FROM (SELECT v.vid, v.vec, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vid
+                                      ORDER BY {fasg_cos} DESC, c.cell_id) AS rn
+            FROM v, cent{iters} c)
+      WHERE rn = 1)""")
+    pair_cos = cos.format(a="a.vec", b="b.vec")
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    pairs AS (
+      SELECT a.vid AS query_id, b.vid AS neighbor_id, {pair_cos} AS cos
+      FROM fasg a JOIN fasg b ON a.cell_id = b.cell_id AND a.vid <> b.vid)
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "q_ann_ivf_kmeans",
+    oracle=_kmeans_oracle(),
+    description="IVF ANN with a SELF-FITTED coarse quantizer: deterministic "
+    "Lloyd's k-means (bottom-k-hash init, rounded-cosine assignment, decimal-sum "
+    "dimension means — identical at any parallelism, unlike MLlib's KMeans) for "
+    "2 iterations, then within-cell top-1; the full fit+assign pipeline "
+    "hash-matches a serial SQL engine",
+    tags=("similarity", "vectors", "ivf", "kmeans"),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
+        F.col("cell_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    return S.ivf_top1(emb, cents, "vec_id", "embedding")

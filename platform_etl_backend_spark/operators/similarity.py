@@ -127,6 +127,75 @@ def ivf_top1(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer — makes
+    the IVF path self-contained instead of borrowing arbitrary vectors as
+    centroids.
+
+    Determinism at any parallelism (the whole point vs MLlib's KMeans,
+    whose random init and double-sum order vary by partitioning):
+    - init: the k vectors with smallest md5(id) (bottom-k hash rank — a
+      uniform deterministic sample);
+    - assignment: argmax cosine ROUNDED to 6 d.p., ties by cell id;
+    - update: per-dimension means via DECIMAL sums (distributed sum order
+      cannot change the result), divided once in IEEE double.
+
+    Scale shape: centroids are k rows — broadcast to every assignment pass;
+    the update is one (cell, dim)-keyed aggregation, linear per iteration;
+    ``iters`` is fixed (no convergence collect). Empty cells drop out
+    deterministically. At 100 TB you fit on a bottom-k hash SAMPLE of the
+    corpus (same operator, sampled input) and assign the full data once.
+    """
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+    cents = (
+        v.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "vid")) - 1).alias("cell_id"),
+            F.col("vec").alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "vid", "vec", "cell_id",
+            F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("cell_cos"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "vec", "cell_id")
+        )
+        dims = (
+            assigned.select("cell_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = (
+            dims.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents.select("cell_id", F.col("cvec").alias("vec"))
+
+
 def sign_bucket(vec: Column, nbits: int) -> Column:
     """LSH bucket id from the sign bits of the first ``nbits`` dimensions."""
     acc = F.lit(0)

@@ -109,3 +109,35 @@ def test_multiprobe_recovers_recall(spark, sf_dir):
     single, multi = recall(0), recall(4)
     assert multi >= 2 * single, (single, multi)
     assert multi >= 0.5, (single, multi)
+
+
+def test_kmeans_fit_deterministic_and_improves_assignment(spark, sf_dir):
+    """kmeans_fit must (a) return identical centroids regardless of input
+    partitioning — the decimal-sum + hash-init determinism claim — and
+    (b) produce a better coarse quantizer than 'first 8 vectors': mean
+    assignment cosine strictly improves after fitting."""
+    emb = _emb(spark, sf_dir)
+
+    def centroids(df, iters=2):
+        out = S.kmeans_fit(df, "vec_id", "embedding", k=8, iters=iters)
+        return sorted((r.cell_id, tuple(r.vec)) for r in out.collect())
+
+    assert centroids(emb) == centroids(emb.repartition(17))
+
+    # compare quantizer quality: mean best-cell cosine, naive vs fitted
+    naive = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"),
+        S.as_double_array("embedding").alias("vec"))
+    fitted = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+
+    def quality(cents):
+        c = cents.select(F.col("cell_id").alias("vec_id"),
+                         F.col("vec").alias("embedding"))
+        a = S.ivf_assign(emb, c, "vec_id", "embedding")
+        cv = c.select(F.col("vec_id").alias("cell_id"),
+                      S.as_double_array("embedding").alias("cv"))
+        scored = a.join(cv, "cell_id").select(
+            S.cosine(F.col("vec"), F.col("cv")).alias("cos"))
+        return scored.agg(F.avg("cos")).collect()[0][0]
+
+    assert quality(fitted) > quality(naive)
