@@ -113,6 +113,39 @@ def enrich_with_static(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join on user_id with a time-range
+    condition (right event within ``within`` AFTER the left event).
+
+    State-boundedness at scale: both sides carry watermarks AND the join
+    condition bounds event-time distance, so Spark can evict buffered rows
+    once the watermark passes — without the range condition, stream-stream
+    join state grows forever. This is the streaming twin of the batch
+    as-of/range join family (operators/asof.py).
+    """
+    l = left.withWatermark("event_ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("event_ts").alias("l_ts"),
+    )
+    r = right.withWatermark("event_ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("event_ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+
+
 def upsert_to_parquet(
     events: DataFrame, key_cols: list[str], path: str, checkpoint: str
 ):

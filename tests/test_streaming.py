@@ -153,3 +153,41 @@ def test_foreachbatch_upsert(spark, sf_dir, events_stream, tmp_path):
         # precision (micros-encoded testdata). floor is monotonic, so the
         # latest event's floor equals the max of floors.
         assert int(got_ts[r.user_id]) == r.ep
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream range join must produce exactly the pairs
+    the equivalent batch join produces (availableNow replay, so no rows are
+    dropped as late)."""
+    from pyspark.sql import functions as F
+
+    la = J.read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    rb = J.read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    out = J.stream_stream_join(la, rb, watermark="2 hours", within="1 hour")
+    q = J.run_to_memory(out, "ssjoin")
+    try:
+        got = {(r.user_id, r.l_id, r.r_id) for r in spark.table("ssjoin").collect()}
+        batch = _batch_events(spark, sf_dir).withColumn(
+            "event_ts", F.timestamp_seconds("ep")
+        )
+        bl = batch.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("l_id"), F.col("event_ts").alias("l_ts")
+        )
+        br = batch.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("event_ts").alias("r_ts"),
+        )
+        cond = (
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour"))
+        )
+        expected = {
+            (r.user_id, r.l_id, r.r_id)
+            for r in bl.join(br, cond, "inner").collect()
+        }
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        q.stop()
