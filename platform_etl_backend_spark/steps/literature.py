@@ -20,7 +20,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.functions.columns import harmonic_fn
-from platform_etl_backend_spark.operators.nlp import label_key
+from platform_etl_backend_spark.operators.nlp import label_key, reference_label_key
+
+
+def _grounding_key(c, exact_stemmer: bool, key_mode: str):
+    """labelN key used by BOTH the LUT build and the sentence matcher —
+    the two sides must always agree or the grounding join silently loses
+    matches. ``key_mode='engine'`` is the default oracle-checkable pipeline
+    (space-joined, optional exact Porter); ``'reference'`` is the char-exact
+    reference contract (operators/nlp.py reference_label_key: Google stop
+    list, split-char tokenization, Porter, ''-joined — Grounding.scala
+    parity, see tests/test_grounding_parity.py)."""
+    if key_mode == "reference":
+        return reference_label_key(c, "LT")
+    if key_mode == "engine":
+        return label_key(c, exact=exact_stemmer)
+    raise ValueError(f"key_mode must be 'engine' or 'reference', got {key_mode!r}")
 
 # (section, rank, weight) — reference.conf:700-708 publication_section_ranks
 SECTION_RANKS = (
@@ -98,13 +113,17 @@ def preprocess_epmc(epmc: DataFrame) -> DataFrame:
     )
 
 
-def build_entity_lut(entities: DataFrame, exact_stemmer: bool = False) -> DataFrame:
+def build_entity_lut(
+    entities: DataFrame, exact_stemmer: bool = False, key_mode: str = "engine"
+) -> DataFrame:
     """(id, name, type) + synonyms → (keywordId, type, labelN) grounding LUT.
 
     Keeps the best keyword per normalized label via dense_rank (the
     reference's ambiguity resolution, Grounding.scala:187-194).
     ``exact_stemmer`` selects the char-exact Porter path (operators/porter.py)
-    matching the reference's Spark-NLP Stemmer; LUT and matcher must agree.
+    matching the reference's Spark-NLP Stemmer; ``key_mode='reference'``
+    switches the WHOLE key pipeline to the char-exact reference contract.
+    LUT and matcher must agree on both flags.
     """
     base = entities.select(
         F.col("id").alias("keywordId"),
@@ -115,9 +134,9 @@ def build_entity_lut(entities: DataFrame, exact_stemmer: bool = False) -> DataFr
         ).alias("label"),
         F.coalesce(F.col("priority"), F.lit(1.0)).alias("score"),
     )
-    keyed = base.withColumn("labelN", label_key("label", exact=exact_stemmer)).where(
-        F.col("labelN") != ""
-    )
+    keyed = base.withColumn(
+        "labelN", _grounding_key(F.col("label"), exact_stemmer, key_mode)
+    ).where(F.col("labelN") != "")
     w = Window.partitionBy("type", "labelN").orderBy(F.desc("score"), F.asc("keywordId"))
     return (
         keyed.withColumn("dr", F.dense_rank().over(w))
@@ -138,7 +157,7 @@ def split_sentences(publications: DataFrame, text_col: str = "text") -> DataFram
 
 def match_sentences(
     sentences: DataFrame, lut: DataFrame, max_ngram: int = 3,
-    exact_stemmer: bool = False,
+    exact_stemmer: bool = False, key_mode: str = "engine",
 ) -> DataFrame:
     """Ground candidate n-gram spans against the LUT on labelN keys.
 
@@ -162,9 +181,9 @@ def match_sentences(
     )
     candidates = sentences.select(
         "pmid", "section", "sentence_idx", F.explode(F.array_distinct(spans)).alias("span")
-    ).withColumn("labelN", label_key("span", exact=exact_stemmer)).where(
-        F.col("labelN") != ""
-    )
+    ).withColumn(
+        "labelN", _grounding_key(F.col("span"), exact_stemmer, key_mode)
+    ).where(F.col("labelN") != "")
     return (
         candidates.join(F.broadcast(lut), "labelN")
         .select("pmid", "section", "sentence_idx", "keywordId", "type")

@@ -195,3 +195,47 @@ def test_default_label_key_divergences_are_the_known_ones(keyed):
     # the S-stemmer chain and Porter agree on simple plurals but diverge on
     # derivational suffixes — at least the -ous/-ic/-al family in this corpus
     assert any("lymphocytic" in label for label in weaker), weaker
+
+
+# ---------------------------------------------------------------------------
+# 4. End-to-end grounding in reference key mode: LUT build + sentence
+#    matching through the char-exact pipeline must ground inflected
+#    surface forms to the right entity.
+# ---------------------------------------------------------------------------
+
+def test_literature_grounding_in_reference_key_mode(spark):
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.steps.literature import (
+        build_entity_lut,
+        match_sentences,
+    )
+
+    entities = spark.createDataFrame(
+        [
+            ("EFO_1", "disease", "chronic lymphocytic leukemia", None, 1.0),
+            ("EFO_2", "disease", "breast cancer", ["cancer of the breast"], 1.0),
+            ("ENSG_1", "target", "tumor necrosis factor", None, 1.0),
+        ],
+        "id string, type string, name string, synonyms array<string>, priority double",
+    )
+    lut = build_entity_lut(entities, key_mode="reference")
+    # synonym and name collapse to distinct keys; ''-joined, stemmed
+    keys = {r.keywordId: r.labelN for r in lut.collect()}
+    assert keys["EFO_1"] == "chronicleukemialymphocyt"
+
+    sentences = spark.createDataFrame(
+        [
+            # inflected/stopworded surface forms of the LUT entries
+            ("p1", "title", 0, "Chronic lymphocytic leukemias respond to therapy"),
+            ("p2", "abstract", 0, "the cancers of the breasts were imaged"),
+            ("p3", "abstract", 0, "tumor necrosis factors signal apoptosis"),
+            ("p4", "abstract", 0, "unrelated cardiovascular sentence here"),
+        ],
+        "pmid string, section string, sentence_idx int, sentence string",
+    )
+    matches = match_sentences(sentences, lut, max_ngram=4, key_mode="reference")
+    got = {(r.pmid, r.keywordId) for r in matches.collect()}
+    assert ("p1", "EFO_1") in got
+    assert ("p3", "ENSG_1") in got
+    assert not any(p == "p4" for p, _ in got)
