@@ -336,6 +336,86 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_forward",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    c AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ep, event_id AS purchase_id, value AS purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ep ORDER BY event_id DESC) AS rn
+          FROM e WHERE event_type = 'purchase'),
+    pd AS (SELECT * FROM p WHERE rn = 1),
+    j AS (SELECT c.event_id, c.user_id, c.ep, pd.purchase_id, pd.purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY pd.ep ASC, pd.purchase_id DESC) AS rn
+          FROM c LEFT JOIN pd ON pd.user_id = c.user_id AND pd.ep >= c.ep)
+    SELECT event_id, user_id, ep,
+           purchase_id AS asof_purchase_id, purchase_value AS asof_purchase_value
+    FROM j WHERE rn = 1
+    """,
+    description="forward as-of join (click → earliest purchase at-or-after, per user) "
+    "— same union+window linear scan as backward, descending time order; the oracle "
+    "is the quadratic LEFT-JOIN formulation DuckDB can afford at test scale",
+    tags=("join", "asof", "events"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.asof import asof_join_forward
+
+    e = events_table(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ep")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ep",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join_forward(
+        clicks, purchases, on="user_id", probe_ts="ep", build_ts="ep",
+        payload=["purchase_id", "purchase_value"], tiebreak="purchase_id",
+    )
+
+
+@register(
+    "q_asof_nearest",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    c AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ep, event_id AS purchase_id, value AS purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ep ORDER BY event_id DESC) AS rn
+          FROM e WHERE event_type = 'purchase'),
+    pd AS (SELECT * FROM p WHERE rn = 1),
+    j AS (SELECT c.event_id, c.user_id, c.ep, pd.purchase_id, pd.purchase_value,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY abs(pd.ep - c.ep) ASC,
+                                             CASE WHEN pd.ep <= c.ep THEN 0 ELSE 1 END ASC,
+                                             pd.purchase_id DESC) AS rn
+          FROM c LEFT JOIN pd ON pd.user_id = c.user_id)
+    SELECT event_id, user_id, ep,
+           purchase_id AS asof_purchase_id, purchase_value AS asof_purchase_value
+    FROM j WHERE rn = 1
+    """,
+    description="nearest as-of join (click → closest purchase in time, ties resolve "
+    "backward) — one tagged union, one key shuffle, two window sorts over a reused "
+    "exchange; never a join. Oracle is the quadratic all-pairs argmin",
+    tags=("join", "asof", "events"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.asof import asof_join_nearest
+
+    e = events_table(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ep")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ep",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join_nearest(
+        clicks, purchases, on="user_id", probe_ts="ep", build_ts="ep",
+        payload=["purchase_id", "purchase_value"], tiebreak="purchase_id",
+    )
+
+
+@register(
     "q_range_join",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),

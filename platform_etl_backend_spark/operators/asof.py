@@ -28,6 +28,86 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tagged_union(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload: Sequence[str],
+    tiebreak: str | None,
+) -> DataFrame:
+    """Probe rows (side=1) ∪ build rows (side=0) with null-padded payload;
+    build is pre-deduped to one row per (key, ts) by highest tiebreak.
+    ``_bt`` carries the build event time (null on probe rows) so callers
+    can recover the matched timestamp."""
+    if tiebreak:
+        w0 = Window.partitionBy(on, build_ts).orderBy(F.col(tiebreak).desc())
+        build = (
+            build.withColumn("_rn", F.row_number().over(w0))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    probe_struct_fields = [F.col(c) for c in probe.columns]
+    pay_types = {c: build.schema[c].dataType for c in payload}
+    bt_type = build.schema[build_ts].dataType
+    tb: Column = (
+        F.col(tiebreak) if tiebreak and tiebreak in build.columns else F.lit(0)
+    )
+
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct(*probe_struct_fields).alias("_probe"),
+        F.lit(None).cast(bt_type).alias("_bt"),
+        *[F.lit(None).cast(pay_types[c]).alias(f"_b_{c}") for c in payload],
+    )
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(build_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        tb.cast("long").alias("_tb"),
+        F.lit(None).cast(p.schema["_probe"].dataType).alias("_probe"),
+        F.col(build_ts).alias("_bt"),
+        *[F.col(c).alias(f"_b_{c}") for c in payload],
+    )
+    return p.unionByName(b)
+
+
+def _asof_directional(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload: Sequence[str],
+    prefix: str,
+    tiebreak: str | None,
+    forward: bool,
+) -> DataFrame:
+    tagged = _tagged_union(probe, build, on, probe_ts, build_ts, payload, tiebreak)
+    order = (
+        [F.col("_t").desc(), F.col("_side").asc(), F.col("_tb").asc()]
+        if forward
+        else [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumns(
+        {f"_b_{c}": F.last(f"_b_{c}", ignorenulls=True).over(w) for c in payload}
+    )
+    return carried.where(F.col("_side") == 1).select(
+        F.col("_probe.*"),
+        *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in payload],
+    )
+
+
 def asof_join_backward(
     probe: DataFrame,
     build: DataFrame,
@@ -48,48 +128,80 @@ def asof_join_backward(
     input is ambiguous (same convention as the engine's other dedups:
     explicit row_number, never arbitrary-row).
     """
-    if tiebreak:
-        w0 = Window.partitionBy(on, build_ts).orderBy(F.col(tiebreak).desc())
-        build = (
-            build.withColumn("_rn", F.row_number().over(w0))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    probe_struct_fields = [F.col(c) for c in probe.columns]
-    pay_types = {c: build.schema[c].dataType for c in payload}
-    tb: Column = (
-        F.col(tiebreak) if tiebreak and tiebreak in build.columns else F.lit(0)
+    return _asof_directional(
+        probe, build, on, probe_ts, build_ts, payload, prefix, tiebreak, forward=False
     )
 
-    p = probe.select(
-        F.col(on).alias("_k"),
-        F.col(probe_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
-        F.struct(*probe_struct_fields).alias("_probe"),
-        *[F.lit(None).cast(pay_types[c]).alias(f"_b_{c}") for c in payload],
-    )
-    b = build.select(
-        F.col(on).alias("_k"),
-        F.col(build_ts).alias("_t"),
-        F.lit(0).alias("_side"),
-        tb.cast("long").alias("_tb"),
-        F.lit(None).cast(p.schema["_probe"].dataType).alias("_probe"),
-        *[F.col(c).alias(f"_b_{c}") for c in payload],
+
+def asof_join_forward(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: the build row with the SMALLEST ``build_ts >=
+    probe_ts`` (inclusive). Same union+window linear scan as backward,
+    scanning in descending time order — identical cost and plan shape."""
+    return _asof_directional(
+        probe, build, on, probe_ts, build_ts, payload, prefix, tiebreak, forward=True
     )
 
-    w = (
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of: the build row minimizing ``|build_ts - probe_ts|``;
+    equal distances resolve BACKWARD (the at-or-before row), keeping the
+    result deterministic. Requires a numeric timestamp column (epoch).
+
+    Plan shape: ONE tagged union, ONE key shuffle, TWO window sorts (asc +
+    desc) over the same partitioning — Catalyst reuses the exchange, so
+    nearest costs one extra in-partition sort over a directional as-of,
+    never a join.
+    """
+    tagged = _tagged_union(probe, build, on, probe_ts, build_ts, payload, tiebreak)
+    wb = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_tb")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = p.unionByName(b).withColumns(
-        {f"_b_{c}": F.last(f"_b_{c}", ignorenulls=True).over(w) for c in payload}
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # "__mt" is the matched-build-ts pseudo-payload; "_b_" prefixing keeps it
+    # clear of user payload names (payload columns are never "__mt")
+    cols = list(payload) + ["__mt"]
+    carried = tagged.withColumn("_b___mt", F.col("_bt")).withColumns(
+        {
+            **{f"_bk_{c}": F.last(f"_b_{c}", ignorenulls=True).over(wb) for c in cols},
+            **{f"_fw_{c}": F.last(f"_b_{c}", ignorenulls=True).over(wf) for c in cols},
+        }
+    )
+    use_back = F.col("_bk___mt").isNotNull() & (
+        F.col("_fw___mt").isNull()
+        | ((F.col("_t") - F.col("_bk___mt")) <= (F.col("_fw___mt") - F.col("_t")))
     )
     return carried.where(F.col("_side") == 1).select(
         F.col("_probe.*"),
-        *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in payload],
+        *[
+            F.when(use_back, F.col(f"_bk_{c}"))
+            .otherwise(F.col(f"_fw_{c}"))
+            .alias(f"{prefix}{c}")
+            for c in payload
+        ],
     )
 
 

@@ -174,3 +174,67 @@ def test_tfidf_tiebreak_is_term_asc(spark):
     rows = tfidf_top_terms(df, "doc_id", "text", k=3).collect()
     # all terms have identical tf and idf -> top-3 must be a, b, c
     assert sorted(r.term for r in rows) == ["a", "b", "c"]
+
+
+def test_asof_forward_and_nearest_match_bruteforce_property(spark):
+    """Same randomized brute-force pinning for the forward and nearest
+    directions (nearest ties resolve backward)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from platform_etl_backend_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    row_p = st.tuples(st.integers(0, 3), st.integers(0, 20))
+    row_b = st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99))
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        probes=st.lists(row_p, min_size=1, max_size=8),
+        builds=st.lists(row_b, max_size=8),
+    )
+    def run(probes, builds):
+        probe = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(probes)], ["pid", "k", "t"]
+        )
+        if builds:
+            build = spark.createDataFrame(builds, ["k", "t", "bid"])
+        else:
+            build = spark.createDataFrame([], "k int, t int, bid int")
+
+        # dedup builds per (k, t) by highest bid — the tiebreak contract
+        best = {}
+        for bk, bt, bid in builds:
+            best[(bk, bt)] = max(best.get((bk, bt), -1), bid)
+
+        fwd = {
+            r.pid: r.asof_bid
+            for r in asof_join_forward(
+                probe, build, "k", "t", "t", ["bid"], tiebreak="bid"
+            ).collect()
+        }
+        near = {
+            r.pid: r.asof_bid
+            for r in asof_join_nearest(
+                probe, build, "k", "t", "t", ["bid"], tiebreak="bid"
+            ).collect()
+        }
+        for i, (k, t) in enumerate(probes):
+            after = [(bt, bid) for (bk, bt), bid in best.items() if bk == k and bt >= t]
+            f_exp = min(after)[1] if after else None
+            assert fwd[i] == f_exp, ("forward", i, k, t, after)
+
+            cands = [(bt, bid) for (bk, bt), bid in best.items() if bk == k]
+            n_exp = None
+            if cands:
+                # min |dt|; tie -> backward (bt <= t preferred)
+                bt, bid = min(cands, key=lambda c: (abs(c[0] - t), 0 if c[0] <= t else 1))
+                n_exp = bid
+            assert near[i] == n_exp, ("nearest", i, k, t, cands)
+
+    run()
