@@ -508,6 +508,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cap_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS sample_doc
+    FROM ranked WHERE rk <= 40 GROUP BY source
+    """,
+    description="domain balancing: cap documents per source at 40 by content-hash "
+    "rank (deterministic uniform within-group sample, identical on any cluster "
+    "size) — the anti-domination operator for training-data mixes; "
+    "WindowGroupLimit keeps the per-group work bounded",
+    tags=("sampling", "text", "split"),
+)
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sampling import cap_per_group
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = cap_per_group(d, ["source"], ["doc_id"], k=40)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("sample_doc")
+    )
+
+
+@register(
     "q_bottomk_sample",
     oracle="""
     SELECT doc_id, source FROM documents

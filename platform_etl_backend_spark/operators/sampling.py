@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -37,6 +37,28 @@ def hash_bernoulli_sample(
     stage, zero shuffle, identical sample on 1 or 1000 executors."""
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     return df.where(hash_uniform(key) < prob)
+
+
+def cap_per_group(
+    df: DataFrame, group_cols: Sequence[str], key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Domain balancing: keep at most ``k`` rows per group, chosen by
+    content-hash rank — the deterministic "cap documents per source/domain"
+    operator a training-data mix needs so no domain dominates. Within each
+    group this is a uniform exactly-min(k, n) sample; across runs, cluster
+    sizes, and partitionings the kept set is identical (no RNG).
+
+    Scale shape: one shuffle on the group key + per-group window rank with
+    WindowGroupLimit pushdown (Spark keeps only k rows per partition before
+    the final rank) — no global sort, no skew beyond the group key itself.
+    """
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(*group_cols).orderBy(F.md5(key), *key_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def bottomk_sample(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:

@@ -128,3 +128,21 @@ def test_unigram_surprisal_hand_computed(spark):
     assert out[2].mean_surprisal_bits == pytest.approx(d2, abs=1e-9)
     # rare tokens score higher than common ones
     assert out[2].mean_surprisal_bits > out[1].mean_surprisal_bits
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from platform_etl_backend_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted((r.doc_id, r.source) for r in
+               cap_per_group(df, ["source"], ["doc_id"], 10).collect())
+    b = sorted((r.doc_id, r.source) for r in
+               cap_per_group(df.repartition(9), ["source"], ["doc_id"], 10).collect())
+    assert a == b
+    from collections import Counter
+    per = Counter(s for _, s in a)
+    assert all(v == 10 for v in per.values()) and len(per) == 4
+    # small groups keep everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
+    assert cap_per_group(tiny, ["source"], ["doc_id"], 10).count() == 2
