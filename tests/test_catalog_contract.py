@@ -1,0 +1,70 @@
+"""Catalog-wide output-contract guards.
+
+Round 1's only hard correctness failures were CONTRACT failures: six queries
+emitted array-typed columns that the verification harness's pandas
+canonicalizer cannot sort (`TypeError: unhashable type: 'list'`). These
+tests make that class of regression impossible to reintroduce:
+
+- no query output may contain an array/map/struct column (serialize with
+  '|' per the convention in ``catalog/__init__.py``);
+- no query output may contain a raw timestamp column (cast to date/string
+  — cross-engine timestamp canonicalization is not portable);
+- the driver-window registration invariants hold (50 names, no dups, all
+  resolvable, flagship first);
+- every query is either oracle-paired or on the explicit rows-only
+  allowlist (seeded simulation, HLL sketch — inherently engine-specific).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import platform_etl_backend_spark.catalog as catalog_init
+from platform_etl_backend_spark.catalog import QUERIES
+
+ROWS_ONLY_ALLOWED = {"q_approx_distinct", "q_montecarlo_critical"}
+
+FORBIDDEN_TYPES = {"array", "map", "struct"}
+FORBIDDEN_TIME_TYPES = {"timestamp", "timestamp_ntz"}
+
+
+@pytest.fixture(scope="module")
+def schemas(spark, sf_dir):
+    out = {}
+    for name, spec in QUERIES.items():
+        out[name] = spec.fn(spark, sf_dir).schema
+    return out
+
+
+def test_no_complex_typed_output_columns(schemas):
+    bad = [
+        (name, f.name, f.dataType.typeName())
+        for name, schema in schemas.items()
+        for f in schema.fields
+        if f.dataType.typeName() in FORBIDDEN_TYPES
+    ]
+    assert not bad, f"complex-typed outputs break the value-hash canonicalizer: {bad}"
+
+
+def test_no_raw_timestamp_output_columns(schemas):
+    bad = [
+        (name, f.name, f.dataType.typeName())
+        for name, schema in schemas.items()
+        for f in schema.fields
+        if f.dataType.typeName() in FORBIDDEN_TIME_TYPES
+    ]
+    assert not bad, f"raw timestamp outputs violate the determinism conventions: {bad}"
+
+
+def test_driver_window_invariants():
+    win = catalog_init._DRIVER_WINDOW
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    assert all(n in QUERIES for n in win)
+    assert win[0] == "q_agg_basic"  # entry() flagship must stay first
+    assert list(QUERIES)[:50] == list(win)
+
+
+def test_rows_only_queries_are_the_known_ones():
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    assert rows_only == ROWS_ONLY_ALLOWED
