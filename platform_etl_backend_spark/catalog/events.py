@@ -336,6 +336,44 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    o AS (SELECT user_id, value, ep,
+                 lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS nxt
+          FROM e)
+    SELECT user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6)) * (nxt - ep)) AS DOUBLE)
+                 / CAST(MAX(ep) - MIN(ep) AS DOUBLE), 6) AS twa,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_s
+    FROM o GROUP BY user_id HAVING MAX(ep) > MIN(ep)
+    """,
+    description="time-weighted average per user (each value weighted by its "
+    "holding duration until the next event; hypertable-style gauge TWA the "
+    "reference lacks): one window pass + one groupBy, duration-weighted "
+    "contributions ride DECIMAL for distributed-sum determinism",
+    tags=("window", "events", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    weighted = dec6("value") * (F.lead("ep").over(w) - F.col("ep"))
+    return (
+        e.select("user_id", "ep", weighted.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("wv").cast("double")
+                / (F.max("ep") - F.min("ep")).cast("double"),
+                6,
+            ).alias("twa"),
+            (F.max("ep") - F.min("ep")).cast("bigint").alias("span_s"),
+        )
+        .where(F.col("span_s") > 0)
+    )
+
+
+@register(
     "q_asof_forward",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),

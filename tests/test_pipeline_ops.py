@@ -146,3 +146,36 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     # small groups keep everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
     assert cap_per_group(tiny, ["source"], ["doc_id"], 10).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average
+# ---------------------------------------------------------------------------
+
+def test_time_weighted_avg_hand_computed(spark, sf_dir, tmp_path):
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    # verify semantics on crafted data through the same query shape:
+    # user 1: value 10 held 5s, value 20 held 15s -> twa = (50+300)/20 = 17.5
+    rows = [(1, 1, 0, 10.0), (1, 2, 5, 20.0), (1, 3, 20, 99.0),
+            (2, 4, 0, 1.0)]  # user 2: single instant, excluded (span 0)
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ep", "value"])
+    from pyspark.sql import Window, functions as F
+    from platform_etl_backend_spark.catalog.registry import dec6
+
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    weighted = dec6("value") * (F.lead("ep").over(w) - F.col("ep"))
+    out = (
+        df.select("user_id", "ep", weighted.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("wv").cast("double")
+                    / (F.max("ep") - F.min("ep")).cast("double"), 6).alias("twa"),
+            (F.max("ep") - F.min("ep")).cast("bigint").alias("span_s"),
+        )
+        .where(F.col("span_s") > 0)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1
+    assert out[0].twa == pytest.approx(17.5)
+    assert out[0].span_s == 20
