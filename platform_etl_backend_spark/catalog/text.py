@@ -390,6 +390,75 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.gopher_quality_flags(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _pipeline_oracle() -> str:
+    """The whole training-data preparation chain as one composed oracle:
+    gopher quality filter → exact dedup (min doc id per fingerprint) →
+    hash split → per-(source, split) stats."""
+    return f"""
+    WITH m AS (SELECT doc_id, source, text, {_T} AS t FROM documents),
+    q AS (SELECT doc_id, source, text FROM m
+          WHERE (len(t) BETWEEN 20 AND 100000)
+            AND (ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                       / len(t), 6) BETWEEN 3.0 AND 10.0)
+            AND ROUND(CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))
+                           AS DOUBLE) / len(t), 6) >= 0.8
+            AND len(list_filter(t, x -> list_contains({_stop_list_sql('en')}, lower(x)))) >= 2),
+    dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(trim(text))
+                                        ORDER BY doc_id) AS rn FROM q),
+    k AS (SELECT doc_id, source, text FROM dd WHERE rn = 1),
+    s AS (SELECT source,
+                 CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13
+                      THEN 'train' ELSE 'eval' END AS split,
+                 doc_id,
+                 len(string_split_regex(trim(text), ' +')) AS n_toks
+          FROM k)
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens, MIN(doc_id) AS sample_doc
+    FROM s GROUP BY source, split
+    """
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=_pipeline_oracle(),
+    description="END-TO-END training-data pipeline composed from the catalog's own "
+    "operators: Gopher quality filter (map-side) -> exact dedup keeping the "
+    "smallest doc id per content fingerprint (one shuffle) -> deterministic md5 "
+    "train/eval split (map-side) -> per-(source, split) corpus stats. One oracle "
+    "verifies the whole composition, not just the pieces",
+    tags=("text", "quality", "dedup", "split", "pipeline"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    flags = TQ.gopher_quality_flags(d, "doc_id", "text")
+    kept = d.join(flags.where(F.col("keep")).select("doc_id"), "doc_id")
+    w = Window.partitionBy(F.md5(F.trim("text"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    return (
+        deduped.select(
+            "source",
+            F.when(bucket < 13, "train").otherwise("eval").alias("split"),
+            "doc_id",
+            F.size(D.ws_tokens("text")).alias("n_toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
+
+
 _PII_Q_PATTERNS = {"email": TQ.PII_PATTERNS["email"], "digit_run": TQ.PII_PATTERNS["digit_run"]}
 
 
