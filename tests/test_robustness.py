@@ -66,3 +66,48 @@ def test_embedding_step_via_runner(spark, tmp_path):
     from pyspark.ml.feature import Word2VecModel
 
     assert Word2VecModel.load(str(tmp_path / "w2v")).getVectors().count() == 4
+
+
+def test_new_operators_on_empty_and_degenerate_inputs(spark):
+    """Edge-input behavior of the round-2 operators: empty frames and
+    degenerate shapes must return empty/clean results, never throw."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.dedup import decontamination_hits
+    from platform_etl_backend_spark.operators.sampling import bottomk_sample, cap_per_group
+    from platform_etl_backend_spark.operators.similarity import (
+        kmeans_fit,
+        multitable_ann_top1,
+        quantize_int8,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    docs = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+
+    # decontamination: empty eval set -> no hits; empty train -> no rows
+    assert decontamination_hits(docs, empty_docs, "doc_id", "text", k=2).count() == 0
+    assert decontamination_hits(empty_docs, docs, "doc_id", "text", k=2).count() == 0
+
+    # sampling: k larger than the data
+    assert bottomk_sample(docs, ["doc_id"], 10).count() == 1
+    assert cap_per_group(docs.withColumn("source", F.lit("s")),
+                         ["source"], ["doc_id"], 10).count() == 1
+
+    # quantization: empty frame
+    empty_vec = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert quantize_int8(empty_vec, "vec_id", "embedding").count() == 0
+
+    # k-means: k greater than the corpus size still converges (init keeps
+    # min(k, n) centroids; empty cells drop)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(vecs, "vec_id", "embedding", k=8, iters=1)
+    assert 1 <= cents.count() <= 3
+
+    # multi-table ANN on a single vector: no pairs, no crash
+    single = spark.createDataFrame([(1, [1.0, -1.0, 1.0, -1.0,
+                                         1.0, 1.0, -1.0, -1.0])],
+                                   ["vec_id", "embedding"])
+    assert multitable_ann_top1(single, "vec_id", "embedding",
+                               nbits=4, tables=2).count() == 0
