@@ -1,0 +1,136 @@
+"""Parity tests that run the engine's step normalizers over the REFERENCE's
+own test resource files (public data fixtures under
+``/root/reference/src/test/resources`` — data only, no reference code), and
+assert the same expectations its unit tests assert:
+
+- UniprotConverterTest: sample_1/sample_10 record counts, OGA_HUMAN id,
+  db-of-interest xrefs, RecName/AltName/Short classification, multi-line
+  GN Synonyms.
+- NcbiTest: ncbi_100.tsv.gz converts without error, rows > 0 — plus a
+  concrete row check (A1BG → ENSG00000121410 synonyms).
+- HgncTest: one output row per distinct ensembl_gene_id.
+- StringProteinTest: the nested shape exposes exactly the expected columns
+  {interaction, interactorA, interactorB, source_info}.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference/src/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test resources not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# UniprotKB flat file (UniprotConverterTest.scala expectations)
+# ---------------------------------------------------------------------------
+
+def _parse_uniprot(spark, path):
+    from platform_etl_backend_spark.sources.flatfile import (
+        parse_uniprot_records,
+        read_delimited_records,
+    )
+
+    return parse_uniprot_records(read_delimited_records(spark, path, "//\n"))
+
+
+def test_uniprot_sample_1_single_entry_dbs_of_interest(spark):
+    from platform_etl_backend_spark.sources.flatfile import UNIPROT_DBS
+
+    parsed = _parse_uniprot(spark, f"{REF}/uniprot/sample_1.txt")
+    rows = parsed.collect()
+    assert len(rows) == 1
+    dbs = {d.rstrip(";") for d in UNIPROT_DBS}
+    assert rows[0].dbXrefs, "expected at least one db xref of interest"
+    assert all(x.split(" ")[0] in dbs for x in rows[0].dbXrefs), rows[0].dbXrefs[:5]
+
+
+def test_uniprot_sample_10_oga_human_entry(spark):
+    parsed = _parse_uniprot(spark, f"{REF}/uniprot/sample_10.txt")
+    assert parsed.count() == 10
+    r = parsed.where(F.col("entry_name") == "OGA_HUMAN").collect()[0]
+    # AC lines, in order, first accession primary
+    assert r.accessions[0] == "O60502"
+    assert len(r.accessions) == 9
+    # RecName: Full → names; AltName: Full → synonyms; Short/CD_antigen → symbols
+    assert r.names == ["Protein O-GlcNAcase"]
+    assert "Beta-N-acetylglucosaminidase" in r.synonyms
+    assert "Meningioma-expressed antigen 5" in r.synonyms
+    # GN Name + multi-LINE Synonyms continuation both captured
+    for sym in ("OGA", "HEXC", "KIAA0679", "MEA5", "MGEA5", "NCOAT"):
+        assert sym in r.symbolSynonyms, (sym, r.symbolSynonyms)
+    # CC partition: FUNCTION vs SUBCELLULAR LOCATION
+    assert any("Cleaves GlcNAc" in f for f in r.functions)
+    assert any("Nucleus" in loc for loc in r.locations)
+
+
+# ---------------------------------------------------------------------------
+# NCBI gene_info (NcbiTest.scala expectations + concrete row)
+# ---------------------------------------------------------------------------
+
+def test_ncbi_100_converts_and_maps_a1bg(spark):
+    from platform_etl_backend_spark.steps.target_annotations import ncbi_normalize
+
+    df = (
+        spark.read.option("header", True)
+        .option("sep", "\t")
+        .csv(f"{REF}/target/ncbi_100.tsv.gz")
+    )
+    out = ncbi_normalize(df)
+    assert out.count() > 0
+    a1bg = out.where(F.col("ncbi_id") == "ENSG00000121410").collect()
+    assert len(a1bg) == 1
+    labels = {s.label for s in a1bg[0].ncbiSymbolSynonyms}
+    assert {"A1B", "ABG", "GAB", "HYST2477"} <= labels
+    assert all(s.source == "NCBI_entrez" for s in a1bg[0].ncbiSymbolSynonyms)
+
+
+# ---------------------------------------------------------------------------
+# HGNC (HgncTest.scala: no loss — one row per distinct ensembl gene id)
+# ---------------------------------------------------------------------------
+
+def test_hgnc_accretion_preserves_every_gene(spark):
+    from platform_etl_backend_spark.steps.target import merge_hgnc
+
+    hgnc = spark.read.json(f"{REF}/target/hgnc_test.jsonl")
+    genes = (
+        hgnc.where(F.col("ensembl_gene_id").isNotNull())
+        .select(F.col("ensembl_gene_id").alias("id"))
+        .distinct()
+    )
+    n_genes = genes.count()
+    assert n_genes > 0
+    merged = merge_hgnc(genes, hgnc)
+    assert merged.count() == n_genes
+    # synonym accretion actually lands for genes with alias symbols
+    assert merged.where(F.size("synonyms") > 0).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# STRING protein links (StringProteinTest.scala: nested shape columns)
+# ---------------------------------------------------------------------------
+
+def test_string_links_nested_shape(spark):
+    from platform_etl_backend_spark.steps.interaction import string_to_intact_shape
+
+    df = (
+        spark.read.format("csv")
+        .option("delimiter", " ")
+        .option("header", True)
+        .load(f"{REF}/9606.protein.links.test.v11.0.txt.gz")
+    )
+    out = string_to_intact_shape(df, score_threshold=0)
+    assert {"interaction", "interactorA", "interactorB", "source_info"} <= set(out.columns)
+    rows = out.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r.interactorA.id.startswith("ENSP")  # taxon prefix stripped
+        assert r.interactorA.id_source == "ensembl_protein"
+        assert r.source_info.source_database == "string"
+        assert len(r.interaction.evidence) > 0
