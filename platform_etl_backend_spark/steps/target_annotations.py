@@ -304,10 +304,15 @@ def safety_normalize(
 
 def hallmarks_normalize(df: DataFrame) -> DataFrame:
     """Hallmarks.scala:18-91: COSMIC hallmark rows split into cancer hallmarks
-    (fixed 10-label list) vs free-form attributes, nested per gene symbol."""
+    (fixed 10-label list) vs free-form attributes, nested per gene symbol.
+
+    PMID rides try_cast: real COSMIC exports contain 'NA' cells, which the
+    reference's Spark 3.2 non-ANSI cast nulled silently — under Spark 4
+    ANSI semantics that must be explicit (caught by the reference-fixture
+    parity test)."""
     base = df.select(
         F.col("GENE_SYMBOL").alias("gene_symbol"),
-        F.col("PUBMED_PMID").cast("long").alias("pmid"),
+        F.col("PUBMED_PMID").try_cast("long").alias("pmid"),
         F.col("HALLMARK").alias("hallmark"),
         F.col("IMPACT").alias("impact"),
         F.col("DESCRIPTION").alias("description"),

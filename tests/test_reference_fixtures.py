@@ -134,3 +134,71 @@ def test_string_links_nested_shape(spark):
         assert r.interactorA.id_source == "ensembl_protein"
         assert r.source_info.source_database == "string"
         assert len(r.interaction.evidence) > 0
+
+
+# ---------------------------------------------------------------------------
+# Tractability (TractabilityTest.scala: 50 rows, modality ∈ {SM,OC,PR,AB})
+# ---------------------------------------------------------------------------
+
+def test_tractability_50_modalities(spark):
+    from platform_etl_backend_spark.steps.target_annotations import tractability_normalize
+
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .csv(f"{REF}/target/tractability_50.csv.gz")
+    )
+    out = tractability_normalize(df)
+    assert out.count() == 50
+    row = out.where(F.col("ensemblGeneId") == "ENSG00000128052").collect()[0]
+    assert row.tractability
+    assert all(t.modality in {"SM", "OC", "PR", "AB"} for t in row.tractability)
+
+
+# ---------------------------------------------------------------------------
+# Genetic constraints (GeneticConstraintTest.scala: 49 output rows)
+# ---------------------------------------------------------------------------
+
+def test_gnomad_constraints_49_rows(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        genetic_constraints_normalize,
+    )
+
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .csv(f"{REF}/target/gnomad_lof.csv")
+    )
+    out = genetic_constraints_normalize(df)
+    assert out.count() == 49  # reference: 50 minus one non-canonical row
+    r = out.limit(1).collect()[0]
+    assert [c.constraintType for c in r.constraint] == ["syn", "mis", "lof"]
+
+
+# ---------------------------------------------------------------------------
+# COSMIC hallmarks (HallmarksTest.scala: symbol preservation + 10/12 kinds)
+# ---------------------------------------------------------------------------
+
+def test_hallmarks_symbols_and_annotation_kinds(spark):
+    from platform_etl_backend_spark.steps.target_annotations import hallmarks_normalize
+
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .csv(f"{REF}/target/cosmic-hallmarks-2021-02-10.tsv.gz")
+    )
+    out = hallmarks_normalize(raw)
+    assert (
+        out.select("approvedSymbol").distinct().count()
+        == raw.select("GENE_SYMBOL").distinct().count()
+    )
+    n_cancer_labels = (
+        out.select(F.explode("hallmarks.cancerHallmarks").alias("ch"))
+        .select("ch.label").distinct().count()
+    )
+    n_attr_names = (
+        out.select(F.explode("hallmarks.attributes").alias("a"))
+        .select("a.name").distinct().count()
+    )
+    assert n_cancer_labels == 10
+    assert n_attr_names == 12
