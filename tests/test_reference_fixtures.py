@@ -202,3 +202,102 @@ def test_hallmarks_symbols_and_annotation_kinds(spark):
     )
     assert n_cancer_labels == 10
     assert n_attr_names == 12
+
+
+# ---------------------------------------------------------------------------
+# GenCode canonical transcripts (GenCodeTest.scala invariants)
+# ---------------------------------------------------------------------------
+
+def test_gencode_canonical_transcripts(spark):
+    from platform_etl_backend_spark.steps.target_annotations import gene_code_normalize
+
+    raw = spark.read.json(f"{REF}/target/genCode50.jsonl")
+    out = gene_code_normalize(raw)
+    n = out.count()
+    assert n > 0
+    assert out.select("gc_gene_id").distinct().count() == n
+    assert out.where(
+        F.col("canonicalTranscript.start") > F.col("canonicalTranscript.end")
+    ).count() == 0
+    assert out.where(
+        ~F.col("canonicalTranscript.strand").isin("+", "-")
+    ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HPA subcellular locations (GeneWithLocationTest.scala: 19 rows, 2 locs)
+# ---------------------------------------------------------------------------
+
+def test_hpa_gene_with_location(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        gene_with_location_normalize,
+    )
+
+    read = lambda p: spark.read.option("sep", "\t").option("header", True).csv(p)  # noqa: E731
+    out = gene_with_location_normalize(
+        read(f"{REF}/target/hpa_20.tsv"), read(f"{REF}/target/hpa_sl.tsv")
+    )
+    assert out.count() == 19
+    row = out.where(F.col("gwl_id") == "ENSG00000001629").collect()[0]
+    assert len(row.locations) == 2
+
+
+# ---------------------------------------------------------------------------
+# ChEMBL protein classification (ProteinClassificationTest.scala)
+# ---------------------------------------------------------------------------
+
+def test_chembl_protein_classification(spark):
+    from platform_etl_backend_spark.steps.target_annotations import (
+        protein_classification_normalize,
+    )
+
+    raw = spark.read.json(f"{REF}/target/chembl_target_100.jsonl.gz")
+    out = protein_classification_normalize(raw)
+    assert out.count() > 100  # each input doc has >= one accession
+    bad = out.where(
+        F.exists("targetClass", lambda tc: tc["label"].isNull() | (tc["label"] == ""))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# TEP (TepTest.scala: conversion without loss)
+# ---------------------------------------------------------------------------
+
+def test_tep_no_loss(spark):
+    from platform_etl_backend_spark.steps.target_annotations import tep_normalize
+
+    tep = spark.read.json(f"{REF}/target/tep_test.json")
+    # synthetic symbol->ENSG lookup covering every TEP symbol, so the join
+    # itself is what's under test (the reference's no-loss assertion)
+    lookup = (
+        tep.select(F.col("targetFromSourceId").alias("symbol"))
+        .distinct()
+        .select(
+            F.concat(F.lit("ENSG_"), "symbol").alias("ensgId"),
+            F.array("symbol").alias("name"),
+        )
+    )
+    out = tep_normalize(tep, lookup)
+    assert out.count() == tep.select("targetFromSourceId").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Safety (SafetyTest.scala: ToxCast rescue by symbol + full assembly)
+# ---------------------------------------------------------------------------
+
+def test_safety_toxcast_rescue_and_assembly(spark):
+    from platform_etl_backend_spark.steps.target_annotations import safety_normalize
+
+    safety = spark.read.json(f"{REF}/target/safety_100.jsonl")
+    diseases = spark.read.json(f"{REF}/disease_obsolete_map.jsonl")
+    lookup = spark.createDataFrame(
+        [("ENSG1", ["ALPP"]), ("ENSG2", ["AR"]), ("ENSG3", ["PGR"])],
+        "ensgId string, name array<string>",
+    )
+    toxcast = safety.where(F.col("datasource") == "ToxCast")
+    rescued = safety_normalize(toxcast, lookup)
+    assert rescued.where(F.col("safety_id").isNotNull()).count() == 3
+
+    full = safety_normalize(safety, lookup, diseases)
+    assert full.count() > 10
