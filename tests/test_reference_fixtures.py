@@ -301,3 +301,43 @@ def test_safety_toxcast_rescue_and_assembly(spark):
 
     full = safety_normalize(safety, lookup, diseases)
     assert full.count() > 10
+
+
+# ---------------------------------------------------------------------------
+# OpenFDA FAERS stages (OpenFdaTest.scala expectations)
+# ---------------------------------------------------------------------------
+
+def test_openfda_drug_list_columns(spark):
+    from platform_etl_backend_spark.steps.openfda import prepare_drug_list
+
+    chembl = spark.read.json(f"{REF}/openfda/drug_test.json")
+    out = prepare_drug_list(chembl)
+    assert set(out.columns) == {"chembl_id", "drug_name"}
+    assert out.count() > 0
+
+
+def test_openfda_blacklist_filtering_removes_every_blacklisted_event(spark):
+    from platform_etl_backend_spark.steps.openfda import (
+        filter_blacklist,
+        prepare_blacklist_data,
+    )
+
+    # the reference sample is the post-explode event shape
+    # (drug_name, reaction_reactionmeddrapt) — EventsFiltering's exact input
+    events = spark.read.json(f"{REF}/openfda/adverseEventSample.jsonl").withColumn(
+        "reaction", F.col("reaction_reactionmeddrapt")
+    )
+    bl = prepare_blacklist_data(
+        spark.read.option("sep", "\t")
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .csv(f"{REF}/openfda/blacklisted_events.txt")
+    )
+    filtered = filter_blacklist(events, bl)
+    # the reference's assertion: every blacklist row anti-joins cleanly
+    # against the filtered events (no blacklisted reaction survives)
+    survivors = bl.join(
+        filtered, filtered["reaction"] == bl["reactions"], "left_anti"
+    )
+    assert survivors.count() == bl.count()
+    assert filtered.count() > 0
