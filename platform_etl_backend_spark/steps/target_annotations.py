@@ -421,6 +421,36 @@ def tep_normalize(tep: DataFrame, lookup: DataFrame) -> DataFrame:
     )
 
 
+# GAF 2.x column specification (GeneOntology.scala:98-116) — positional TSV
+_GAF_COLUMNS = (
+    "database", "dbObjectId", "dbObjectSymbol", "qualifier", "goId",
+    "dbReference", "evidenceCode", "withOrFrom", "aspect", "dbObjectName",
+    "dbObjectSynonym", "dbObjectType", "taxon", "date", "assignedBy",
+    "annotationExtension", "geneProductFormId",
+)
+
+
+def gaf_extract(df: DataFrame, rna: bool = False) -> DataFrame:
+    """GO annotation (GAF) positional TSV → the 6-column shape the target
+    step's ``go`` accretion consumes (GeneOntology.scala:97-127
+    extractRequiredColumnsFromRawDf). ``rna=True`` applies the RNACentral id
+    fix (:54-56 — 'URS0000001346_9606' → 'URS0000001346')."""
+    named = df.toDF(*_GAF_COLUMNS)
+    obj_id = (
+        F.element_at(F.split(F.col("dbObjectId"), "_"), 1)
+        if rna
+        else F.col("dbObjectId")
+    )
+    return named.select(
+        obj_id.alias("dbObjectId"),
+        F.col("goId"),
+        F.col("dbReference").alias("source"),
+        F.col("evidenceCode").alias("evidence"),
+        F.col("aspect"),
+        obj_id.alias("geneProduct"),
+    )
+
+
 def gene_code_normalize(df: DataFrame) -> DataFrame:
     """GeneCode.scala:14-43: GFF positional columns → canonical transcript
     struct per gene (version suffix stripped from ENSG/ENST ids, chromosome
