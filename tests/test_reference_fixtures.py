@@ -370,3 +370,26 @@ def test_gaf_extraction_500_rows_6_columns(spark):
         "c12 string, c13 string, c14 string, c15 string, c16 string",
     )
     assert gaf_extract(rna_raw, rna=True).collect()[0].dbObjectId == "URS0000001346"
+
+
+# ---------------------------------------------------------------------------
+# Ensembl gene JSON (EnsemblTest.scala: near no-loss conversion + approved
+# name extracted from the description's [Source:...] suffix)
+# ---------------------------------------------------------------------------
+
+def test_ensembl_homo_fixture_no_loss_and_approved_name(spark):
+    from platform_etl_backend_spark.steps.target import ensembl_normalize
+
+    # full Ensembl gene JSON incl. the uniprot mapping columns (sparse —
+    # present on ~30 of 98 genes, which is what rescues swissprot-mapped
+    # scaffold genes through the chromosome-or-swissprot filter)
+    raw = spark.read.json(f"{REF}/target/homo_test.jsonl.gz")
+    out = ensembl_normalize(raw)
+    n_in, n_out = raw.count(), out.count()
+    assert abs(n_in - n_out) <= 10  # reference: count ± 10
+    r = out.where(F.col("id") == "ENSG00000201292").collect()
+    if r:  # row survives the chromosome filter in the fixture
+        assert r[0].approvedName == "RNA, U6 small nuclear 153, pseudogene"
+        assert "[Source:" not in r[0].approvedName
+    # every surviving description had its [Source:...] suffix stripped
+    assert out.where(F.col("approvedName").contains("[Source:")).count() == 0
