@@ -138,3 +138,22 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         M.decode_or_raise(b"x")
+
+
+def test_multinomial_sampling_invariants_match_reference_contract():
+    """The reference pins three invariants on its rmultinom sampler
+    (openfda/utils/MathUtilsTest.scala); the engine's Monte-Carlo path uses
+    the same construction via numpy — mirror the invariants on the exact
+    sampling matrix shape critical_value builds internally."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    size, iters = 10, 10
+    p = rng.random(size)
+    p = p / p.sum()
+    x = rng.multinomial(size, p, size=iters).T  # (k, permutations)
+    # every sample allocates exactly `size` units
+    assert (x.sum(axis=0) == size).all()
+    # allocations vary across samples
+    assert (x.max(axis=1) - x.min(axis=1)).sum() != 0
+    # degenerate single-option distribution puts all mass in the one bucket
+    x1 = rng.multinomial(1, np.array([1.0]), size=1).T
+    assert x1[0, 0] == 1
