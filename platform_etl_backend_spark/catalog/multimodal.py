@@ -121,7 +121,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_decode",
     oracle="""
     WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s
-               FROM documents WHERE length(text) >= 96),
+               FROM documents
+               WHERE length(text) >= 96
+                 AND regexp_full_match(text, '[\\x00-\\x7F]*')),
     px AS (SELECT doc_id, p, ascii(substr(s, CAST(p AS INTEGER), 1)) AS v
            FROM d, range(1, 97) t(p))
     SELECT doc_id,
@@ -139,9 +141,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "binary", "pandas-udf", "codec"),
 )
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASCII guard on BOTH engines: Spark hashes the UTF-8 BYTES of the first
+    # 96 chars while the oracle uses ascii() CODEPOINTS — identical only for
+    # ASCII, and multi-byte chars would also overflow the 8x4x3 raster that
+    # decode_ppm reads. Testdata is ASCII today; the filter makes the
+    # contract explicit instead of silent.
     d = (
         table(spark, sf_dir, "documents")
         .where(F.length("text") >= 96)
+        .where(F.col("text").rlike(r"^[\x00-\x7F]*$"))
         .select(
             "doc_id",
             F.concat(
@@ -163,7 +171,9 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_audio_decode",
     oracle="""
     WITH d AS (SELECT doc_id, substr(text, 1, 64) AS s
-               FROM documents WHERE length(text) >= 64),
+               FROM documents
+               WHERE length(text) >= 64
+                 AND regexp_full_match(text, '[\\x00-\\x7F]*')),
     smp AS (SELECT doc_id, p,
                    (ascii(substr(s, CAST(p AS INTEGER), 1)) - 128) * 256 AS v
             FROM d, range(1, 65) t(p)),
@@ -185,9 +195,11 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "binary", "pandas-udf", "codec"),
 )
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same explicit ASCII contract as q_image_decode (bytes vs codepoints).
     d = (
         table(spark, sf_dir, "documents")
         .where(F.length("text") >= 64)
+        .where(F.col("text").rlike(r"^[\x00-\x7F]*$"))
         .select(
             "doc_id",
             F.encode(F.substring("text", 1, 64), "utf-8").alias("pcm"),

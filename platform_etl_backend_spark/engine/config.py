@@ -36,9 +36,22 @@ class IOResourceConfig:
     # only set when single-file is a semantic requirement — at scale it
     # serializes the write through one task.
     coalesce: int | None = None
+    # Physical output clustering (Interaction.scala:440 repartitionByRange):
+    # rows are range-partitioned on these columns before the write, so each
+    # output file covers a disjoint key range — downstream merge joins and
+    # range scans on the cluster keys skip files. ``range_partitions`` bounds
+    # the file count (the reference pins 200); None lets AQE pick.
+    range_partition_by: tuple[str, ...] = ()
+    range_partitions: int | None = None
 
     def __post_init__(self) -> None:
         validate_write_mode(self.write_mode)
+        if self.range_partitions is not None and not self.range_partition_by:
+            raise ValueError("range_partitions requires range_partition_by columns")
+        if self.range_partition_by and self.coalesce:
+            raise ValueError(
+                "coalesce would collapse range clustering; set one or the other"
+            )
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "IOResourceConfig":
@@ -49,6 +62,8 @@ class IOResourceConfig:
             partition_by=tuple(d.get("partition_by", ())),
             write_mode=d.get("write_mode", "error"),
             coalesce=d.get("coalesce"),
+            range_partition_by=tuple(d.get("range_partition_by", ())),
+            range_partitions=d.get("range_partitions"),
         )
 
 

@@ -82,9 +82,23 @@ def write_single(resource: IOResource, extra_formats: tuple[str, ...] = ()) -> N
         df.unpersist()
 
 
-def _write(df: DataFrame, conf: IOResourceConfig, fmt: str, path: str) -> None:
+def apply_output_layout(df: DataFrame, conf: IOResourceConfig) -> DataFrame:
+    """Physical layout requested by the config, applied just before the
+    write: range clustering (Interaction.scala:440 — each output file a
+    disjoint key range; one range exchange, no semantic change) and/or the
+    single-file coalesce."""
+    if conf.range_partition_by:
+        if conf.range_partitions:
+            df = df.repartitionByRange(conf.range_partitions, *conf.range_partition_by)
+        else:
+            df = df.repartitionByRange(*conf.range_partition_by)
     if conf.coalesce:
         df = df.coalesce(conf.coalesce)
+    return df
+
+
+def _write(df: DataFrame, conf: IOResourceConfig, fmt: str, path: str) -> None:
+    df = apply_output_layout(df, conf)
     writer = df.write.mode(conf.write_mode)
     if conf.partition_by:
         writer = writer.partitionBy(*conf.partition_by)

@@ -37,10 +37,13 @@ def _tagged_union(
     payload: Sequence[str],
     tiebreak: str | None,
 ) -> DataFrame:
-    """Probe rows (side=1) ∪ build rows (side=0) with null-padded payload;
-    build is pre-deduped to one row per (key, ts) by highest tiebreak.
-    ``_bt`` carries the build event time (null on probe rows) so callers
-    can recover the matched timestamp."""
+    """Probe rows (side=1) ∪ build rows (side=0). The whole build payload —
+    matched timestamp ``__mt`` plus every payload column — travels as ONE
+    struct column ``_bpay`` (null on probe rows), so the downstream
+    ``last(ignorenulls=True)`` carry selects a matched build ROW atomically:
+    per-column carries would backfill a null payload value from a
+    farther-away build row and mix columns from different rows. Build is
+    pre-deduped to one row per (key, ts) by highest tiebreak."""
     if tiebreak:
         w0 = Window.partitionBy(on, build_ts).orderBy(F.col(tiebreak).desc())
         build = (
@@ -49,30 +52,32 @@ def _tagged_union(
             .drop("_rn")
         )
 
-    probe_struct_fields = [F.col(c) for c in probe.columns]
-    pay_types = {c: build.schema[c].dataType for c in payload}
-    bt_type = build.schema[build_ts].dataType
     tb: Column = (
         F.col(tiebreak) if tiebreak and tiebreak in build.columns else F.lit(0)
     )
+    bpay = F.struct(
+        F.col(build_ts).alias("__mt"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    probe_struct = F.struct(*[F.col(c) for c in probe.columns])
+    probe_type = probe.select(probe_struct.alias("s")).schema["s"].dataType
+    bpay_type = build.select(bpay.alias("s")).schema["s"].dataType
 
     p = probe.select(
         F.col(on).alias("_k"),
         F.col(probe_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tb"),
-        F.struct(*probe_struct_fields).alias("_probe"),
-        F.lit(None).cast(bt_type).alias("_bt"),
-        *[F.lit(None).cast(pay_types[c]).alias(f"_b_{c}") for c in payload],
+        probe_struct.alias("_probe"),
+        F.lit(None).cast(bpay_type).alias("_bpay"),
     )
     b = build.select(
         F.col(on).alias("_k"),
         F.col(build_ts).alias("_t"),
         F.lit(0).alias("_side"),
         tb.cast("long").alias("_tb"),
-        F.lit(None).cast(p.schema["_probe"].dataType).alias("_probe"),
-        F.col(build_ts).alias("_bt"),
-        *[F.col(c).alias(f"_b_{c}") for c in payload],
+        F.lit(None).cast(probe_type).alias("_probe"),
+        bpay.alias("_bpay"),
     )
     return p.unionByName(b)
 
@@ -99,12 +104,10 @@ def _asof_directional(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = tagged.withColumns(
-        {f"_b_{c}": F.last(f"_b_{c}", ignorenulls=True).over(w) for c in payload}
-    )
+    carried = tagged.withColumn("_m", F.last("_bpay", ignorenulls=True).over(w))
     return carried.where(F.col("_side") == 1).select(
         F.col("_probe.*"),
-        *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in payload],
+        *[F.col("_m").getField(c).alias(f"{prefix}{c}") for c in payload],
     )
 
 
@@ -181,27 +184,28 @@ def asof_join_nearest(
         .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # "__mt" is the matched-build-ts pseudo-payload; "_b_" prefixing keeps it
-    # clear of user payload names (payload columns are never "__mt")
-    cols = list(payload) + ["__mt"]
-    carried = tagged.withColumn("_b___mt", F.col("_bt")).withColumns(
+    # The matched row travels as ONE struct ("__mt" = matched build ts plus
+    # the payload fields; payload columns are never "__mt"), so the
+    # back/forward distance decision and the values it returns always come
+    # from the SAME build row — per-column carries could mix rows whenever a
+    # payload value is null.
+    carried = tagged.withColumns(
         {
-            **{f"_bk_{c}": F.last(f"_b_{c}", ignorenulls=True).over(wb) for c in cols},
-            **{f"_fw_{c}": F.last(f"_b_{c}", ignorenulls=True).over(wf) for c in cols},
+            "_bk": F.last("_bpay", ignorenulls=True).over(wb),
+            "_fw": F.last("_bpay", ignorenulls=True).over(wf),
         }
     )
-    use_back = F.col("_bk___mt").isNotNull() & (
-        F.col("_fw___mt").isNull()
-        | ((F.col("_t") - F.col("_bk___mt")) <= (F.col("_fw___mt") - F.col("_t")))
+    use_back = F.col("_bk").isNotNull() & (
+        F.col("_fw").isNull()
+        | (
+            (F.col("_t") - F.col("_bk").getField("__mt"))
+            <= (F.col("_fw").getField("__mt") - F.col("_t"))
+        )
     )
+    chosen = F.when(use_back, F.col("_bk")).otherwise(F.col("_fw"))
     return carried.where(F.col("_side") == 1).select(
         F.col("_probe.*"),
-        *[
-            F.when(use_back, F.col(f"_bk_{c}"))
-            .otherwise(F.col(f"_fw_{c}"))
-            .alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        *[chosen.getField(c).alias(f"{prefix}{c}") for c in payload],
     )
 
 

@@ -175,10 +175,19 @@ def connected_components(
         cur = small
         if changed.isEmpty():
             break
-    # at fixpoint every edge points (member → component-min root)
-    labels = cur.select(
-        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("component")
-    ).distinct()
+    # At fixpoint every edge points (member → component-min root). If
+    # max_iter cut the loop before the fixpoint, residual non-star edges
+    # would otherwise emit multiple (node, component) rows per node — the
+    # min-agg (cheap: the edge set is already near star-sized) guarantees
+    # exactly one row per node, degrading to a possibly-unconverged label
+    # instead of silent duplicates.
+    labels = (
+        cur.select(
+            F.greatest("a", "b").alias("node"), F.least("a", "b").alias("component")
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
     roots = nodes.join(labels, "node", "left_anti").select(
         "node", F.col("node").alias("component")
     )

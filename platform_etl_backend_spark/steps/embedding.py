@@ -28,6 +28,13 @@ def train_word2vec(
     step_size: float = 0.02,
     seed: int = 42,
 ) -> Word2VecModel:
+    """Determinism note: training is reproducible ONLY when
+    ``num_partitions=1`` with a fixed ``seed`` (pinned by
+    tests/test_steps.py::test_word2vec_deterministic_when_single_partition_seeded).
+    With the reference's production numPartitions=16 (reference.conf:773)
+    gradient updates race across partitions (Hogwild-style) and vectors
+    drift run-to-run — the same trade the reference makes; use 1 partition
+    where exact reproducibility matters more than training speed."""
     w2v = Word2Vec(
         inputCol=tokens_col,
         outputCol="vector",

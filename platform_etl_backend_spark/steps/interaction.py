@@ -375,6 +375,41 @@ def generate_evidences(
     return snake_to_lower_camel_schema(out)
 
 
+def interaction_output_configs(
+    base_path: str, n_files: int = 200
+) -> "dict[str, IOResourceConfig]":
+    """Default write configs for the step's outputs, carrying the
+    reference's physical layout (Interaction.scala:434-440): the per-pair
+    aggregation coalesces to ``n_files`` and the evidence export is
+    range-clustered on (targetA, targetB) via ``repartitionByRange`` so
+    each parquet file covers a disjoint target range — downstream scans
+    filtered on target prune whole files. ``engine.io.write_single``
+    applies both from the config."""
+    from platform_etl_backend_spark.engine.config import IOResourceConfig
+
+    base = base_path.rstrip("/")
+    return {
+        "interaction_evidences": IOResourceConfig(
+            format="parquet",
+            path=f"{base}/interactionEvidence",
+            write_mode="overwrite",
+            range_partition_by=("targetA", "targetB"),
+            range_partitions=n_files,
+        ),
+        "interactions_agg": IOResourceConfig(
+            format="parquet",
+            path=f"{base}/interaction",
+            write_mode="overwrite",
+            coalesce=n_files,
+        ),
+        "interactions_unmatched": IOResourceConfig(
+            format="json",
+            path=f"{base}/interactionUnmatched",
+            write_mode="overwrite",
+        ),
+    }
+
+
 def interaction_step(
     spark: SparkSession,
     inputs: Mapping[str, DataFrame],

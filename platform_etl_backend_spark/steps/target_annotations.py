@@ -434,7 +434,10 @@ def gaf_extract(df: DataFrame, rna: bool = False) -> DataFrame:
     """GO annotation (GAF) positional TSV → the 6-column shape the target
     step's ``go`` accretion consumes (GeneOntology.scala:97-127
     extractRequiredColumnsFromRawDf). ``rna=True`` applies the RNACentral id
-    fix (:54-56 — 'URS0000001346_9606' → 'URS0000001346')."""
+    fix (:54-56 — 'URS0000001346_9606' → 'URS0000001346') to ``dbObjectId``
+    ONLY: the reference strips the suffix via a post-extraction withColumn,
+    so ``geneProduct`` keeps the raw suffixed id and stays a valid ECO-lookup
+    join key (Seq(goId, geneProduct, evidence), :69)."""
     named = df.toDF(*_GAF_COLUMNS)
     obj_id = (
         F.element_at(F.split(F.col("dbObjectId"), "_"), 1)
@@ -447,7 +450,7 @@ def gaf_extract(df: DataFrame, rna: bool = False) -> DataFrame:
         F.col("dbReference").alias("source"),
         F.col("evidenceCode").alias("evidence"),
         F.col("aspect"),
-        obj_id.alias("geneProduct"),
+        F.col("dbObjectId").alias("geneProduct"),
     )
 
 

@@ -143,6 +143,47 @@ def test_kmeans_fit_deterministic_and_improves_assignment(spark, sf_dir):
     assert quality(fitted) > quality(naive)
 
 
+def _correlated_corpus(spark, n=240, dim=8, lead=6):
+    """Correlated-dims corpus: the first ``lead`` dimensions are always
+    positive (shared direction — the real-embedding failure shape for
+    axis-aligned sign planes); only the tail dims vary in sign."""
+    rows = []
+    for i in range(n):
+        head = [1.0 + 0.01 * ((i * (j + 3)) % 17) for j in range(lead)]
+        tail = [((-1.0) ** ((i // (2**j)) % 2)) * (0.5 + 0.01 * (i % 13))
+                for j in range(dim - lead)]
+        rows.append((i, head + tail))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_bucket_stats_fallback_advice_holds_on_correlated_corpus(spark):
+    """The documented pre-flight playbook (bucket_stats docstring) must
+    actually work on a correlated-dims corpus: (a) the audit flags the hot
+    bucket at the default nbits=4 (whole corpus in 1 bucket → |corpus|²
+    pairs); (b) bumping nbits past the correlated prefix caps the max
+    bucket at ≤ 30% of the corpus; (c) the IVF switch spreads vectors over
+    data-driven cells with the same cap — both advertised fallbacks hold."""
+    corpus = _correlated_corpus(spark)
+    n_vec = corpus.count()
+
+    hot = _stats(corpus, nbits=4)
+    assert hot.n_buckets == 1 and hot.max_bucket == n_vec  # (a) audit fires
+
+    bumped = _stats(corpus, nbits=8)
+    assert bumped.n_buckets >= 4
+    assert bumped.max_bucket <= 0.3 * n_vec  # (b) nbits bump
+
+    cents = S.kmeans_fit(corpus, "vec_id", "embedding", k=8, iters=2)
+    cells = (
+        S.ivf_assign(corpus, cents.select(F.col("cell_id").alias("vec_id"),
+                                          F.col("vec").alias("embedding")),
+                     "vec_id", "embedding")
+        .groupBy("cell_id").count().collect()
+    )
+    assert max(r["count"] for r in cells) <= 0.3 * n_vec  # (c) IVF switch
+    assert len(cells) >= 4
+
+
 def test_multitable_or_amplification_raises_recall(spark, sf_dir):
     """Independent hash tables compose recall as 1-(1-p)^L: strictly
     increasing in L, and 4 tables must roughly match the single-table

@@ -55,6 +55,41 @@ def test_asof_keys_do_not_leak(spark):
     assert out[2] == (None, None)
 
 
+def test_asof_null_payload_not_backfilled_from_farther_row(spark):
+    """A NULL payload value in the matched build row must come through as
+    NULL — per-column carries would backfill it from a farther-away build
+    row, mixing columns from different rows (the struct-packed carry makes
+    row selection atomic)."""
+    probe = spark.createDataFrame([(1, "u", 10)], ["pid", "k", "t"])
+    build = spark.createDataFrame(
+        [("u", 5, 100, 1.0), ("u", 8, 200, None)],
+        "k string, t long, bid long, val double",
+    )
+    row = asof_join_backward(
+        probe, build, on="k", probe_ts="t", build_ts="t", payload=["bid", "val"]
+    ).collect()[0]
+    assert row.asof_bid == 200  # matched row is t=8
+    assert row.asof_val is None  # its null val must NOT be backfilled from t=5
+
+
+def test_asof_nearest_null_payload_row_is_atomic(spark):
+    """Nearest: the distance decision (__mt) and the returned payload must
+    come from the same build row even when that row has null payload."""
+    from platform_etl_backend_spark.operators.asof import asof_join_nearest
+
+    probe = spark.createDataFrame([(1, "u", 10)], ["pid", "k", "t"])
+    build = spark.createDataFrame(
+        [("u", 4, 2, 9.0), ("u", 9, 1, None), ("u", 30, 3, 7.0)],
+        "k string, t long, bid long, val double",
+    )
+    row = asof_join_nearest(
+        probe, build, on="k", probe_ts="t", build_ts="t", payload=["bid", "val"]
+    ).collect()[0]
+    # nearest to t=10 is the t=9 row (distance 1 beats 20); its val is null
+    assert row.asof_bid == 1
+    assert row.asof_val is None
+
+
 def test_asof_plan_has_no_cartesian_or_bnlj(spark):
     """The whole point: an as-of must NOT plan as an inequality join."""
     probe = spark.createDataFrame([(1, "u", 10)], ["pid", "k", "t"])

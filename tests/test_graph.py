@@ -78,6 +78,21 @@ def test_components_long_chain_converges_in_log_rounds(spark):
     assert set(labels.values()) == {0}
 
 
+def test_components_one_row_per_node_even_when_max_iter_cuts_early(spark):
+    """If max_iter stops the loop before the large-star/small-star fixpoint,
+    residual non-star edges must NOT surface as duplicate (node, component)
+    rows — the final min-agg guarantees exactly one row per node (the label
+    may be unconverged, matching min-label-propagation's degradation)."""
+    n = 100
+    chain = [(i, i + 1) for i in range(n)]
+    from platform_etl_backend_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    out = connected_components(df, max_iter=1).collect()
+    nodes = [r.node for r in out]
+    assert len(nodes) == len(set(nodes)) == n + 1
+
+
 def test_components_match_networkx_on_random_graph(spark):
     import random
 

@@ -369,7 +369,11 @@ def test_gaf_extraction_500_rows_6_columns(spark):
         "c6 string, c7 string, c8 string, c9 string, c10 string, c11 string, "
         "c12 string, c13 string, c14 string, c15 string, c16 string",
     )
-    assert gaf_extract(rna_raw, rna=True).collect()[0].dbObjectId == "URS0000001346"
+    rna_row = gaf_extract(rna_raw, rna=True).collect()[0]
+    assert rna_row.dbObjectId == "URS0000001346"
+    # GeneOntology.scala:54-56 strips the suffix AFTER extraction, so the
+    # geneProduct ECO-lookup key keeps the raw suffixed id
+    assert rna_row.geneProduct == "URS0000001346_9606"
 
 
 # ---------------------------------------------------------------------------

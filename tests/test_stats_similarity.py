@@ -157,3 +157,63 @@ def test_multinomial_sampling_invariants_match_reference_contract():
     # degenerate single-option distribution puts all mass in the one bucket
     x1 = rng.multinomial(1, np.array([1.0]), size=1).T
     assert x1[0, 0] == 1
+
+
+def _exact_max_llr_distribution(n_j: int, n_i: np.ndarray, total: int):
+    """Dense enumeration of the max-LLR distribution: every multinomial
+    outcome of n_j draws over k cells (p ∝ n_i/total), with the same cell-LLR
+    formula critical_value vectorizes. Returns (values, probs) sorted."""
+    from itertools import product
+    from math import factorial, log
+
+    y = n_i.astype(np.float64)
+    n = float(total)
+    z = float(n_j)
+    p = (y / n) / (y / n).sum()
+    k = len(y)
+    support: dict[float, float] = {}
+    for xs in product(range(n_j + 1), repeat=k - 1):
+        rest = n_j - sum(xs)
+        if rest < 0:
+            continue
+        x = np.array(list(xs) + [rest], dtype=np.float64)
+        coef = factorial(n_j)
+        for xi in x:
+            coef //= factorial(int(xi))
+        pmf = float(coef) * float(np.prod(p**x))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            llrs = x * (np.log(x) - np.log(y)) + (z - x) * (
+                np.log(z - x) - np.log(n - y)
+            )
+            llrs = llrs - z * log(z) + z * log(n)
+        llrs[~np.isfinite(llrs)] = 0.0
+        v = float(llrs.max())
+        support[v] = support.get(v, 0.0) + pmf
+    values = np.array(sorted(support))
+    probs = np.array([support[v] for v in values])
+    assert abs(probs.sum() - 1.0) < 1e-9
+    return values, probs
+
+
+def _exact_quantile(values: np.ndarray, probs: np.ndarray, q: float) -> float:
+    cdf = np.cumsum(probs)
+    return float(values[np.searchsorted(cdf, q)])
+
+
+def test_montecarlo_critical_value_converges_to_dense_enumeration():
+    """The driver's q_montecarlo_critical stays rows-only forever (seeded
+    simulation) — this is its statistical oracle: at 10k permutations on a
+    tiny contingency, the empirical 95th-percentile max-LLR must land inside
+    the exact distribution's [q(0.94), q(0.96)] band (dense enumeration of
+    all multinomial outcomes; the empirical CDF's std at 0.95 with 10k
+    samples is ~0.0022, so the ±0.01 band is ≈4.5σ)."""
+    n_i = np.array([30, 50, 20])
+    n_j, total, perms = 12, 100, 10_000
+    values, probs = _exact_max_llr_distribution(n_j, n_i, total)
+    lo = _exact_quantile(values, probs, 0.94)
+    hi = _exact_quantile(values, probs, 0.96)
+    exact = _exact_quantile(values, probs, 0.95)
+    assert lo <= exact <= hi
+    for seed in (3, 17, 4242):
+        emp = critical_value(perms, n_j, n_i, total, 0.95, seed=seed)
+        assert lo - 1e-9 <= emp <= hi + 1e-9, (emp, lo, exact, hi)

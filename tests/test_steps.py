@@ -176,6 +176,36 @@ def test_reactome_step(spark):
     assert rows["R-1"].path == [["R-1"]]
 
 
+def test_word2vec_deterministic_when_single_partition_seeded(spark):
+    """Determinism contract (see train_word2vec docstring): with a fixed
+    seed AND numPartitions=1 the trained vectors, their export, and the
+    cosine-synonym ordering are identical across runs. (The reference's
+    production numPartitions=16 trades this away for speed — Hogwild-style
+    updates race across partitions; same trade here, documented.)"""
+    sents = spark.createDataFrame(
+        [(["spark", "query", "engine", "fast"],),
+         (["spark", "fast", "engine", "scan"],),
+         (["query", "scan", "plan", "spark"],)] * 7,
+        "tokens: array<string>",
+    )
+
+    def run():
+        model = train_word2vec(
+            sents, vector_size=8, num_partitions=1, max_iter=2, seed=42
+        )
+        vecs = sorted(
+            (r.category, r.word, r.norm, tuple(r.vector))
+            for r in export_vectors(model).collect()
+        )
+        syns = [(r.word, round(r.similarity, 6))
+                for r in model.findSynonyms("spark", 3).collect()]
+        return vecs, syns
+
+    first, second = run(), run()
+    assert first[0] == second[0]  # vectors + norms bit-identical
+    assert first[1] == second[1]  # synonym ranking stable
+
+
 def test_word2vec_roundtrip(spark, tmp_path):
     sents = spark.createDataFrame(
         [(["spark", "query", "engine"],), (["spark", "fast", "engine"],)] * 5,
