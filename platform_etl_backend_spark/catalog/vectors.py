@@ -149,6 +149,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf_nprobe",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+    scored AS (
+      SELECT vid, vec, cell_id, {_IVF_COS.format(a='vec', b='cv')} AS cell_cos
+      FROM v, cents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                                   ORDER BY cell_cos DESC, cell_id) AS rn
+      FROM scored),
+    assigned AS (SELECT vid, vec, cell_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vid, vec, cell_id FROM ranked WHERE rn <= 2),
+    pairs AS (
+      SELECT a.vid AS query_id, b.vid AS neighbor_id,
+             {_IVF_COS.format(a='a.vec', b='b.vec')} AS cos
+      FROM probes a JOIN assigned b ON a.cell_id = b.cell_id AND a.vid <> b.vid)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM pairs) WHERE rk <= 1
+    """,
+    description="IVF ANN with nprobe=2 multi-cell probing (the FAISS-style search "
+    "shape): the index stays one-cell-per-vector, each query fans out to its 2 "
+    "nearest cells — recall rises at a bounded 2x candidate cost, never "
+    "|corpus|^2; a neighbor can match through at most one probe (it lives in "
+    "exactly one cell), so no dedup pass",
+    tags=("similarity", "vectors", "ivf", "multiprobe"),
+)
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, centroids, "vec_id", "embedding", k=1, nprobe=2)
+
+
+@register(
     "q_embedding_near_dup",
     oracle=f"""
     WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)

@@ -92,6 +92,11 @@ def apply_output_layout(df: DataFrame, conf: IOResourceConfig) -> DataFrame:
             df = df.repartitionByRange(conf.range_partitions, *conf.range_partition_by)
         else:
             df = df.repartitionByRange(*conf.range_partition_by)
+    if conf.zorder_by:
+        from platform_etl_backend_spark.operators.layout import zorder_cluster
+
+        n = conf.zorder_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = zorder_cluster(df, list(conf.zorder_by), n, bits=conf.zorder_bits)
     if conf.coalesce:
         df = df.coalesce(conf.coalesce)
     return df
@@ -104,6 +109,17 @@ def _write(df: DataFrame, conf: IOResourceConfig, fmt: str, path: str) -> None:
         writer = writer.partitionBy(*conf.partition_by)
     if conf.options:
         writer = writer.options(**dict(conf.options))
+    if conf.bucket_by:
+        # Hash-bucketed layout: co-bucketed tables join shuffle-free
+        # (asserted in tests/test_bucketed_write.py). Spark requires
+        # bucketBy to go through the catalog, so the write is an EXTERNAL
+        # table at the configured path.
+        table = conf.table_name or path.rstrip("/").rsplit("/", 1)[-1]
+        writer = writer.bucketBy(conf.n_buckets, *conf.bucket_by)
+        if conf.sort_by:
+            writer = writer.sortBy(*conf.sort_by)
+        writer.format(fmt).option("path", path).saveAsTable(table)
+        return
     writer.format(fmt).save(path)
 
 

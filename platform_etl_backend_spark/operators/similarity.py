@@ -127,6 +127,64 @@ def ivf_top1(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    nprobe: int = 1,
+    precision: int = 6,
+) -> DataFrame:
+    """IVF ANN with multi-cell probing — the FAISS-style search shape.
+
+    The corpus index stays one-cell-per-vector (``ivf_assign``); each QUERY
+    fans out to its ``nprobe`` highest-cosine cells, so recall rises at a
+    bounded ``nprobe``× candidate-cost multiplier (query side only — the
+    index is untouched, and a neighbor can appear through at most one probe
+    because it lives in exactly one cell, so no dedup pass is needed).
+    Returns the per-query top-``k`` neighbors with their rank ``rk``.
+
+    Scale shape: centroids broadcast twice (assignment + probe selection),
+    one equi-join on cell_id bounded by cell sizes × nprobe, one windowed
+    top-k. Same plan family as ``ivf_top1`` — no quadratic path at any
+    nprobe.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cv")
+    )
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+    qscored = v.crossJoin(F.broadcast(c)).select(
+        "vid", "vec", "cell_id",
+        F.round(cosine(F.col("vec"), F.col("cv")), 6).alias("cell_cos"),
+    )
+    wq = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "cell_id")
+    )
+    b = assigned.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"), "cell_id"
+    )
+    pairs = (
+        probes.join(b, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("bv")), precision).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str,

@@ -208,6 +208,12 @@ def montecarlo_critical_values(
     )
 
     def per_drug(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Partitioning invariance: rows arrive in shuffle order, and the
+        # n_i cell order feeds the multinomial RNG — sort on the full row
+        # so the same contingency always draws the same permutations
+        # (statistically identical, but reproducible cluster-wide; the
+        # reference's executor-seeded path is not).
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
         drug = pdf[drug_col].iloc[0]
         n_j = int(pdf["drug_total"].iloc[0])
         total = int((pdf["A"] + pdf["B"] + pdf["C"] + pdf["D"]).iloc[0])

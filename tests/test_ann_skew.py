@@ -184,6 +184,39 @@ def test_bucket_stats_fallback_advice_holds_on_correlated_corpus(spark):
     assert len(cells) >= 4
 
 
+def test_ivf_nprobe_raises_recall_and_agrees_at_nprobe1(spark, sf_dir):
+    """ivf_topk must (a) reduce exactly to ivf_top1 at nprobe=1 and
+    (b) strictly improve recall@1 vs brute force as nprobe grows — the
+    FAISS-style quality knob, bounded at nprobe× candidate cost."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8)
+    t1 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_top1(emb, cents, "vec_id", "embedding").collect()
+    }
+    tk1 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, cents, "vec_id", "embedding", k=1, nprobe=1).collect()
+    }
+    assert t1 == tk1  # (a)
+
+    bf = (
+        S.brute_force_topk(emb, emb, "vec_id", "embedding", k=1)
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("bf_n"))
+    )
+
+    def recall(nprobe):
+        ann = S.ivf_topk(
+            emb, cents, "vec_id", "embedding", k=1, nprobe=nprobe
+        ).select("query_id", F.col("neighbor_id").alias("ann_n"))
+        j = bf.join(ann, "query_id")
+        return j.where(F.col("bf_n") == F.col("ann_n")).count() / j.count()
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 < r2 <= r4, (r1, r2, r4)  # (b)
+
+
 def test_multitable_or_amplification_raises_recall(spark, sf_dir):
     """Independent hash tables compose recall as 1-(1-p)^L: strictly
     increasing in L, and 4 tables must roughly match the single-table

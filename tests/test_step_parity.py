@@ -1,0 +1,279 @@
+"""Step-composite parity for search / search_ebi / expression / literature —
+the three step families that had no reference-fixture coverage (target,
+interaction, openfda live in test_reference_fixtures.py).
+
+The reference ships a unit test only for SearchEBI (SearchEBITest.scala,
+inline rows — mirrored verbatim here); for the others the fixtures are
+crafted to the cited reference source contracts: Search.scala:115-141
+(rank()-banded label collection at cutoffs 50/25/5), Expression.scala:64-145
+(matrix transpose → group-max merge → EFO mapping with name fallback) and
+literature/Processing.scala:50-117 (section-weighted harmonic relevance).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.steps.expression import expression_step
+from platform_etl_backend_spark.steps.literature import publication_relevance
+from platform_etl_backend_spark.steps.search import banded_labels, search_step
+from platform_etl_backend_spark.steps.search_ebi import search_ebi_step
+
+
+# ---------------------------------------------------------------------------
+# SearchEBI — the reference's own test rows (SearchEBITest.scala:11-54).
+# Its evidence input there lacks the `score` column the production select
+# reads (SearchEBI.scala:37); we use the production contract and note the
+# reference test's inconsistency rather than reproduce it.
+# ---------------------------------------------------------------------------
+
+def test_search_ebi_matches_reference_test_rows(spark):
+    targets = spark.createDataFrame(
+        [
+            ("ENSG00000157764", "BRAF"),
+            ("ENSG00000171862", "PTEN"),
+            ("ENSG00000139618", "BRCA2"),
+            ("ENSG00000142192", "APP"),
+        ],
+        ["id", "approvedSymbol"],
+    )
+    diseases = spark.createDataFrame(
+        [
+            ("EFO_0003767", "inflammatory bowel disease"),
+            ("EFO_0000729", "ulcerative colitis"),
+            ("EFO_0000692", "schizophrenia"),
+        ],
+        ["id", "name"],
+    )
+    evidence = spark.createDataFrame(
+        [
+            ("ENSG00000157764", "EFO_0003767", 0.78778),
+            ("ENSG00000139618", "EFO_0000692", 0.98987),
+            ("ENSG00000171862", "EFO_0000729", 0.4323),
+        ],
+        ["targetId", "diseaseId", "score"],
+    )
+    associations = spark.createDataFrame(
+        [
+            ("ENSG00000171862", "EFO_0003767", 0.8737),
+            ("ENSG00000139618", "EFO_0000692", 0.5555),
+            ("ENSG00000171862", "EFO_0000729", 0.3232),
+        ],
+        ["targetId", "diseaseId", "associationScore"],
+    )
+    out = search_ebi_step(
+        spark,
+        {
+            "target": targets,
+            "disease": diseases,
+            "evidence": evidence,
+            "association": associations,
+        },
+    )
+    expected_cols = {"diseaseId", "targetId", "score", "approvedSymbol", "name"}
+    for key in ("ebisearchEvidence", "ebisearchAssociations"):
+        assert expected_cols <= set(out[key].columns), key
+
+    assoc = {(r.targetId, r.diseaseId): r for r in out["ebisearchAssociations"].collect()}
+    assert len(assoc) == 3  # all rows survive the two inner joins
+    r = assoc[("ENSG00000171862", "EFO_0003767")]
+    assert r.approvedSymbol == "PTEN"
+    assert r.name == "inflammatory bowel disease"
+    assert abs(r.score - 0.8737) < 1e-12
+
+    evid = {(r.targetId, r.diseaseId): r for r in out["ebisearchEvidence"].collect()}
+    assert evid[("ENSG00000139618", "EFO_0000692")].approvedSymbol == "BRCA2"
+
+
+# ---------------------------------------------------------------------------
+# Search — rank()-banded terms/terms25/terms5 (Search.scala:115-141: the
+# window is rank() over score desc, so ties SHARE a rank and both sides of a
+# tie enter the band).
+# ---------------------------------------------------------------------------
+
+def test_search_banding_rank_cutoffs_and_tie_semantics(spark):
+    assoc = spark.createDataFrame(
+        [
+            ("t1", "d%d" % i, name, score)
+            for i, (name, score) in enumerate(
+                [
+                    ("alpha", 0.9),
+                    ("beta", 0.8),
+                    ("gamma", 0.7),
+                    ("delta", 0.6),
+                    ("delta2", 0.6),  # tie at the band-5 boundary
+                    ("omega", 0.4),
+                ],
+                start=1,
+            )
+        ],
+        ["targetId", "diseaseId", "diseaseName", "score"],
+    )
+    bands = banded_labels(assoc, "targetId", "diseaseName", "score").collect()[0]
+    assert bands.labels_50 == sorted(
+        ["alpha", "beta", "gamma", "delta", "delta2", "omega"]
+    )
+    assert bands.labels_25 == bands.labels_50  # all ranks <= 25 here
+    # ranks: 1,2,3,4,4,6 — the 0.6 tie shares rank 4, omega lands at 6
+    assert bands.labels_5 == sorted(["alpha", "beta", "gamma", "delta", "delta2"])
+
+
+def test_search_step_index_shape_and_multiplier_fallback(spark):
+    """End-to-end search_step over efo/target-style rows: index schema,
+    banded terms landing on the right entity, and the relevance multiplier
+    log1p(mean)+1 with the 0.01 no-association fallback
+    (Search.scala:289-291)."""
+    targets = spark.createDataFrame(
+        [
+            ("ENSG00000157764", "BRAF kinase", "BRAF", ["B-raf"]),
+            ("ENSG00000171862", "PTEN phosphatase", "PTEN", []),
+        ],
+        ["id", "approvedName", "approvedSymbol", "synonyms"],
+    )
+    diseases = spark.createDataFrame(
+        [
+            ("EFO_0003767", "inflammatory bowel disease", ["IBD"]),
+            ("EFO_0000692", "schizophrenia", []),
+        ],
+        ["id", "name", "synonyms"],
+    )
+    associations = spark.createDataFrame(
+        [("ENSG00000157764", "EFO_0003767", 0.5)],
+        ["targetId", "diseaseId", "score"],
+    )
+    out = search_step(
+        spark,
+        {"targets": targets, "diseases": diseases, "associations": associations},
+    )
+    t = {r.id: r for r in out["search_target"].collect()}
+    d = {r.id: r for r in out["search_disease"].collect()}
+
+    from platform_etl_backend_spark.steps.search import SEARCH_INDEX_COLS
+
+    assert tuple(out["search_target"].columns) == SEARCH_INDEX_COLS
+    assert tuple(out["search_disease"].columns) == SEARCH_INDEX_COLS
+
+    braf = t["ENSG00000157764"]
+    assert braf.terms == ["inflammatory bowel disease"]
+    assert braf.terms5 == ["inflammatory bowel disease"]
+    assert abs(braf.multiplier - (math.log1p(0.5) + 1.0)) < 1e-9
+    assert "BRAF" in braf.keywords and "B-raf" in braf.keywords
+    assert "braf kinase" in braf.ngrams
+
+    # no associations → empty bands + 0.01 multiplier fallback
+    pten = t["ENSG00000171862"]
+    assert pten.terms == [] and pten.terms5 == []
+    assert abs(pten.multiplier - 0.01) < 1e-12
+
+    ibd = d["EFO_0003767"]
+    assert ibd.terms == ["BRAF"]
+    assert abs(ibd.multiplier - (math.log1p(0.5) + 1.0)) < 1e-9
+    assert abs(d["EFO_0000692"].multiplier - 0.01) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Expression — transpose + group-max merge + EFO fallback
+# (Expression.scala:64-145) over a 2-gene × 2-tissue matrix.
+# ---------------------------------------------------------------------------
+
+def test_expression_step_transpose_groupmax_and_efo_fallback(spark):
+    tissues = spark.createDataFrame(
+        [
+            ("ENSG1", "Liver", "hepatocyte", "High", "Approved"),
+            ("ENSG1", "Brain", "neuron", "N/A", "Uncertain"),  # N/A filtered
+            ("ENSG2", "Liver", "hepatocyte", "Low", "Uncertain"),
+        ],
+        ["Gene", "Tissue", "Cell type", "Level", "Reliability"],
+    )
+    rna = spark.createDataFrame(
+        [("ENSG1", 10.0, 2.0), ("ENSG2", 5.0, 1.0)], ["ID", "liver", "brain"]
+    )
+    binned = spark.createDataFrame(
+        [("ENSG1", 3.0, 1.0), ("ENSG2", 2.0, 0.0)], ["ID", "liver", "brain"]
+    )
+    zscore = spark.createDataFrame(
+        [("ENSG1", 4.0, 1.0), ("ENSG2", 1.0, 0.0)], ["ID", "liver", "brain"]
+    )
+    efomap = spark.createDataFrame(
+        [("liver", "liver", "UBERON_0002107", ["digestive system"], ["liver"])],
+        "tissue_id string, label string, efo_code string, "
+        "anatomical_systems array<string>, organs array<string>",
+    )  # brain intentionally absent → name fallback
+    exprmap = spark.createDataFrame(
+        [("liver", "liver"), ("brain", "brain")], ["_c0", "_c1"]
+    )
+
+    out = expression_step(
+        spark,
+        {
+            "tissues": tissues,
+            "rna": rna,
+            "binned": binned,
+            "zscore": zscore,
+            "efomap": efomap,
+            "exprmap": exprmap,
+        },
+    )["expressions"]
+    rows = {r.id: {t.label: t for t in r.tissues} for r in out.collect()}
+    assert set(rows) == {"ENSG1", "ENSG2"}
+
+    liver1 = rows["ENSG1"]["liver"]
+    assert liver1.efo_code == "UBERON_0002107"  # mapped through the EFO table
+    assert liver1.organs == ["liver"]
+    assert liver1.rna.value == 10.0  # group-max over the melted union
+    assert liver1.rna.level == 3.0  # binned
+    assert liver1.rna.zscore == 4.0
+    assert liver1.rna.unit == "TPM"
+    assert liver1.protein.level == 3  # High
+    assert liver1.protein.reliability is True  # Approved
+    cell_names = {c.name for c in liver1.protein.cell_type if c is not None}
+    assert "hepatocyte" in cell_names
+
+    # brain has no EFO row: efoId falls back to the tissue name itself
+    brain1 = rows["ENSG1"]["brain"]
+    assert brain1.efo_code == "brain"
+    assert brain1.rna.value == 2.0
+    assert brain1.protein.level == -1  # no (non-N/A) normal-tissue row
+    assert brain1.protein.reliability is False
+
+    liver2 = rows["ENSG2"]["liver"]
+    assert liver2.protein.level == 1  # Low
+    assert liver2.protein.reliability is False  # Uncertain
+    assert liver2.rna.value == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Literature — section-weighted harmonic relevance
+# (literature/Processing.scala:50-117): title contributes ONE titleWeight
+# entry no matter how many matches, other sections one weight per match,
+# unknown sections fill rank=100/weight=0.01; harmonic = Σ sorted_desc[i]/i².
+# ---------------------------------------------------------------------------
+
+def test_literature_relevance_vector_semantics(spark):
+    matches = spark.createDataFrame(
+        [
+            (1, "ENSG1", "GP", "title"),
+            (1, "ENSG1", "GP", "title"),  # second title match: still one 1.0
+            (1, "ENSG1", "GP", "abstract"),
+            (1, "ENSG1", "GP", "abstract"),
+            (1, "ENSG1", "GP", "weird_section"),  # unknown → 0.01
+            (1, "EFO_1", "DS", "abstract"),
+            (2, "ENSG1", "GP", "methods"),
+        ],
+        ["pmid", "keywordId", "type", "section"],
+    )
+    out = {
+        (r.pmid, r.keywordId): r.relevance
+        for r in publication_relevance(matches).collect()
+    }
+
+    def harmonic(ws):
+        return round(
+            sum(w / (i * i) for i, w in enumerate(sorted(ws, reverse=True), 1)), 6
+        )
+
+    assert out[(1, "ENSG1")] == harmonic([1.0, 0.8, 0.8, 0.01])
+    assert out[(1, "EFO_1")] == harmonic([0.8])
+    assert out[(2, "ENSG1")] == harmonic([0.3])
