@@ -46,3 +46,92 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sort_array(F.collect_set("ancestor")), lambda x: x.cast("string")),
         ).alias("ancestors"),
     )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85, scale: int = 9) -> str:
+    """Unrolled-CTE PageRank mirroring operators/graph.pagerank: per-edge
+    contributions rounded in double then summed as decimal (order-invariant),
+    same simplified no-dangling-redistribution variant."""
+    d = f"DECIMAL(38,{scale})"
+    ctes = [
+        "e AS (SELECT DISTINCT p_partkey // 2 AS s, p_partkey AS d FROM part WHERE p_partkey >= 1)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)",
+        f"pr0 AS (SELECT node, CAST(ROUND(1.0 / (SELECT n FROM nn), {scale}) AS {d}) AS pr FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""pr{i + 1} AS (
+      SELECT nd.node,
+             CAST(CAST(ROUND({1.0 - damping!r} / (SELECT n FROM nn), {scale}) AS {d})
+                  + COALESCE(c.csum, CAST(0 AS {d})) AS {d}) AS pr
+      FROM nodes nd LEFT JOIN (
+        SELECT e.d AS node,
+               SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) * {damping!r} / o.outdeg, {scale}) AS {d})) AS csum
+        FROM pr{i} p JOIN e ON p.node = e.s JOIN outdeg o ON e.s = o.s
+        GROUP BY e.d) c ON nd.node = c.node)""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, ROUND(CAST(pr AS DOUBLE), 6) AS pr FROM pr{iterations}"
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    description="5-iteration PageRank over the part-tree DAG (simplified "
+    "no-dangling-mass variant) — iterative join/agg rounds with decimal "
+    "contribution sums for engine-portable determinism; the relational "
+    "Pregel-equivalent plan (one src-keyed join + one dst-keyed agg per round).",
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import pagerank
+
+    p = table(spark, sf_dir, "part")
+    edges = p.where(F.col("p_partkey") >= 1).select(
+        F.expr("p_partkey div 2").cast("bigint").alias("src"),
+        F.col("p_partkey").cast("bigint").alias("dst"),
+    )
+    return pagerank(edges, iterations=5, damping=0.85, scale=9)
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS vdeg,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+      FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+    wedges AS (
+      SELECT e1.u, e1.vdeg AS d1, e1.v AS v1, e2.vdeg AS d2, e2.v AS v2
+      FROM oriented e1 JOIN oriented e2
+        ON e1.u = e2.u AND (e1.vdeg, e1.v) < (e2.vdeg, e2.v)),
+    tris AS (
+      SELECT w.* FROM wedges w JOIN oriented o ON w.v1 = o.u AND w.v2 = o.v)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM tris) AS n_triangles
+    """,
+    description="degree-oriented triangle counting over an events-derived "
+    "co-occurrence graph: orient edges (deg,id)-ascending, wedge at the small "
+    "endpoint, close against oriented edges — the skew-bounded MPC algorithm "
+    "(per-node fan-out O(sqrt(m)) instead of quadratic in hot-node degree).",
+    tags=("graph",),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import triangle_count
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
+    return triangle_count(edges)

@@ -714,3 +714,102 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"), "score")
     )
+
+
+@register(
+    "q_dup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    pl AS (SELECT doc_id,
+                  [{{'pos': i, 'fp': md5(array_to_string(t[i:i+2], ' '))}}
+                   FOR i IN range(1, greatest(len(t) - 3, -1) + 2)] AS gs
+           FROM toks WHERE len(t) >= 3),
+    ps AS (SELECT doc_id, CAST(g.pos AS INTEGER) AS pos, g.fp AS fp
+           FROM (SELECT doc_id, unnest(gs) AS g FROM pl)),
+    dupfp AS (SELECT fp FROM ps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT p.doc_id, p.pos, p.pos + 2 AS e FROM ps p JOIN dupfp USING (fp)),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dp),
+    g AS (SELECT doc_id, pos, e,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+    sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e FROM g GROUP BY doc_id, island)
+    SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           array_to_string(list_transform(list_sort(list({{'s': s, 'e': e}})),
+                           x -> CAST(x.s AS VARCHAR) || '-' || CAST(x.e AS VARCHAR)), '|') AS spans
+    FROM sp GROUP BY doc_id
+    """,
+    description="exact substring-level dedup (Lee et al. 2022 semantics): maximal "
+    "per-doc token spans whose every 3-gram recurs in another document — positional "
+    "fingerprints + doc-frequency mark + gaps-and-islands span merge; two "
+    "hash-shuffles, no suffix array. '|'-serialized span ranges.",
+    tags=("dedup", "text", "spans"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_spans(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    tf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY doc_id, bigram),
+    c12 AS (SELECT bigram, SUM(tf) AS c12 FROM tf GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    model AS (SELECT bigram,
+                     CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS logp
+              FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(logp * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS mean_logprob
+    FROM tf JOIN model USING (bigram) GROUP BY doc_id
+    """,
+    description="per-document mean bigram log-probability under the corpus's "
+    "empirical bigram LM — the KenLM/CCNet-style perplexity filter expressed "
+    "relationally; map-side slice-zip bigrams, hint-free model join on the "
+    "unbounded bigram key, decimal-sum determinism",
+    tags=("text", "quality", "scoring"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.bigram_logprob(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+             / 256.0 AS u,
+             CASE lang WHEN 'en' THEN 0.75 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.25
+                       ELSE 0.125 END AS p
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sampled_chars
+    FROM s WHERE u < p GROUP BY lang
+    """,
+    description="stratified (per-language) content-hash Bernoulli sampling — "
+    "the corpus-rebalancing / data-mixing primitive; keep-probability is a CASE "
+    "over the stratum so the sampler is a single map-side filter, reproducible "
+    "at any parallelism",
+    tags=("sampling", "text"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "lang", ["doc_id"], {"en": 0.75, "fr": 0.5, "de": 0.25}, default=0.125
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("sampled_chars"),
+    )

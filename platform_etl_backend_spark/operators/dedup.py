@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -312,3 +312,72 @@ def winnow_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) ->
     sh = k_shingles(ws_tokens(text_col), k)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def positional_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, fp) — one row per token position 1..n-k+1, fp = md5 of the
+    k-gram starting there. Non-distinct and positional (unlike
+    ``exploded_shingles``), so span boundaries can be recovered. Docs
+    shorter than k tokens emit nothing. All map-side."""
+    toks = ws_tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp")),
+    )
+    return (
+        spread(df, id_col)
+        .where(F.size(toks) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exact substring-level deduplication (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' operation,
+    re-expressed relationally): find, per document, the maximal token spans
+    whose every k-gram also occurs in at least one OTHER document.
+
+    Instead of a suffix array (a global sort over the concatenated corpus —
+    the paper's single-machine formulation), this computes positional
+    k-gram fingerprints map-side, marks fingerprints whose document
+    frequency is >= 2, and merges the hit positions per document into
+    maximal spans with a gaps-and-islands window. Two shuffles total (one
+    on fingerprint for the document-frequency count, one back on doc id for
+    the span merge) — both hash-partitioned on high-cardinality keys, so
+    the shape holds at 100 TB where a corpus-wide suffix sort would not.
+
+    Returns (id, n_spans, dup_tokens, spans) where spans is a
+    '|'-serialized 'start-end' token-range list (canonicalizer-proof
+    contract) and dup_tokens counts tokens covered by any duplicated span.
+    """
+    ps = positional_shingles(df, id_col, text_col, k)
+    dup_fp = (
+        ps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("fp")
+    )
+    hits = ps.join(dup_fp, "fp").select(
+        id_col, "pos", (F.col("pos") + (k - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)) + 1, 1).otherwise(0)
+    islands = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "e"))),
+                lambda x: F.concat(x["s"].cast("string"), F.lit("-"), x["e"].cast("string")),
+            ),
+        ).alias("spans"),
+    )

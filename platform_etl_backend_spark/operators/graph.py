@@ -228,3 +228,120 @@ def driver_closure(edges: DataFrame, src: str = "src", dst: str = "dst"):
             "paths": sorted(paths) if paths else ([[n]] if n in roots else []),
         }
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Distributed PageRank (simplified variant without dangling-mass
+    redistribution: dangling nodes leak rank, so ranks sum to < 1 — the
+    common relational formulation; documented, identical in the oracle).
+
+    Engine-portable determinism: each edge contribution is computed in
+    IEEE double (bit-deterministic given operands) then ROUNDed to
+    ``scale`` decimals and summed as DECIMAL(38,scale) — decimal addition
+    is associative, so distributed aggregation order cannot change the
+    sum. Same per-iteration rounding on the DuckDB side reproduces ranks
+    bit-for-bit.
+
+    Shape at scale: per iteration one hash-shuffle join (ranks ⋈ edges on
+    src) and one hash aggregation on dst — the standard Pregel-equivalent
+    relational plan; lineage cut per round with localCheckpoint.
+    """
+    dec = f"decimal(38,{scale})"
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    # F.round (HALF_UP), not Python round (half-even) — must match SQL ROUND
+    base = F.round(F.lit((1.0 - damping) / n), scale).cast(dec)
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).cast(dec).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["s"])
+            .join(outdeg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.round(
+                    F.col("pr").cast("double") * F.lit(damping) / F.col("outdeg"), scale
+                ).cast(dec).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (base + F.coalesce(F.col("s"), F.lit(0).cast(dec)))
+                .cast(dec)
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("pr"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count by degree-oriented wedge checking (the
+    MPC-standard algorithm: orient each undirected edge from the
+    (degree, id)-smaller endpoint to the larger, count wedges at the
+    smaller endpoint, and close them against the oriented edge set).
+
+    Orientation bounds per-node wedge fan-out by min-degree — the skew
+    guard that makes triangle counting feasible on power-law graphs at
+    100 TB (a raw wedge join on an unoriented hot node is quadratic in
+    its degree; oriented, every node's fan-out is O(sqrt(m)) on average).
+
+    Returns one row: n_nodes, n_edges, n_wedges, n_triangles.
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = und.join(da, "a").join(db, "b")
+    fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.struct(F.col("deg_b").alias("deg"), F.col("b").alias("node")))
+        .otherwise(F.struct(F.col("deg_a").alias("deg"), F.col("a").alias("node")))
+        .alias("v"),
+    ).localCheckpoint()
+    e1 = oriented.select("u", F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).where(F.col("v1") < F.col("v2"))
+    closing = oriented.select(
+        F.col("u").alias("cu"), F.col("v")["node"].alias("cv")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("v1")["node"] == F.col("cu")) & (F.col("v2")["node"] == F.col("cv")),
+    )
+    n_nodes = deg.count()
+    n_edges = und.count()
+    n_wedges = wedges.count()
+    n_tris = tris.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tris)],
+        "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
+    )

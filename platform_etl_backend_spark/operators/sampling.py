@@ -9,7 +9,7 @@ re-run identically samples by content hash instead.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -76,3 +76,23 @@ def bottomk_sample(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
         .limit(k)
         .drop("_rank_hash")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: Sequence[str],
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with content-hash determinism — the
+    data-mixing primitive (per-language / per-domain keep rates when
+    rebalancing a training corpus). The per-row keep probability is a CASE
+    over the stratum column, so the whole operator stays one map-side
+    filter: zero shuffle, pushes toward the scan, identical sample at any
+    parallelism (seeded ``df.sampleBy`` is partitioning-dependent).
+    """
+    prob = F.lit(float(default))
+    for value, frac in sorted(fractions.items()):
+        prob = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(prob)
+    return hash_bernoulli_sample(df, key_cols, prob)

@@ -268,3 +268,54 @@ def pii_metrics(
         )
         masked = F.regexp_replace(masked, pat, mask)
     return out.withColumn(masked_col, masked)
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    empirical bigram model — the KenLM-style LM-score filter of real
+    training pipelines (e.g. CCNet's perplexity bucketing), expressed
+    relationally with the corpus itself as the model.
+
+    P(w2|w1) = c(w1,w2) / c(w1·), where c(w1·) sums bigram counts by
+    left context (so final-position tokens are not contexts). Every
+    bigram the scorer sees is in the model by construction (train ==
+    score corpus), so no smoothing is needed.
+
+    Scale shape: positional bigrams are built map-side with a slice-zip
+    (no self-join), counted with one bigram-keyed shuffle; the model
+    joins back on the bigram key WITHOUT a broadcast hint (bigram
+    vocabulary is unbounded at corpus scale). ln is rounded to 6 d.p. and
+    per-bigram contributions ride DECIMAL for order-invariant sums.
+    """
+    toks = ws_tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        spread(df, id_col)
+        .where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    )
+    tf = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("bigram").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    model = c12.withColumn("w1", F.substring_index("bigram", " ", 1)).join(c1, "w1")
+    logp = F.round(
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(model.select("bigram", logp.alias("logp")), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )

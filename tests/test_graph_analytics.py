@@ -1,0 +1,80 @@
+"""PageRank and triangle-count operator tests: reference values are
+computed independently (dense numpy power iteration; itertools brute
+force), not by re-running the operator's own formulation."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from platform_etl_backend_spark.operators.graph import pagerank, triangle_count
+
+# small directed graph with branching, a cycle, and a dangling node (5)
+PR_EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5), (2, 5)]
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    e = spark.createDataFrame(PR_EDGES, ["src", "dst"])
+    got = {r.node: r.pr for r in pagerank(e, iterations=5).collect()}
+
+    nodes = sorted({n for ab in PR_EDGES for n in ab})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in PR_EDGES:
+        outdeg[idx[s]] += 1
+    pr = np.full(n, round(1.0 / n, 9))
+    for _ in range(5):
+        nxt = np.full(n, round(0.15 / n, 9))
+        for s, d in PR_EDGES:
+            nxt[idx[d]] += round(pr[idx[s]] * 0.85 / outdeg[idx[s]], 9)
+        pr = nxt
+    want = {nd: round(pr[idx[nd]], 6) for nd in nodes}
+    assert set(got) == set(want)
+    for nd in nodes:
+        assert got[nd] == pytest.approx(want[nd], abs=2e-6), nd
+    # simplified variant: dangling node 5 leaks rank, total < 1
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_partitioning_invariant(spark):
+    e = spark.createDataFrame(PR_EDGES, ["src", "dst"])
+    a = {r.node: r.pr for r in pagerank(e, iterations=4).collect()}
+    b = {r.node: r.pr for r in pagerank(e.repartition(7), iterations=4).collect()}
+    assert a == b  # decimal contribution sums: bit-identical at any layout
+
+
+TRI_EDGES = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 1), (2, 2), (4, 3)]
+
+
+def _brute_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for ab in und for n in ab})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    )
+
+
+def test_triangle_count_matches_brute_force(spark):
+    e = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    row = triangle_count(e).collect()[0]
+    und = {tuple(sorted(x)) for x in TRI_EDGES if x[0] != x[1]}
+    assert row.n_edges == len(und)
+    assert row.n_nodes == len({n for ab in und for n in ab})
+    assert row.n_triangles == _brute_triangles(TRI_EDGES)
+    # degree orientation: every triangle closes exactly one wedge, so
+    # wedge count bounds and triangle count never exceeds it
+    assert row.n_wedges >= row.n_triangles
+
+
+def test_triangle_count_clique(spark):
+    # K5: C(5,3)=10 triangles, C(5,2)=10 edges, every wedge closes
+    edges = list(itertools.combinations(range(5), 2))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(e).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (10, 10)
+    assert row.n_wedges == 10  # oriented K5 wedge count == triangle count

@@ -1,0 +1,98 @@
+"""Tests for duplicated-span dedup, bigram LM scoring, and stratified
+sampling — expected values are hand-derived on toy corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_backend_spark.operators.dedup import duplicated_spans
+from platform_etl_backend_spark.operators.sampling import stratified_sample
+from platform_etl_backend_spark.operators.textqa import bigram_logprob
+
+
+def test_duplicated_spans_toy(spark):
+    # doc 1 and doc 2 share "a b c d" (3-grams 'a b c' at pos1, 'b c d' at
+    # pos2 in doc1 / pos3 in doc2); doc 3 shares nothing cross-doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "q q a b c d"),
+            (3, "unique tokens only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, "doc_id", "text", k=3).collect()}
+    assert set(out) == {1, 2}
+    # doc1: dup 3-gram positions {1,2} -> merged span tokens 1..4
+    assert (out[1].n_spans, out[1].dup_tokens, out[1].spans) == (1, 4, "1-4")
+    # doc2: positions {3,4} -> tokens 3..6
+    assert (out[2].n_spans, out[2].dup_tokens, out[2].spans) == (1, 4, "3-6")
+
+
+def test_duplicated_spans_disjoint_islands(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x m m m GAP y y y"),
+            (2, "x x x n n n y y y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, "doc_id", "text", k=3).collect()}
+    assert out[1].n_spans == 2
+    assert out[1].spans == "1-3|8-10"
+    assert out[1].dup_tokens == 6
+
+
+def test_duplicated_spans_short_docs_emit_nothing(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    assert duplicated_spans(docs, "doc_id", "text", k=3).count() == 0
+
+
+def test_bigram_logprob_hand_example(spark):
+    # corpus bigrams: "a b" x2 (doc1, doc2), "b a" x1; contexts: a->2, b->1
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    lp_ab = round(math.log(2 / 2), 6)  # P(b|a) = 1
+    lp_ba = round(math.log(1 / 1), 6)  # P(a|b) = 1
+    assert out[1].n_bigrams == 2
+    assert out[1].mean_logprob == pytest.approx((lp_ab + lp_ba) / 2, abs=1e-6)
+    assert out[2].n_bigrams == 1
+    assert out[2].mean_logprob == pytest.approx(lp_ab, abs=1e-6)
+
+
+def test_bigram_logprob_prefers_common_continuations(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"), (2, "the cat ran"), (3, "the cat sat"),
+            (4, "the dog howled loud"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.mean_logprob for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    # "the cat sat" (majority continuation) scores above "the dog howled"
+    assert out[1] > out[4]
+    assert out[1] == out[3]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fracs = {"en": 0.75, "fr": 0.5, "de": 0.25}
+    s1 = stratified_sample(d, "lang", ["doc_id"], fracs, default=0.125)
+    s2 = stratified_sample(d.repartition(13), "lang", ["doc_id"], fracs, default=0.125)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # partitioning-invariant
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fracs.items():
+        rate = kept.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.2, (lang, rate)
+    # default stratum is sampled at the default rate
+    other = sum(kept.get(lg, 0) for lg in totals if lg not in fracs)
+    other_total = sum(totals[lg] for lg in totals if lg not in fracs)
+    assert abs(other / other_total - 0.125) < 0.15
