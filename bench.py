@@ -39,6 +39,12 @@ HEADLINE = [
     "q_bm25_top_terms",
     "q_unigram_surprisal",
     "q_image_decode",
+    # round-3 additions
+    "q_dup_spans",
+    "q_bigram_logprob",
+    "q_pagerank",
+    "q_triangle_count",
+    "q_stratified_sample",
 ]
 
 

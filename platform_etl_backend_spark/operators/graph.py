@@ -237,6 +237,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     scale: int = 9,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Distributed PageRank (simplified variant without dangling-mass
     redistribution: dangling nodes leak rank, so ranks sum to < 1 — the
@@ -251,10 +252,19 @@ def pagerank(
 
     Shape at scale: per iteration one hash-shuffle join (ranks ⋈ edges on
     src) and one hash aggregation on dst — the standard Pregel-equivalent
-    relational plan; lineage cut per round with localCheckpoint.
+    relational plan. Edges/nodes/outdeg are pinned with localCheckpoint
+    (scanned every round); the rank recurrence itself stays lazy — with no
+    per-round action there is nothing to recompute, and skipping the
+    per-round materialization saves ``iterations`` barrier writes. For
+    very deep runs (>~20 rounds) pass ``checkpoint_every`` to cut plan
+    depth periodically.
     """
     dec = f"decimal(38,{scale})"
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -264,9 +274,9 @@ def pagerank(
     n = nodes.count()
     # F.round (HALF_UP), not Python round (half-even) — must match SQL ROUND
     base = F.round(F.lit((1.0 - damping) / n), scale).cast(dec)
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).cast(dec).alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ranks.join(e, ranks["node"] == e["s"])
             .join(outdeg, "s")
@@ -286,8 +296,9 @@ def pagerank(
                 .cast(dec)
                 .alias("pr"),
             )
-            .localCheckpoint()
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("pr"))
 
 

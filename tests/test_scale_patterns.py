@@ -97,3 +97,61 @@ def test_repartition_by_range_output_clustering(spark, sf_dir):
     clustered = li.repartitionByRange(8, "l_orderkey", "l_linenumber")
     assert "Exchange range" in explain_str(clustered, "simple")
     assert shuffle_count(clustered) == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a hot join key whose shuffle partition
+    dwarfs the median is split at runtime (SortMergeJoin(skew=true)) —
+    the no-code-change skew remedy the engine relies on at 100 TB (the
+    manual salting operators in operators/skew.py are the fallback for
+    aggregations, where AQE cannot help)."""
+    from platform_etl_backend_spark.engine.session import session_scoped_conf
+
+    skew = spark.range(0, 300000).select(
+        F.when(F.col("id") < 250000, 0).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    other = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    with session_scoped_conf(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scaled-down thresholds so test-sized data exhibits the 100TB behavior
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }):
+        j = skew.join(other, "k")
+        rows = j.collect()  # finalize THIS frame's adaptive plan
+        assert len(rows) == 250000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime bloom-filter join pruning: a selective filter on the build
+    side injects might_contain(bloom_filter_agg(...)) onto the probe-side
+    scan, so most of the 100TB fact table is dropped before the shuffle —
+    Spark's runtime answer to semi-join reduction."""
+    from platform_etl_backend_spark.engine.session import session_scoped_conf
+
+    big_p = str(tmp_path / "big")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 200000).select(
+        F.col("id").alias("l_k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).write.mode("overwrite").parquet(big_p)
+    spark.range(0, 50000).select(
+        F.col("id").alias("d_k"), (F.col("id") % 100).alias("cat")
+    ).write.mode("overwrite").parquet(dim_p)
+    big = spark.read.parquet(big_p)
+    dim = spark.read.parquet(dim_p).where(F.col("cat") == 7)
+    with session_scoped_conf(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }):
+        j = big.join(dim, big.l_k == dim.d_k)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:1500]
+        assert "bloom_filter_agg" in opt
+        assert j.count() == 500  # correctness unchanged by the runtime filter

@@ -96,3 +96,55 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     other = sum(kept.get(lg, 0) for lg in totals if lg not in fracs)
     other_total = sum(totals[lg] for lg in totals if lg not in fracs)
     assert abs(other / other_total - 0.125) < 0.15
+
+
+# --- property test: duplicated_spans vs a plain-Python reference model ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["a", "b", "c", "d"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=5)
+
+
+def _model_spans(texts, k):
+    """Brute-force reference: per doc, positions whose k-gram occurs in
+    another doc; merge overlapping/adjacent [p, p+k-1] ranges."""
+    toks = [t.split(" ") if t.strip() else [] for t in (s.strip() for s in texts)]
+    grams = [
+        [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)] if len(ts) >= k else []
+        for ts in toks
+    ]
+    out = {}
+    for d, gs in enumerate(grams):
+        hits = [
+            i + 1
+            for i, g in enumerate(gs)
+            if any(g in go for j, go in enumerate(grams) if j != d)
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        if spans:
+            out[d] = (
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+                "|".join(f"{s}-{e}" for s, e in spans),
+            )
+    return out
+
+
+@given(texts=_corpus)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicated_spans_matches_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.spans)
+        for r in duplicated_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == _model_spans(texts, 3)
