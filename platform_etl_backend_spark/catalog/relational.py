@@ -1136,3 +1136,62 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         dbl(F.sum(dec2("l_quantity"))).alias("sampled_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: correlated subqueries (Catalyst decorrelation). The engine's
+# spark.sql() entry point accepts the same ANSI text an analyst would run on
+# the reference warehouse; Catalyst rewrites EXISTS to a left-semi hash join
+# and a correlated scalar aggregate to a grouped join — no per-row
+# re-execution (the plan is asserted shuffle-join-shaped in tests).
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_exists_subquery",
+    oracle=_EXISTS_SQL,
+    description="correlated EXISTS subquery (TPC-H Q4 shape) through the "
+    "spark.sql SQL surface — Catalyst decorrelates to a left-semi join; "
+    "identical ANSI text runs on both engines",
+    tags=("relational", "sql", "subquery"),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+# decimal-sum average (sum exact, one final division) so the correlated
+# threshold comparison cannot flip with aggregation order on either engine
+_SCALAR_SUBQ_SQL = """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+               AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size < 15
+      AND l.l_quantity < (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                 / (5 * COUNT(*))
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "q_scalar_subquery",
+    oracle=_SCALAR_SUBQ_SQL,
+    description="correlated scalar aggregate subquery (TPC-H Q17 shape: "
+    "small-quantity orders below 0.2x the part's average) through spark.sql — "
+    "Catalyst decorrelates to a grouped aggregate join, not per-row re-execution",
+    tags=("relational", "sql", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SCALAR_SUBQ_SQL)

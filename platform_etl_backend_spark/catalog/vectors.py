@@ -244,10 +244,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(nonzero, "vec_id", "embedding")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Generated CTE chain replicating kmeans_fit + ivf_top1 exactly:
-    bottom-k-hash init, per-iteration rounded-cosine argmax assignment and
-    decimal-sum dimension means, final within-cell top-1."""
+def _kmeans_cte_parts(k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
+    """Shared CTE chain replicating kmeans_fit + ivf_assign exactly
+    (bottom-k-hash init, rounded-cosine argmax assignment, decimal-sum
+    dimension means); ends with ``fasg`` = (vid, vec, cell_id)."""
     cos = (
         "ROUND(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -286,8 +286,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                                       ORDER BY {fasg_cos} DESC, c.cell_id) AS rn
             FROM v, cent{iters} c)
       WHERE rn = 1)""")
-    pair_cos = cos.format(a="a.vec", b="b.vec")
-    joined = ",\n    ".join(parts)
+    return parts
+
+
+_PAIR_COS = (
+    "ROUND(list_dot_product(a.vec, b.vec) / "
+    "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)"
+)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """kmeans chain + within-cell top-1 (q_ann_ivf_kmeans)."""
+    pair_cos = _PAIR_COS
+    joined = ",\n    ".join(_kmeans_cte_parts(k, iters, dim))
     return f"""
     WITH {joined},
     pairs AS (
@@ -364,3 +375,40 @@ def _multitable_oracle(nbits: int = 4, tables: int = 2) -> str:
 def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.multitable_ann_top1(emb, "vec_id", "embedding", nbits=4, tables=2)
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, dim: int = 64,
+                           threshold: float = 0.4) -> str:
+    """kmeans chain + within-cell keep-first dedup (q_semantic_dedup)."""
+    joined = ",\n    ".join(_kmeans_cte_parts(k, iters, dim))
+    return f"""
+    WITH {joined},
+    pairs AS (
+      SELECT b.vid AS dropped_id
+      FROM fasg a JOIN fasg b ON a.cell_id = b.cell_id AND a.vid < b.vid
+      WHERE {_PAIR_COS} >= {threshold!r}),
+    dropped AS (SELECT DISTINCT dropped_id FROM pairs)
+    SELECT f.cell_id, COUNT(*) AS n_vectors,
+           CAST(COUNT(d.dropped_id) AS BIGINT) AS n_dropped,
+           COALESCE(array_to_string(list_transform(
+               list_sort(list(d.dropped_id) FILTER (WHERE d.dropped_id IS NOT NULL)),
+               x -> CAST(x AS VARCHAR)), '|'), '') AS dropped
+    FROM fasg f LEFT JOIN dropped d ON f.vid = d.dropped_id
+    GROUP BY f.cell_id
+    """
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    description="SemDeDup-style semantic dedup (arXiv:2303.09540): deterministic "
+    "k-means clusters the embedding space, then within each cell every vector "
+    "with a smaller-id neighbor at cosine >= 0.4 is dropped (keep-first rule; "
+    "threshold tuned to the fixture's cosine range). "
+    "Pairwise work never leaves a cell — sum(|cell|^2), the IVF bound, not "
+    "|corpus|^2. '|'-serialized dropped ids (canonicalizer-proof).",
+    tags=("similarity", "dedup", "vectors", "kmeans"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, threshold=0.4)

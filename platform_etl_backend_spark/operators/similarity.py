@@ -440,3 +440,57 @@ def bucketed_ann_top1(
         .where(F.col("rn") == 1)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    precision: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space with the deterministic
+    k-means quantizer, then within each cluster drop every vector that has
+    a same-cell neighbor with smaller id and cosine >= threshold (the
+    keep-first greedy rule, made deterministic by the id order).
+
+    Scale shape: the expensive pairwise step never leaves a cell — cost is
+    sum(|cell|²) not |corpus|², exactly the IVF bound; clustering and
+    assignment are the existing kmeans_fit/ivf_assign primitives (broadcast
+    centroids, linear passes).
+
+    Returns per-cell summary: (cell_id, n_vectors, n_dropped, dropped)
+    with dropped a '|'-serialized sorted id list (canonicalizer-proof).
+    """
+    cents = kmeans_fit(corpus, id_col, vec_col, k=k, iters=iters).select(
+        F.col("cell_id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    a = assigned.select("cell_id", F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    b = assigned.select("cell_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    dropped = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), precision) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    flagged = assigned.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vid", "left"
+    )
+    return flagged.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.coalesce(F.sum("is_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("is_dropped") == 1, F.col("vid")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("dropped"),
+    )

@@ -9,6 +9,7 @@ import pytest
 
 from platform_etl_backend_spark.catalog import QUERIES
 from platform_etl_backend_spark.plans import (
+    explain_str,
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
@@ -101,3 +102,21 @@ def test_vocabulary_join_is_not_hint_forced_broadcast(spark, sf_dir, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """spark.sql EXISTS must become a semi join, never a per-row subquery
+    or nested-loop plan."""
+    plan = explain_str(q("q_exists_subquery", spark, sf_dir), "simple")
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """Correlated scalar aggregate: Catalyst rewrites to a grouped
+    aggregate joined back on the correlation key."""
+    plan = explain_str(q("q_scalar_subquery", spark, sf_dir), "simple")
+    assert "Aggregate" in plan or "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -217,3 +217,28 @@ def test_montecarlo_critical_value_converges_to_dense_enumeration():
     for seed in (3, 17, 4242):
         emp = critical_value(perms, n_j, n_i, total, 0.95, seed=seed)
         assert lo - 1e-9 <= emp <= hi + 1e-9, (emp, lo, exact, hi)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """SemDeDup keep-first rule: planted near-identical vectors are dropped
+    in favor of the smallest id; distinct vectors all survive."""
+    import random
+
+    from platform_etl_backend_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant near-dups of vectors 0 and 5 (tiny perturbation, cos ~ 1)
+    rows.append((100, [float(x) + 1e-4 for x in base[0]]))
+    rows.append((101, [float(x) - 1e-4 for x in base[5]]))
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", k=4, iters=1, threshold=0.98)
+    dropped = set()
+    total = 0
+    for r in out.collect():
+        total += r.n_vectors
+        if r.dropped:
+            dropped |= {int(x) for x in r.dropped.split("|")}
+    assert total == 22
+    assert dropped == {100, 101}  # keep-first: originals 0 and 5 survive
