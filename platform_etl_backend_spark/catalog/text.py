@@ -9,7 +9,7 @@ mirror by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table
@@ -753,10 +753,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
-@register(
-    "q_bigram_logprob",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+# shared bigram-LM CTE chain (q_bigram_logprob and the quantile-filter
+# composite): ends with scored = (doc_id, n_bigrams, mean_logprob)
+_BIGRAM_CTES = f"""toks AS (SELECT doc_id, {_T} AS t FROM documents),
     bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
            FROM toks WHERE len(t) >= 2),
     tf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY doc_id, bigram),
@@ -765,10 +764,18 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     model AS (SELECT bigram,
                      CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
                           AS DECIMAL(18,6)) AS logp
-              FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1)
-    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(logp * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS mean_logprob
-    FROM tf JOIN model USING (bigram) GROUP BY doc_id
+              FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1),
+    scored AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(logp * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS mean_logprob
+      FROM tf JOIN model USING (bigram) GROUP BY doc_id)"""
+
+
+@register(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_CTES}
+    SELECT doc_id, n_bigrams, mean_logprob FROM scored
     """,
     description="per-document mean bigram log-probability under the corpus's "
     "empirical bigram LM — the KenLM/CCNet-style perplexity filter expressed "
@@ -812,4 +819,98 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").alias("first_doc"),
         F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("sampled_chars"),
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    pl AS (SELECT doc_id,
+                  [{{'start': i,
+                     'chunk_text': array_to_string(t[i:i+31], ' '),
+                     'n_tokens': least(len(t) - i + 1, 32)}}
+                   FOR i IN range(1, greatest(len(t) - 31, 1) + 1, 24)] AS cs
+           FROM toks),
+    c AS (SELECT doc_id, unnest(cs) AS c FROM pl)
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c.start) AS chunk_id,
+           c.start AS start, c.n_tokens AS n_tokens, c.chunk_text AS chunk_text
+    FROM c
+    """,
+    description="sliding-window chunking (size 32, stride 24 — the RAG / "
+    "long-context preprocessing step): map-side sequence+slice HOFs, one "
+    "explode, embarrassingly parallel",
+    tags=("text", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text", size=32, stride=24
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (SELECT source, doc_id, {_T} AS t FROM documents),
+    d AS (SELECT source, doc_id, len(t) AS n FROM toks),
+    c AS (SELECT source, doc_id, n,
+                 COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+          FROM d)
+    SELECT source, CAST(FLOOR(prev / 512) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens,
+           ROUND(CAST(SUM(n) AS DOUBLE) / 512.0, 6) AS fill,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, bin
+    """,
+    description="concatenate-and-split sequence packing (budget 512 tokens, "
+    "GPT-style training prep) sharded per source — packing is sequential by "
+    "design, so the cumsum window runs per shard, never globally; bin id is "
+    "floor(exclusive-prefix-sum / budget), no iteration",
+    tags=("text", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.pack_sequences(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        budget=512, partition_col="source",
+    )
+
+
+@register(
+    "q_lm_quantile_filter",
+    oracle=f"""
+    WITH {_BIGRAM_CTES},
+    j AS (SELECT d.lang, s.doc_id, s.mean_logprob
+          FROM scored s JOIN documents d USING (doc_id)),
+    r AS (SELECT lang, doc_id, mean_logprob,
+                 PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY mean_logprob, doc_id) AS pr
+          FROM j)
+    SELECT lang, COUNT(*) AS n_kept,
+           ROUND(MIN(mean_logprob), 6) AS min_lp, ROUND(MAX(mean_logprob), 6) AS max_lp,
+           MIN(doc_id) AS first_doc
+    FROM r WHERE pr >= 0.25 AND pr <= 0.75 GROUP BY lang
+    """,
+    description="perplexity-band quality filter (CCNet-style middle bucket): "
+    "keep documents between the 25th and 75th percent-rank of bigram LM score "
+    "per language — composite of the bigram scorer and a windowed rank; "
+    "deterministic via (score, doc_id) total order",
+    tags=("text", "quality", "composite"),
+)
+def q_lm_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = TQ.bigram_logprob(docs, "doc_id", "text")
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_logprob", "doc_id")
+    r = j.withColumn("pr", F.percent_rank().over(w))
+    return (
+        r.where((F.col("pr") >= 0.25) & (F.col("pr") <= 0.75))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("mean_logprob"), 6).alias("min_lp"),
+            F.round(F.max("mean_logprob"), 6).alias("max_lp"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )

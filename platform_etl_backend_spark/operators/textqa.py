@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.operators.dedup import spread, ws_tokens
@@ -318,4 +318,81 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 6,
             ).alias("mean_logprob"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Sliding-window chunking (the RAG / long-context preprocessing step):
+    split each document into token windows of ``size`` starting every
+    ``stride`` tokens (overlap = size - stride). Chunk starts run while
+    they fit fully inside the document (start + size - 1 <= n); documents
+    shorter than ``size`` yield one whole-doc chunk.
+
+    Entirely map-side (sequence + slice higher-order functions, one
+    explode) — embarrassingly parallel at any corpus size.
+    """
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (size - 1), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s, size)).alias("chunk_text"),
+            F.least(n - s + 1, F.lit(size)).alias("n_tokens"),
+        ),
+    )
+    return (
+        spread(df, id_col)
+        .where(n >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("idx", "c"))
+        .select(
+            id_col,
+            (F.col("idx") + 1).alias("chunk_id"),
+            F.col("c.start").alias("start"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing (the GPT-style training
+    prep: documents are concatenated in id order and the token stream is
+    cut every ``budget`` tokens): each document is attributed to the bin
+    containing its first token, so a document may straddle a boundary —
+    per-bin fill ratios expose the straddle.
+
+    Scale: packing is sequential BY DESIGN (each decision depends on the
+    running total), so the window runs per ``partition_col`` (domain /
+    shard key), never globally — a 100 TB corpus packs each shard
+    independently in parallel, which is how real pipelines shard packing.
+    With partition_col=None a single global sequence is built (small
+    inputs only; the plan contains a single-partition window).
+
+    Bin id without iteration: floor(exclusive-prefix-sum / budget) — one
+    window cumsum, no sequential loop.
+    """
+    toks = ws_tokens(text_col)
+    part = [partition_col] if partition_col else []
+    d = df.select(
+        *part, F.col(id_col), F.size(toks).alias("n_tokens")
+    )
+    w = Window.partitionBy(*part).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("bin", F.floor(F.coalesce(cum, F.lit(0)) / budget).cast("bigint"))
+    return d.groupBy(*part, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

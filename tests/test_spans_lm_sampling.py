@@ -148,3 +148,60 @@ def test_duplicated_spans_matches_model(spark, texts):
         for r in duplicated_spans(df, "doc_id", "text", k=3).collect()
     }
     assert got == _model_spans(texts, 3)
+
+
+# --- chunking and packing ---
+
+from platform_etl_backend_spark.operators.textqa import chunk_documents, pack_sequences
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "doc_id", "text", size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc1: 10 tokens, starts 1,4,7 (start 10 would exceed: 10+3 > 10)
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [1, 2, 3]
+    assert rows[(1, 1)].chunk_text == "t1 t2 t3 t4"
+    assert rows[(1, 3)].chunk_text == "t7 t8 t9 t10"
+    assert all(rows[(1, c)].n_tokens == 4 for c in d1)
+    # short doc: one whole-doc chunk, n_tokens = actual length
+    assert rows[(2, 1)].chunk_text == "a b"
+    assert rows[(2, 1)].n_tokens == 2
+
+
+def test_chunk_documents_full_coverage_at_stride_eq_size(spark):
+    text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(docs, "doc_id", "text", size=4, stride=4).collect()
+    rebuilt = " ".join(r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id))
+    assert rebuilt == text  # non-overlapping chunks partition the doc
+
+
+def test_pack_sequences_bins(spark):
+    # token counts: 3, 4, 5, 2 -> exclusive prefix sums 0,3,7,12 -> budget 6
+    # bins: 0,0,1,2
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"), (2, "b b b b"), (3, "c c c c c"), (4, "d d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.bin: r for r in pack_sequences(docs, "doc_id", "text", budget=6).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_docs, out[0].tokens, out[0].first_doc, out[0].last_doc) == (2, 7, 1, 2)
+    assert (out[1].n_docs, out[1].tokens) == (1, 5)
+    assert (out[2].n_docs, out[2].tokens) == (1, 2)
+
+
+def test_pack_sequences_sharded_is_partitioning_invariant(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = pack_sequences(d, "doc_id", "text", budget=512, partition_col="source")
+    b = pack_sequences(d.repartition(11), "doc_id", "text", budget=512,
+                       partition_col="source")
+    ka = {(r.source, r.bin): (r.n_docs, r.tokens) for r in a.collect()}
+    kb = {(r.source, r.bin): (r.n_docs, r.tokens) for r in b.collect()}
+    assert ka == kb
