@@ -51,8 +51,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_exists_subquery, q_scalar_subquery) displace three more r02-green
 # unchanged rows (q_zscore_norm, q_decontaminate, q_bottomk_sample), and
 # q_doc_chunks/q_pack_sequences/q_lm_quantile_filter displace
-# q_embedding_quantize/q_unigram_surprisal/q_ann_multiprobe (same rule).
-# With r03 green, all 111 queries have cumulative driver evidence.
+# q_embedding_quantize/q_unigram_surprisal/q_ann_multiprobe, and
+# q_count_min displaces q_hash_split (same rule). With r03 green, all 112
+# queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -98,7 +99,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_gopher_rules",
     "q_pii_scrub",
     "q_tfidf_top_terms",
-    "q_hash_split",
+    "q_count_min",
     "q_bm25_top_terms",
     # (b) vector similarity
     "q_cosine_topk",

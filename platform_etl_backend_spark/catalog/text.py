@@ -914,3 +914,56 @@ def q_lm_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _cm_bucket_sql(expr: str, row: int, width: int = 256) -> str:
+    md5 = f"md5('{row}:' || {expr})"
+    return (f"(((strpos('0123456789abcdef', substr({md5}, 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({md5}, 2, 1)) - 1)) % {width})")
+
+
+def _count_min_oracle(depth: int = 4, width: int = 256, topk: int = 20) -> str:
+    rb = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cm_bucket_sql('token', r, width)} AS bucket FROM tok"
+        for r in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT token, exact, rk, {r} AS row, "
+        f"{_cm_bucket_sql('token', r, width)} AS bucket FROM top"
+        for r in range(depth)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_T}) AS token FROM documents),
+    rb AS ({rb}),
+    sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM rb GROUP BY row, bucket),
+    exact AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token),
+    top AS (SELECT token, exact, rk FROM (
+              SELECT token, exact,
+                     ROW_NUMBER() OVER (ORDER BY exact DESC, token) AS rk
+              FROM exact) WHERE rk <= {topk}),
+    probes AS ({probes})
+    SELECT rk, token, CAST(exact AS BIGINT) AS exact,
+           CAST(MIN(cnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(cnt) - exact AS BIGINT) AS overestimate
+    FROM probes JOIN sketch USING (row, bucket)
+    GROUP BY rk, token, exact
+    """
+
+
+@register(
+    "q_count_min",
+    oracle=_count_min_oracle(),
+    description="count-min sketch frequency estimation (Cormode-Muthukrishnan): "
+    "4x256 counter table built in one exact mergeable aggregation (bounded "
+    "memory at any corpus size), probed for the top-20 tokens — estimate is "
+    "min over rows, one-sided overestimate reported; md5-bucket hashing is "
+    "bit-identical across engines",
+    tags=("text", "sketch", "stats"),
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+
+    return count_min_estimates(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        depth=4, width=256, topk=20,
+    )

@@ -223,3 +223,90 @@ def montecarlo_critical_values(
         return pd.DataFrame({drug_col: [drug], "critical_value": [cv]})
 
     return contingency.groupBy(drug_col).applyInPandas(per_drug, schema)
+
+
+def _cm_bucket(col: Column, row: int, width: int) -> Column:
+    """Deterministic count-min bucket: value of the first two hex digits of
+    md5('row:' || token) modulo width — portable to any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), col))
+    hi = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return ((hi * 16 + lo) % width).cast("int")
+
+
+def count_min_table(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    aggregate: the d x w counter table from one pass over the items.
+
+    Unlike the usual streaming formulation, the table here is an EXACT
+    deterministic aggregation (counts per (row, bucket)) — mergeable across
+    partitions by construction (sums), which is what makes the sketch the
+    bounded-memory frequency structure at 100 TB: d*w counters per
+    executor, one shuffle of d*w rows, regardless of corpus size.
+    """
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"), _cm_bucket(F.col(item_col), r, width).alias("bucket")
+        )
+        for r in range(depth)
+    ])
+    return (
+        items.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    depth: int = 4,
+    width: int = 256,
+    topk: int = 20,
+) -> DataFrame:
+    """Token-frequency estimation via count-min: build the sketch over all
+    token occurrences, then report, for the top-k exact tokens, the exact
+    count, the sketch estimate (min over the d rows), and the
+    overestimate. est >= exact always (one-sided error) — asserted in
+    tests; expected overestimate ~ N*e/w.
+
+    The probe side (top-k tokens x d rows) is tiny and broadcasts onto the
+    d*w sketch table.
+    """
+    from platform_etl_backend_spark.operators.dedup import spread, ws_tokens
+
+    tok = spread(df, id_col).select(
+        F.explode(ws_tokens(text_col)).alias("token")
+    )
+    sketch = count_min_table(tok, "token", depth, width)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    w_rank = Window.orderBy(F.desc("exact"), F.asc("token"))
+    top = (
+        exact.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= topk)
+    )
+    probes = top.select(
+        "token", "exact", "rk",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cm_bucket(F.col("token"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("token", "exact", "rk", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("token", "exact", "rk")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+    )
+    return est.select(
+        "rk", "token", F.col("exact").cast("bigint").alias("exact"), "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact")).cast("bigint").alias("overestimate"),
+    )

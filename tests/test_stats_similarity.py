@@ -242,3 +242,30 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
             dropped |= {int(x) for x in r.dropped.split("|")}
     assert total == 22
     assert dropped == {100, 101}  # keep-first: originals 0 and 5 survive
+
+
+def test_count_min_one_sided_error(spark, sf_dir):
+    """Count-min guarantees estimate >= exact (one-sided error); with
+    4x256 counters on this corpus the top tokens' overestimates stay small
+    relative to N."""
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = count_min_estimates(d, "doc_id", "text", depth=4, width=256, topk=20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cm_estimate >= r.exact, r
+        assert r.overestimate == r.cm_estimate - r.exact
+
+
+def test_count_min_exact_on_small_universe(spark):
+    """With far fewer distinct items than buckets and no collisions across
+    all 4 rows, estimates are exact."""
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "y z")], ["doc_id", "text"]
+    )
+    got = {r.token: (r.exact, r.cm_estimate) for r in
+           count_min_estimates(docs, "doc_id", "text", depth=4, width=256, topk=10).collect()}
+    assert got == {"x": (3, 3), "y": (2, 2), "z": (1, 1)}

@@ -191,3 +191,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_hash_sample_matches_batch(spark, sf_dir, events_stream):
+    """Content-hash sampling is a pure map-side filter, so it is
+    streaming-safe by construction: the sampled set from a stream replay
+    equals the batch sample exactly (seeded df.sample could not promise
+    this — its result depends on partitioning)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.sampling import hash_bernoulli_sample
+
+    sampled = hash_bernoulli_sample(
+        events_stream.select("event_id", "event_type"), ["event_id"], F.lit(0.25)
+    )
+    q = J.run_to_memory(sampled, "stream_sample")
+    try:
+        got = {r.event_id for r in spark.table("stream_sample").collect()}
+        batch = _batch_events(spark, sf_dir).select("event_id", "event_type")
+        expected = {
+            r.event_id
+            for r in hash_bernoulli_sample(batch, ["event_id"], F.lit(0.25)).collect()
+        }
+        assert got == expected and len(got) > 0
+    finally:
+        q.stop()
