@@ -284,11 +284,12 @@ def count_min_estimates(
     )
     sketch = count_min_table(tok, "token", depth, width)
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    # top-k via sort+limit (plans as TakeOrderedAndProject — distributed
+    # partial top-k per partition, never a single-partition window over the
+    # whole vocabulary); the rank window then touches only k rows.
+    top = exact.orderBy(F.desc("exact"), F.asc("token")).limit(topk)
     w_rank = Window.orderBy(F.desc("exact"), F.asc("token"))
-    top = (
-        exact.withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") <= topk)
-    )
+    top = top.withColumn("rk", F.row_number().over(w_rank))
     probes = top.select(
         "token", "exact", "rk",
         F.explode(
