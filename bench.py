@@ -45,6 +45,10 @@ HEADLINE = [
     "q_pagerank",
     "q_triangle_count",
     "q_stratified_sample",
+    "q_count_min",
+    "q_semantic_dedup",
+    "q_doc_chunks",
+    "q_fuzzy_token_join",
 ]
 
 

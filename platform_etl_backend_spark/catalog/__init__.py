@@ -52,8 +52,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # unchanged rows (q_zscore_norm, q_decontaminate, q_bottomk_sample), and
 # q_doc_chunks/q_pack_sequences/q_lm_quantile_filter displace
 # q_embedding_quantize/q_unigram_surprisal/q_ann_multiprobe, and
-# q_count_min displaces q_hash_split (same rule). With r03 green, all 112
-# queries have cumulative driver evidence.
+# q_count_min displaces q_hash_split, and q_range_frame_avg /
+# q_fuzzy_token_join displace q_tfidf_top_terms / q_bm25_top_terms (same
+# rule). With r03 green, all 114 queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -98,9 +99,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_repetition_ngrams",
     "q_gopher_rules",
     "q_pii_scrub",
-    "q_tfidf_top_terms",
+    "q_range_frame_avg",
     "q_count_min",
-    "q_bm25_top_terms",
+    "q_fuzzy_token_join",
     # (b) vector similarity
     "q_cosine_topk",
     "q_ann_bucketed",

@@ -486,3 +486,37 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, on="user_id", point_ts="ep", start_col="s", end_col="en",
         payload=["purchase_id"], bucket=3600, tiebreak="purchase_id",
     )
+
+
+@register(
+    "q_range_frame_avg",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_EPOCH_DUCK} AS ep FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_in_window,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w), 6) AS avg_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    description="time-RANGE window frame (trailing 1-hour average per user): "
+    "value-based frame bounds, not row counts — the sliding-metric shape; "
+    "decimal frame sums keep the sliding aggregation order-invariant",
+    tags=("window", "events", "range-frame"),
+)
+def q_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ep").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(
+            dbl(F.sum(dec6("value")).over(w)) / F.count(F.lit(1)).over(w), 6
+        ).alias("avg_1h"),
+    )

@@ -967,3 +967,30 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         depth=4, width=256, topk=20,
     )
+
+
+@register(
+    "q_fuzzy_token_join",
+    oracle="""
+    WITH vocab AS (SELECT DISTINCT c_name AS token FROM customer),
+    variants AS (
+      SELECT token, unnest([token] ||
+             [substr(token, 1, i - 1) || substr(token, i + 1, len(token))
+              FOR i IN range(1, len(token) + 1)]) AS variant
+      FROM vocab),
+    v AS (SELECT DISTINCT token, variant FROM variants),
+    cands AS (
+      SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+      FROM v a JOIN v b ON a.variant = b.variant AND a.token < b.token)
+    SELECT tok_a, tok_b, levenshtein(tok_a, tok_b) AS dist
+    FROM cands WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+    description="fuzzy self-join on customer names at edit distance <= 1 via "
+    "deletion-neighborhood blocking (the spell-join / entity-resolution "
+    "primitive): each string emits itself + its 1-deletion variants map-side, "
+    "candidates share a variant key, verified with levenshtein — candidate "
+    "generation is O(n x len), never the O(n^2) all-pairs distance matrix",
+    tags=("text", "fuzzy", "join"),
+)
+def q_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_pairs_dist1(table(spark, sf_dir, "customer"), "c_custkey", "c_name")

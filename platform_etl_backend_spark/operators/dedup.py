@@ -381,3 +381,39 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
             ),
         ).alias("spans"),
     )
+
+
+def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Fuzzy self-join at Levenshtein distance <= 1 via deletion-neighborhood
+    blocking (the spell-join / entity-resolution primitive, cf. the public
+    SymSpell/FastSS family): every string emits itself plus its 1-deletion
+    variants map-side; any distance<=1 pair (substitution, insertion or
+    deletion) shares at least one variant, so candidates come from a
+    variant-keyed equi-join — O(n * len) candidate keys, never the O(n^2)
+    all-pairs distance matrix — and are verified with the exact metric.
+
+    Returns (tok_a, tok_b, dist) with tok_a < tok_b.
+    """
+    vocab = spread(df, id_col).select(F.col(str_col).alias("token")).distinct()
+    n = F.length("token")
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(F.col("token"), F.lit(1), i - 1),
+            F.col("token").substr(i + 1, n),
+        ),
+    )
+    variants = vocab.select(
+        "token", F.explode(F.concat(F.array(F.col("token")), dels)).alias("variant")
+    ).distinct()
+    a = variants.select(F.col("token").alias("tok_a"), "variant")
+    b = variants.select(F.col("token").alias("tok_b"), "variant")
+    cands = (
+        a.join(b, "variant")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return cands.select(
+        "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b").alias("dist")
+    ).where(F.col("dist") <= 1)

@@ -205,3 +205,21 @@ def test_pack_sequences_sharded_is_partitioning_invariant(spark, sf_dir):
     ka = {(r.source, r.bin): (r.n_docs, r.tokens) for r in a.collect()}
     kb = {(r.source, r.bin): (r.n_docs, r.tokens) for r in b.collect()}
     assert ka == kb
+
+
+# --- fuzzy join and range frame ---
+
+
+def test_fuzzy_join_finds_planted_typos(spark):
+    from platform_etl_backend_spark.operators.dedup import fuzzy_pairs_dist1
+
+    names = ["alpha", "alpah", "alphas", "beta", "gamma", "gama", "delta"]
+    cust = spark.createDataFrame(
+        [(i, nm) for i, nm in enumerate(names)], ["c_custkey", "c_name"]
+    )
+    pairs = {
+        (r.tok_a, r.tok_b)
+        for r in fuzzy_pairs_dist1(cust, "c_custkey", "c_name").collect()
+    }
+    # transposition 'alpah'<->'alpha' is distance 2 (no Damerau) — correctly absent
+    assert pairs == {("alpha", "alphas"), ("gama", "gamma")}
