@@ -46,7 +46,6 @@ HEADLINE = [
     "q_triangle_count",
     "q_stratified_sample",
     "q_count_min",
-    "q_semantic_dedup",
     "q_doc_chunks",
     "q_fuzzy_token_join",
 ]

@@ -403,9 +403,16 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
             F.col("token").substr(i + 1, n),
         ),
     )
+    # per-token variant dedup happens MAP-SIDE (array_distinct before the
+    # explode) — repeated-character deletions collide within one token
+    # ("aa" -> "a" twice); a post-explode distinct would be a full shuffle
+    # of n*len rows for the same effect.
     variants = vocab.select(
-        "token", F.explode(F.concat(F.array(F.col("token")), dels)).alias("variant")
-    ).distinct()
+        "token",
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("token")), dels))
+        ).alias("variant"),
+    )
     a = variants.select(F.col("token").alias("tok_a"), "variant")
     b = variants.select(F.col("token").alias("tok_b"), "variant")
     cands = (
