@@ -54,7 +54,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_embedding_quantize/q_unigram_surprisal/q_ann_multiprobe, and
 # q_count_min displaces q_hash_split, and q_range_frame_avg /
 # q_fuzzy_token_join displace q_tfidf_top_terms / q_bm25_top_terms (same
-# rule). With r03 green, all 114 queries have cumulative driver evidence.
+# rule), and q_locf_fill / q_percentile_cont / q_fuzzy_damerau displace
+# q_text_quality / q_langid_confusion / q_gopher_rules (same rule). With
+# r03 green, all 117 queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -94,10 +96,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (b) text analysis / quality / scoring / split
     "q_doc_tokens",
     "q_label_keys",
-    "q_text_quality",
-    "q_langid_confusion",
+    "q_locf_fill",
+    "q_percentile_cont",
     "q_repetition_ngrams",
-    "q_gopher_rules",
+    "q_fuzzy_damerau",
     "q_pii_scrub",
     "q_range_frame_avg",
     "q_count_min",

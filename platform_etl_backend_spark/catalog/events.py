@@ -520,3 +520,37 @@ def q_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.sum(dec6("value")).over(w)) / F.count(F.lit(1)).over(w), 6
         ).alias("avg_1h"),
     )
+
+
+@register(
+    "q_locf_fill",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    g AS (SELECT event_id, user_id, ep,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS vg
+          FROM e)
+    SELECT event_id, user_id,
+           last_value(vg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ep, event_id
+             ROWS UNBOUNDED PRECEDING) AS filled
+    FROM g
+    """,
+    description="gap-fill / forward-fill (LOCF): error readings are nulled and "
+    "carried forward from the last good observation per user — the time-series "
+    "imputation primitive (sensor/gauge pipelines); one ordered window, "
+    "last(ignorenulls)",
+    tags=("window", "events", "gapfill"),
+)
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    vg = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.last(vg, ignorenulls=True).over(w).alias("filled"),
+    )

@@ -224,3 +224,26 @@ def q_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("l_quantity") - sx / n) / stddev, 6).alias("z_qty"),
         )
     )
+
+
+@register(
+    "q_percentile_cont",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 6) AS p90,
+           ROUND(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 6) AS p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="continuous (interpolated) percentiles per group — Spark's exact "
+    "percentile() aggregate vs DuckDB's percentile_cont, both the standard "
+    "1+(n-1)p linear interpolation; complements the rank-pick percentile_disc",
+    tags=("stats", "olap"),
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+    )

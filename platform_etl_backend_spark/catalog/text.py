@@ -994,3 +994,29 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs_dist1(table(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+@register(
+    "q_fuzzy_damerau",
+    oracle="""
+    WITH vocab AS (SELECT DISTINCT c_name AS token FROM customer),
+    variants AS (
+      SELECT token, unnest(list_distinct([token] ||
+             [substr(token, 1, i - 1) || substr(token, i + 1, len(token))
+              FOR i IN range(1, len(token) + 1)])) AS variant
+      FROM vocab),
+    cands AS (
+      SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+      FROM variants a JOIN variants b ON a.variant = b.variant AND a.token < b.token)
+    SELECT tok_a, tok_b, damerau_levenshtein(tok_a, tok_b) AS dist
+    FROM cands WHERE damerau_levenshtein(tok_a, tok_b) <= 1
+    """,
+    description="Damerau distance-1 fuzzy join (adjacent transpositions count "
+    "as one edit — the most common typo class): same deletion-neighborhood "
+    "blocking; Spark lacks a damerau builtin, so the transposition predicate "
+    "is composed from char-array HOFs (two adjacent cross-equal diffs) — "
+    "pure Catalyst, verified against DuckDB's native damerau_levenshtein",
+    tags=("text", "fuzzy", "join"),
+)
+def q_fuzzy_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_pairs_damerau1(table(spark, sf_dir, "customer"), "c_custkey", "c_name")

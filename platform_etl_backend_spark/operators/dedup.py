@@ -394,6 +394,59 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
 
     Returns (tok_a, tok_b, dist) with tok_a < tok_b.
     """
+    cands = fuzzy_candidates_dist1(df, id_col, str_col)
+    return cands.select(
+        "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b").alias("dist")
+    ).where(F.col("dist") <= 1)
+
+
+def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Damerau variant of :func:`fuzzy_pairs_dist1`: distance-1 pairs where
+    adjacent-character TRANSPOSITION also counts as one edit (the OSA/
+    Damerau convention — the most common real-world typo class).
+
+    Same deletion-neighborhood blocking (a transposed pair shares the
+    variant obtained by deleting either transposed character), but the
+    verify step accepts levenshtein <= 1 OR an adjacent transposition.
+    Spark has no damerau builtin; the transposition predicate is composed
+    from char-array HOFs (exactly two differing positions, adjacent, and
+    cross-equal) — pure Catalyst, no UDF.
+
+    Returns (tok_a, tok_b, dist) with dist = Damerau-1 distance (0 never
+    occurs: tok_a < tok_b implies inequality).
+    """
+    base = fuzzy_candidates_dist1(df, id_col, str_col)
+    lev = F.levenshtein("tok_a", "tok_b")
+    ca, cb = F.split(F.col("tok_a"), ""), F.split(F.col("tok_b"), "")
+    # try_element_at everywhere: the pair may have unequal lengths (the
+    # transposition predicate rejects those via same_len, but Catalyst
+    # evaluates the filter eagerly — ANSI element_at would throw)
+    diffs = F.filter(
+        F.sequence(F.lit(1), F.length("tok_a")),
+        lambda i: ~(F.try_element_at(ca, i).eqNullSafe(F.try_element_at(cb, i))),
+    )
+    # try_element_at: diffs can be shorter than 2 (ANSI element_at throws)
+    d1, d2 = F.try_element_at(diffs, F.lit(1)), F.try_element_at(diffs, F.lit(2))
+    is_trans = (
+        (F.length("tok_a") == F.length("tok_b"))
+        & (F.size(diffs) == 2)
+        & (d2 == d1 + 1)
+        & (F.try_element_at(ca, d1) == F.try_element_at(cb, d2))
+        & (F.try_element_at(ca, d2) == F.try_element_at(cb, d1))
+    )
+    return (
+        base.withColumn("lev", lev)
+        .where((F.col("lev") <= 1) | is_trans)
+        .select(
+            "tok_a", "tok_b",
+            F.when(F.col("lev") <= 1, F.col("lev")).otherwise(F.lit(1)).alias("dist"),
+        )
+    )
+
+
+def fuzzy_candidates_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Candidate (tok_a, tok_b) pairs sharing a 1-deletion variant — the
+    blocking stage shared by the Levenshtein and Damerau verifiers."""
     vocab = spread(df, id_col).select(F.col(str_col).alias("token")).distinct()
     n = F.length("token")
     dels = F.transform(
@@ -403,10 +456,6 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
             F.col("token").substr(i + 1, n),
         ),
     )
-    # per-token variant dedup happens MAP-SIDE (array_distinct before the
-    # explode) — repeated-character deletions collide within one token
-    # ("aa" -> "a" twice); a post-explode distinct would be a full shuffle
-    # of n*len rows for the same effect.
     variants = vocab.select(
         "token",
         F.explode(
@@ -415,12 +464,9 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     )
     a = variants.select(F.col("token").alias("tok_a"), "variant")
     b = variants.select(F.col("token").alias("tok_b"), "variant")
-    cands = (
+    return (
         a.join(b, "variant")
         .where(F.col("tok_a") < F.col("tok_b"))
         .select("tok_a", "tok_b")
         .distinct()
     )
-    return cands.select(
-        "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b").alias("dist")
-    ).where(F.col("dist") <= 1)

@@ -223,3 +223,23 @@ def test_fuzzy_join_finds_planted_typos(spark):
     }
     # transposition 'alpah'<->'alpha' is distance 2 (no Damerau) — correctly absent
     assert pairs == {("alpha", "alphas"), ("gama", "gamma")}
+
+
+def test_fuzzy_damerau_catches_transpositions(spark):
+    from platform_etl_backend_spark.operators.dedup import (
+        fuzzy_pairs_damerau1,
+        fuzzy_pairs_dist1,
+    )
+
+    names = ["alpha", "alpah", "beta", "btea", "gamma", "gamma1"]
+    df = spark.createDataFrame(list(enumerate(names)), ["c_custkey", "c_name"])
+    lev = {(r.tok_a, r.tok_b): r.dist for r in fuzzy_pairs_dist1(df, "c_custkey", "c_name").collect()}
+    dam = {(r.tok_a, r.tok_b): r.dist for r in fuzzy_pairs_damerau1(df, "c_custkey", "c_name").collect()}
+    # transpositions invisible to pure levenshtein<=1, caught by damerau
+    assert ("alpah", "alpha") not in lev
+    assert dam[("alpah", "alpha")] == 1
+    assert dam[("beta", "btea")] == 1
+    # insertion pair present in both with identical distance
+    assert lev[("gamma", "gamma1")] == 1 and dam[("gamma", "gamma1")] == 1
+    # damerau is a superset of the levenshtein pairs
+    assert set(lev) <= set(dam)
