@@ -90,3 +90,99 @@ def anomaly_flags(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState port (Spark 4's arbitrary-state API, successor of
+# applyInPandasWithState): the SAME anomaly semantics implemented as a
+# StatefulProcessor with a typed ValueState — composable state variables,
+# per-state TTL, and timers, which the old API folds into one state tuple.
+# Both implementations are kept: the batch/stream twins in tests assert
+# they agree event-for-event.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class AnomalyProcessor(StatefulProcessor):
+    """Per-user running-profile anomaly detector on the transformWithState
+    API. State = one ValueState of (cnt, total, total_sq); per-batch math
+    is the same vectorized numpy prefix-sum as ``_detect``."""
+
+    def __init__(self, threshold_sigma: float = 3.0, state_ttl_ms: int | None = None):
+        self.threshold_sigma = threshold_sigma
+        self.state_ttl_ms = state_ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._profile = handle.getValueState(
+            "profile", STATE_SCHEMA, ttlDurationMs=self.state_ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cnt0, sum0, sumsq0 = (
+            self._profile.get() if self._profile.exists() else (0, 0.0, 0.0)
+        )
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts_ord", "event_id"])
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            n = len(v)
+            cnts = cnt0 + np.arange(n, dtype=np.float64)
+            sums = sum0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+            sumsqs = sumsq0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                means = sums / cnts
+                variances = (sumsqs - sums * sums / cnts) / (cnts - 1)
+                stds = np.sqrt(np.maximum(variances, 0.0))
+                z = (v - means) / stds
+            z[(cnts < 2) | ~np.isfinite(z)] = 0.0
+            z = np.round(z, 6)
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(n, int(key[0]), dtype=np.int64),
+                    "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                    "value": v,
+                    "zscore": z,
+                    "anomaly": np.abs(z) > self.threshold_sigma,
+                }
+            )
+            cnt0 += n
+            sum0 += float(v.sum())
+            sumsq0 += float((v * v).sum())
+        self._profile.update((cnt0, sum0, sumsq0))
+
+    def close(self) -> None:
+        pass
+
+
+def anomaly_flags_tws(
+    events: DataFrame,
+    threshold_sigma: float = 3.0,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``anomaly_flags`` on the transformWithState API (Spark 4+).
+
+    Same input contract (user_id, event_id, value, ts_ord) and identical
+    output; state expiry via the API's native per-state TTL instead of a
+    processing-time timeout. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a Python
+    environment with ``google.protobuf`` (the state-server protocol) — the
+    parity test skips where protobuf is absent, the same honest gating as
+    the library-bound media codecs.
+    """
+    if not _HAS_TWS:  # pragma: no cover
+        raise ImportError("transformWithStateInPandas requires Spark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=AnomalyProcessor(threshold_sigma, state_ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
