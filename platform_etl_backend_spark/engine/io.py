@@ -52,6 +52,16 @@ def read_single(spark: SparkSession, conf: IOResourceConfig) -> DataFrame:
 
         delim = dict(conf.options).get("delimiter", "//\n")
         return read_delimited_records(spark, conf.path, delim)
+    if conf.format == "flat_record":
+        # Python DataSource API variant of record_text (same rows; byte-range
+        # partitioned). Registration is idempotent per session.
+        from platform_etl_backend_spark.sources.pydatasource import register
+
+        register(spark)
+        reader = spark.read.format("flat_record").option("path", conf.path)
+        if conf.options:
+            reader = reader.options(**dict(conf.options))
+        return reader.load()
     reader = spark.read.format(conf.format)
     if conf.options:
         reader = reader.options(**dict(conf.options))

@@ -64,3 +64,18 @@ def test_empty_file(spark, tmp_path):
     p = tmp_path / "empty.txt"
     p.write_text("")
     assert _py_read(spark, str(p), split_bytes=64).count() == 0
+
+
+def test_flat_record_through_engine_io(spark, tmp_path):
+    """The config-driven reader accepts format=flat_record."""
+    from platform_etl_backend_spark.engine.config import IOResourceConfig
+    from platform_etl_backend_spark.engine.io import read_single
+
+    p = tmp_path / "r.txt"
+    p.write_text("a\n//\nb\n//\n")
+    df = read_single(
+        spark,
+        IOResourceConfig(format="flat_record", path=str(p),
+                         options=(("delimiter", "//\n"),)),
+    )
+    assert sorted(r.record for r in df.collect()) == ["a\n", "b\n"]
