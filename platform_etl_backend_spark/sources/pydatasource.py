@@ -27,7 +27,14 @@ import glob
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 
@@ -115,7 +122,114 @@ class FlatRecordDataSource(DataSource):
     def reader(self, schema):
         return FlatRecordReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return FlatRecordWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return FlatRecordStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source on a session: ``spark.read.format("flat_record")``."""
     spark.dataSource.register(FlatRecordDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: the commit-protocol side of the plug-in API. Tasks write to
+# temporary files and report them in commit messages; only the driver-side
+# commit() publishes them (rename + _SUCCESS manifest), so a failed or
+# speculative task never leaves partial output visible — the same
+# two-phase contract as Spark's file sinks.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    tmp_path: str
+    n_records: int
+
+
+class FlatRecordWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flat_record write requires a path option")
+        self.delimiter = options.get("delimiter", "//\n")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = os.path.join(self.path, "_tmp", f"{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(row.record)
+                fh.write(self.delimiter)
+                n += 1
+        return _Committed(tmp, n)
+
+    def commit(self, messages):
+        import shutil
+
+        total = 0
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.tmp_path
+        )):
+            final = os.path.join(self.path, f"part-{i:05d}.txt")
+            shutil.move(m.tmp_path, final)
+            total += m.n_records
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{total}\n")
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: tail-follow a growing flat file. The offset is the byte
+# position of the last COMPLETE record's end; each microbatch reads any
+# newly appended complete records. readBetweenOffsets makes replay
+# deterministic (exactly-once on retries).
+# ---------------------------------------------------------------------------
+
+
+class FlatRecordStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flat_record stream requires a path option")
+        self.delimiter = options.get("delimiter", "//\n")
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _complete_records(self, start: int, end: int | None = None):
+        delim = self.delimiter.encode("utf-8")
+        if not os.path.exists(self.path):
+            return [], start
+        with open(self.path, "rb") as fh:
+            fh.seek(start)
+            buf = fh.read() if end is None else fh.read(end - start)
+        out, cur = [], 0
+        while True:
+            idx = buf.find(delim, cur)
+            if idx < 0:
+                break
+            rec = buf[cur:idx]
+            if rec.strip():
+                out.append((rec.decode("utf-8", errors="replace"),))
+            cur = idx + len(delim)
+        return out, start + cur
+
+    def read(self, start: dict):
+        rows, pos = self._complete_records(start["pos"])
+        return iter(rows), {"pos": pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._complete_records(start["pos"], end["pos"])
+        return iter(rows)

@@ -79,3 +79,51 @@ def test_flat_record_through_engine_io(spark, tmp_path):
                          options=(("delimiter", "//\n"),)),
     )
     assert sorted(r.record for r in df.collect()) == ["a\n", "b\n"]
+
+
+def test_writer_roundtrip_with_commit_protocol(spark, tmp_path):
+    """write via the DataSource commit protocol -> read back identical;
+    _SUCCESS manifest records the committed count, no _tmp leftovers."""
+    import os
+
+    src = tmp_path / "in.txt"
+    src.write_text("".join(f"r{i}\n//\n" for i in range(40)))
+    df = _py_read(spark, str(src), split_bytes=64)
+    out = str(tmp_path / "out")
+    (df.repartition(4).write.format("flat_record")
+       .option("path", out).option("delimiter", "//\n").mode("append").save())
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert open(f"{out}/_SUCCESS").read().strip() == "40"
+    assert not os.path.exists(f"{out}/_tmp")
+    back = _py_read(spark, f"{out}/part-*.txt", split_bytes=10**6)
+    assert sorted(r.record for r in back.collect()) == sorted(
+        r.record for r in df.collect()
+    )
+
+
+def test_stream_reader_tails_appended_records(spark, tmp_path):
+    """The streaming source emits exactly the complete records appended
+    since the last offset — a tail-follow of a growing flat file."""
+    import time
+
+    p = tmp_path / "grow.txt"
+    p.write_text("a1\n//\na2\n//\npartial-without-delim")
+    stream = (
+        spark.readStream.format("flat_record")
+        .option("path", str(p)).option("delimiter", "//\n").load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tailf")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.record for r in spark.table("tailf").collect()}
+        assert got1 == {"a1\n", "a2\n"}  # incomplete tail not emitted
+        with open(p, "a") as fh:
+            fh.write("-done\n//\nb2\n//\n")  # completes the partial + one more
+        q.processAllAvailable()
+        got2 = {r.record for r in spark.table("tailf").collect()}
+        assert got2 == {"a1\n", "a2\n", "partial-without-delim-done\n", "b2\n"}
+    finally:
+        q.stop()
