@@ -55,8 +55,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_count_min displaces q_hash_split, and q_range_frame_avg /
 # q_fuzzy_token_join displace q_tfidf_top_terms / q_bm25_top_terms (same
 # rule), and q_locf_fill / q_percentile_cont / q_fuzzy_damerau displace
-# q_text_quality / q_langid_confusion / q_gopher_rules (same rule). With
-# r03 green, all 117 queries have cumulative driver evidence.
+# q_text_quality / q_langid_confusion / q_gopher_rules, and q_variant_json
+# displaces q_pii_scrub (same rule). With r03 green, all 118 queries have
+# cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -100,7 +101,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_percentile_cont",
     "q_repetition_ngrams",
     "q_fuzzy_damerau",
-    "q_pii_scrub",
+    "q_variant_json",
     "q_range_frame_avg",
     "q_count_min",
     "q_fuzzy_token_join",

@@ -554,3 +554,29 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.last(vg, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    description="semi-structured VARIANT path (Spark 4): parse_json once into a "
+    "VariantType column, then variant_get typed extraction — the modern "
+    "binary-encoded alternative to per-access string parsing "
+    "(get_json_object re-parses the JSON text on every call site)",
+    tags=("scalar", "events", "variant"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

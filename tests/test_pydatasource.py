@@ -127,3 +127,33 @@ def test_stream_reader_tails_appended_records(spark, tmp_path):
         assert got2 == {"a1\n", "a2\n", "partial-without-delim-done\n", "b2\n"}
     finally:
         q.stop()
+
+
+def test_obo_udtf_matches_driver_parser(spark, tmp_path):
+    """flat_record + ParseOboTerm UDTF (executor-side) == read_obo
+    (driver-side) on the same ontology."""
+    from platform_etl_backend_spark.functions.udtfs import read_obo_distributed
+    from platform_etl_backend_spark.sources.flatfile import read_obo
+
+    obo = (
+        "format-version: 1.2\nontology: go\n\n"
+        "[Term]\nid: GO:0000001\nname: mitochondrion inheritance\n"
+        "is_a: GO:0048308 ! organelle inheritance\n"
+        "is_a: GO:0048311 ! mitochondrion distribution\n\n"
+        "[Term]\nid: GO:0000002\nname: old thing\nis_obsolete: true\n\n"
+        "[Typedef]\nid: part_of\nname: part of\n"
+    )
+    p = tmp_path / "go.obo"
+    p.write_text(obo)
+    driver = {
+        (r.id, r.name, tuple(r.is_a), r.obsolete)
+        for r in read_obo(spark, str(p)).collect()
+    }
+    dist = {
+        (r.id, r.name, tuple(r.is_a), r.obsolete)
+        for r in read_obo_distributed(spark, str(p)).collect()
+    }
+    assert dist == driver
+    assert ("GO:0000001", "mitochondrion inheritance",
+            ("GO:0048308", "GO:0048311"), False) in dist
+    assert ("GO:0000002", "old thing", (), True) in dist
