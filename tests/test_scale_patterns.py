@@ -155,3 +155,21 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         assert "might_contain" in opt, opt[:1500]
         assert "bloom_filter_agg" in opt
         assert j.count() == 500  # correctness unchanged by the runtime filter
+
+
+def test_max_records_per_file_controls_file_sizing(spark, sf_dir, tmp_path):
+    """Output file sizing (the small-file/giant-file control at 100 TB):
+    maxRecordsPerFile bounds rows per output file without changing
+    partitioning."""
+    import glob
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    out = str(tmp_path / "sized")
+    (li.repartition(2).write.mode("overwrite")
+       .option("maxRecordsPerFile", 1000).parquet(out))
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= n // 1000  # bounded rows per file forces a split
+    for f in files:
+        assert spark.read.parquet(f).count() <= 1000
+    assert spark.read.parquet(out).count() == n
