@@ -68,13 +68,42 @@ def run_steps(step_names: list[str], config: Mapping[str, Any],
             spark.stop()
 
 
+def run_query(name: str, sf_dir: str, limit: int = 20,
+              spark: SparkSession | None = None) -> list:
+    """Run one named catalog query against a testdata directory and return
+    up to ``limit`` rows — the ad-hoc analyst entry point beside the
+    config-driven step runner."""
+    from platform_etl_backend_spark.catalog import QUERIES  # late: avoid cycles
+
+    if name not in QUERIES:
+        raise ValueError(f"unknown query '{name}'; known: {sorted(QUERIES)[:10]}... "
+                         f"({len(QUERIES)} total)")
+    own_session = spark is None
+    if spark is None:
+        spark = get_spark()
+    try:
+        return QUERIES[name].fn(spark, sf_dir).limit(limit).collect()
+    finally:
+        if own_session:
+            spark.stop()
+
+
 def main(argv: list[str]) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(prog="platform_etl_backend_spark")
-    ap.add_argument("command", choices=["run"])
-    ap.add_argument("steps", nargs="+")
-    ap.add_argument("--config", required=True)
+    sub = ap.add_subparsers(dest="command", required=True)
+    runp = sub.add_parser("run", help="run pipeline steps from a config")
+    runp.add_argument("steps", nargs="+")
+    runp.add_argument("--config", required=True)
+    qp = sub.add_parser("query", help="run one catalog query ad hoc")
+    qp.add_argument("name")
+    qp.add_argument("--sf", default="/root/testdata/sf0.001")
+    qp.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
-    run_steps(args.steps, load_config(args.config))
+    if args.command == "run":
+        run_steps(args.steps, load_config(args.config))
+    else:
+        for row in run_query(args.name, args.sf, args.limit):
+            print(row)
     return 0

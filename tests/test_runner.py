@@ -100,3 +100,20 @@ def test_csv_reader_options(spark, tmp_path):
     )
     rows = {r.id: r.val for r in df.collect()}
     assert rows == {"1": None, "2": "x"}
+
+
+def test_cli_query_subcommand(spark, sf_dir):
+    from platform_etl_backend_spark.engine.runner import run_query
+
+    rows = run_query("q_agg_basic", sf_dir, limit=10, spark=spark)
+    assert 0 < len(rows) <= 10
+    assert "l_returnflag" in rows[0].asDict()
+
+
+def test_cli_query_unknown_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from platform_etl_backend_spark.engine.runner import run_query
+
+    with _pytest.raises(ValueError, match="unknown query"):
+        run_query("q_nope", sf_dir, spark=spark)
