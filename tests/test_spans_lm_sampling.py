@@ -243,3 +243,51 @@ def test_fuzzy_damerau_catches_transpositions(spark):
     assert lev[("gamma", "gamma1")] == 1 and dam[("gamma", "gamma1")] == 1
     # damerau is a superset of the levenshtein pairs
     assert set(lev) <= set(dam)
+
+
+# --- property tests: chunking and packing vs plain-Python models ---
+
+_ptexts = st.lists(
+    st.lists(st.sampled_from(["w", "xx", "yyy"]), min_size=0, max_size=9).map(" ".join),
+    min_size=1, max_size=4,
+)
+
+
+@given(texts=_ptexts, size=st.integers(2, 5), stride=st.integers(1, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_matches_model(spark, texts, size, stride):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_id): (r.start, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect()
+    }
+    want = {}
+    for d, t in enumerate(texts):
+        toks = t.strip().split(" ")  # '' -> [''] like Spark's split
+        n = len(toks)
+        starts = list(range(1, max(n - size + 1, 1) + 1, stride))
+        for ci, s0 in enumerate(starts, start=1):
+            chunk = toks[s0 - 1: s0 - 1 + size]
+            want[(d, ci)] = (s0, min(n - s0 + 1, size), " ".join(chunk))
+    assert got == want
+
+
+@given(texts=_ptexts, budget=st.integers(2, 12))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_model(spark, texts, budget):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.bin: (r.n_docs, r.tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, "doc_id", "text", budget=budget).collect()
+    }
+    want: dict = {}
+    cum = 0
+    for d, t in enumerate(texts):
+        n = 1 if t.strip() == "" else len(t.strip().split(" "))
+        b = cum // budget
+        nd, tk, fd, ld = want.get(b, (0, 0, d, d))
+        want[b] = (nd + 1, tk + n, min(fd, d), max(ld, d))
+        cum += n
+    assert got == want
