@@ -272,6 +272,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(None).cast("double").alias("pr"))
     # F.round (HALF_UP), not Python round (half-even) — must match SQL ROUND
     base = F.round(F.lit((1.0 - damping) / n), scale).cast(dec)
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()

@@ -111,3 +111,43 @@ def test_new_operators_on_empty_and_degenerate_inputs(spark):
                                    ["vec_id", "embedding"])
     assert multitable_ann_top1(single, "vec_id", "embedding",
                                nbits=4, tables=2).count() == 0
+
+
+def test_round3_operators_on_empty_and_degenerate_inputs(spark):
+    """Edge-input behavior of the round-3 operators."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.dedup import (
+        duplicated_spans,
+        fuzzy_pairs_damerau1,
+        fuzzy_pairs_dist1,
+    )
+    from platform_etl_backend_spark.operators.graph import pagerank, triangle_count
+    from platform_etl_backend_spark.operators.sampling import stratified_sample
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+    from platform_etl_backend_spark.operators.textqa import (
+        bigram_logprob,
+        chunk_documents,
+        pack_sequences,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    one_doc = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+
+    assert duplicated_spans(empty_docs, "doc_id", "text").count() == 0
+    assert duplicated_spans(one_doc, "doc_id", "text").count() == 0
+    assert bigram_logprob(one_doc, "doc_id", "text").count() == 0  # <2 tokens
+    assert chunk_documents(empty_docs, "doc_id", "text").count() == 0
+    assert pack_sequences(empty_docs, "doc_id", "text").count() == 0
+    assert count_min_estimates(empty_docs, "doc_id", "text").count() == 0
+    assert stratified_sample(empty_docs.withColumn("lang", F.lit("en")),
+                             "lang", ["doc_id"], {"en": 0.5}).count() == 0
+    assert fuzzy_pairs_dist1(one_doc, "doc_id", "text").count() == 0
+    assert fuzzy_pairs_damerau1(one_doc, "doc_id", "text").count() == 0
+    assert pagerank(empty_edges).count() == 0  # graceful empty, no div-by-zero
+    row = triangle_count(empty_edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+    # self-loop-only graph: no nodes after loop removal
+    loops = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    assert triangle_count(loops).collect()[0].n_triangles == 0
