@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -127,6 +128,9 @@ class FlatRecordDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return FlatRecordStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return FlatRecordStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -233,3 +237,50 @@ class FlatRecordStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         rows, _ = self._complete_records(start["pos"], end["pos"])
         return iter(rows)
+
+
+class FlatRecordStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin of FlatRecordWriter: per-microbatch two-phase
+    commit. Tasks stage temp files; commit(batchId) publishes them as
+    batch-<id>-part-N.txt. A RE-RUN of the same batch id (the failure
+    replay Structured Streaming guarantees after a crash between task
+    success and sink commit) OVERWRITES the batch's files rather than
+    appending — idempotent publish = exactly-once output."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flat_record stream write requires a path option")
+        self.delimiter = options.get("delimiter", "//\n")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = os.path.join(self.path, "_tmp", f"{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(row.record)
+                fh.write(self.delimiter)
+                n += 1
+        return _Committed(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
+        import shutil
+
+        for stale in _glob.glob(os.path.join(self.path, f"batch-{batchId:08d}-part-*.txt")):
+            os.remove(stale)  # replayed batch: idempotent overwrite
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.tmp_path
+        )):
+            shutil.move(
+                m.tmp_path,
+                os.path.join(self.path, f"batch-{batchId:08d}-part-{i:05d}.txt"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
