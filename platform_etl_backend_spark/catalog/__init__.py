@@ -56,7 +56,14 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_fuzzy_token_join displace q_tfidf_top_terms / q_bm25_top_terms (same
 # rule), and q_locf_fill / q_percentile_cont / q_fuzzy_damerau displace
 # q_text_quality / q_langid_confusion / q_gopher_rules, and q_variant_json
-# displaces q_pii_scrub (same rule). With r03 green, all 118 queries have
+# displaces q_pii_scrub (same rule). The 11 late-round-3 additions
+# (q_cohort_retention, q_funnel_stages, q_scd2_intervals, q_ewma,
+# q_mad_outliers, q_inverted_index, q_pmi_cooccur, q_source_mix_weights,
+# q_bfs_distance, q_vector_centroids, q_matryoshka_topk) displace 11 more
+# r02-green unchanged rows (q_multimodal_frames, q_multimodal_features,
+# q_crossencoder_rerank, q_dedup_exact, q_fingerprint_groups,
+# q_ngram_jaccard, q_minhash_lsh, q_simhash, q_winnow_fingerprint,
+# q_doc_tokens, q_label_keys). With r03 green, all 129 queries have
 # cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
@@ -82,21 +89,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_corpus_pipeline",
     "q_ann_multitable",
     "q_semantic_dedup",
-    # (b) multimodal + rerank (Arrow/pandas-UDF paths)
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_crossencoder_rerank",
-    # (b) dedup family
-    "q_dedup_exact",
-    "q_fingerprint_groups",
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_winnow_fingerprint",
+    # (a) late round-3 additions — no driver evidence yet
+    "q_cohort_retention",
+    "q_funnel_stages",
+    "q_scd2_intervals",
+    "q_ewma",
+    "q_mad_outliers",
+    "q_inverted_index",
+    "q_pmi_cooccur",
+    "q_source_mix_weights",
+    "q_bfs_distance",
+    "q_vector_centroids",
+    "q_matryoshka_topk",
+    # (b) dedup family (clusters changed this round — kept for re-verify)
     "q_dedup_clusters",
     # (b) text analysis / quality / scoring / split
-    "q_doc_tokens",
-    "q_label_keys",
     "q_locf_fill",
     "q_percentile_cont",
     "q_repetition_ngrams",

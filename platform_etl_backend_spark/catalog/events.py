@@ -557,6 +557,126 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST({_EPOCH_DUCK} // 86400 AS BIGINT) AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+    description="cohort retention matrix (cohort = day of first activity; "
+    "n distinct users active at each day offset) — the product-analytics "
+    "rollup: two hash aggregations + one user-keyed join sharing the same "
+    "key, so the exchange is reused",
+    tags=("agg", "events", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sequence import cohort_retention
+
+    e = events_table(spark, sf_dir)
+    return cohort_retention(e, "user_id", F.expr("ep div 86400").cast("bigint"))
+
+
+@register(
+    "q_funnel_stages",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    s1 AS (SELECT user_id, MIN(ep) AS a1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ep) AS a2 FROM e JOIN s1 ON e.user_id = s1.user_id
+           AND e.ep > s1.a1 WHERE event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ep) AS a3 FROM e JOIN s2 ON e.user_id = s2.user_id
+           AND e.ep > s2.a2 WHERE event_type = 'purchase' GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM e),
+    st AS (SELECT u.user_id,
+                  CASE WHEN a3 IS NOT NULL THEN 3 WHEN a2 IS NOT NULL THEN 2
+                       WHEN a1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+           FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+    SELECT CAST(stage AS BIGINT) AS funnel_stage, COUNT(*) AS n_users
+    FROM st GROUP BY 1
+    """,
+    description="ordered funnel (signup -> click -> purchase, each step "
+    "strictly later): per-user sorted-array fold via F.aggregate — ONE "
+    "user-keyed shuffle for the whole funnel instead of one join pass per "
+    "stage (the oracle is that per-stage-join formulation; both agree "
+    "because each step takes the earliest qualifying event)",
+    tags=("agg", "events", "funnel", "hof"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sequence import funnel_stages
+
+    e = events_table(spark, sf_dir)
+    st = funnel_stages(
+        e, "user_id", "ep", "event_id", "event_type",
+        stages=("signup", "click", "purchase"),
+    )
+    return st.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_scd2_intervals",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    fl AS (SELECT user_id, event_id, event_type, ep,
+                  CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS ver FROM fl),
+    g AS (SELECT user_id, ver, MIN(event_type) AS state,
+                 CAST(MIN(ep) AS BIGINT) AS valid_from, COUNT(*) AS n_events
+          FROM v GROUP BY 1, 2)
+    SELECT user_id, CAST(ver AS BIGINT) AS version, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+           n_events
+    FROM g
+    """,
+    description="SCD2 interval construction from a change stream (runs of "
+    "consecutive identical states become versioned valid_from/valid_to rows, "
+    "NULL valid_to = open interval) — the CDC-to-dimension-history operator: "
+    "lag change-detect + running-sum versioning + lead interval close, two "
+    "window passes over one key-partitioned sort",
+    tags=("window", "events", "scd2"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sequence import scd2_intervals
+
+    e = events_table(spark, sf_dir)
+    return scd2_intervals(e, "user_id", "ep", "event_id", "event_type")
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    l AS (SELECT event_id, user_id,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+          FROM e)
+    SELECT event_id, user_id,
+           ROUND(list_reduce(vs, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+    FROM l
+    """,
+    description="bounded-window EWMA (alpha=0.2 over the trailing 20 "
+    "observations, seeded with the window's first value): ordered-frame "
+    "collect + F.aggregate fold — the sequential recurrence runs "
+    "left-to-right over identical doubles on both engines, so it is "
+    "bit-reproducible without decimal scaffolding (tail contribution "
+    "beyond the frame < (1-alpha)^20 = 1.2%)",
+    tags=("window", "events", "timeseries", "hof"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sequence import ewma
+
+    e = events_table(spark, sf_dir)
+    return ewma(
+        e, "user_id", "ep", "event_id", "value", alpha=0.2, lookback=20
+    ).select("event_id", "user_id", "ewma")
+
+
+@register(
     "q_variant_json",
     oracle="""
     SELECT event_type,

@@ -135,3 +135,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.floor(F.col("value")).cast("bigint") % 50
     edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
     return triangle_count(edges)
+
+
+@register(
+    "q_bfs_distance",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT p_partkey // 2 AS s, p_partkey AS d FROM part WHERE p_partkey >= 1),
+    b(node, dist) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT e.d, b.dist + 1 FROM b JOIN e ON e.s = b.node WHERE b.dist < 6)
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM b GROUP BY node
+    """,
+    description="bounded multi-source BFS hop distances (single source node 1, "
+    "6 hops) over the part-tree: frontier-expansion BSP — one frontier-keyed "
+    "join + visited anti-join per round, early exit on empty frontier; the "
+    "oracle is DuckDB's recursive CTE with a min-dist collapse (path "
+    "enumeration agrees with BFS first-visit labels on any graph).",
+    tags=("graph", "iterative"),
+)
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import bfs_distances
+
+    p = table(spark, sf_dir, "part")
+    edges = p.where(F.col("p_partkey") >= 1).select(
+        F.expr("p_partkey div 2").cast("bigint").alias("src"),
+        F.col("p_partkey").cast("bigint").alias("dst"),
+    )
+    out = bfs_distances(edges, sources=[1], max_hops=6)
+    return out.select("node", F.col("dist").cast("bigint").alias("dist"))

@@ -247,3 +247,75 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer),
+    med AS (SELECT c_mktsegment,
+                   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN c_acctbal END) AS med
+            FROM ranked GROUP BY c_mktsegment),
+    d AS (SELECT c.c_mktsegment, abs(c.c_acctbal - m.med) AS adev, m.med
+          FROM customer c JOIN med m USING (c_mktsegment)),
+    r2 AS (SELECT c_mktsegment, adev, med,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY adev) AS rn,
+                  COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM d),
+    mad AS (SELECT c_mktsegment,
+                   MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN adev END) AS mad
+            FROM r2 GROUP BY c_mktsegment)
+    SELECT d.c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(MAX(d.med), 6) AS med, ROUND(MAX(mad.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 3 * mad.mad) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (c_mktsegment) GROUP BY d.c_mktsegment
+    """,
+    description="robust outlier detection per group via median absolute "
+    "deviation: rank-pick median (exactly engine-portable, no interpolation), "
+    "rank-pick MAD of |x - med|, outliers = |x - med| > 3*MAD. Two window "
+    "passes + a broadcast join of the per-group stats back onto the data — "
+    "the quality-scoring robust-stats primitive (z-scores break under the "
+    "heavy-tailed distributions 100 TB corpora actually have)",
+    tags=("stats", "olap", "robust"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+
+    def rank_pick_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("c_mktsegment").orderBy(val)
+        wn = Window.partitionBy("c_mktsegment")
+        ranked = df.select(
+            "c_mktsegment", val,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        return ranked.groupBy("c_mktsegment").agg(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                       F.col(val))
+            ).alias(out)
+        )
+
+    med = rank_pick_median(c, "c_acctbal", "med")
+    d = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "med", F.abs(F.col("c_acctbal") - F.col("med")).alias("adev")
+    )
+    mad = rank_pick_median(d, "adev", "mad")
+    return (
+        d.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

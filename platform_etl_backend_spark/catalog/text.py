@@ -1020,3 +1020,143 @@ def q_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs_damerau1(table(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents)
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:100], '|') AS postings_head
+    FROM toks GROUP BY term HAVING COUNT(*) >= 5
+    """,
+    description="inverted-index construction (search-index build, the Spark "
+    "twin of the reference's search index emit — SearchIndex outputs, "
+    "steps/search.py): term -> document frequency + head of the sorted "
+    "posting list (capped at 100 ids so a stop-word term cannot produce an "
+    "unbounded row). Map-side distinct-per-doc explode, one term-keyed "
+    "aggregation. '|'-serialized output (canonicalizer-proof contract).",
+    tags=("text", "search", "index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " +"))).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+@register(
+    "q_pmi_cooccur",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    dfw AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+    pairs AS (SELECT a.term AS t1, b.term AS t2, COUNT(*) AS df_pair
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2)
+    SELECT t1, t2, df_pair,
+           ROUND(ln(CAST(df_pair * (SELECT nd FROM n) AS DOUBLE)
+                    / CAST(d1.df * d2.df AS DOUBLE)), 6) AS pmi
+    FROM pairs JOIN dfw d1 ON t1 = d1.term JOIN dfw d2 ON t2 = d2.term
+    WHERE df_pair >= 5
+    """,
+    description="pointwise mutual information over within-document term "
+    "co-occurrence (document-frequency formulation): distinct-per-doc "
+    "tokens self-joined on doc_id with t1 < t2, pair counts vs marginal "
+    "dfs. The pair fan-out is quadratic in per-doc DISTINCT vocabulary "
+    "(bounded by doc length, not corpus size), marginals broadcast back. "
+    "Integer products inside a single ln() keep the doubles engine-identical.",
+    tags=("text", "stats", "cooccurrence"),
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " +"))).alias("term"),
+    )
+    nd = d.select(F.count_distinct("doc_id").alias("nd"))
+    dfw = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("df_pair"))
+        .where(F.col("df_pair") >= 5)
+    )
+    d1 = dfw.select(F.col("term").alias("t1"), F.col("df").alias("df1"))
+    d2 = dfw.select(F.col("term").alias("t2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(nd))  # 1-row scalar frame
+        .select(
+            "t1", "t2", "df_pair",
+            F.round(
+                F.log(
+                    (F.col("df_pair") * F.col("nd")).cast("double")
+                    / (F.col("df1") * F.col("df2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q_source_mix_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n,
+                      COUNT(DISTINCT md5(trim(text))) AS n_uniq
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n * n) AS BIGINT) AS s2, CAST(SUM(n) AS BIGINT) AS nt FROM s)
+    SELECT source, n AS n_docs,
+           ROUND(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS share,
+           ROUND(CAST(n * n AS DOUBLE) / CAST(s2 AS DOUBLE), 6) AS weight_t05,
+           ROUND(1.0 - CAST(n_uniq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_ratio
+    FROM s, t
+    """,
+    description="training-mixture reweighting per source: natural share, "
+    "temperature-scaled sampling weight at tau=0.5 (w proportional to "
+    "share^(1/tau) = share^2, computed as exact integer n^2 ratios so the "
+    "normalization is engine-identical without pow()), and per-source "
+    "duplication ratio (1 - distinct fingerprints / docs) as the mixture "
+    "quality signal. One source-keyed aggregation + a 1-row scalar frame.",
+    tags=("text", "sampling", "mixture"),
+)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(F.trim("text"))).alias("n_uniq"),
+    )
+    t = s.agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("nt").cast("double"), 6).alias("share"),
+        F.round(
+            (F.col("n") * F.col("n")).cast("double") / F.col("s2").cast("double"), 6
+        ).alias("weight_t05"),
+        F.round(
+            F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n").cast("double"), 6
+        ).alias("dup_ratio"),
+    )

@@ -412,3 +412,81 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, dim: int = 64,
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, threshold=0.4)
+
+
+@register(
+    "q_vector_centroids",
+    oracle="""
+    WITH x AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                      generate_subscripts(embedding, 1) - 1 AS dim
+               FROM embeddings),
+    q AS (SELECT label, dim,
+                 SUM(CAST(floor(v * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+          FROM x GROUP BY 1, 2)
+    SELECT label, dim,
+           CAST(ROUND(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS centroid_micro,
+           n AS n_vecs
+    FROM q
+    """,
+    description="per-label centroid vectors (class prototypes / k-means-style "
+    "mean step) via posexplode + (label, dim)-keyed aggregation: per-dim "
+    "values are quantized to integer micro-units BEFORE the distributed sum "
+    "(floor(v*1e6) as BIGINT), so summation order cannot change the result — "
+    "the same quantize-then-sum determinism convention as the decimal power "
+    "sums; output is one row per (label, dim), no float serialization.",
+    tags=("vectors", "agg"),
+)
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    q = x.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("v") * 1000000.0).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "label",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n"), 0).cast("bigint").alias("centroid_micro"),
+        F.col("n").alias("n_vecs"),
+    )
+
+
+@register(
+    "q_matryoshka_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         b AS (SELECT vec_id AS neighbor_id, (embedding::DOUBLE[])[1:16] AS bv
+               FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, bv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv))),
+                   6) AS cos
+      FROM q, b WHERE query_id <> neighbor_id)
+    SELECT query_id, rn, neighbor_id, cos
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+    description="Matryoshka-style truncated-dimension retrieval: cosine top-3 "
+    "over only the first 16 of 64 dims (MRL prefix embeddings) — the cheap "
+    "first-stage retrieval pass (4x less dot-product work and shuffle width) "
+    "that a full-dim rerank then refines; same broadcast-queries x corpus "
+    "plan as the exact baseline, arrays pre-sliced BEFORE the join so the "
+    "narrow vectors are what crosses the exchange",
+    tags=("similarity", "vectors", "matryoshka"),
+)
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("e16")
+    )
+    return S.brute_force_topk(
+        corpus=sliced, queries=sliced.where(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="e16", k=3,
+    )

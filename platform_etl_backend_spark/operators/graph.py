@@ -304,6 +304,45 @@ def pagerank(
     return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("pr"))
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``max_hops``.
+
+    Frontier-expansion BSP: each round joins the current frontier against
+    the edge set (one frontier-keyed shuffle), anti-joins already-visited
+    nodes so every node is labeled with its FIRST (minimal) hop count, and
+    terminates early when the frontier empties. The edge set is pinned with
+    localCheckpoint (scanned every round); per-round frontiers are
+    checkpointed to cut lineage. This is the relational Pregel shortest-hops
+    plan — per-round cost is O(frontier ⋈ edges), never all-pairs.
+
+    Returns (node, dist) for every node within ``max_hops`` of a source.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().localCheckpoint()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(x), 0) for x in sources], "node bigint, dist int"
+    ).localCheckpoint()
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"), F.lit(hop).cast("int").alias("dist"))
+            .distinct()
+        )
+        new = nxt.join(visited, "node", "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return visited
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count by degree-oriented wedge checking (the
     MPC-standard algorithm: orient each undirected edge from the
