@@ -63,8 +63,10 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # r02-green unchanged rows (q_multimodal_frames, q_multimodal_features,
 # q_crossencoder_rerank, q_dedup_exact, q_fingerprint_groups,
 # q_ngram_jaccard, q_minhash_lsh, q_simhash, q_winnow_fingerprint,
-# q_doc_tokens, q_label_keys). With r03 green, all 129 queries have
-# cumulative driver evidence.
+# q_doc_tokens, q_label_keys), and the 4 after them (q_lateral_topk,
+# q_sliding_dau, q_entropy_by_source, q_label_propagation) displace
+# q_repetition_ngrams, q_cosine_topk, q_ann_bucketed, q_ann_ivf (same
+# rule). With r03 green, all 133 queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -101,21 +103,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_bfs_distance",
     "q_vector_centroids",
     "q_matryoshka_topk",
+    "q_lateral_topk",
+    "q_sliding_dau",
+    "q_entropy_by_source",
+    "q_label_propagation",
     # (b) dedup family (clusters changed this round — kept for re-verify)
     "q_dedup_clusters",
     # (b) text analysis / quality / scoring / split
     "q_locf_fill",
     "q_percentile_cont",
-    "q_repetition_ngrams",
     "q_fuzzy_damerau",
     "q_variant_json",
     "q_range_frame_avg",
     "q_count_min",
     "q_fuzzy_token_join",
     # (b) vector similarity
-    "q_cosine_topk",
-    "q_ann_bucketed",
-    "q_ann_ivf",
     "q_embedding_near_dup",
     # (b) rows-only by design (seeded Monte-Carlo) — driver records rows-only
     "q_montecarlo_critical",

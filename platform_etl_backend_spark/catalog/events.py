@@ -700,3 +700,38 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("bigint").alias("max_k"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "q_sliding_dau",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT user_id,
+                      CAST({_EPOCH_DUCK} // 86400 AS BIGINT) AS day FROM events),
+    d AS (SELECT DISTINCT day FROM e),
+    x AS (SELECT user_id, day + unnest(generate_series(0, 6)) AS rday FROM e)
+    SELECT d.day AS report_day, COUNT(DISTINCT x.user_id) AS dau7
+    FROM x JOIN d ON x.rday = d.day GROUP BY 1
+    """,
+    description="7-day sliding distinct active users per observed day: the "
+    "windowed-count-distinct metric COUNT DISTINCT OVER RANGE cannot express. "
+    "Scale shape: each distinct (user, day) fans out to the <=7 report days "
+    "it contributes to (map-side sequence explode — fan-out bounded by the "
+    "window length, never the data), then ONE day-keyed distinct aggregation; "
+    "the observed-day dimension joins broadcast",
+    tags=("agg", "events", "sliding-window"),
+)
+def q_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        events_table(spark, sf_dir)
+        .select("user_id", F.expr("ep div 86400").cast("bigint").alias("day"))
+        .distinct()
+    )
+    days = e.select("day").distinct()
+    x = e.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("user_id", (F.col("day") + F.col("off")).alias("rday"))
+    return (
+        x.join(F.broadcast(days), x["rday"] == days["day"])
+        .groupBy(F.col("day").alias("report_day"))
+        .agg(F.count_distinct("user_id").alias("dau7"))
+    )

@@ -165,3 +165,53 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_distances(edges, sources=[1], max_hops=6)
     return out.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE synchronous LPA mirroring operators/graph.label_propagation:
+    same events-derived 50-node graph as q_triangle_count, same
+    (count DESC, label ASC) deterministic tie-break."""
+    ctes = [
+        """und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50)""",
+        "sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)",
+        "nodes AS (SELECT DISTINCT u AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN l{i - 1} l ON s.v = l.node GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{i} AS (SELECT node, label FROM (
+      SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      FROM c{i}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label AS community FROM l{iterations}"
+    )
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(3),
+    description="synchronous label-propagation community detection (3 fixed "
+    "rounds) over the events-derived co-occurrence graph: neighbor-majority "
+    "label adoption with the deterministic (count DESC, label ASC) tie-break "
+    "— argmax as max(struct(count, -label)), no RNG, no visit-order "
+    "dependence; one neighbor-keyed join + two hash aggregations per round",
+    tags=("graph", "iterative", "community"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import label_propagation
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
+    return label_propagation(edges, iterations=3)

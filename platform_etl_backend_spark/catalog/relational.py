@@ -1195,3 +1195,28 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+@register(
+    "q_lateral_topk",
+    oracle=_LATERAL_SQL,
+    description="LATERAL correlated subquery (per-nation top-2 customers by "
+    "balance) through spark.sql — Catalyst decorrelates the ORDER BY/LIMIT "
+    "lateral into a WindowGroupLimit (partial top-k before the shuffle) plus "
+    "one broadcast join, NOT per-outer-row re-execution; identical ANSI text "
+    "runs on both engines",
+    tags=("relational", "sql", "subquery", "lateral"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

@@ -1160,3 +1160,42 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n").cast("double"), 6
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "q_entropy_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_T}) AS term FROM documents),
+    c AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n_terms FROM c GROUP BY source)
+    SELECT c.source, MAX(t.n_terms) AS n_terms,
+           ROUND(CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.tot)
+                                     * ln(CAST(c.c AS DOUBLE) / t.tot), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+    FROM c JOIN t ON c.source = t.source GROUP BY c.source
+    """,
+    description="Shannon entropy of the term distribution per source (the "
+    "lexical-diversity / template-detection quality signal: boilerplate "
+    "sources score low): per-term contributions -p*ln(p) are rounded to 9 dp "
+    "in double (identical on both engines) then summed as DECIMAL so "
+    "distributed order cannot change the sum — the same decimal-contribution "
+    "convention as unigram surprisal; totals broadcast back onto term counts",
+    tags=("text", "stats", "quality"),
+)
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(F.trim("text"), " +")).alias("term"))
+    c = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tot"), F.count(F.lit(1)).alias("n_terms")
+    )
+    p = F.col("c").cast("double") / F.col("tot")
+    contrib = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_terms").alias("n_terms"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("entropy"),
+        )
+    )

@@ -304,6 +304,56 @@ def pagerank(
     return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("pr"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with fully deterministic updates: every round each node adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label (argmax via ``max(struct(count, -label))`` — no RNG, no visit
+    order). A fixed iteration count (no convergence test) keeps the result
+    well-defined even on the oscillating bipartite cases synchronous LPA is
+    known for.
+
+    Per round: one neighbor-keyed join (labels ⋈ symmetrized edges) and two
+    hash aggregations — the Pregel-equivalent relational plan, cost
+    O(m) per round. Labels are checkpointed per round to cut lineage.
+
+    Returns (node, community).
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        votes = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        winner = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+        # isolated nodes (none in a symmetrized edge graph, but keep the
+        # operator total) retain their current label
+        labels = (
+            nodes.join(winner, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[int],

@@ -78,3 +78,33 @@ def test_triangle_count_clique(spark):
     row = triangle_count(e).collect()[0]
     assert (row.n_edges, row.n_triangles) == (10, 10)
     assert row.n_wedges == 10  # oriented K5 wedge count == triangle count
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA collapses each
+    clique to its minimum node id and the bridge does not merge them."""
+    from platform_etl_backend_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [(3, 10)], "src bigint, dst bigint"
+    )
+    out = label_propagation(edges, iterations=5)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_deterministic_across_partitioning(spark):
+    """Same labels at different parallelism — the (count, -label) argmax has
+    no partitioning dependence."""
+    from platform_etl_backend_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(20) if i % 7 != (i * 3 + 1) % 7],
+        "src bigint, dst bigint",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(13), iterations=3).collect()))
+    assert a == b
