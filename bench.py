@@ -48,6 +48,14 @@ HEADLINE = [
     "q_count_min",
     "q_doc_chunks",
     "q_fuzzy_token_join",
+    # round-3 continuation additions
+    "q_funnel_stages",
+    "q_sliding_dau",
+    "q_cohort_retention",
+    "q_ewma",
+    "q_label_propagation",
+    "q_inverted_index",
+    "q_pmi_cooccur",
 ]
 
 

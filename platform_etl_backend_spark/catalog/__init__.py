@@ -66,7 +66,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_doc_tokens, q_label_keys), and the 4 after them (q_lateral_topk,
 # q_sliding_dau, q_entropy_by_source, q_label_propagation) displace
 # q_repetition_ngrams, q_cosine_topk, q_ann_bucketed, q_ann_ivf (same
-# rule). With r03 green, all 133 queries have cumulative driver evidence.
+# rule), and q_stupid_backoff displaces q_ann_ivf_kmeans (same rule).
+# With r03 green, all 134 queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -107,6 +108,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_sliding_dau",
     "q_entropy_by_source",
     "q_label_propagation",
+    "q_stupid_backoff",
     # (b) dedup family (clusters changed this round — kept for re-verify)
     "q_dedup_clusters",
     # (b) text analysis / quality / scoring / split
@@ -129,7 +131,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_doc_chunks",
     "q_pack_sequences",
     "q_lm_quantile_filter",
-    "q_ann_ivf_kmeans",
 )
 
 

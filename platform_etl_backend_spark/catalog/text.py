@@ -1199,3 +1199,73 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+from platform_etl_backend_spark.functions.portable_math import duck_portable_ln_ratio
+
+_TRI_LOGP = duck_portable_ln_ratio("c123", "c12")
+_BO_LOGP = duck_portable_ln_ratio("c23", "c2")
+_LN04 = "-0.916290731874155"  # repr(math.log(0.4)) — shared double literal
+
+
+@register(
+    "q_stupid_backoff",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    tg AS (SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)]) AS trigram
+           FROM toks WHERE len(t) >= 3),
+    bg AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    c123 AS (SELECT trigram, COUNT(*) AS c123 FROM tg GROUP BY trigram),
+    c12 AS (SELECT split_part(trigram, ' ', 1) || ' ' || split_part(trigram, ' ', 2)
+                       AS ctx12,
+                   SUM(c123) AS c12
+            FROM c123 GROUP BY 1),
+    tri_model AS (
+      SELECT trigram,
+             CAST(round({_TRI_LOGP}, 6) AS DECIMAL(18,6)) AS tri_logp
+      FROM c123 JOIN c12
+        ON split_part(c123.trigram, ' ', 1) || ' ' || split_part(c123.trigram, ' ', 2)
+           = c12.ctx12
+      WHERE c123 >= 2),
+    c23 AS (SELECT bigram, COUNT(*) AS c23 FROM bg GROUP BY bigram),
+    c2 AS (SELECT split_part(bigram, ' ', 1) AS w2, SUM(c23) AS c2 FROM c23 GROUP BY w2),
+    bi_model AS (
+      SELECT bigram,
+             CAST(round({_LN04} + {_BO_LOGP}, 6) AS DECIMAL(18,6)) AS bo_logp
+      FROM c23 JOIN c2 ON split_part(c23.bigram, ' ', 1) = c2.w2),
+    tf AS (SELECT doc_id, trigram, COUNT(*) AS tf FROM tg GROUP BY doc_id, trigram),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             COALESCE(m.tri_logp, b.bo_logp) AS logp,
+             CASE WHEN m.tri_logp IS NULL THEN tf.tf ELSE 0 END AS nbo
+      FROM tf
+      LEFT JOIN tri_model m ON tf.trigram = m.trigram
+      JOIN bi_model b
+        ON split_part(tf.trigram, ' ', 2) || ' ' || split_part(tf.trigram, ' ', 3)
+           = b.bigram),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+             CAST(SUM(nbo) AS BIGINT) AS n_backoff,
+             CAST(SUM(logp * tf) * 1000000 AS BIGINT) AS s_micro
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_trigrams, n_backoff,
+           CAST(CASE WHEN s_micro < 0
+                     THEN -((2 * (-s_micro) + n_trigrams) // (2 * n_trigrams))
+                     ELSE (2 * s_micro + n_trigrams) // (2 * n_trigrams) END
+                AS BIGINT) AS mean_score_micro
+    FROM agg
+    """,
+    description="Stupid Backoff trigram scoring (Brants et al. 2007): "
+    "count-pruned corpus trigram model (c >= 2) with alpha=0.4 backoff to the "
+    "bigram model — pruning is what makes backoff fire on real singleton-heavy "
+    "corpora. Map-side slice-zip n-grams, hint-free model joins on the "
+    "unbounded ngram keys, per-trigram ln rounded then decimal-summed",
+    tags=("text", "quality", "scoring"),
+)
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.stupid_backoff_logprob(
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_count=2, alpha=0.4
+    )

@@ -5,6 +5,7 @@ all pure Catalyst (built-in string/array functions, no UDFs).
 
 from __future__ import annotations
 
+import math
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
@@ -317,6 +318,129 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 / F.sum("tf").cast("double"),
                 6,
             ).alias("mean_logprob"),
+        )
+    )
+
+
+def stupid_backoff_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean trigram score under a count-pruned corpus trigram
+    model with Stupid Backoff to bigrams (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — public algorithm):
+
+    ``S(w3|w1 w2) = c(w1w2w3)/c(w1w2·)`` when the trigram survives count
+    pruning (``c >= min_count``, the standard LM-pruning knob), else
+    ``alpha * c(w2w3)/c(w2·)``. Train == score corpus, so the bigram
+    backoff is always defined; pruning is what makes backoff genuinely
+    fire (singleton trigrams dominate any natural corpus).
+
+    Scale shape: positional trigrams/bigrams are built map-side with
+    slice-zips (no self-join); both models are counted with one
+    ngram-keyed shuffle each and join back on the ngram key WITHOUT a
+    broadcast hint (ngram vocabulary is unbounded at corpus scale —
+    same policy as TF-IDF/BM25). Log-scores use the engine-portable ln
+    (functions/portable_math.py — libm ln differs across engines in the
+    last ulp, which flipped a round-6 boundary on this very model),
+    rounded to 6 d.p. per trigram, contributions riding DECIMAL for
+    order-invariant sums.
+
+    Output: (id, n_trigrams, n_backoff, mean_score_micro) — the mean in
+    integer micro-nats (see the tail comment for why not ROUND(double)).
+    """
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    ln_alpha = math.log(alpha)  # shared double literal on both engines
+    toks = ws_tokens(text_col)
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n2), F.slice(toks, 2, n2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    trigrams = F.zip_with(
+        F.slice(bigrams, 1, n3), F.slice(toks, 3, n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    base = spread(df, id_col)
+    tg = base.where(F.size(toks) >= 3).select(
+        F.col(id_col), F.explode(trigrams).alias("trigram")
+    )
+    bg = base.where(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
+
+    # trigram model: context counts use ALL trigram occurrences; the
+    # numerator table keeps only trigrams surviving count pruning
+    c123_all = tg.groupBy("trigram").agg(F.count(F.lit(1)).alias("c123"))
+    c12 = c123_all.groupBy(
+        F.substring_index("trigram", " ", 2).alias("ctx12")
+    ).agg(F.sum("c123").alias("c12"))
+    tri_model = (
+        c123_all.where(F.col("c123") >= min_count)
+        .withColumn("ctx12", F.substring_index("trigram", " ", 2))
+        .join(c12, "ctx12")
+        .select(
+            "trigram",
+            F.round(
+                portable_ln_ratio(F.col("c123"), F.col("c12")), 6
+            ).cast("decimal(18,6)").alias("tri_logp"),
+        )
+    )
+
+    # bigram backoff model over the same corpus
+    c23 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c23"))
+    c2 = c23.groupBy(F.substring_index("bigram", " ", 1).alias("w2")).agg(
+        F.sum("c23").alias("c2")
+    )
+    bi_model = (
+        c23.withColumn("w2", F.substring_index("bigram", " ", 1))
+        .join(c2, "w2")
+        .select(
+            "bigram",
+            F.round(
+                F.lit(ln_alpha) + portable_ln_ratio(F.col("c23"), F.col("c2")), 6
+            ).cast("decimal(18,6)").alias("bo_logp"),
+        )
+    )
+
+    tf = tg.groupBy(id_col, "trigram").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.withColumn("bigram", F.substring_index("trigram", " ", -2))
+        .join(tri_model, "trigram", "left")
+        .join(bi_model, "bigram")
+        .select(
+            F.col(id_col),
+            "tf",
+            F.coalesce("tri_logp", "bo_logp").alias("logp"),
+            F.when(F.col("tri_logp").isNull(), F.col("tf")).otherwise(0).alias("nbo"),
+        )
+    )
+    # The mean is a 6-dp decimal sum divided by an integer — it lands
+    # EXACTLY on round-half boundaries by construction (e.g. sum/10), and
+    # ROUND(double, 6) disagrees across engines at ties (Spark rounds the
+    # exact binary expansion via BigDecimal; DuckDB scales by 1e6 first).
+    # So the mean is emitted in integer micro-nats with explicit
+    # round-half-away integer arithmetic — bit-portable everywhere.
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
+            F.sum("nbo").cast("bigint").alias("n_backoff"),
+            (F.sum(F.col("logp") * F.col("tf")) * 1000000)
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            "n_backoff",
+            F.expr(
+                "CASE WHEN s_micro < 0 THEN -((2 * (-s_micro) + n_trigrams) div (2 * n_trigrams)) "
+                "ELSE (2 * s_micro + n_trigrams) div (2 * n_trigrams) END"
+            ).cast("bigint").alias("mean_score_micro"),
         )
     )
 
