@@ -66,8 +66,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_doc_tokens, q_label_keys), and the 4 after them (q_lateral_topk,
 # q_sliding_dau, q_entropy_by_source, q_label_propagation) displace
 # q_repetition_ngrams, q_cosine_topk, q_ann_bucketed, q_ann_ivf (same
-# rule), and q_stupid_backoff displaces q_ann_ivf_kmeans (same rule).
-# With r03 green, all 134 queries have cumulative driver evidence.
+# rule), and q_stupid_backoff / q_prefix_jaccard displace
+# q_ann_ivf_kmeans / q_embedding_near_dup (same rule).
+# With r03 green, all 135 queries have cumulative driver evidence.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -109,6 +110,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_entropy_by_source",
     "q_label_propagation",
     "q_stupid_backoff",
+    "q_prefix_jaccard",
     # (b) dedup family (clusters changed this round — kept for re-verify)
     "q_dedup_clusters",
     # (b) text analysis / quality / scoring / split
@@ -119,8 +121,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_range_frame_avg",
     "q_count_min",
     "q_fuzzy_token_join",
-    # (b) vector similarity
-    "q_embedding_near_dup",
     # (b) rows-only by design (seeded Monte-Carlo) — driver records rows-only
     "q_montecarlo_critical",
     # (c) new round-2 operators (no prior driver evidence)

@@ -1269,3 +1269,31 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.stupid_backoff_logprob(
         table(spark, sf_dir, "documents"), "doc_id", "text", min_count=2, alpha=0.4
     )
+
+
+@register(
+    "q_prefix_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+    FROM inter JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5
+    """,
+    description="EXACT n-gram Jaccard pairs via prefix filtering "
+    "(AllPairs/PPJoin): rarest-first global shingle order, candidates only "
+    "from each document's (n - ceil(t*n) + 1)-prefix — mathematically "
+    "lossless at the threshold, so the oracle is the same brute-force "
+    "formulation as q_ngram_jaccard; the exact scale path between the "
+    "quadratic baseline and approximate MinHash+LSH (hot shingles are "
+    "excluded from candidate generation wherever they fall outside a prefix)",
+    tags=("dedup", "text", "prefix-filter"),
+)
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.prefix_filtered_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
+    )

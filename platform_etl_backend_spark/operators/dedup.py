@@ -86,6 +86,82 @@ def bag_fingerprint_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs at ``threshold`` via prefix filtering
+    (AllPairs, Bayardo et al. WWW 2007 / PPJoin, Xiao et al. 2008 — public
+    algorithms): same results as ``ngram_jaccard_pairs``, but candidates
+    come only from PREFIX shingles instead of every shared shingle.
+
+    Each document's shingles are totally ordered rarest-first (global
+    (df, shingle) order); the prefix of length ``n - ceil(t*n) + 1`` has
+    the property that two sets with Jaccard >= t MUST share a prefix
+    shingle — so joining on prefix shingles alone loses nothing (exact,
+    unlike MinHash), while the candidate join fans out on roughly the
+    (1-t) rarest fraction of each document instead of all of it, and hot
+    (stop-word-like) shingles are excluded from candidate generation for
+    every document where they fall outside the prefix. This is the exact
+    scale path between the quadratic baseline and the approximate
+    MinHash+LSH route.
+
+    Shuffle shape: one shingle-keyed df count, one hint-free join back on
+    the (unbounded) shingle key, one doc-keyed sort/collect for prefix
+    extraction, one prefix-shingle-keyed candidate join, then the same
+    intersection verify as the LSH pipeline.
+    """
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfs, "shingle")  # hint-free: shingle vocabulary is unbounded
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("lst"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
+    prefix = ordered.select(
+        F.col(id_col),
+        F.explode(F.slice("lst", F.lit(1), p)).alias("ps"),
+    ).select(id_col, F.col("ps.shingle").alias("shingle"))
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -85,3 +85,72 @@ def test_langid_scores(spark):
     )
     out = {r.doc_id: r.pred_lang for r in TQ.langid_scores(df, "text").collect()}
     assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "unk"
+
+
+def test_prefix_filtered_jaccard_equals_baseline(spark, sf_dir):
+    """The prefix filter is exact: identical pair set + jaccards as the
+    shared-shingle baseline, with strictly fewer candidate-join rows."""
+    from platform_etl_backend_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+            .select("id_a", "id_b", "inter", "jaccard").collect())
+    )
+    pref = sorted(
+        map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+            .select("id_a", "id_b", "inter", "jaccard").collect())
+    )
+    assert base == pref
+    assert len(base) > 0  # fixture genuinely contains near-dups
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """Prefix-restricted candidate pairs must be a strict subset of the
+    shared-shingle candidate pairs (the whole point of the filter) while
+    still containing every pair that verifies at the threshold."""
+    from pyspark.sql import functions as F
+    from platform_etl_backend_spark.operators.dedup import (
+        exploded_shingles,
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    full_cands = (
+        a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+
+    # re-derive the operator's prefix frame with the same recipe
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("lst"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    p = F.col("n") - F.ceil(F.lit(0.5) * F.col("n")).cast("bigint") + 1
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("lst", F.lit(1), p)).alias("ps")
+    ).select("doc_id", F.col("ps.shingle").alias("shingle"))
+    pa = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    pref_cands = (
+        pa.join(pb, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    assert pref_cands < full_cands
+
+    # and nothing above the threshold is lost (exactness re-checked on counts)
+    n_base = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).count()
+    n_pref = prefix_filtered_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).count()
+    assert n_base == n_pref
