@@ -67,8 +67,14 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_sliding_dau, q_entropy_by_source, q_label_propagation) displace
 # q_repetition_ngrams, q_cosine_topk, q_ann_bucketed, q_ann_ivf (same
 # rule), and q_stupid_backoff / q_prefix_jaccard displace
-# q_ann_ivf_kmeans / q_embedding_near_dup (same rule).
-# With r03 green, all 135 queries have cumulative driver evidence.
+# q_ann_ivf_kmeans / q_embedding_near_dup (same rule), and q_tpch_q10
+# displaces q_montecarlo_critical (rows-only by design — its no_oracle
+# status is already on record in CORRECTNESS_r02; nothing new to learn).
+# With r03 green, 135 of 138 queries have cumulative driver evidence; the
+# 3 without are q_tpch_q5 / q_tpch_q14 (replica-green at both SFs,
+# rotation queued for round 4) and nothing else.
+# ---------------------------------------------------------------------------
+# Round-4 rotation TODO: q_tpch_q5, q_tpch_q14 into positions 0-49.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -121,8 +127,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_range_frame_avg",
     "q_count_min",
     "q_fuzzy_token_join",
-    # (b) rows-only by design (seeded Monte-Carlo) — driver records rows-only
-    "q_montecarlo_critical",
+    # TPC-H star-join addition (Q5/Q14 stay outside this round — replica-green
+    # at both SFs, rotate in next round; Q10 is the most complex shape)
+    "q_tpch_q10",
     # (c) new round-2 operators (no prior driver evidence)
     "q_image_decode",
     "q_audio_decode",

@@ -1220,3 +1220,161 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes beyond Q3/Q4/Q17 (already covered by q_join_multi /
+# q_exists_subquery / q_scalar_subquery): local-supplier volume (Q5),
+# returned-item ranking (Q10), promotion revenue share (Q14). Engine
+# extensions for relational completeness — the reference has no multi-dim
+# star joins, but an analyst moving a warehouse onto this engine does.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 (local supplier volume): 6-table star join with the "
+    "customer-nation = supplier-nation locality predicate; all dims broadcast, "
+    "the only shuffle is the fact-fact orderkey join + final nation rollup; "
+    "decimal revenue",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           CAST(MAX(c.c_acctbal) AS DOUBLE) AS c_acctbal,
+           MAX(n.n_name) AS n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10 (returned-item ranking): quarter of orders x "
+    "returned lines, per-customer lost revenue, global top-20 — plans as "
+    "TakeOrderedAndProject over a broadcast-dim star join; returnflag filter "
+    "pushed to the lineitem scan",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"),
+            F.max("c_acctbal").cast("double").alias("c_acctbal"),
+            F.max("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                  AS DECIMAL(28,4)) AS rev,
+             CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01')
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN is_promo = 1 THEN rev ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM l
+    """,
+    description="TPC-H Q14 (promotion effect): one month of lineitem x part, "
+    "conditional revenue share — part joins broadcast, ship-date range pushed "
+    "to the scan, both revenue sums ride one decimal aggregation pass",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    p = table(spark, sf_dir, "part")
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    rev = (dec2("l_extendedprice") * one_minus_disc).cast("decimal(28,4)")
+    zero = F.lit(0).cast("decimal(28,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        rev.alias("rev"), promo.alias("promo_rev")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum("promo_rev").cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
