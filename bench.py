@@ -56,6 +56,9 @@ HEADLINE = [
     "q_label_propagation",
     "q_inverted_index",
     "q_pmi_cooccur",
+    "q_stupid_backoff",
+    "q_tpch_q5",
+    "q_tpch_q10",
 ]
 
 

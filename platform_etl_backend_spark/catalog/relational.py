@@ -1378,3 +1378,37 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def _profile_oracle() -> str:
+    cols = [
+        ("c_custkey", True), ("c_name", False), ("c_nationkey", True),
+        ("c_acctbal", True), ("c_mktsegment", False),
+    ]
+    branches = []
+    for c, numeric in cols:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        branches.append(
+            f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_val, {mx} AS max_val FROM customer"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "q_profile_table",
+    oracle=_profile_oracle(),
+    description="single-pass table profiling (per-column nulls, exact "
+    "distincts, numeric min/max) — ONE aggregation over the data computes "
+    "every column's metrics, then stack() unpivots the wide row; numeric "
+    "bounds stay typed DOUBLE (never stringified — float formatting is not "
+    "engine-portable); the oracle is the naive one-scan-per-column UNION",
+    tags=("relational", "profiling"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "customer"))

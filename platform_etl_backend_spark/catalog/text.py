@@ -1297,3 +1297,65 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filtered_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
     )
+
+
+@register(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    dfw AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+    pairs AS (SELECT a.term AS t1, b.term AS t2, COUNT(*) AS df_pair
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2)
+    SELECT t1 AS antecedent, t2 AS consequent, df_pair AS support_n,
+           ROUND(CAST(df_pair AS DOUBLE) / (SELECT nd FROM n), 6) AS support,
+           ROUND(CAST(df_pair AS DOUBLE) / d1.df, 6) AS confidence,
+           ROUND(CAST(df_pair * (SELECT nd FROM n) AS DOUBLE)
+                 / CAST(d1.df * d2.df AS DOUBLE), 6) AS lift
+    FROM pairs JOIN dfw d1 ON t1 = d1.term JOIN dfw d2 ON t2 = d2.term
+    WHERE df_pair >= 10 AND CAST(df_pair AS DOUBLE) / d1.df >= 0.5
+    """,
+    description="association-rule mining over within-document term itemsets "
+    "(market-basket support/confidence/lift at min_support=10, "
+    "min_confidence=0.5): same distinct-pair co-occurrence frame as PMI but "
+    "with PURE integer-ratio metrics — no transcendental at all, so no "
+    "portability scaffolding needed; marginals broadcast onto the pair frame",
+    tags=("text", "stats", "rules"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " +"))).alias("term"),
+    )
+    nd = d.select(F.count_distinct("doc_id").alias("nd"))
+    dfw = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("df_pair"))
+        .where(F.col("df_pair") >= 10)
+    )
+    d1 = dfw.select(F.col("term").alias("t1"), F.col("df").alias("df1"))
+    d2 = dfw.select(F.col("term").alias("t2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df_pair").cast("double") / F.col("df1") >= 0.5)
+        .select(
+            F.col("t1").alias("antecedent"),
+            F.col("t2").alias("consequent"),
+            F.col("df_pair").alias("support_n"),
+            F.round(F.col("df_pair").cast("double") / F.col("nd"), 6).alias("support"),
+            F.round(F.col("df_pair").cast("double") / F.col("df1"), 6).alias("confidence"),
+            F.round(
+                (F.col("df_pair") * F.col("nd")).cast("double")
+                / (F.col("df1") * F.col("df2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -174,3 +174,30 @@ class TestBfs:
         e = self._edges(spark, [(0, 1), (7, 8)])
         out = bfs_distances(e, sources=[0], max_hops=3)
         assert {r["node"] for r in out.collect()} == {0, 1}
+
+
+class TestProfile:
+    def test_profile_counts_and_bounds(self, spark):
+        from platform_etl_backend_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.5), (2, None, -1.0), (3, "a", None), (4, "b", 7.0)],
+            "id bigint, s string, v double",
+        )
+        got = {r["column"]: r for r in profile_table(df).collect()}
+        assert set(got) == {"id", "s", "v"}
+        assert all(r["n_rows"] == 4 for r in got.values())
+        assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+        assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (1, 3)
+        assert (got["v"]["min_val"], got["v"]["max_val"]) == (-1.0, 7.0)
+        assert got["s"]["min_val"] is None and got["s"]["max_val"] is None
+        assert (got["id"]["min_val"], got["id"]["max_val"]) == (1.0, 4.0)
+
+    def test_profile_single_aggregation_pass(self, spark):
+        from platform_etl_backend_spark.operators.profile import profile_table
+        from platform_etl_backend_spark.plans.inspect import explain_str
+
+        df = spark.createDataFrame([(1, 2.0)], "a bigint, b double")
+        plan = explain_str(profile_table(df, approx=True), "simple")
+        # with approx distincts there is exactly one aggregate over one scan
+        assert plan.count("Scan") == 1
