@@ -735,3 +735,106 @@ def q_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").alias("report_day"))
         .agg(F.count_distinct("user_id").alias("dau7"))
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    s1 AS (SELECT user_id, MIN(ep) AS a1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ep) AS a2 FROM e JOIN s1 ON e.user_id = s1.user_id
+           AND e.ep > s1.a1 AND e.ep <= s1.a1 + 86400
+           WHERE event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ep) AS a3 FROM e JOIN s2 ON e.user_id = s2.user_id
+           AND e.ep > s2.a2 AND e.ep <= s2.a2 + 86400
+           WHERE event_type = 'purchase' GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM e),
+    st AS (SELECT u.user_id,
+                  CASE WHEN a3 IS NOT NULL THEN 3 WHEN a2 IS NOT NULL THEN 2
+                       WHEN a1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+           FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+    SELECT CAST(stage AS BIGINT) AS funnel_stage, COUNT(*) AS n_users
+    FROM st GROUP BY 1
+    """,
+    description="conversion-window funnel (each step within 24h of the "
+    "previous matched step, earliest-anchor first-touch semantics) — the "
+    "same single-shuffle sorted-array fold as q_funnel_stages with the "
+    "max_gap bound in the accumulator transition",
+    tags=("agg", "events", "funnel", "hof"),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sequence import funnel_stages
+
+    e = events_table(spark, sf_dir)
+    st = funnel_stages(
+        e, "user_id", "ep", "event_id", "event_type",
+        stages=("signup", "click", "purchase"), max_gap=86400,
+    )
+    return st.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS r,
+             CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS c,
+             COUNT(*) AS obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY c),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM o),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(o.obs AS DOUBLE) - (CAST(rt.rn * ct.cn AS DOUBLE) / nn))
+               * (CAST(o.obs AS DOUBLE) - (CAST(rt.rn * ct.cn AS DOUBLE) / nn))
+               / (CAST(rt.rn * ct.cn AS DOUBLE) / nn), 9) AS DECIMAL(28,9)) AS t
+      FROM o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c, n),
+    dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr, (SELECT COUNT(*) FROM ct) AS nc)
+    SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+           (SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) FROM dims) AS dof
+    FROM terms
+    """,
+    description="chi-square test of independence over the event-type x "
+    "k-decile contingency (the classic categorical-association statistic "
+    "beside the LLR family): observed/expected from one groupBy + broadcast "
+    "marginals; per-cell terms are pure rational arithmetic in IEEE doubles "
+    "(no transcendental), rounded to 9 dp and decimal-summed for "
+    "order-invariance; statistic + degrees of freedom out",
+    tags=("stats", "events"),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    o = (
+        e.select(
+            F.col("event_type").alias("r"),
+            F.floor(F.get_json_object("props", "$.k").cast("int") / 10)
+            .cast("int")
+            .alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = o.groupBy("r").agg(F.sum("obs").cast("bigint").alias("rn"))
+    ct = o.groupBy("c").agg(F.sum("obs").cast("bigint").alias("cn"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("nn"))
+    exp = (F.col("rn") * F.col("cn")).cast("double") / F.col("nn")
+    term = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp,
+        9,
+    ).cast("decimal(28,9)")
+    terms = (
+        o.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("t"))
+    )
+    nr = rt.agg(F.count(F.lit(1)).alias("nr"))
+    nc = ct.agg(F.count(F.lit(1)).alias("nc"))
+    dof = nr.crossJoin(nc).select(
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof")
+    )
+    return terms.agg(
+        F.round(F.sum("t").cast("double"), 6).alias("chi2")
+    ).crossJoin(F.broadcast(dof))

@@ -57,12 +57,21 @@ def funnel_stages(
     tiebreak_col: str,
     type_col: str,
     stages: Sequence[str],
+    max_gap: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progression: the highest stage index reached by
     matching ``stages`` in order, each step strictly later (``ts >`` the
     anchor timestamp of the previous matched step; ties at equal timestamps
     never advance the funnel, which keeps the result independent of
-    within-timestamp event order).
+    within-timestamp event order). With ``max_gap`` set, each step must
+    also occur within ``max_gap`` time units of the previous matched step
+    (the conversion-window form every funnel product uses — a purchase a
+    year after the click is not a conversion).
+
+    Note the window semantics under the greedy fold: each step anchors on
+    the EARLIEST qualifying event, so a user can fail the funnel even when
+    a later in-window pair exists (standard first-touch funnel semantics;
+    the oracle mirrors the same earliest-anchor rule).
 
     One user-keyed shuffle: candidate events are collected into a sorted
     array and folded with ``F.aggregate`` (accumulator = (stage, anchor_ts)).
@@ -90,6 +99,10 @@ def funnel_stages(
             cond = (acc.getField("stage") == i) & (x.getField("t") == stage_type)
             if i > 0:
                 cond = cond & (x.getField("ep") > acc.getField("anchor"))
+                if max_gap is not None:
+                    cond = cond & (
+                        x.getField("ep") <= acc.getField("anchor") + F.lit(int(max_gap))
+                    )
             nxt = F.struct(
                 F.lit(i + 1).cast("int").alias("stage"),
                 x.getField("ep").cast("long").alias("anchor"),

@@ -201,3 +201,46 @@ class TestProfile:
         plan = explain_str(profile_table(df, approx=True), "simple")
         # with approx distincts there is exactly one aggregate over one scan
         assert plan.count("Scan") == 1
+
+
+class TestWindowedFunnel:
+    def test_gap_bound_blocks_late_step(self, spark):
+        from platform_etl_backend_spark.operators.sequence import funnel_stages
+
+        rows = [
+            (1, 1, 0, "signup", 0.0),
+            (1, 2, 100, "click", 0.0),      # within gap
+            (1, 3, 100 + 7000, "purchase", 0.0),  # beyond gap from click
+            (2, 4, 0, "signup", 0.0),
+            (2, 5, 100, "click", 0.0),
+            (2, 6, 200, "purchase", 0.0),   # all within gap
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ep bigint, event_type string, value double"
+        )
+        out = funnel_stages(
+            df, "user_id", "ep", "event_id", "event_type",
+            stages=("signup", "click", "purchase"), max_gap=1000,
+        )
+        got = {r["user_id"]: r["funnel_stage"] for r in out.collect()}
+        assert got == {1: 2, 2: 3}
+
+    def test_earliest_anchor_first_touch_can_fail(self, spark):
+        """Greedy earliest-anchor: the FIRST click sets the window even if a
+        later click would have enabled the purchase — documented semantics."""
+        from platform_etl_backend_spark.operators.sequence import funnel_stages
+
+        rows = [
+            (1, 1, 0, "signup", 0.0),
+            (1, 2, 10, "click", 0.0),       # anchor = 10
+            (1, 3, 5000, "click", 0.0),     # ignored (already at stage 2)
+            (1, 4, 5500, "purchase", 0.0),  # > 10 + 1000 — blocked
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ep bigint, event_type string, value double"
+        )
+        out = funnel_stages(
+            df, "user_id", "ep", "event_id", "event_type",
+            stages=("signup", "click", "purchase"), max_gap=1000,
+        )
+        assert out.collect()[0]["funnel_stage"] == 2
