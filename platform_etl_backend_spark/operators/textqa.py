@@ -372,9 +372,15 @@ def stupid_backoff_logprob(
     )
     bg = base.where(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
 
+    # Per-document term frequencies FIRST, then global counts as a rollup
+    # of tf — the raw (doc, trigram) explode is shuffled once, not twice
+    # (the tf aggregation partially combines map-side, so the second
+    # trigram-keyed aggregation sees the much smaller deduped frame).
+    tf = tg.groupBy(id_col, "trigram").agg(F.count(F.lit(1)).alias("tf"))
+
     # trigram model: context counts use ALL trigram occurrences; the
     # numerator table keeps only trigrams surviving count pruning
-    c123_all = tg.groupBy("trigram").agg(F.count(F.lit(1)).alias("c123"))
+    c123_all = tf.groupBy("trigram").agg(F.sum("tf").cast("bigint").alias("c123"))
     c12 = c123_all.groupBy(
         F.substring_index("trigram", " ", 2).alias("ctx12")
     ).agg(F.sum("c123").alias("c12"))
@@ -406,7 +412,6 @@ def stupid_backoff_logprob(
         )
     )
 
-    tf = tg.groupBy(id_col, "trigram").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         tf.withColumn("bigram", F.substring_index("trigram", " ", -2))
         .join(tri_model, "trigram", "left")
