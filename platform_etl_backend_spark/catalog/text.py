@@ -1359,3 +1359,46 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH g AS (SELECT doc_id, n_chars, md5(trim(text)) AS fp FROM documents),
+    ranked AS (
+      SELECT doc_id, n_chars, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_members
+      FROM g)
+    SELECT fp, CAST(n_members AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           array_to_string(list_sort(list(doc_id) FILTER (WHERE rn > 1)), '|') AS dropped
+    FROM ranked WHERE n_members > 1 GROUP BY fp, n_members
+    """,
+    description="dedup with a canonical-selection POLICY (keep the "
+    "highest-quality member — here longest text, doc_id tiebreak — instead "
+    "of an arbitrary survivor): fingerprint groups + one window rank; the "
+    "decision step every production dedup pipeline actually needs after "
+    "cluster formation. '|'-serialized dropped list (canonicalizer-proof).",
+    tags=("dedup", "text", "policy"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "n_chars", F.md5(F.trim("text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
+    wn = Window.partitionBy("fp")
+    ranked = g.select(
+        "doc_id", "fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_members"),
+    ).where(F.col("n_members") > 1)
+    return ranked.groupBy("fp", F.col("n_members").cast("bigint").alias("n_members")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list(F.when(F.col("rn") > 1, F.col("doc_id")))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("dropped"),
+    )

@@ -15,6 +15,7 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -185,4 +186,82 @@ def anomaly_flags_tws(
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="none",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the per-user funnel state machine (batch twin:
+# operators/sequence.funnel_stages) as an applyInPandasWithState operator.
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT = "user_id bigint, funnel_stage int, anchor bigint"
+FUNNEL_STATE = "stage int, anchor bigint"
+
+
+def _funnel_step(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    stages: tuple,
+    max_gap: int | None,
+) -> Iterable[pd.DataFrame]:
+    """Advance one user's funnel over a batch.
+
+    The transition is a data-dependent state machine, so it cannot be a
+    single vectorized expression — but it vectorizes PER STAGE, not per
+    row: each step is one boolean mask + first-index over the sorted batch
+    (at most len(stages) passes per batch, however many rows arrive).
+    Assumes event-time-ordered arrival across batches (the standard
+    streaming-funnel contract; bound disorder upstream with a watermark
+    sort or widen batches).
+    """
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    stage, anchor = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ep", "event_id"])
+        types = pdf["event_type"].to_numpy()
+        eps = pdf["ep"].to_numpy(dtype=np.int64)
+        while stage < len(stages):
+            mask = types == stages[stage]
+            if stage > 0:
+                mask &= eps > anchor
+                if max_gap is not None:
+                    mask &= eps <= anchor + max_gap
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                break
+            anchor = int(eps[idx[0]])
+            stage += 1
+    state.update((stage, anchor))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "funnel_stage": [stage],
+            "anchor": [anchor],
+        }
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple = ("signup", "click", "purchase"),
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Streaming funnel progression per user (append mode: one row per
+    user per batch with the post-batch stage — the LAST row per user is
+    the current funnel state). Input needs columns: user_id, event_id,
+    ep (bigint event seconds), event_type; pre-filter to the funnel's
+    event types upstream so state and batch work stay candidate-bounded
+    (mirrors the batch operator's pre-filter)."""
+    filtered = events.where(F.col("event_type").isin(list(stages)))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _funnel_step(key, pdfs, state, tuple(stages), max_gap),
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
