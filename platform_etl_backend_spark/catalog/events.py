@@ -838,3 +838,111 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.round(F.sum("t").cast("double"), 6).alias("chi2")
     ).crossJoin(F.broadcast(dof))
+
+
+@register(
+    "q_sequence_match",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    s AS (SELECT user_id,
+                 string_agg(CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                                 WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                                 ELSE 'e' END, '' ORDER BY ep, event_id) AS seq
+          FROM e GROUP BY user_id)
+    SELECT user_id, length(seq) AS n_events,
+           (length(seq) - length(regexp_replace(seq, 'cp', '', 'g'))) // 2 AS n_click_then_buy,
+           CAST(regexp_matches(seq, 'sc[cv]*p') AS INT) AS has_funnel_path
+    FROM s
+    """,
+    description="event-sequence pattern matching (MATCH_RECOGNIZE-lite): "
+    "each user's ordered event history is encoded as a one-char-per-event "
+    "string (ordered string_agg / sorted-collect fold), then sequence "
+    "patterns are plain RE2-and-Java-safe regexes — adjacent click-then-buy "
+    "count via replace-length arithmetic, funnel-path existence via match. "
+    "One user-keyed shuffle; the per-user string is bounded by history "
+    "length (pre-filter candidate event types at scale, as with the funnel)",
+    tags=("events", "sequence", "regex"),
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(F.col("ep"), F.col("event_id"), code.alias("ch")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("s")), lambda x: x["ch"])
+            ).alias("seq")
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.expr("(length(seq) - length(regexp_replace(seq, 'cp', ''))) div 2")
+        .cast("bigint")
+        .alias("n_click_then_buy"),
+        F.when(F.col("seq").rlike("sc[cv]*p"), 1).otherwise(0).cast("int")
+        .alias("has_funnel_path"),
+    )
+
+
+@register(
+    "q_autocorr_lag1",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    p AS (SELECT user_id, value AS y,
+                 LAG(value) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS x
+          FROM e),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+          FROM p WHERE x IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r1
+    FROM s WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+    description="lag-1 autocorrelation of each user's value series (the "
+    "time-series persistence / seasonality-screen statistic): one lag "
+    "window + one grouped pass of decimal-rounded cross-moment sums "
+    "(order-invariant), then the Pearson formula in pure IEEE "
+    "mul/div/sqrt — sqrt is correctly rounded by IEEE 754, so no libm "
+    "portability scaffolding is needed",
+    tags=("stats", "window", "events", "timeseries"),
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    p = e.select(
+        "user_id", F.col("value").alias("y"), F.lag("value").over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+
+    def dsum(c):
+        return F.sum(F.round(c, 6).cast("decimal(18,6)")).cast("double")
+
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.where(varx * vary > 0).select(
+        "user_id", "n", F.round(num / F.sqrt(varx * vary), 6).alias("r1")
+    )

@@ -319,3 +319,81 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_winsorized_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer),
+    bounds AS (
+      SELECT c_mktsegment,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN c_acctbal END) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN c_acctbal END) AS hi
+      FROM ranked GROUP BY c_mktsegment),
+    clipped AS (
+      SELECT c.c_mktsegment,
+             CAST(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi) AS DECIMAL(18,2)) AS v
+      FROM customer c JOIN bounds b USING (c_mktsegment)),
+    agg AS (
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(v) * 100 AS BIGINT) AS s_cents
+      FROM clipped GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n_customers,
+           CAST(CASE WHEN s_cents < 0
+                     THEN -((2 * (-s_cents) * 10000 + n_customers) // (2 * n_customers))
+                     ELSE (2 * s_cents * 10000 + n_customers) // (2 * n_customers) END
+                AS BIGINT) AS wmean_micro
+    FROM agg
+    """,
+    description="winsorized mean per group (values clipped at the rank-pick "
+    "p05/p95 before averaging — the robust-location estimate heavy-tailed "
+    "quality scores need): bounds broadcast back, clipped sum rides "
+    "DECIMAL cents, and the mean is emitted in integer micro-units with "
+    "round-half-away integer arithmetic (ROUND(double) is tie-divergent "
+    "across engines — see DEVNOTES)",
+    tags=("stats", "olap", "robust"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment", "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                   F.col("c_acctbal"))
+        )
+
+    bounds = ranked.groupBy("c_mktsegment").agg(
+        pick(0.05).alias("lo"), pick(0.95).alias("hi")
+    )
+    clipped = c.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+        .cast("decimal(18,2)")
+        .alias("v"),
+    )
+    agg = clipped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("v") * 100).cast("bigint").alias("s_cents"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.expr(
+            "CASE WHEN s_cents < 0 "
+            "THEN -((2 * (-s_cents) * 10000 + n_customers) div (2 * n_customers)) "
+            "ELSE (2 * s_cents * 10000 + n_customers) div (2 * n_customers) END"
+        ).cast("bigint").alias("wmean_micro"),
+    )
