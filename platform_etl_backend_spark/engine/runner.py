@@ -100,9 +100,25 @@ def main(argv: list[str]) -> int:
     qp.add_argument("name")
     qp.add_argument("--sf", default="/root/testdata/sf0.001")
     qp.add_argument("--limit", type=int, default=20)
+    pp = sub.add_parser("profile", help="profile a parquet table (per-column stats)")
+    pp.add_argument("path")
+    pp.add_argument("--approx", action="store_true",
+                    help="HLL distinct counts (for very large tables)")
     args = ap.parse_args(argv)
     if args.command == "run":
         run_steps(args.steps, load_config(args.config))
+    elif args.command == "profile":
+        from platform_etl_backend_spark.engine.session import get_spark
+        from platform_etl_backend_spark.operators.profile import profile_table
+
+        spark = get_spark("profile")
+        try:
+            for row in profile_table(
+                spark.read.parquet(args.path), approx=args.approx
+            ).collect():
+                print(row)
+        finally:
+            spark.stop()
     else:
         for row in run_query(args.name, args.sf, args.limit):
             print(row)

@@ -98,3 +98,16 @@ def test_orc_roundtrip_via_io_layer(spark, sf_dir, tmp_path):
     got = {r.n_nationkey: r.n_name for r in back.collect()}
     want = {r.n_nationkey: r.n_name for r in nation.collect()}
     assert got == want
+
+
+def test_spark4_dataframe_transpose(spark):
+    """Spark 4's native DataFrame.transpose — the built-in twin of the
+    functions/columns melt+pivot transpose used by the expression step
+    (modern-surface coverage; driver-side schema inference caps it to
+    small frames, which is also why the step keeps the melt+pivot path
+    for production)."""
+    df = spark.createDataFrame([("a", 1, 2), ("b", 3, 4)], "k string, x int, y int")
+    t = df.transpose("k")
+    assert t.columns == ["key", "a", "b"]
+    rows = {r["key"]: (r["a"], r["b"]) for r in t.collect()}
+    assert rows == {"x": (1, 3), "y": (2, 4)}
