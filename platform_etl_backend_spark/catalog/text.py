@@ -1402,3 +1402,119 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dropped"),
     )
+
+
+_RAG_QUERIES = [
+    ("q1", ["spark", "join"]),
+    ("q2", ["customer", "filter"]),
+    ("q3", ["window", "sort", "merge"]),
+]
+_RAG_SIZE, _RAG_STRIDE, _RAG_K1, _RAG_B, _RAG_TOPK = 32, 24, 1.2, 0.75, 3
+# BM25 idf = ln((N - df + 0.5)/(df + 0.5) + 1) = ln((2N+2)/(2df+1)) — an
+# integer ratio, so it rides the engine-portable ln.
+_RAG_IDF = duck_portable_ln_ratio("2 * g.n_chunks + 2", "2 * dfreq.df + 1")
+
+
+def _rag_oracle() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _RAG_QUERIES for t in terms
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[s:s+{_RAG_SIZE - 1}], ' ')
+                     FOR s IN range(1, greatest(len(t) - {_RAG_SIZE - 1}, 1) + 1, {_RAG_STRIDE})])
+                 AS chunk_text,
+             generate_subscripts([s FOR s IN range(1, greatest(len(t) - {_RAG_SIZE - 1}, 1) + 1, {_RAG_STRIDE})], 1)
+                 AS chunk_id
+      FROM toks WHERE len(t) >= 1),
+    ctok AS (SELECT doc_id, chunk_id, unnest(string_split_regex(chunk_text, ' +')) AS term
+             FROM chunks),
+    dl AS (SELECT doc_id, chunk_id, COUNT(*) AS dl FROM ctok GROUP BY 1, 2),
+    tf AS (SELECT doc_id, chunk_id, term, COUNT(*) AS tf FROM ctok GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    g AS (SELECT COUNT(*) AS n_chunks, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, tf.chunk_id,
+             CAST(ROUND({_RAG_IDF}
+                        * (tf.tf * ({_RAG_K1} + 1))
+                        / (tf.tf + {_RAG_K1} * (1 - {_RAG_B} + {_RAG_B} * dl.dl / g.avgdl)),
+                        6) AS DECIMAL(18,6)) AS tscore
+      FROM q JOIN tf USING (term)
+             JOIN dfreq ON tf.term = dfreq.term
+             JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+             CROSS JOIN g),
+    agg AS (SELECT query_id, doc_id, chunk_id,
+                   CAST(SUM(tscore) AS DOUBLE) AS score
+            FROM scored GROUP BY 1, 2, 3),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rank
+               FROM agg)
+    SELECT query_id, rank, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, ROUND(score, 6) AS score
+    FROM ranked WHERE rank <= {_RAG_TOPK}
+    """
+
+
+@register(
+    "q_rag_retrieve",
+    oracle=_rag_oracle(),
+    description="end-to-end RAG retrieval composite: sliding-window chunking "
+    "(map-side HOFs) -> per-chunk BM25 scoring against a fixed query set -> "
+    "top-3 chunks per query. The BM25 idf rewrites to ln((2N+2)/(2df+1)) — "
+    "an integer ratio — so it rides the engine-portable ln; per-term scores "
+    "are decimal-summed per chunk. Query terms broadcast; the chunk "
+    "vocabulary join stays hint-free; final top-k is a per-query window",
+    tags=("text", "rag", "composite", "scoring"),
+)
+def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents")
+    chunks = TQ.chunk_documents(d, "doc_id", "text", size=_RAG_SIZE, stride=_RAG_STRIDE)
+    ctok = chunks.select(
+        "doc_id", "chunk_id",
+        F.explode(F.split(F.col("chunk_text"), " +")).alias("term"),
+    )
+    dl = ctok.groupBy("doc_id", "chunk_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = ctok.groupBy("doc_id", "chunk_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _RAG_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    idf = portable_ln_ratio(
+        2 * F.col("n_chunks") + 2, 2 * F.col("df") + 1
+    )
+    sat = (F.col("tf") * (_RAG_K1 + 1)) / (
+        F.col("tf") + _RAG_K1 * (1 - _RAG_B + _RAG_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q).join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id", "doc_id", "chunk_id",
+            F.round(idf * sat, 6).cast("decimal(18,6)").alias("tscore"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id", "chunk_id").agg(
+        F.sum("tscore").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id", "chunk_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _RAG_TOPK)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )

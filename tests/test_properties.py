@@ -96,3 +96,97 @@ def test_priority_dedup_model(spark, items):
             seen.add(i)
             expected.append((i, s))
     assert [(x.id, x.source) for x in got] == expected
+
+
+# ---------------------------------------------------------------------------
+# Sequence-operator properties: the Spark fold/window implementations must
+# agree with direct plain-Python models on arbitrary event streams
+# (randomized timestamps INCLUDING ties, multiple users, shuffled input
+# order — the adversarial cases for ordered-sequence semantics).
+# ---------------------------------------------------------------------------
+
+_event_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # user
+        st.integers(min_value=0, max_value=50),    # ep (small range → many ties)
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_funnel(events, stages, max_gap=None):
+    """Reference model: sequential scan of (ep, event_id)-sorted events."""
+    out = {}
+    by_user = {}
+    for eid, (u, ep, t) in enumerate(events):
+        by_user.setdefault(u, []).append((ep, eid, t))
+    for u, evs in by_user.items():
+        stage, anchor = 0, None
+        for ep, _eid, t in sorted(evs):
+            if stage < len(stages) and t == stages[stage]:
+                if stage == 0 or (
+                    ep > anchor and (max_gap is None or ep <= anchor + max_gap)
+                ):
+                    stage, anchor = stage + 1, ep
+        out[u] = stage
+    return out
+
+
+@SETTINGS
+@given(events=_event_streams, gapped=st.booleans())
+def test_funnel_fold_matches_python_model(spark, events, gapped):
+    from platform_etl_backend_spark.operators.sequence import funnel_stages
+
+    stages = ("signup", "click", "purchase")
+    max_gap = 10 if gapped else None
+    rows = [(u, eid, ep, t, 0.0) for eid, (u, ep, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ep bigint, event_type string, value double"
+    )
+    got = {
+        r["user_id"]: r["funnel_stage"]
+        for r in funnel_stages(
+            df, "user_id", "ep", "event_id", "event_type", stages, max_gap=max_gap
+        ).collect()
+    }
+    expected = _py_funnel(events, stages, max_gap)
+    # users with no candidate (funnel-type) events are pre-filtered out of
+    # the Spark frame; the model gives them stage 0 — align domains
+    expected = {
+        u: s for u, s in expected.items()
+        if any(e[0] == u and e[2] in stages for e in events)
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(events=_event_streams)
+def test_scd2_matches_python_model(spark, events):
+    from platform_etl_backend_spark.operators.sequence import scd2_intervals
+
+    rows = [(u, eid, ep, t, 0.0) for eid, (u, ep, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ep bigint, event_type string, value double"
+    )
+    got = sorted(
+        (r["user_id"], r["version"], r["state"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in scd2_intervals(df, "user_id", "ep", "event_id", "event_type").collect()
+    )
+
+    expected = []
+    by_user = {}
+    for eid, (u, ep, t) in enumerate(events):
+        by_user.setdefault(u, []).append((ep, eid, t))
+    for u, evs in by_user.items():
+        runs = []
+        for ep, _eid, t in sorted(evs):
+            if runs and runs[-1][0] == t:
+                runs[-1][2] += 1
+            else:
+                runs.append([t, ep, 1])
+        for i, (state, vfrom, nev) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((u, i + 1, state, vfrom, vto, nev))
+    assert got == sorted(expected)
