@@ -206,3 +206,44 @@ def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def sliding_dau_stream(
+    events: DataFrame, window_days: int = 7, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming 7-day sliding distinct active users (twin of
+    q_sliding_dau) via CHAINED stateful operators — the Spark-4 capability
+    the single-operator APIs can't express:
+
+    1. each activity day fans out map-side to the ``window_days`` report
+       days it contributes to (sequence + explode, bounded by the window
+       length);
+    2. streaming ``dropDuplicates`` on (user, report_day) — first stateful
+       op — makes each user count once per report day;
+    3. a windowed count — second stateful op — emits each finalized
+       report day once its watermark passes.
+
+    Chained stateful operators REQUIRE append mode: report days still
+    inside the watermark horizon are not emitted until later data (or
+    stream end past the delay) finalizes them — the standard completeness/
+    latency trade (the batch twin is the completeness oracle in tests).
+    """
+    day = F.date_trunc("day", F.col("event_ts"))
+    fan = events.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                day,
+                day + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    dedup = fan.withWatermark("report_day", watermark).dropDuplicates(
+        ["user_id", "report_day"]
+    )
+    return (
+        dedup.groupBy(F.window("report_day", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("dau7"))
+        .select(F.col("win.start").alias("report_day"), "dau7")
+    )

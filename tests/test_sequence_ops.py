@@ -244,3 +244,48 @@ class TestWindowedFunnel:
             stages=("signup", "click", "purchase"), max_gap=1000,
         )
         assert out.collect()[0]["funnel_stage"] == 2
+
+
+class TestDegenerateInputs:
+    """Empty/singleton inputs must not crash or mislabel (the round-2
+    habit: every iterative/grouped operator gets a degenerate test)."""
+
+    def test_empty_events(self, spark):
+        from platform_etl_backend_spark.operators.sequence import (
+            cohort_retention, ewma, funnel_stages, scd2_intervals,
+        )
+
+        empty = spark.createDataFrame([], SCHEMA)
+        assert funnel_stages(
+            empty, "user_id", "ep", "event_id", "event_type", ("signup",)
+        ).count() == 0
+        assert scd2_intervals(empty, "user_id", "ep", "event_id", "event_type").count() == 0
+        assert ewma(empty, "user_id", "ep", "event_id", "value").count() == 0
+        assert cohort_retention(
+            empty, "user_id", F.expr("ep div 86400").cast("bigint")
+        ).count() == 0
+
+    def test_empty_graph(self, spark):
+        from platform_etl_backend_spark.operators.graph import (
+            bfs_distances, label_propagation,
+        )
+
+        edges = spark.createDataFrame([], "src bigint, dst bigint")
+        assert label_propagation(edges, iterations=2).count() == 0
+        # BFS from a source with no edges: just the source at dist 0
+        got = {(r["node"], r["dist"]) for r in bfs_distances(edges, sources=[7]).collect()}
+        assert got == {(7, 0)}
+
+    def test_self_loops_only_graph(self, spark):
+        from platform_etl_backend_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame([(1, 1), (2, 2)], "src bigint, dst bigint")
+        assert label_propagation(edges, iterations=2).count() == 0  # loops dropped
+
+    def test_profile_empty_table(self, spark):
+        from platform_etl_backend_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame([], "a bigint, b string")
+        got = {r["column"]: r for r in profile_table(df).collect()}
+        assert set(got) == {"a", "b"}
+        assert all(r["n_rows"] == 0 and r["n_nulls"] == 0 for r in got.values())

@@ -216,3 +216,43 @@ def test_streaming_hash_sample_matches_batch(spark, sf_dir, events_stream):
         assert got == expected and len(got) > 0
     finally:
         q.stop()
+
+
+def test_sliding_dau_stream_matches_batch(spark, sf_dir, events_stream):
+    """Chained stateful operators (dedupe -> windowed count): every report
+    day the stream finalizes must carry exactly the batch q_sliding_dau
+    count (the batch twin restricted to observed days)."""
+    from pyspark.sql import functions as F
+
+    out = J.sliding_dau_stream(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dau7_stream")
+        .outputMode("append")  # chained stateful ops require append
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            r.report_day.date().toordinal() - 719162: r.dau7  # days since 1970
+            for r in spark.table("dau7_stream").collect()
+        }
+        assert got, "watermark should finalize most of the 30-day fixture"
+
+        batch = _batch_events(spark, sf_dir)
+        e = batch.select("user_id", F.expr("ep div 86400").cast("bigint").alias("day")).distinct()
+        days = e.select("day").distinct()
+        fan = e.select(
+            "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+        ).select("user_id", (F.col("day") + F.col("off")).alias("rday"))
+        expected = {
+            r.rday: r.dau7
+            for r in fan.groupBy("rday").agg(F.count_distinct("user_id").alias("dau7")).collect()
+        }
+        # the stream emits ALL report days below the watermark (incl. fan-out
+        # days with no direct activity); each must match the batch fan-out count
+        for d, n in got.items():
+            assert expected.get(d) == n, (d, n, expected.get(d))
+    finally:
+        q.stop()
