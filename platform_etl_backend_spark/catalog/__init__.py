@@ -76,8 +76,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Round-4 rotation TODO: q_tpch_q5, q_tpch_q14, q_assoc_rules,
 # q_profile_table, q_funnel_windowed, q_chi_square, q_dedup_keep_best,
-# q_sequence_match, q_autocorr_lag1, q_winsorized_mean, q_rag_retrieve
-# into positions 0-49 (all replica-green at both SFs).
+# q_sequence_match, q_autocorr_lag1, q_winsorized_mean, q_rag_retrieve,
+# q_weighted_sample into positions 0-49 (all replica-green at both SFs).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (

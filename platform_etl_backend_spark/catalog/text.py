@@ -1518,3 +1518,33 @@ def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+_ES_LN = duck_portable_ln_ratio(str(2**48), "h + 1")
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, n_chars, {_ES_LN} / CAST(n_chars AS DOUBLE) AS k
+      FROM hashed)
+    SELECT doc_id, n_chars FROM keyed ORDER BY k, doc_id LIMIT 50
+    """,
+    description="deterministic weighted sample without replacement "
+    "(Efraimidis-Spirakis A-ES order sampling, weight = document length): "
+    "u from 48 bits of the content hash, key = -ln(u)/w via the "
+    "engine-portable ratio log, bottom-50 keys — plans as "
+    "TakeOrderedAndProject (per-partition bottom-k + driver merge, no "
+    "global sort), reproducible at any parallelism, NO RNG anywhere",
+    tags=("sampling", "text"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.sampling import weighted_bottomk_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_bottomk_sample(d, ["doc_id"], "n_chars", k=50)

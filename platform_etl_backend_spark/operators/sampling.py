@@ -78,6 +78,36 @@ def bottomk_sample(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
     )
 
 
+def weighted_bottomk_sample(
+    df: DataFrame, key_cols: Sequence[str], weight_col: str, k: int
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement, without RNG —
+    Efraimidis & Spirakis (2006) A-ES order sampling, deterministic:
+    each row draws ``u`` from its content hash (48 bits of md5, so the
+    draw is reproducible at any parallelism) and keeps key
+    ``-ln(u)/w`` (an Exponential(w) variate); the k SMALLEST keys are a
+    weighted sample without replacement. The ln rides the engine-portable
+    ratio log (functions/portable_math.py): ``-ln((h+1)/2^48) =
+    ln(2^48/(h+1))``, an integer ratio.
+
+    Spark plans the orderBy+limit as TakeOrderedAndProject — per-partition
+    bottom-k then a driver merge of k·partitions candidates, never a
+    global sort. Mergeable across shards, cluster-size-invariant, and
+    hash-matchable by an oracle — properties a seeded RNG sampler cannot
+    offer. Weights must be positive."""
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    content = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(content), 1, 12), 16, 10).cast("bigint")
+    key = portable_ln_ratio(F.lit(2**48), h + 1) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy("_es_key", *key_cols)
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -291,3 +291,27 @@ def test_pack_sequences_matches_model(spark, texts, budget):
         want[b] = (nd + 1, tk + n, min(fd, d), max(ld, d))
         cum += n
     assert got == want
+
+
+def test_weighted_sample_upweights_and_is_partitioning_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from platform_etl_backend_spark.operators.sampling import weighted_bottomk_sample
+    from platform_etl_backend_spark.plans.inspect import explain_str
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    s = weighted_bottomk_sample(d, ["doc_id"], "n_chars", k=50)
+    # weight = length: the sample's mean length must exceed the corpus mean
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = s.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_bottomk_sample(
+            d.repartition(13), ["doc_id"], "n_chars", k=50
+        ).collect()
+    )
+    assert a == b  # cluster-size invariance
+
+    assert "TakeOrderedAndProject" in explain_str(s, "simple")  # no global sort
