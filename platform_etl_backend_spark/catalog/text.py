@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table
+from platform_etl_backend_spark.functions.portable_math import (
+    duck_portable_ln_ratio,
+    portable_ln_ratio as _portable_ln_ratio,
+)
 from platform_etl_backend_spark.operators import dedup as D
 from platform_etl_backend_spark.operators import nlp as NLP
 from platform_etl_backend_spark.operators import textqa as TQ
@@ -1060,6 +1064,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_LN = duck_portable_ln_ratio("df_pair * n.nd", "d1.df * d2.df")
+
+
 @register(
     "q_pmi_cooccur",
     oracle=f"""
@@ -1070,9 +1077,8 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
               GROUP BY 1, 2)
     SELECT t1, t2, df_pair,
-           ROUND(ln(CAST(df_pair * (SELECT nd FROM n) AS DOUBLE)
-                    / CAST(d1.df * d2.df AS DOUBLE)), 6) AS pmi
-    FROM pairs JOIN dfw d1 ON t1 = d1.term JOIN dfw d2 ON t2 = d2.term
+           ROUND({_PMI_LN}, 6) AS pmi
+    FROM pairs JOIN dfw d1 ON t1 = d1.term JOIN dfw d2 ON t2 = d2.term, n
     WHERE df_pair >= 5
     """,
     description="pointwise mutual information over within-document term "
@@ -1107,10 +1113,11 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))  # 1-row scalar frame
         .select(
             "t1", "t2", "df_pair",
+            # integer-ratio log via the engine-portable ln (libm ln is
+            # 1-ulp divergent across engines; see functions/portable_math)
             F.round(
-                F.log(
-                    (F.col("df_pair") * F.col("nd")).cast("double")
-                    / (F.col("df1") * F.col("df2")).cast("double")
+                _portable_ln_ratio(
+                    F.col("df_pair") * F.col("nd"), F.col("df1") * F.col("df2")
                 ),
                 6,
             ).alias("pmi"),
@@ -1162,6 +1169,9 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENT_LN = duck_portable_ln_ratio("t.tot", "c.c")
+
+
 @register(
     "q_entropy_by_source",
     oracle=f"""
@@ -1169,8 +1179,8 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
     t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n_terms FROM c GROUP BY source)
     SELECT c.source, MAX(t.n_terms) AS n_terms,
-           ROUND(CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.tot)
-                                     * ln(CAST(c.c AS DOUBLE) / t.tot), 9)
+           ROUND(CAST(SUM(CAST(ROUND({_ENT_LN}
+                                     * (CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)), 9)
                                AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
     FROM c JOIN t ON c.source = t.source GROUP BY c.source
     """,
@@ -1189,8 +1199,12 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("tot"), F.count(F.lit(1)).alias("n_terms")
     )
-    p = F.col("c").cast("double") / F.col("tot")
-    contrib = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    # -p*ln(p) = ln(tot/c) * (c/tot): an integer-ratio log, so it rides
+    # the engine-portable ln (libm ln is 1-ulp divergent across engines)
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    contrib = F.round(
+        _portable_ln_ratio(F.col("tot"), F.col("c")) * p, 9
+    ).cast("decimal(18,9)")
     return (
         c.join(F.broadcast(t), "source")
         .groupBy("source")
@@ -1200,8 +1214,6 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-from platform_etl_backend_spark.functions.portable_math import duck_portable_ln_ratio
 
 _TRI_LOGP = duck_portable_ln_ratio("c123", "c12")
 _BO_LOGP = duck_portable_ln_ratio("c23", "c2")
@@ -1548,3 +1560,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_bottomk_sample(d, ["doc_id"], "n_chars", k=50)
+
+
+_KL_LN = duck_portable_ln_ratio("c.c * g.tt", "t.tot * w.cw")
+
+
+@register(
+    "q_kl_divergence",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_T}) AS term FROM documents),
+    c AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY source),
+    w AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cw FROM c GROUP BY term),
+    g AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM c)
+    SELECT c.source,
+           ROUND(CAST(SUM(CAST(ROUND({_KL_LN}
+                                     * (CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6) AS kl_nats
+    FROM c JOIN t ON c.source = t.source JOIN w ON c.term = w.term, g
+    GROUP BY c.source
+    """,
+    description="per-source KL divergence from the corpus term distribution "
+    "(the distribution-drift audit: which source's language deviates most — "
+    "template detection, contamination screening, mixture monitoring): "
+    "KL(p_src||p_corpus) with the log of the exact integer ratio "
+    "(c_st*T)/(T_s*c_t) riding the engine-portable ln, contributions "
+    "rounded then decimal-summed; marginals broadcast onto the per-source "
+    "term counts — one term-keyed aggregation total",
+    tags=("text", "stats", "drift"),
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(F.trim("text"), " +")).alias("term"))
+    c = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    w = c.groupBy("term").agg(F.sum("c").cast("bigint").alias("cw"))
+    g = c.agg(F.sum("c").cast("bigint").alias("tt"))
+    p_s = F.col("c").cast("double") / F.col("tot").cast("double")
+    contrib = F.round(
+        _portable_ln_ratio(F.col("c") * F.col("tt"), F.col("tot") * F.col("cw")) * p_s,
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .join(F.broadcast(w), "term")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("kl_nats"))
+    )
