@@ -77,8 +77,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # Round-4 rotation TODO: q_tpch_q5, q_tpch_q14, q_assoc_rules,
 # q_profile_table, q_funnel_windowed, q_chi_square, q_dedup_keep_best,
 # q_sequence_match, q_autocorr_lag1, q_winsorized_mean, q_rag_retrieve,
-# q_weighted_sample, q_kl_divergence into positions 0-49 (all
-# replica-green at both SFs). q_pmi_cooccur and q_entropy_by_source were
+# q_weighted_sample, q_kl_divergence, q_linear_trend, q_mode_per_group
+# into positions 0-49 (all replica-green at both SFs). q_pmi_cooccur and q_entropy_by_source were
 # hardened onto the portable ln AFTER entering the window this round —
 # re-verified at both SFs post-change.
 # ---------------------------------------------------------------------------

@@ -946,3 +946,94 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where(varx * vary > 0).select(
         "user_id", "n", F.round(num / F.sqrt(varx * vary), 6).alias("r1")
     )
+
+
+@register(
+    "q_linear_trend",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    b AS (SELECT user_id, MIN(ep) AS ep0 FROM e GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 CAST(e.ep - b.ep0 AS DOUBLE) / 86400.0 AS x,
+                 e.value AS y
+          FROM e JOIN b ON e.user_id = b.user_id),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+          FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+    description="per-group ordinary-least-squares trend (slope per day + "
+    "intercept of each user's value series over time): days-since-first as "
+    "the regressor (keeps the moment sums small and the decimals exact), "
+    "decimal-rounded moment sums for order-invariance, then the closed-form "
+    "OLS in pure IEEE arithmetic — the grouped regression primitive for "
+    "trend screens and simple forecasting baselines",
+    tags=("stats", "events", "timeseries", "regression"),
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    b = e.groupBy("user_id").agg(F.min("ep").alias("ep0"))
+    p = e.join(b, "user_id").select(
+        "user_id",
+        ((F.col("ep") - F.col("ep0")).cast("double") / 86400.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(F.round(c, 6).cast("decimal(18,6)")).cast("double")
+
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return s.where(det > 0).select(
+        "user_id", "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+               FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, q AS mode_qty, cnt AS mode_count
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY cnt DESC, q ASC) AS rn FROM c)
+    WHERE rn = 1
+    """,
+    description="deterministic per-group mode (most frequent value, ties to "
+    "the SMALLEST value): two hash aggregations with the "
+    "max(struct(count, -value)) argmax — the built-in mode() is "
+    "tie-arbitrary on BOTH engines, so neither side uses it",
+    tags=("agg", "olap"),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    c = (
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("q")).alias("nq"))).alias("m"))
+        .select(
+            "l_returnflag",
+            (-F.col("m.nq")).cast("bigint").alias("mode_qty"),
+            F.col("m.cnt").alias("mode_count"),
+        )
+    )
