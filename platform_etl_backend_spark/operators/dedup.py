@@ -106,14 +106,16 @@ def prefix_filtered_jaccard_pairs(
     MinHash+LSH route.
 
     Shuffle shape: one shingle-keyed df count, one hint-free join back on
-    the (unbounded) shingle key, one doc-keyed sort/collect for prefix
-    extraction, one prefix-shingle-keyed candidate join, then the same
-    intersection verify as the LSH pipeline.
+    the (unbounded) shingle key, one doc-keyed sort/collect (which also
+    yields each document's full sorted shingle ARRAY), one
+    prefix-shingle-keyed candidate join, then the LSH pipeline's row-wise
+    ``array_intersect`` verify — two doc-keyed array joins, never a
+    per-shingle verify shuffle. The doc frame feeds prefixes AND
+    verification, so it is persisted at the reuse point.
     """
     sh = exploded_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
+    docs = (
         sh.join(dfs, "shingle")  # hint-free: shingle vocabulary is unbounded
         .groupBy(id_col)
         .agg(
@@ -122,9 +124,16 @@ def prefix_filtered_jaccard_pairs(
             ).alias("lst"),
             F.count(F.lit(1)).alias("n"),
         )
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.col("lst"),
+            F.sort_array(F.transform("lst", lambda s: s["shingle"])).alias("sh_arr"),
+        )
+        .persist()
     )
     p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
-    prefix = ordered.select(
+    prefix = docs.select(
         F.col(id_col),
         F.explode(F.slice("lst", F.lit(1), p)).alias("ps"),
     ).select(id_col, F.col("ps.shingle").alias("shingle"))
@@ -136,19 +145,17 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    da = docs.select(
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"), F.col("n").alias("sz_a")
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    db = docs.select(
+        F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"), F.col("n").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(
