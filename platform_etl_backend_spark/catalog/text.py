@@ -1608,3 +1608,24 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum(contrib).cast("double"), 6).alias("kl_nats"))
     )
+
+
+@register(
+    "q_count_min_narrow",
+    oracle=_count_min_oracle(depth=4, width=16),
+    description="count-min sketch at a deliberately narrow width (4x16): "
+    "the e/w error knob made visible — same exact mergeable aggregation, "
+    "heavy bucket collisions, so estimates OVERSHOOT true counts where the "
+    "4x256 config (q_count_min) tracks them closely; the paired pytest pins "
+    "estimate >= exact for both configs and a larger total overestimate "
+    "here (the trade a 100 TB deployment tunes: width*depth counters vs "
+    "one-sided error e/w per hash row)",
+    tags=("text", "sketch", "stats"),
+)
+def q_count_min_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+
+    return count_min_estimates(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        depth=4, width=16, topk=20,
+    )

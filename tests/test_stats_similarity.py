@@ -269,3 +269,36 @@ def test_count_min_exact_on_small_universe(spark):
     got = {r.token: (r.exact, r.cm_estimate) for r in
            count_min_estimates(docs, "doc_id", "text", depth=4, width=256, topk=10).collect()}
     assert got == {"x": (3, 3), "y": (2, 2), "z": (1, 1)}
+
+
+def test_count_min_width_error_trade(spark, sf_dir):
+    """Narrower sketch => same one-sided guarantee, larger total
+    overestimate (the e/w knob, pinned on the fixture corpus)."""
+    from pyspark.sql import functions as F
+    from platform_etl_backend_spark.operators.dedup import ws_tokens
+    from platform_etl_backend_spark.operators.stats import count_min_estimates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r["term"]: r["cnt"]
+        for r in docs.select(F.explode(ws_tokens("text")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    def est(width):
+        return {
+            r["token"]: r["cm_estimate"]
+            for r in count_min_estimates(
+                docs, "doc_id", "text", depth=4, width=width, topk=20
+            ).collect()
+        }
+
+    wide, narrow = est(256), est(16)
+    assert set(wide) == set(narrow)  # same top-k probe set
+    for t in wide:
+        assert wide[t] >= exact[t]      # one-sided guarantee holds...
+        assert narrow[t] >= exact[t]    # ...at any width
+        assert narrow[t] >= wide[t] - 0  # collisions only ever add
+    over_wide = sum(wide[t] - exact[t] for t in wide)
+    over_narrow = sum(narrow[t] - exact[t] for t in narrow)
+    assert over_narrow > over_wide  # the width knob is visible
