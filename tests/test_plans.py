@@ -120,3 +120,20 @@ def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
     assert "Aggregate" in plan or "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_star_joins_broadcast_all_dims(spark, sf_dir):
+    """Q5's five dimension joins must all be broadcast (single fact-fact
+    shuffle); Q10's top-20 must plan as TakeOrderedAndProject."""
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.plans.inspect import explain_str
+
+    q5 = QUERIES["q_tpch_q5"].fn(spark, sf_dir)
+    plan5 = explain_str(q5, "simple")
+    assert plan5.count("BroadcastHashJoin") >= 5, plan5
+    assert "CartesianProduct" not in plan5
+
+    q10 = QUERIES["q_tpch_q10"].fn(spark, sf_dir)
+    plan10 = explain_str(q10, "simple")
+    assert "TakeOrderedAndProject" in plan10, plan10
+    assert plan10.count("BroadcastHashJoin") >= 2, plan10
