@@ -1629,3 +1629,109 @@ def q_count_min_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         depth=4, width=16, topk=20,
     )
+
+
+# Jelinek-Mercer at lambda=1/2: p = (c12/c1 + c2/T)/2 = (c12*T + c2*c1) /
+# (2*c1*T) — an exact integer ratio, so ln(p) rides the portable ratio log
+# (no arbitrary-double ln needed).
+_JM_LN = duck_portable_ln_ratio(
+    "tf.c12 * g.tt + c2r.c2 * c1l.c1", "2 * c1l.c1 * g.tt"
+)
+
+
+@register(
+    "q_interp_lm",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    dtf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY doc_id, bigram),
+    tf AS (SELECT bigram, CAST(SUM(tf) AS BIGINT) AS c12 FROM dtf GROUP BY bigram),
+    c1l AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+            FROM tf GROUP BY w1),
+    uni AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    c2r AS (SELECT term AS w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM uni GROUP BY term),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM uni),
+    model AS (
+      SELECT tf.bigram,
+             CAST(round({_JM_LN}, 6) AS DECIMAL(18,6)) AS logp
+      FROM tf
+      JOIN c1l ON split_part(tf.bigram, ' ', 1) = c1l.w1
+      JOIN c2r ON split_part(tf.bigram, ' ', 2) = c2r.w2, g),
+    agg AS (
+      SELECT d.doc_id, CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m.logp * d.tf) * 1000000 AS BIGINT) AS s_micro
+      FROM dtf d JOIN model m USING (bigram) GROUP BY d.doc_id)
+    SELECT doc_id, n_bigrams,
+           CAST(CASE WHEN s_micro < 0
+                     THEN -((2 * (-s_micro) + n_bigrams) // (2 * n_bigrams))
+                     ELSE (2 * s_micro + n_bigrams) // (2 * n_bigrams) END
+                AS BIGINT) AS mean_logp_micro
+    FROM agg
+    """,
+    description="Jelinek-Mercer interpolated bigram LM scoring (lambda=1/2): "
+    "p = (P_bigram + P_unigram)/2 — at this lambda the interpolated "
+    "probability is the exact integer ratio (c12*T + c2*c1)/(2*c1*T), so "
+    "the whole log-score rides the engine-portable ratio ln; the smoothing "
+    "family's third member beside raw-bigram and Stupid-Backoff scoring. "
+    "Mean emitted in integer micro-nats (tie-portable rounding pattern)",
+    tags=("text", "quality", "scoring"),
+)
+def q_interp_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n2), F.slice(toks, 2, n2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = D.spread(d, "doc_id")
+    bg = base.where(F.size(toks) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    dtf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    tf = dtf.groupBy("bigram").agg(F.sum("tf").cast("bigint").alias("c12"))
+    c1l = tf.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    uni = base.select("doc_id", F.explode(toks).alias("term"))
+    c2r = uni.groupBy(F.col("term").alias("w2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    g = uni.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    model = (
+        tf.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(c1l, "w1")
+        .join(c2r, "w2")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bigram",
+            F.round(
+                _portable_ln_ratio(
+                    F.col("c12") * F.col("tt") + F.col("c2") * F.col("c1"),
+                    F.lit(2) * F.col("c1") * F.col("tt"),
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("logp"),
+        )
+    )
+    agg = (
+        dtf.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            (F.sum(F.col("logp") * F.col("tf")) * 1000000)
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "CASE WHEN s_micro < 0 "
+            "THEN -((2 * (-s_micro) + n_bigrams) div (2 * n_bigrams)) "
+            "ELSE (2 * s_micro + n_bigrams) div (2 * n_bigrams) END"
+        ).cast("bigint").alias("mean_logp_micro"),
+    )
