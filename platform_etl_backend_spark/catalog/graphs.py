@@ -215,3 +215,47 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.floor(F.col("value")).cast("bigint") % 50
     edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
     return label_propagation(edges, iterations=3)
+
+
+def _sssp_oracle(rounds: int = 6) -> str:
+    """Unrolled min-plus Bellman-Ford mirroring operators/graph.sssp over
+    the part tree with integer edge weights (child mod 7) + 1."""
+    ctes = [
+        """e AS (SELECT p_partkey // 2 AS s, p_partkey AS d,
+                        (p_partkey % 7) + 1 AS w
+                 FROM part WHERE p_partkey >= 1)""",
+        "d0(node, dist) AS (SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT))",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.d, p.dist + e.w FROM d{i - 1} p JOIN e ON e.s = p.node)
+      GROUP BY node)"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, dist FROM d{rounds}"
+
+
+@register(
+    "q_sssp",
+    oracle=_sssp_oracle(6),
+    description="weighted single-source shortest paths (6 bounded min-plus "
+    "Bellman-Ford rounds over the part tree, integer edge weights): one "
+    "frontier join + one min aggregation per round — integer path sums make "
+    "the min-reduction order-invariant with no decimal scaffolding; exact "
+    "for all shortest paths of <= 6 hops by the textbook bound (the BFS "
+    "twin q_bfs_distance counts hops; this one costs them)",
+    tags=("graph", "iterative"),
+)
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import sssp
+
+    p = table(spark, sf_dir, "part")
+    edges = p.where(F.col("p_partkey") >= 1).select(
+        F.expr("p_partkey div 2").cast("bigint").alias("src"),
+        F.col("p_partkey").cast("bigint").alias("dst"),
+        ((F.col("p_partkey") % 7) + 1).cast("bigint").alias("w"),
+    )
+    return sssp(edges, sources=[1], rounds=6)

@@ -304,6 +304,62 @@ def pagerank(
     return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("pr"))
 
 
+def sssp(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Weighted single-source (or multi-source) shortest paths by bounded
+    min-plus relaxation (Bellman-Ford rounds as join/agg — the relational
+    Pregel plan): ``d_{i+1}(v) = min(d_i(v), min_u d_i(u) + w(u, v))``.
+
+    Weights must be non-negative INTEGERS (quantize currencies/durations
+    to cents/millis upstream): path costs are then exact integer sums and
+    the min-reduction is order-invariant, so results are bit-identical at
+    any parallelism — no decimal scaffolding, no float-sum ordering
+    hazard. After ``rounds`` relaxations the result is exact for every
+    shortest path of at most that many hops (the textbook bound); pass
+    rounds >= |V|-1 for full convergence or early-exit on no change.
+
+    Per round: one frontier-keyed join + one min aggregation, O(m) work;
+    lineage cut per round. Returns (node, dist) for reached nodes.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(x), 0) for x in sources], "node bigint, dist bigint"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(dist, ["node", "dist"], "left_anti")
+        )
+        dist = new
+        if changed.isEmpty():
+            break
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -108,3 +108,44 @@ def test_label_propagation_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(13), iterations=3).collect()))
     assert a == b
+
+
+def test_sssp_weighted_vs_dijkstra(spark):
+    """Min-plus rounds must reproduce exact Dijkstra distances on a small
+    weighted digraph where the cheapest path is NOT the fewest-hops path."""
+    import heapq
+    from platform_etl_backend_spark.operators.graph import sssp
+
+    edges = [
+        (0, 1, 10), (0, 2, 1), (2, 1, 1),     # 0->1 direct 10, via 2: 2
+        (1, 3, 1), (2, 3, 100), (3, 4, 1),
+        (0, 4, 50),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {r["node"]: r["dist"] for r in sssp(df, sources=[0], rounds=8).collect()}
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+
+
+def test_sssp_parallel_edges_keep_cheapest(spark):
+    from platform_etl_backend_spark.operators.graph import sssp
+
+    df = spark.createDataFrame(
+        [(0, 1, 5), (0, 1, 2), (0, 1, 9)], "src bigint, dst bigint, w bigint"
+    )
+    got = {r["node"]: r["dist"] for r in sssp(df, sources=[0], rounds=3).collect()}
+    assert got == {0: 0, 1: 2}
