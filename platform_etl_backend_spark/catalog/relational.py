@@ -1412,3 +1412,85 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "customer"))
+
+
+@register(
+    "q_item_cooccur",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS co
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2),
+    sym AS (SELECT p1 AS p, p2 AS q, co FROM pairs
+            UNION ALL SELECT p2, p1, co FROM pairs),
+    scored AS (
+      SELECT s.p, s.q, s.co,
+             ROUND(CAST(s.co AS DOUBLE)
+                   / sqrt(CAST(dp.n AS DOUBLE) * CAST(dq.n AS DOUBLE)), 6) AS cosine
+      FROM sym s JOIN deg dp ON s.p = dp.l_partkey JOIN deg dq ON s.q = dq.l_partkey
+      WHERE s.co >= 2)
+    SELECT p AS part, rk, q AS similar_part, co AS n_cobaskets, cosine
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY p ORDER BY cosine DESC, co DESC, q) AS BIGINT) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    description="item-item co-purchase similarity (the collaborative-"
+    "filtering precompute): distinct (order, part) baskets self-joined on "
+    "the order key — pair fan-out quadratic in BASKET size (bounded ~7 in "
+    "TPC-H, never corpus size) — cosine-normalized by item degrees "
+    "(broadcast), min-support filter BEFORE the degree joins, top-3 "
+    "neighbors per item by window rank; the 'customers also bought' "
+    "preprocessing at 100 TB. cosine = co/sqrt(n_p*n_q) is pure IEEE "
+    "mul/div/sqrt — deterministic without scaffolding",
+    tags=("join", "agg", "recommendation"),
+)
+def q_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("p"), F.col("p2").alias("q"), "co"
+    ).unionByName(pairs.select(F.col("p2").alias("p"), F.col("p1").alias("q"), "co"))
+    dp = deg.select(F.col("l_partkey").alias("p"), F.col("n").alias("np"))
+    dq = deg.select(F.col("l_partkey").alias("q"), F.col("n").alias("nq"))
+    scored = (
+        sym.join(F.broadcast(dp), "p")
+        .join(F.broadcast(dq), "q")
+        .select(
+            "p", "q", "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("np").cast("double") * F.col("nq").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("cosine"), F.desc("co"), "q")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("p").alias("part"), "rk", F.col("q").alias("similar_part"),
+            F.col("co").alias("n_cobaskets"), "cosine",
+        )
+    )
