@@ -1037,3 +1037,62 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_conversion_latency",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    s1 AS (SELECT user_id, MIN(ep) AS a1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    s3 AS (SELECT e.user_id, MIN(ep) AS a3 FROM e JOIN s1 ON e.user_id = s1.user_id
+           AND e.ep > s1.a1 WHERE event_type = 'purchase' GROUP BY e.user_id),
+    lat AS (SELECT s1.user_id, s3.a3 - s1.a1 AS latency_s FROM s1 JOIN s3 USING (user_id)),
+    ranked AS (SELECT latency_s,
+                      ROW_NUMBER() OVER (ORDER BY latency_s) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM lat)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(latency_s) AS BIGINT) AS min_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN latency_s END) AS BIGINT) AS median_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM ranked
+    """,
+    description="time-to-conversion distribution (first signup -> first "
+    "subsequent purchase per user): the survival-analysis-lite metric every "
+    "funnel report pairs with stage counts — two grouped min passes, then "
+    "rank-pick median over the (small) converted-user frame; all integer "
+    "seconds, no float anywhere",
+    tags=("agg", "events", "funnel", "latency"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("a1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ep") > F.col("a1"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("a3"))
+    )
+    lat = s1.join(s3, "user_id").select((F.col("a3") - F.col("a1")).alias("latency_s"))
+    w = Window.orderBy("latency_s")
+    wn = Window.partitionBy()
+    ranked = lat.select(
+        "latency_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                   F.col("latency_s"))
+        ).cast("bigint").alias("median_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
