@@ -133,14 +133,19 @@ def prefix_filtered_jaccard_pairs(
         .persist()
     )
     p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
+    # candidate join keys on xxhash64(shingle): a fixed 8-byte shuffle key
+    # instead of the shingle string; a collision only ADDS candidates,
+    # which the exact-Jaccard verify discards (the blocking is complete at
+    # the threshold, so the verified output is candidate-set-independent —
+    # the same safety argument as the fuzzy-join bucket hashing)
     prefix = docs.select(
         F.col(id_col),
         F.explode(F.slice("lst", F.lit(1), p)).alias("ps"),
-    ).select(id_col, F.col("ps.shingle").alias("shingle"))
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    ).select(id_col, F.xxhash64(F.col("ps.shingle")).alias("sh_h"))
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh_h")
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh_h")
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
