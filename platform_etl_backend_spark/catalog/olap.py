@@ -397,3 +397,25 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (2 * s_cents * 10000 + n_customers) div (2 * n_customers) END"
         ).cast("bigint").alias("wmean_micro"),
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # sketch internals are engine-specific (Greenwald-Khanna /
+    # t-digest variants differ); like the HLL row, the driver records a
+    # rows-only check and the pytest pins an accuracy envelope vs exact
+    description="approximate percentiles per group via percentile_approx "
+    "(Greenwald-Khanna sketch, accuracy=10000): the mergeable "
+    "constant-memory quantile structure for 100 TB profiling where the "
+    "exact rank-pick's full sort-shuffle is unaffordable; rows-only by "
+    "nature (sketch values are engine-specific) with the error envelope "
+    "pinned against the exact percentiles in tests",
+    tags=("stats", "olap", "sketch"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -22,7 +22,11 @@ import pytest
 import platform_etl_backend_spark.catalog as catalog_init
 from platform_etl_backend_spark.catalog import QUERIES
 
-ROWS_ONLY_ALLOWED = {"q_approx_distinct", "q_montecarlo_critical"}
+ROWS_ONLY_ALLOWED = {
+    "q_approx_distinct",       # HLL sketch values are engine-specific
+    "q_montecarlo_critical",   # seeded simulation, not SQL-expressible
+    "q_approx_percentile",     # GK quantile sketch values are engine-specific
+}
 
 FORBIDDEN_TYPES = {"array", "map", "struct"}
 FORBIDDEN_TIME_TYPES = {"timestamp", "timestamp_ntz"}

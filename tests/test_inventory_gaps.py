@@ -111,3 +111,31 @@ def test_spark4_dataframe_transpose(spark):
     assert t.columns == ["key", "a", "b"]
     rows = {r["key"]: (r["a"], r["b"]) for r in t.collect()}
     assert rows == {"x": (1, 3), "y": (2, 4)}
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """percentile_approx at accuracy=10000 must land within one rank-step
+    of the exact percentiles on the fixture (the A5-style honesty test for
+    the rows-only sketch row)."""
+    from pyspark.sql import functions as F
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["q_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        # quantities are integers 1..50: within 1 unit of the exact value
+        assert abs(approx[k][0] - exact[k][0]) <= 1.0, (k, approx[k], exact[k])
+        assert abs(approx[k][1] - exact[k][1]) <= 1.0, (k, approx[k], exact[k])
