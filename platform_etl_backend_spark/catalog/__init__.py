@@ -90,10 +90,10 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_weighted_sample, q_kl_divergence, q_linear_trend, q_mode_per_group,
 # q_count_min_narrow, q_interp_lm, q_sssp, q_item_cooccur,
 # q_conversion_latency, q_approx_percentile (rows-only) into positions
-# 0-49 (all replica-green
-# at both SFs). q_pmi_cooccur and q_entropy_by_source were
-# hardened onto the portable ln AFTER entering the window this round —
-# re-verified at both SFs post-change.
+# 0-49 (every oracle-paired one replica-green at both SFs).
+# q_pmi_cooccur and q_entropy_by_source were hardened onto the portable
+# ln AFTER entering the window this round — re-verified at both SFs
+# post-change.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
