@@ -80,8 +80,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_ann_ivf_kmeans / q_embedding_near_dup (same rule), and q_tpch_q10
 # displaces q_montecarlo_critical (rows-only by design — its no_oracle
 # status is already on record in CORRECTNESS_r02; nothing new to learn).
-# With r03 green, 136 of 157 queries have cumulative driver evidence; the
-# 21 without are the round-4 rotation TODO below (every oracle-paired
+# With r03 green, 136 of 158 queries have cumulative driver evidence; the
+# 22 without are the round-4 rotation TODO below (every oracle-paired
 # one replica-green at both SFs via scripts/check_oracle.py; q_approx_percentile is rows-only by design like the HLL row) and nothing else.
 # ---------------------------------------------------------------------------
 # Round-4 rotation TODO: q_tpch_q5, q_tpch_q14, q_assoc_rules,
@@ -89,7 +89,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_sequence_match, q_autocorr_lag1, q_winsorized_mean, q_rag_retrieve,
 # q_weighted_sample, q_kl_divergence, q_linear_trend, q_mode_per_group,
 # q_count_min_narrow, q_interp_lm, q_sssp, q_item_cooccur,
-# q_conversion_latency, q_approx_percentile (rows-only) into positions
+# q_conversion_latency, q_approx_percentile (rows-only),
+# q_snapshot_diff into positions
 # 0-49 (every oracle-paired one replica-green at both SFs).
 # q_pmi_cooccur and q_entropy_by_source were hardened onto the portable
 # ln AFTER entering the window this round — re-verified at both SFs

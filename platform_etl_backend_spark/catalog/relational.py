@@ -1494,3 +1494,81 @@ def q_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("co").alias("n_cobaskets"), "cosine",
         )
     )
+
+
+# Two deterministic "snapshots" derived from orders: v2 drops ~1/16 of rows
+# by content hash and bumps the price of another ~1/16 — the
+# reconciliation shapes (removed / changed / unchanged) with exact parity
+# on both engines (md5-hex bucket arithmetic, no RNG).
+_SNAP_BUCKET = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)"
+)
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN {_SNAP_BUCKET} = 1
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(1 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE {_SNAP_BUCKET} <> 0),
+    j AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+             v1.o_orderkey IS NULL AS added,
+             v2.o_orderkey IS NULL AS removed,
+             v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+               AND v1.o_totalprice <> v2.o_totalprice AS changed
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+    SELECT CAST(COUNT(*) FILTER (WHERE added) AS BIGINT) AS n_added,
+           CAST(COUNT(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE changed) AS BIGINT) AS n_changed,
+           CAST(COUNT(*) FILTER (WHERE NOT added AND NOT removed AND NOT changed)
+                AS BIGINT) AS n_unchanged
+    FROM j
+    """,
+    description="snapshot diff / data reconciliation (the CDC-validation "
+    "primitive: classify every key across two table versions as added / "
+    "removed / changed / unchanged): ONE key-keyed full-outer join + one "
+    "count pass — never row-by-row comparison loops; the second snapshot is "
+    "derived deterministically from the first by content-hash buckets so "
+    "both engines reconcile the identical pair of versions. The per-column "
+    "change predicate generalizes to a struct comparison at width",
+    tags=("join", "reconciliation", "relational"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    v2 = o.where(bucket != 0).select(
+        "o_orderkey",
+        F.when(
+            bucket == 1,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.lit(1).cast("decimal(18,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    v1 = o.alias("v1")
+    v2 = v2.alias("v2")
+    j = v1.join(v2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer")
+    added = F.col("v1.o_orderkey").isNull()
+    removed = F.col("v2.o_orderkey").isNull()
+    changed = (
+        F.col("v1.o_orderkey").isNotNull()
+        & F.col("v2.o_orderkey").isNotNull()
+        & (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+    )
+    return j.agg(
+        F.sum(added.cast("int")).cast("bigint").alias("n_added"),
+        F.sum(removed.cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(changed.cast("int")).cast("bigint").alias("n_changed"),
+        F.sum((~added & ~removed & ~changed).cast("int")).cast("bigint").alias("n_unchanged"),
+    )
