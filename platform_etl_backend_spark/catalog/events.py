@@ -233,7 +233,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaction := props.k decile, report := event_id.
 # ---------------------------------------------------------------------------
 
-_LLR_ORACLE = """
+from platform_etl_backend_spark.operators.stats import duck_portable_llr
+
+_LLR_ORACLE = f"""
 WITH base AS (
   SELECT event_id AS report,
          event_type AS drug,
@@ -253,11 +255,9 @@ contingency AS (
          CAST((SELECT COUNT(DISTINCT report) FROM base) - n_drug - n_reaction + n_pair AS DOUBLE) AS D
   FROM stats)
 SELECT drug, reaction, A, B, C, D,
-       ROUND(A * (ln(A) - ln(A + B)) + C * (ln(C) - ln(C + D))
-             - (A + C) * (ln(A + C) - ln(A + B + C + D)), 6) AS llr
+       ROUND({duck_portable_llr()}, 6) AS llr
 FROM contingency
-WHERE NOT isnan(A * (ln(A) - ln(A + B)) + C * (ln(C) - ln(C + D))
-                - (A + C) * (ln(A + C) - ln(A + B + C + D)))
+WHERE C >= 1
 """
 
 

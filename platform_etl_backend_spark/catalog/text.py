@@ -497,7 +497,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf,
-             ROUND(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS idf
+             ROUND({duck_portable_ln_ratio("n.n_docs", "dfreq.df")}, 6) AS idf
       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
     ranked AS (
       SELECT doc_id, term, tf, idf, ROUND(tf * idf, 6) AS score,
@@ -637,7 +637,7 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
            round(CAST(SUM(CAST(tf AS DECIMAL(18,0)) *
-                          CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
+                          CAST(round({duck_portable_ln_ratio("n_total", "cf")}
                                      / 0.6931471805599453, 6) AS DECIMAL(18,6)))
                       AS DOUBLE)
                  / CAST(SUM(tf) AS DOUBLE), 6) AS mean_surprisal_bits
@@ -663,7 +663,7 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, topk: int = 3) -> str:
     g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf,
-             ROUND(ln((g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             ROUND({duck_portable_ln_ratio("2 * g.n_docs + 2", "2 * dfreq.df + 1")}
                    * (tf.tf * ({k1} + 1))
                    / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / g.avgdl)), 6) AS score
       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
@@ -699,7 +699,12 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    # idf = ln((N - df + 0.5)/(df + 0.5) + 1) rewrites exactly to
+    # ln((2N+2)/(2df+1)) — an integer ratio, so it rides the engine-portable
+    # ratio log (libm ln is last-ulp divergent across engines).
+    idf = _portable_ln_ratio(
+        F.lit(2) * F.col("n_docs") + F.lit(2), F.lit(2) * F.col("df") + F.lit(1)
+    )
     sat = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
@@ -766,7 +771,7 @@ _BIGRAM_CTES = f"""toks AS (SELECT doc_id, {_T} AS t FROM documents),
     c12 AS (SELECT bigram, SUM(tf) AS c12 FROM tf GROUP BY bigram),
     c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
     model AS (SELECT bigram,
-                     CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+                     CAST(round({duck_portable_ln_ratio("c12", "c1")}, 6)
                           AS DECIMAL(18,6)) AS logp
               FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1),
     scored AS (

@@ -446,10 +446,11 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.9,
     precision: int = 6,
+    max_pair_cost: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     arXiv:2303.09540): cluster the embedding space with the deterministic
@@ -458,17 +459,43 @@ def semantic_dedup(
     keep-first greedy rule, made deterministic by the id order).
 
     Scale shape: the expensive pairwise step never leaves a cell — cost is
-    sum(|cell|²) not |corpus|², exactly the IVF bound; clustering and
-    assignment are the existing kmeans_fit/ivf_assign primitives (broadcast
-    centroids, linear passes).
+    Σ|cell|² not |corpus|², exactly the IVF bound — which is safe ONLY when
+    k grows with the corpus. The scale bound is therefore ENFORCED here,
+    not just documented:
+
+    - ``k=None`` (the default) picks ``k = max(1, isqrt(n))`` from one
+      cheap count of the corpus, so the expected per-cell population is
+      ~√n and Σcell² ~ n^1.5 instead of n²;
+    - ``max_pair_cost`` (optional) computes the ACTUAL Σ|cell|² after
+      assignment (one small aggregation over cell counts) and raises
+      ``ValueError`` when an undersized ``k`` or a skewed clustering would
+      exceed it — fail fast instead of launching a quadratic stage.
 
     Returns per-cell summary: (cell_id, n_vectors, n_dropped, dropped)
     with dropped a '|'-serialized sorted id list (canonicalizer-proof).
     """
+    import math
+
+    if k is None:
+        k = max(1, math.isqrt(corpus.count()))
     cents = kmeans_fit(corpus, id_col, vec_col, k=k, iters=iters).select(
         F.col("cell_id").alias(id_col), F.col("vec").alias(vec_col)
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if max_pair_cost is not None:
+        cost_row = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).alias("cost"))
+            .first()
+        )
+        cost = int(cost_row["cost"] or 0)
+        if cost > max_pair_cost:
+            raise ValueError(
+                f"semantic_dedup: within-cell pair cost {cost} exceeds "
+                f"max_pair_cost={max_pair_cost}; raise k (~sqrt(n), got k={k}) "
+                "or the bound"
+            )
     a = assigned.select("cell_id", F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     b = assigned.select("cell_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     dropped = (

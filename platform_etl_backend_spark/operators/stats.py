@@ -27,9 +27,36 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from platform_etl_backend_spark.functions.portable_math import (
+    duck_portable_ln_ratio,
+    portable_ln_ratio,
+)
+
+
+def _portable_llr() -> Column:
+    """LLR over A/B/C/D columns as a sum of engine-portable ratio logs.
+
+    Association order is fixed — ``(aterm + cterm) - acterm`` — and mirrored
+    exactly by :func:`duck_portable_llr` (SQL's left-assoc ``x + y - z``).
+    Only valid where C ≥ 1 (callers filter; A ≥ 1 by construction).
+    """
+    A, B, C, D = (F.col(x) for x in "ABCD")
+    aterm = A * portable_ln_ratio(A, A + B)
+    cterm = C * portable_ln_ratio(C, C + D)
+    acterm = (A + C) * portable_ln_ratio(A + C, A + B + C + D)
+    return aterm + cterm - acterm
+
+
+def duck_portable_llr() -> str:
+    """The DuckDB mirror of :func:`_portable_llr` over A/B/C/D columns."""
+    pl_a = duck_portable_ln_ratio("A", "A + B")
+    pl_c = duck_portable_ln_ratio("C", "C + D")
+    pl_ac = duck_portable_ln_ratio("A + C", "A + B + C + D")
+    return f"(A * {pl_a} + C * {pl_c} - (A + C) * {pl_ac})"
 
 
 def summary_statistics(
@@ -60,7 +87,15 @@ def summary_statistics(
 def llr_contingency(
     stats: DataFrame, drug_col: str, reaction_col: str, total_reports: int
 ) -> DataFrame:
-    """A/B/C/D contingency + log-likelihood ratio, dropping NaN rows."""
+    """A/B/C/D contingency + log-likelihood ratio.
+
+    The LLR is a sum of integer-ratio logs — A·ln(A/(A+B)) + C·ln(C/(C+D))
+    − (A+C)·ln((A+C)/N) — so each term rides the engine-portable ratio log
+    (``functions/portable_math.py``; libm ln diverges across engines in the
+    last ulp). Rows with C = 0 are dropped: they are exactly the rows where
+    the textbook formula degenerates to 0·ln 0 (the legacy libm form made
+    them NaN/NULL and filtered on that; A ≥ 1 always since a pair exists).
+    """
     a = F.col("uniq_report_ids").cast("double")
     b = (F.col("uniq_report_ids_by_reaction") - F.col("uniq_report_ids")).cast("double")
     c = (F.col("uniq_report_ids_by_drug") - F.col("uniq_report_ids")).cast("double")
@@ -70,12 +105,6 @@ def llr_contingency(
         - F.col("uniq_report_ids_by_reaction")
         + F.col("uniq_report_ids")
     ).cast("double")
-    aterm = F.col("A") * (F.log("A") - F.log(F.col("A") + F.col("B")))
-    cterm = F.col("C") * (F.log("C") - F.log(F.col("C") + F.col("D")))
-    acterm = (F.col("A") + F.col("C")) * (
-        F.log(F.col("A") + F.col("C"))
-        - F.log(F.col("A") + F.col("B") + F.col("C") + F.col("D"))
-    )
     return (
         stats.select(
             drug_col,
@@ -88,8 +117,8 @@ def llr_contingency(
             F.col("uniq_report_ids_by_reaction").alias("reaction_total"),
         )
         .distinct()
-        .withColumn("llr", aterm + cterm - acterm)
-        .where(F.col("llr").isNotNull() & ~F.isnan("llr"))
+        .withColumn("llr", _portable_llr())
+        .where(F.col("C") >= 1)
     )
 
 
@@ -146,12 +175,6 @@ def contingency_via_groupby(
     d = (F.col("n_total") - F.col("n_drug") - F.col("n_reaction") + F.col("n_pair")).cast(
         "double"
     )
-    aterm = F.col("A") * (F.log("A") - F.log(F.col("A") + F.col("B")))
-    cterm = F.col("C") * (F.log("C") - F.log(F.col("C") + F.col("D")))
-    acterm = (F.col("A") + F.col("C")) * (
-        F.log(F.col("A") + F.col("C"))
-        - F.log(F.col("A") + F.col("B") + F.col("C") + F.col("D"))
-    )
     return (
         joined.select(
             drug_col,
@@ -163,8 +186,8 @@ def contingency_via_groupby(
             F.col("n_drug").alias("drug_total"),
             F.col("n_reaction").alias("reaction_total"),
         )
-        .withColumn("llr", aterm + cterm - acterm)
-        .where(F.col("llr").isNotNull() & ~F.isnan("llr"))
+        .withColumn("llr", _portable_llr())
+        .where(F.col("C") >= 1)
     )
 
 

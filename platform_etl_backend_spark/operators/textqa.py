@@ -11,6 +11,7 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from platform_etl_backend_spark.functions.portable_math import LN2, portable_ln_ratio
 from platform_etl_backend_spark.operators.dedup import spread, ws_tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -165,8 +166,9 @@ def gopher_quality_flags(
 
 
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Per-document top-k terms by TF-IDF (idf = ln(N/df), both rounded to
-    6 d.p. for cross-engine determinism; ties break on term asc).
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df) via the
+    engine-portable ratio log — see functions/portable_math.py; rounded to
+    6 d.p.; ties break on term asc).
 
     Scale shape: explode → (doc, term) partial-agg shuffle → per-term df
     frame joined back on ``term`` as a SHUFFLE join (the vocabulary is
@@ -185,7 +187,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct(id_col).alias("n_docs"))
-    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    idf = F.round(portable_ln_ratio(F.col("n_docs"), F.col("df")), 6)
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
@@ -210,8 +212,10 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregations, then the unbounded term-probability table joins back on
     ``term`` WITHOUT a broadcast hint (vocabulary grows with the corpus;
     AQE may still broadcast a small measured one), corpus total as a 1-row
-    broadcast. All shuffles linear; surprisal math is ln-based rounded to
-    6 d.p. for cross-engine determinism.
+    broadcast. All shuffles linear; the surprisal ``ln(N/cf)`` is an
+    integer-ratio log so it rides the engine-portable
+    ``portable_ln_ratio`` (libm ln is last-ulp divergent across engines),
+    then rounds to 6 d.p.
     """
     tok = spread(df, id_col).select(
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
@@ -219,10 +223,8 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = cf.agg(F.sum("cf").alias("n_total"))
-    # -log2 p(term) = (ln N - ln cf) / ln 2, accumulated per doc weighted by tf
-    surprisal = (F.log(F.col("n_total").cast("double")) - F.log(F.col("cf").cast("double"))) / F.lit(
-        0.6931471805599453
-    )
+    # -log2 p(term) = ln(N/cf) / ln 2, accumulated per doc weighted by tf
+    surprisal = portable_ln_ratio(F.col("n_total"), F.col("cf")) / F.lit(LN2)
     # per-term contributions ride DECIMAL so the distributed sum order
     # cannot change the result (see repo determinism conventions)
     contrib = F.round(surprisal, 6).cast("decimal(18,6)") * F.col("tf")
@@ -285,8 +287,10 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale shape: positional bigrams are built map-side with a slice-zip
     (no self-join), counted with one bigram-keyed shuffle; the model
     joins back on the bigram key WITHOUT a broadcast hint (bigram
-    vocabulary is unbounded at corpus scale). ln is rounded to 6 d.p. and
-    per-bigram contributions ride DECIMAL for order-invariant sums.
+    vocabulary is unbounded at corpus scale). ``ln(c12/c1)`` is an
+    integer-ratio log → engine-portable ``portable_ln_ratio`` (rounded to
+    6 d.p.); per-bigram contributions ride DECIMAL for order-invariant
+    sums.
     """
     toks = ws_tokens(text_col)
     bigrams = F.zip_with(
@@ -305,9 +309,9 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("c12").alias("c1")
     )
     model = c12.withColumn("w1", F.substring_index("bigram", " ", 1)).join(c1, "w1")
-    logp = F.round(
-        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
-    ).cast("decimal(18,6)")
+    logp = F.round(portable_ln_ratio(F.col("c12"), F.col("c1")), 6).cast(
+        "decimal(18,6)"
+    )
     return (
         tf.join(model.select("bigram", logp.alias("logp")), "bigram")
         .groupBy(id_col)

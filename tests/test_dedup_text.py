@@ -154,3 +154,70 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
     n_base = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).count()
     n_pref = prefix_filtered_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).count()
     assert n_base == n_pref
+
+
+def test_prefix_filter_wins_on_zipfian_sharing(spark):
+    """Pins the SCALE.md trade-off claim: on a zipfian corpus (a few hot
+    stop-word-like shingles shared by EVERY doc, tails unique) the
+    shared-shingle baseline's candidate join is quadratic in the hot df
+    (sum over shingles of C(df,2)) while the prefix filter excludes the hot
+    shingles from every doc's prefix — orders of magnitude fewer candidate
+    pairs, with the identical verified pair output (exactness preserved).
+    k=1 shingles so the sharing structure is controlled exactly."""
+    from platform_etl_backend_spark.operators.dedup import (
+        exploded_shingles,
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    hot = " ".join(f"z{j}" for j in range(5))  # in every document
+    rows = [(i, f"{hot} " + " ".join(f"u{i}_{j}" for j in range(15))) for i in range(48)]
+    # doc 48: near-clone of doc 0 (one unique token swapped) -> the single
+    # true pair at threshold 0.5 (jaccard = 19/21)
+    rows.append((48, f"{hot} " + " ".join(f"u0_{j}" for j in range(14)) + " x1"))
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+    sh = exploded_shingles(docs, "doc_id", "text", 1)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    full_cands = (
+        a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    # every doc pair shares the 5 hot shingles: C(49,2) = 1176 candidates
+    assert full_cands == 49 * 48 // 2
+
+    # operator-recipe prefix candidates (rarest-first order, t = 0.5)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("lst"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    p = F.col("n") - F.ceil(F.lit(0.5) * F.col("n")).cast("bigint") + 1
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("lst", F.lit(1), p)).alias("ps")
+    ).select("doc_id", F.col("ps.shingle").alias("shingle"))
+    pa = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    pref_cands = (
+        pa.join(pb, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    # prefixes hold only rare tails: the sole candidate is the planted pair
+    assert pref_cands == 1
+    assert pref_cands * 100 < full_cands  # the orders-of-magnitude win
+
+    base = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", k=1, threshold=0.5)
+            .select("id_a", "id_b", "inter", "jaccard").collect())
+    )
+    pref = sorted(
+        map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", k=1, threshold=0.5)
+            .select("id_a", "id_b", "inter", "jaccard").collect())
+    )
+    assert base == pref
+    assert [(i, j) for i, j, *_ in base] == [(0, 48)]

@@ -244,6 +244,24 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert dropped == {100, 101}  # keep-first: originals 0 and 5 survive
 
 
+def test_semantic_dedup_enforces_pair_cost_bound(spark):
+    """An undersized k must fail fast via max_pair_cost instead of
+    launching the quadratic within-cell stage; a k sized to the corpus
+    passes the same bound, and the default k=None picks ~sqrt(n)."""
+    import pytest
+
+    from platform_etl_backend_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    # k=1 puts all 64 vectors in one cell: cost 64^2 = 4096 > 1000 -> raise
+    with pytest.raises(ValueError, match="pair cost"):
+        semantic_dedup(df, "vec_id", "embedding", k=1, max_pair_cost=1000)
+    # default k ~ sqrt(64) = 8 keeps sum(cell^2) under the same bound
+    out = semantic_dedup(df, "vec_id", "embedding", max_pair_cost=1000)
+    assert out.agg(F.sum("n_vectors")).first()[0] == 64
+
+
 def test_count_min_one_sided_error(spark, sf_dir):
     """Count-min guarantees estimate >= exact (one-sided error); with
     4x256 counters on this corpus the top tokens' overestimates stay small
