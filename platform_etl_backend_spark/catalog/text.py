@@ -1740,3 +1740,72 @@ def q_interp_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (2 * s_micro + n_bigrams) div (2 * n_bigrams) END"
         ).cast("bigint").alias("mean_logp_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation over a punctuated synthetic column (the corpus's
+# text has no punctuation — backlog #3): both engines derive the IDENTICAL
+# punctuated string from documents.text (fixed tricky preamble + periodic
+# punctuation by token position), then run the same protect-mark-split
+# boundary chain. Regexes stay in the Java-regex ∩ RE2 subset.
+# ---------------------------------------------------------------------------
+
+_SENT_PREAMBLE = 'Dr. Smith paid $12.50 on Jan. 5 and said "Stop!" Then we left.'
+_ABBR_ALT = "|".join(TQ.SENTENCE_ABBREVIATIONS)
+# literal \x01/\x02 sentinels embedded directly in the SQL text
+_P1, _P2 = chr(1), chr(2)
+
+_SENT_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    tt AS (SELECT doc_id, t[1:60] AS t FROM toks),
+    body AS (SELECT doc_id,
+      array_to_string([t[i] || CASE WHEN i % 21 = 0 THEN '?'
+                                    WHEN i % 7 = 0 THEN '.'
+                                    ELSE '' END
+                       FOR i IN range(1, len(t) + 1)], ' ') AS b
+      FROM tt),
+    p AS (SELECT doc_id, '{_SENT_PREAMBLE} ' || b || '.' AS txt FROM body),
+    seg AS (SELECT doc_id,
+      string_split(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(txt, '([0-9])\\.([0-9])', '\\1{_P1}\\2', 'g'),
+            '\\b({_ABBR_ALT})\\.', '\\1{_P1}', 'g'),
+          '([.!?]+["]?)[ ]+', '\\1{_P2}', 'g'),
+        '{_P2}') AS ss
+      FROM p),
+    x AS (SELECT doc_id,
+                 [{{'sid': i, 's': replace(ss[i], '{_P1}', '.')}}
+                  FOR i IN range(1, len(ss) + 1)] AS xs
+          FROM seg),
+    u AS (SELECT doc_id, unnest(xs) AS u FROM x)
+    SELECT doc_id, CAST(u.sid AS BIGINT) AS sent_id,
+           CAST(len(string_split_regex(trim(u.s), ' +')) AS BIGINT) AS n_tokens,
+           u.s AS sentence
+    FROM u
+"""
+
+
+@register(
+    "q_sentence_split",
+    oracle=_SENT_ORACLE,
+    description="punctuation/abbreviation-aware sentence segmentation over a "
+    "punctuated synthetic column: decimals ($12.50), abbreviation LUT (Dr., "
+    "Jan.), closing-quote boundaries — protect-mark-split chain, map-side "
+    "only (no lookbehind: RE2-portable sentinel marking)",
+    tags=("text", "segmentation"),
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.slice(D.ws_tokens("text"), 1, 60)
+    i1 = lambda i: i + 1  # noqa: E731 — transform index is 0-based
+    punct = lambda i: (  # noqa: E731
+        F.when(i1(i) % 21 == 0, "?").when(i1(i) % 7 == 0, ".").otherwise("")
+    )
+    body = F.concat_ws(
+        " ", F.transform(toks, lambda x, i: F.concat(x, punct(i)))
+    )
+    punctuated = F.concat(F.lit(_SENT_PREAMBLE + " "), body, F.lit("."))
+    return TQ.segment_sentences(
+        d.select("doc_id", punctuated.alias("ptext")), "doc_id", "ptext"
+    )

@@ -241,6 +241,61 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Sentence segmentation. All regexes stay in the Java-regex ∩ RE2 subset
+# (no lookbehind — boundaries are MARKED with a sentinel and split on it,
+# the portable alternative to the classic '(?<=[.!?])\s+' split).
+SENTENCE_ABBREVIATIONS: tuple[str, ...] = (
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "No", "vs", "etc",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+_PROT = "\x01"  # protected (non-boundary) period sentinel
+_BOUND = "\x02"  # sentence-boundary sentinel
+
+
+def sentence_boundary_exprs(
+    text: Column, abbreviations: tuple[str, ...] = SENTENCE_ABBREVIATIONS
+) -> Column:
+    """Array of sentences from punctuated ``text`` — pure Catalyst.
+
+    Boundary rule: a run of ``. ! ?`` (optionally followed by a closing
+    double quote) terminates a sentence when followed by whitespace —
+    EXCEPT periods inside decimal numbers (``$12.50``) and periods that
+    belong to a known abbreviation (``Dr.``, ``Jan.`` — case-sensitive
+    LUT). Implementation: protect the two exception classes with a
+    sentinel, mark real boundaries with a second sentinel, split on it,
+    restore. Map-side only; no shuffle.
+    """
+    s = F.regexp_replace(text, r"([0-9])\.([0-9])", "$1" + _PROT + "$2")
+    s = F.regexp_replace(s, r"\b(" + "|".join(abbreviations) + r")\.", "$1" + _PROT)
+    s = F.regexp_replace(s, r'([.!?]+["]?)[ ]+', "$1" + _BOUND)
+    return F.transform(
+        F.split(s, _BOUND), lambda x: F.replace(x, F.lit(_PROT), F.lit("."))
+    )
+
+
+def segment_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    abbreviations: tuple[str, ...] = SENTENCE_ABBREVIATIONS,
+) -> DataFrame:
+    """Explode punctuated documents into (id, sent_id, n_tokens, sentence)
+    rows — 1-based sentence ids in document order. The segmentation itself
+    is embarrassingly parallel (see :func:`sentence_boundary_exprs`); the
+    explode is the only fan-out and carries no shuffle."""
+    sents = sentence_boundary_exprs(F.col(text_col), abbreviations)
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.posexplode(sents).alias("pos", "sentence"))
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).cast("bigint").alias("sent_id"),
+            F.size(ws_tokens(F.col("sentence"))).cast("bigint").alias("n_tokens"),
+            F.col("sentence"),
+        )
+    )
+
+
 # Default PII pattern catalog. Patterns are restricted to syntax shared by
 # Java regex (Spark) and RE2 (DuckDB/many engines): no backrefs, no lookahead.
 PII_PATTERNS: Mapping[str, str] = {

@@ -221,3 +221,30 @@ def test_prefix_filter_wins_on_zipfian_sharing(spark):
     )
     assert base == pref
     assert [(i, j) for i, j, *_ in base] == [(0, 48)]
+
+
+def test_sentence_segmentation_boundaries(spark):
+    """Hand-checked boundary semantics: decimals and abbreviation periods do
+    not split; runs of terminators and closing quotes do; ids are 1-based in
+    document order."""
+    rows = [
+        (1, 'Dr. Smith paid $12.50 on Jan. 5 and said "Stop!" Then we left. The end'),
+        (2, "One. Two!? Three"),
+        (3, "No. 7 St. Mary won vs. the rest. Fine."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = TQ.segment_sentences(df, "doc_id", "text")
+    got = {
+        (r.doc_id, r.sent_id): (r.sentence, r.n_tokens)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ('Dr. Smith paid $12.50 on Jan. 5 and said "Stop!"', 10),
+        (1, 2): ("Then we left.", 3),
+        (1, 3): ("The end", 2),
+        (2, 1): ("One.", 1),
+        (2, 2): ("Two!?", 1),
+        (2, 3): ("Three", 1),
+        (3, 1): ("No. 7 St. Mary won vs. the rest.", 8),
+        (3, 2): ("Fine.", 1),
+    }
