@@ -1809,3 +1809,95 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.segment_sentences(
         d.select("doc_id", punctuated.alias("ptext")), "doc_id", "ptext"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable BPE tokenizer (Sennrich et al. 2016): the oracle unrolls the
+# merge rounds as a CTE chain (the PageRank-oracle pattern) — each round is
+# pair-count → deterministic argmax (cnt DESC, a, b) → replace-merge, with
+# the same " sym " unit-string representation as operators/bpe.py so the
+# plain-replace merge semantics mirror exactly.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_ctes(n: int) -> str:
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({_T}) AS word FROM documents)",
+        "w0 AS (SELECT word, COUNT(*) AS wc,\n"
+        "       regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS units\n"
+        "       FROM tok GROUP BY word)",
+    ]
+    for r in range(1, n + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT u.a AS a, u.b AS b, CAST(SUM(wc) AS BIGINT) AS cnt\n"
+            f"  FROM (SELECT wc, unnest([{{'a': s[i], 'b': s[i+1]}}\n"
+            f"                           FOR i IN range(1, len(s))]) AS u\n"
+            f"        FROM (SELECT wc, string_split(trim(units), '  ') AS s\n"
+            f"              FROM {prev}))\n"
+            f"  GROUP BY a, b)"
+        )
+        ctes.append(f"b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)")
+        ctes.append(
+            f"w{r} AS (SELECT word, wc,\n"
+            f"  replace(units, ' ' || b{r}.a || '  ' || b{r}.b || ' ',\n"
+            f"          ' ' || b{r}.a || b{r}.b || ' ') AS units\n"
+            f"  FROM {prev}, b{r})"
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_VOCAB_SELECT = "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b{r}"
+    for r in range(1, _BPE_MERGES + 1)
+)
+
+
+@register(
+    "q_bpe_vocab",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_MERGES)}
+    {_BPE_VOCAB_SELECT}
+    """,
+    description="trainable BPE tokenizer (Sennrich 2016): 8 merge-training "
+    "rounds as grouped aggregations over the distinct-word frequency table — "
+    "per round ONE pair-keyed shuffle + a 1-row broadcast argmax "
+    "(cnt DESC, pair ASC deterministic), plain-replace unit-string merge "
+    "(left-to-right non-overlap == greedy BPE)",
+    tags=("text", "tokenizer", "iterative"),
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators import bpe as B
+
+    merges, _ = B.bpe_train(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n_merges=_BPE_MERGES
+    )
+    return merges
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH {_bpe_ctes(_BPE_MERGES)},
+    enc AS (SELECT word, CAST(length(word) + 1 AS BIGINT) AS n_before,
+                   CAST(len(string_split(trim(units), '  ')) AS BIGINT) AS n_after
+            FROM w{_BPE_MERGES})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_before) AS BIGINT) AS n_sym_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_sym_after
+    FROM tok JOIN enc USING (word) GROUP BY doc_id
+    """,
+    description="apply the trained BPE vocabulary: per-document symbol counts "
+    "before/after merges via ONE hint-free word-keyed join (vocabulary "
+    "unbounded at corpus scale) + per-doc aggregation — the token-budget "
+    "measurement step of a training-data pipeline",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    _, vocab = B.bpe_train(d, "doc_id", "text", n_merges=_BPE_MERGES)
+    return B.bpe_encode_stats(d, "doc_id", "text", vocab)
