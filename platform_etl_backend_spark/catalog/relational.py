@@ -1572,3 +1572,108 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(changed.cast("int")).cast("bigint").alias("n_changed"),
         F.sum((~added & ~removed & ~changed).cast("int")).cast("bigint").alias("n_unchanged"),
     )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           CAST(MAX(o.o_orderdate) AS DATE) AS o_orderdate,
+           MAX(o.o_orderpriority) AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-06-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1997-06-01'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 (shipping priority, o_orderpriority standing in for "
+    "the -ish schema's missing o_shippriority): segment-filtered customer "
+    "broadcast onto the orders-lineitem fact join, per-order revenue rollup, "
+    "global top-10 as TakeOrderedAndProject; both date filters pushed to scans",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1997-06-01").cast("date")
+    )
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"),
+            F.max(F.col("o_orderdate").cast("date")).alias("o_orderdate"),
+            F.max("o_orderpriority").alias("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    description="TPC-H Q18 (large-volume customers): HAVING-filtered orderkey "
+    "set re-joined to the fact as a LEFT-SEMI (the IN-subquery decorrelates; "
+    "the big-order set is small so AQE broadcasts it), customer dim broadcast, "
+    "top-100 as TakeOrderedAndProject with a unique orderkey tiebreak",
+    tags=("join", "agg", "subquery", "topk", "tpch"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(dbl(F.sum(dec2("l_quantity"))).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -1901,3 +1901,96 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     _, vocab = B.bpe_train(d, "doc_id", "text", n_merges=_BPE_MERGES)
     return B.bpe_encode_stats(d, "doc_id", "text", vocab)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-metric + embedding-training-prep operators
+# ---------------------------------------------------------------------------
+
+_ROUGE_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    g1 AS (SELECT doc_id, gram, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(t) AS gram FROM toks) GROUP BY doc_id, gram),
+    g2 AS (SELECT doc_id, gram, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+                 FROM toks WHERE len(t) >= 2)
+           GROUP BY doc_id, gram),
+    t1 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM g1 GROUP BY doc_id),
+    t2 AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM g2 GROUP BY doc_id),
+    pairs AS (SELECT d.doc_id AS cand_id, d.doc_id + 1 AS ref_id
+              FROM documents d JOIN documents r ON r.doc_id = d.doc_id + 1
+              WHERE d.doc_id % 2 = 0),
+    ov1 AS (SELECT p.cand_id, p.ref_id, CAST(SUM(least(c.cnt, r.cnt)) AS BIGINT) AS o
+            FROM pairs p JOIN g1 c ON c.doc_id = p.cand_id
+                         JOIN g1 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+            GROUP BY p.cand_id, p.ref_id),
+    ov2 AS (SELECT p.cand_id, p.ref_id, CAST(SUM(least(c.cnt, r.cnt)) AS BIGINT) AS o
+            FROM pairs p JOIN g2 c ON c.doc_id = p.cand_id
+                         JOIN g2 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+            GROUP BY p.cand_id, p.ref_id)
+    SELECT p.cand_id, p.ref_id,
+           CAST(COALESCE(ov1.o, 0) AS BIGINT) AS o1,
+           ROUND(CAST(COALESCE(ov1.o, 0) AS DOUBLE) / CAST(tc1.tot AS DOUBLE), 6) AS rouge1_p,
+           ROUND(CAST(COALESCE(ov1.o, 0) AS DOUBLE) / CAST(tr1.tot AS DOUBLE), 6) AS rouge1_r,
+           ROUND(CAST(2 * COALESCE(ov1.o, 0) AS DOUBLE) / CAST(tc1.tot + tr1.tot AS DOUBLE), 6) AS rouge1_f,
+           CAST(COALESCE(ov2.o, 0) AS BIGINT) AS o2,
+           ROUND(CAST(COALESCE(ov2.o, 0) AS DOUBLE) / CAST(tc2.tot AS DOUBLE), 6) AS rouge2_p,
+           ROUND(CAST(COALESCE(ov2.o, 0) AS DOUBLE) / CAST(tr2.tot AS DOUBLE), 6) AS rouge2_r,
+           ROUND(CAST(2 * COALESCE(ov2.o, 0) AS DOUBLE) / CAST(tc2.tot + tr2.tot AS DOUBLE), 6) AS rouge2_f
+    FROM pairs p
+    LEFT JOIN ov1 ON ov1.cand_id = p.cand_id AND ov1.ref_id = p.ref_id
+    LEFT JOIN ov2 ON ov2.cand_id = p.cand_id AND ov2.ref_id = p.ref_id
+    JOIN t1 tc1 ON tc1.doc_id = p.cand_id
+    JOIN t1 tr1 ON tr1.doc_id = p.ref_id
+    JOIN t2 tc2 ON tc2.doc_id = p.cand_id
+    JOIN t2 tr2 ON tr2.doc_id = p.ref_id
+"""
+
+
+@register(
+    "q_rouge_overlap",
+    oracle=_ROUGE_ORACLE,
+    description="ROUGE-1/ROUGE-2 eval scoring between adjacent doc pairs "
+    "(even candidate vs odd reference): clipped n-gram multiset overlap; "
+    "P, R and the exact F1 = 2o/(tc+tr) integer ratio — one IEEE division "
+    "each, engine-identical; gram joins hint-free on (doc, gram)",
+    tags=("text", "eval", "scoring"),
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
+        .join(d.select(F.col("doc_id").alias("ref_id")), "ref_id", "left_semi")
+    )
+    return TQ.rouge_overlap(d, pairs, "doc_id", "text").select(
+        "cand_id", "ref_id",
+        "o1", "rouge1_p", "rouge1_r", "rouge1_f",
+        "o2", "rouge2_p", "rouge2_r", "rouge2_f",
+    )
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    pl AS (SELECT [{{'c': t[i], 'x': t[i+1]}} FOR i IN range(1, len(t))]
+                  || [{{'c': t[i+1], 'x': t[i]}} FOR i IN range(1, len(t))]
+                  || [{{'c': t[i], 'x': t[i+2]}} FOR i IN range(1, len(t) - 1)]
+                  || [{{'c': t[i+2], 'x': t[i]}} FOR i IN range(1, len(t) - 1)] AS ps
+           FROM toks),
+    u AS (SELECT unnest(ps) AS u FROM pl)
+    SELECT u.c AS center, u.x AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM u GROUP BY center, context
+    ORDER BY cnt DESC, center, context LIMIT 50
+    """,
+    description="skip-gram (center, context) training-pair extraction (window "
+    "2, both directions — the word2vec/GloVe prep step): map-side shifted "
+    "zips + mirrors, ONE pair-keyed aggregation shuffle, top-50 as "
+    "TakeOrderedAndProject with lexicographic tiebreak",
+    tags=("text", "embedding", "scoring"),
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.skipgram_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", window=2, topk=50
+    )

@@ -584,3 +584,110 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, cnt) multiset counts of word n-grams (n = 1 or 2)."""
+    toks = ws_tokens(text_col)
+    if n == 1:
+        grams = toks
+    else:
+        m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, n, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def rouge_overlap(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """ROUGE-1/ROUGE-2 between (cand_id, ref_id) pairs (Lin 2004, public
+    metric): clipped n-gram overlap o = Σ_g min(cnt_cand(g), cnt_ref(g)),
+    precision o/tc, recall o/tr, and F1 — which for ROUGE reduces exactly
+    to the integer ratio 2o/(tc+tr), so every output is one IEEE-exact
+    division of integers rounded to 6 d.p. (engine-identical, no libm).
+
+    Scale shape: per-doc gram counts are one (id, gram)-keyed partial-agg
+    shuffle each; the overlap join is keyed (ref_id, gram) after a
+    doc-keyed pairs join — all hint-free and linear in corpus + pair-gram
+    size; no all-pairs stage (the pair list is an input, not derived).
+    """
+    out = pairs
+    for n in (1, 2):
+        g = _gram_counts(docs, id_col, text_col, n)
+        tot = g.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+        gc = g.select(
+            F.col(id_col).alias("cand_id"), "gram", F.col("cnt").alias("c_cnt")
+        )
+        gr = g.select(
+            F.col(id_col).alias("ref_id"), "gram", F.col("cnt").alias("r_cnt")
+        )
+        ov = (
+            pairs.join(gc, "cand_id")
+            .join(gr, ["ref_id", "gram"])
+            .groupBy("cand_id", "ref_id")
+            .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("o"))
+        )
+        stats = (
+            pairs.join(ov, ["cand_id", "ref_id"], "left")
+            .join(tot.select(F.col(id_col).alias("cand_id"), F.col("tot").alias("tc")), "cand_id")
+            .join(tot.select(F.col(id_col).alias("ref_id"), F.col("tot").alias("tr")), "ref_id")
+            .select(
+                "cand_id",
+                "ref_id",
+                F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias(f"o{n}"),
+                F.round(
+                    F.coalesce(F.col("o"), F.lit(0)).cast("double") / F.col("tc").cast("double"), 6
+                ).alias(f"rouge{n}_p"),
+                F.round(
+                    F.coalesce(F.col("o"), F.lit(0)).cast("double") / F.col("tr").cast("double"), 6
+                ).alias(f"rouge{n}_r"),
+                F.round(
+                    (F.lit(2) * F.coalesce(F.col("o"), F.lit(0))).cast("double")
+                    / (F.col("tc") + F.col("tr")).cast("double"),
+                    6,
+                ).alias(f"rouge{n}_f"),
+            )
+        )
+        out = out.join(stats, ["cand_id", "ref_id"])
+    return out
+
+
+def skipgram_pairs(
+    df: DataFrame, id_col: str, text_col: str, window: int = 2, topk: int = 50
+) -> DataFrame:
+    """Corpus-wide skip-gram (center, context) pair counts within a token
+    window — the word2vec/GloVe training-pair extraction step. Pairs are
+    built MAP-SIDE with slice-zips (one shifted zip + its mirror per
+    distance, no positional self-join), then one (center, context)-keyed
+    aggregation and a TakeOrderedAndProject top-k with a full lexicographic
+    tiebreak."""
+    toks = ws_tokens(text_col)
+    arrs = []
+    for d in range(1, window + 1):
+        m = F.greatest(F.size(toks) - d, F.lit(0))
+        fwd = F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 1 + d, m),
+            lambda a, b: F.struct(a.alias("c"), b.alias("x")),
+        )
+        bwd = F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 1 + d, m),
+            lambda a, b: F.struct(b.alias("c"), a.alias("x")),
+        )
+        arrs += [fwd, bwd]
+    return (
+        spread(df, id_col)
+        .select(F.explode(F.concat(*arrs)).alias("p"))
+        .groupBy(F.col("p.c").alias("center"), F.col("p.x").alias("context"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "context")
+        .limit(topk)
+    )

@@ -248,3 +248,43 @@ def test_sentence_segmentation_boundaries(spark):
         (3, 1): ("No. 7 St. Mary won vs. the rest.", 8),
         (3, 2): ("Fine.", 1),
     }
+
+
+def test_rouge_overlap_hand_computed(spark):
+    """Hand-computed ROUGE-1/2 on a classic pair: clipped counts, and
+    F1 == 2o/(tc+tr) exactly."""
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat lay on the mat")],
+        "doc_id: bigint, text: string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "cand_id: bigint, ref_id: bigint")
+    r = TQ.rouge_overlap(docs, pairs, "doc_id", "text").first()
+    # unigrams: the(2),cat,sat,on,mat vs the(2),cat,lay,on,mat -> clipped overlap 5
+    assert r.o1 == 5 and r.rouge1_p == round(5 / 6, 6) == r.rouge1_r
+    assert r.rouge1_f == round(10 / 12, 6)
+    # bigrams: shared = {the cat, on the, the mat} -> 3 of 5 each
+    assert r.o2 == 3 and r.rouge2_f == round(6 / 10, 6)
+
+
+def test_rouge_disjoint_pair_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "xx yy zz")], "doc_id: bigint, text: string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "cand_id: bigint, ref_id: bigint")
+    r = TQ.rouge_overlap(docs, pairs, "doc_id", "text").first()
+    assert (r.o1, r.rouge1_f, r.o2, r.rouge2_f) == (0, 0.0, 0, 0.0)
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """'a b c d': distance-1 pairs both directions + distance-2 pairs."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id: bigint, text: string")
+    got = {(r.center, r.context): r.cnt
+           for r in TQ.skipgram_pairs(docs, "doc_id", "text", window=2, topk=50).collect()}
+    expect = {}
+    toks = "a b c d".split()
+    for i in range(len(toks)):
+        for d in (1, 2):
+            if i + d < len(toks):
+                expect[(toks[i], toks[i + d])] = expect.get((toks[i], toks[i + d]), 0) + 1
+                expect[(toks[i + d], toks[i])] = expect.get((toks[i + d], toks[i]), 0) + 1
+    assert got == expect
