@@ -59,6 +59,25 @@ HEADLINE = [
     "q_stupid_backoff",
     "q_tpch_q5",
     "q_tpch_q10",
+    # round-4 additions
+    "q_sentence_split",
+    "q_bpe_vocab",
+    "q_bpe_encode",
+    "q_rouge_overlap",
+    "q_skipgram_pairs",
+    "q_tpch_q3",
+    "q_tpch_q18",
+]
+
+# Documented non-headline heavies (SCALE.md): timed and reported under
+# "tracked" so their optimizations/regressions stay visible round-over-round,
+# but excluded from the headline total — each is the exact/quality path
+# beside a registered scale twin (q_prefix_jaccard vs the shared-shingle
+# baseline corpus trade-off; q_semantic_dedup at the catalog's deliberate
+# k=8 with its sum(cell^2)-by-construction verify).
+TRACKED = [
+    "q_prefix_jaccard",
+    "q_semantic_dedup",
 ]
 
 
@@ -87,7 +106,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + TRACKED:
             try:
                 QUERIES[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
@@ -106,14 +125,16 @@ def main() -> None:
         except Exception:
             pass  # e.g. nanos-timestamp tables need reader-specific conf
 
-    # Two timed passes per query, report the MIN — the standard steady-state
-    # estimator: the minimum over repetitions is the least-noise measurement
-    # of a deterministic computation's cost (OS jitter, GC pauses, and page
-    # cache evictions only ever ADD time). Still full end-to-end noop-write
-    # execution, never cached results (noop re-computes every pass).
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # Timed passes per query (default 3), report the MIN — the standard
+    # steady-state estimator: the minimum over repetitions is the
+    # least-noise measurement of a deterministic computation's cost (OS
+    # jitter, GC pauses, and page-cache evictions only ever ADD time; this
+    # VM's run-to-run noise is ±15%, see DEVNOTES bench protocol). Still
+    # full end-to-end noop-write execution, never cached results (noop
+    # re-computes every pass).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+    def time_min(name: str) -> float:
         fn = QUERIES[name].fn
         best = None
         for _ in range(passes):
@@ -121,7 +142,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings = {name: time_min(name) for name in HEADLINE}
+    tracked = {name: time_min(name) for name in TRACKED}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -129,6 +153,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tracked": tracked,
         "sf": sf,
         "passes": passes,
         "agg": "min",

@@ -42,122 +42,90 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness harness verifies the FIRST 50
-# registered queries only, and its evidence is cumulative across rounds
-# (CORRECTNESS_r01.json: 43 green; CORRECTNESS_r02.json: 49 green + 1
-# rows-only-by-design). The catalog registers 111 queries. The round-3
-# window (this file) rotates in everything without driver evidence: the 6
-# registered past position 50 in round 2 (q_asof_forward, q_asof_nearest,
-# q_time_weighted_avg, q_cap_per_group, q_corpus_pipeline,
-# q_ann_multitable) and the 6 round-3 additions (q_dup_spans, q_pagerank,
-# q_triangle_count, q_bigram_logprob, q_stratified_sample,
-# q_ann_ivf_nprobe). Displaced to make room: the 6 OLAP rows green in r02
-# and the 6 serialized-contract rows green in r02 (q_collect_set,
-# q_flatten_collect, q_topk_banded_labels, q_sorted_names_array,
-# q_flatten_cat_labels, q_running_collect) — their green record is
-# cumulative and they stay replica-checked at two scale factors via
-# scripts/check_oracle.py. Queries whose implementation changed this round
-# (as-of family, graph components, multimodal decode) are kept IN the
-# window for re-verification. Late round-3 additions (q_semantic_dedup,
-# q_exists_subquery, q_scalar_subquery) displace three more r02-green
-# unchanged rows (q_zscore_norm, q_decontaminate, q_bottomk_sample), and
-# q_doc_chunks/q_pack_sequences/q_lm_quantile_filter displace
-# q_embedding_quantize/q_unigram_surprisal/q_ann_multiprobe, and
-# q_count_min displaces q_hash_split, and q_range_frame_avg /
-# q_fuzzy_token_join displace q_tfidf_top_terms / q_bm25_top_terms (same
-# rule), and q_locf_fill / q_percentile_cont / q_fuzzy_damerau displace
-# q_text_quality / q_langid_confusion / q_gopher_rules, and q_variant_json
-# displaces q_pii_scrub (same rule). The 11 late-round-3 additions
-# (q_cohort_retention, q_funnel_stages, q_scd2_intervals, q_ewma,
-# q_mad_outliers, q_inverted_index, q_pmi_cooccur, q_source_mix_weights,
-# q_bfs_distance, q_vector_centroids, q_matryoshka_topk) displace 11 more
-# r02-green unchanged rows (q_multimodal_frames, q_multimodal_features,
-# q_crossencoder_rerank, q_dedup_exact, q_fingerprint_groups,
-# q_ngram_jaccard, q_minhash_lsh, q_simhash, q_winnow_fingerprint,
-# q_doc_tokens, q_label_keys), and the 4 after them (q_lateral_topk,
-# q_sliding_dau, q_entropy_by_source, q_label_propagation) displace
-# q_repetition_ngrams, q_cosine_topk, q_ann_bucketed, q_ann_ivf (same
-# rule), and q_stupid_backoff / q_prefix_jaccard displace
-# q_ann_ivf_kmeans / q_embedding_near_dup (same rule), and q_tpch_q10
-# displaces q_montecarlo_critical (rows-only by design — its no_oracle
-# status is already on record in CORRECTNESS_r02; nothing new to learn).
-# With r03 green, 136 of 158 queries have cumulative driver evidence; the
-# 22 without are the round-4 rotation TODO below (every oracle-paired
-# one replica-green at both SFs via scripts/check_oracle.py; q_approx_percentile is rows-only by design like the HLL row) and nothing else.
-# ---------------------------------------------------------------------------
-# Round-4 rotation TODO: q_tpch_q5, q_tpch_q14, q_assoc_rules,
-# q_profile_table, q_funnel_windowed, q_chi_square, q_dedup_keep_best,
-# q_sequence_match, q_autocorr_lag1, q_winsorized_mean, q_rag_retrieve,
-# q_weighted_sample, q_kl_divergence, q_linear_trend, q_mode_per_group,
-# q_count_min_narrow, q_interp_lm, q_sssp, q_item_cooccur,
-# q_conversion_latency, q_approx_percentile (rows-only),
-# q_snapshot_diff into positions
-# 0-49 (every oracle-paired one replica-green at both SFs).
-# q_pmi_cooccur and q_entropy_by_source were hardened onto the portable
-# ln AFTER entering the window this round — re-verified at both SFs
-# post-change.
+# registered queries only; evidence is cumulative across rounds
+# (r01: 43 green; r02: 49 green + 1 rows-only; r03: 50/50 green — see the
+# CORRECTNESS_r0*.json files and the per-round notes in git history).
+# After r03, 136 of the then-158 queries had cumulative driver evidence.
+#
+# The round-4 window closes the evidence gap and re-verifies every changed
+# contract:
+# (a) the 22 queries never driver-checked (registered past position 50
+#     during the round-3 session-2 burst; q_approx_percentile is
+#     rows-only by design like the HLL row) — with these green, EVERY
+#     query registered before round 4 has cumulative driver evidence;
+# (b) the 6 queries migrated onto the engine-portable ratio log this round
+#     (contract change: last-ulp ln values) — q_llr_contingency,
+#     q_tfidf_top_terms, q_bm25_top_terms, q_bigram_logprob,
+#     q_unigram_surprisal, q_lm_quantile_filter;
+# (c) the 7 round-4 additions (sentence split, BPE train/encode, ROUGE,
+#     skip-grams, TPC-H Q3/Q18);
+# (d) q_semantic_dedup (operator gained the k~sqrt(n) default + pair-cost
+#     guard; the catalog call's k=8 contract is unchanged — re-verified
+#     out of caution);
+# (e) 13 r03-green rows padding the remaining slots, chosen across
+#     families (text LM, dedup, graph, as-of, multimodal, analytics,
+#     TPC-H) so a regression anywhere shows up.
+# Displaced rows are all r03-green and unchanged; they stay replica-
+# checked at two scale factors via scripts/check_oracle.py.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (also used by entry())
     "q_agg_basic",
-    # (a) round-3 additions — no driver evidence yet
-    "q_dup_spans",
-    "q_pagerank",
-    "q_triangle_count",
+    # (a) the 22 never-driver-checked queries
+    "q_tpch_q5",
+    "q_tpch_q14",
+    "q_assoc_rules",
+    "q_profile_table",
+    "q_funnel_windowed",
+    "q_chi_square",
+    "q_dedup_keep_best",
+    "q_sequence_match",
+    "q_autocorr_lag1",
+    "q_winsorized_mean",
+    "q_rag_retrieve",
+    "q_weighted_sample",
+    "q_kl_divergence",
+    "q_linear_trend",
+    "q_mode_per_group",
+    "q_count_min_narrow",
+    "q_interp_lm",
+    "q_sssp",
+    "q_item_cooccur",
+    "q_conversion_latency",
+    "q_approx_percentile",
+    "q_snapshot_diff",
+    # (b) portable-ln migrations (changed contracts)
+    "q_llr_contingency",
+    "q_tfidf_top_terms",
+    "q_bm25_top_terms",
     "q_bigram_logprob",
-    "q_stratified_sample",
-    "q_ann_ivf_nprobe",
-    # (b) never driver-checked: time-series joins, graph, OLAP
-    "q_asof_join",
-    "q_range_join",
-    "q_graph_closure",
-    # (b) round-3 rotation: the 6 queries with no driver evidence yet
-    "q_asof_forward",
-    "q_asof_nearest",
-    "q_time_weighted_avg",
-    "q_cap_per_group",
-    "q_corpus_pipeline",
-    "q_ann_multitable",
+    "q_unigram_surprisal",
+    "q_lm_quantile_filter",
+    # (c) round-4 additions
+    "q_sentence_split",
+    "q_bpe_vocab",
+    "q_bpe_encode",
+    "q_rouge_overlap",
+    "q_skipgram_pairs",
+    "q_tpch_q3",
+    "q_tpch_q18",
+    # (d) operator changed this round (contract unchanged)
     "q_semantic_dedup",
-    # (a) late round-3 additions — no driver evidence yet
-    "q_cohort_retention",
-    "q_funnel_stages",
-    "q_scd2_intervals",
-    "q_ewma",
-    "q_mad_outliers",
-    "q_inverted_index",
-    "q_pmi_cooccur",
-    "q_source_mix_weights",
-    "q_bfs_distance",
-    "q_vector_centroids",
-    "q_matryoshka_topk",
-    "q_lateral_topk",
-    "q_sliding_dau",
-    "q_entropy_by_source",
-    "q_label_propagation",
+    # (e) r03-green cross-family padding
     "q_stupid_backoff",
     "q_prefix_jaccard",
-    # (b) dedup family (clusters changed this round — kept for re-verify)
-    "q_dedup_clusters",
-    # (b) text analysis / quality / scoring / split
-    "q_locf_fill",
-    "q_percentile_cont",
-    "q_fuzzy_damerau",
-    "q_variant_json",
-    "q_range_frame_avg",
-    "q_count_min",
     "q_fuzzy_token_join",
-    # TPC-H star-join addition (Q5/Q14 stay outside this round — replica-green
-    # at both SFs, rotate in next round; Q10 is the most complex shape)
-    "q_tpch_q10",
-    # (c) new round-2 operators (no prior driver evidence)
+    "q_pagerank",
+    "q_graph_closure",
+    "q_dup_spans",
     "q_image_decode",
     "q_audio_decode",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_doc_chunks",
-    "q_pack_sequences",
-    "q_lm_quantile_filter",
+    "q_funnel_stages",
+    "q_scd2_intervals",
+    "q_asof_join",
+    "q_tpch_q10",
+    "q_variant_json",
 )
 
 

@@ -72,3 +72,24 @@ def test_driver_window_invariants():
 def test_rows_only_queries_are_the_known_ones():
     rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
     assert rows_only == ROWS_ONLY_ALLOWED
+
+
+def test_documented_counts_match_registry():
+    """README's query counts are pinned to the registry (VERDICT r03 #7:
+    documented counts drifted twice; now they cannot)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    total = len(QUERIES)
+    paired = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"catalog/\s+(\d+) named queries", readme)
+    assert m and int(m.group(1)) == total, (m and m.group(1), total)
+    m = re.search(r"`queries\(\)` \((\d+) operators\)", readme)
+    assert m and int(m.group(1)) == total, (m and m.group(1), total)
+    m = re.search(r"`oracle_sql\(\)` \((\d+) ANSI-SQL oracles", readme)
+    assert m and int(m.group(1)) == paired, (m and m.group(1), paired)
+    coverage = open(os.path.join(root, "COVERAGE.md")).read()
+    m = re.search(r"\*\*Oracle gate\*\*: (\d+) of (\d+) queries", coverage)
+    assert m and (int(m.group(1)), int(m.group(2))) == (paired, total)
