@@ -57,8 +57,9 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #     (contract change: last-ulp ln values) — q_llr_contingency,
 #     q_tfidf_top_terms, q_bm25_top_terms, q_bigram_logprob,
 #     q_unigram_surprisal, q_lm_quantile_filter;
-# (c) the 7 round-4 additions (sentence split, BPE train/encode, ROUGE,
-#     skip-grams, TPC-H Q3/Q18);
+# (c) the 8 round-4 additions (sentence split, BPE train/encode, ROUGE,
+#     skip-grams, TPC-H Q3/Q18, JPEG roundtrip — in the padding slot that
+#     was q_variant_json, r03-green unchanged);
 # (d) q_semantic_dedup (operator gained the k~sqrt(n) default + pair-cost
 #     guard; the catalog call's k=8 contract is unchanged — re-verified
 #     out of caution);
@@ -125,7 +126,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_scd2_intervals",
     "q_asof_join",
     "q_tpch_q10",
-    "q_variant_json",
+    "q_jpeg_roundtrip",
 )
 
 

@@ -253,3 +253,22 @@ def q_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = docs.select("doc_id", F.col("text").alias("dtext"), "source")
     pairs = queries.join(cands, "source").where(F.col("doc_id") != F.col("query_id"))
     return crossencoder_rerank(pairs, "query_id", "doc_id", "qtext", "dtext", k=3)
+
+
+@register(
+    "q_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+           TRUE AS ok
+    FROM documents
+    """,
+    description="REAL baseline-JPEG codec (pure-numpy FDCT + canonical Huffman, "
+    "operators/jpeg.py — no PIL/libjpeg): per-doc smooth grayscale plane is "
+    "encoded and decoded inside an Arrow mapInPandas stage; the oracle predicts "
+    "the spec guarantee (dims + roundtrip error <= 3), so any framing/Huffman/"
+    "zigzag/quant/IDCT bug flips the hash",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return MM.jpeg_roundtrip_features(d, "doc_id", height=24, width=16, quality=90)

@@ -11,9 +11,11 @@ decode from first principles, which upgrades the multimodal plumbing from
   (PCM format tag 1, 16-bit) + ``data`` chunk of little-endian int16
   samples.
 
-Formats that genuinely need external libraries (JPEG/PNG/MP3/H.264) still
-raise ``NotImplementedError`` via ``decode_media`` — honest stubs, per the
-repo's no-fake-decodes rule.
+Baseline-sequential 4:4:4 JPEG also decodes for REAL — from first
+principles in ``operators/jpeg.py`` (numpy DCT + canonical Huffman).
+Formats that genuinely need external libraries (PNG/MP3/H.264, and
+progressive or subsampled JPEG) still raise ``NotImplementedError`` via
+``decode_media`` — honest stubs, per the repo's no-fake-decodes rule.
 
 Everything here is deterministic and byte-exact, so decode paths can be
 oracle-paired: a catalog query ENCODES payloads from known bytes Spark-side,
@@ -162,6 +164,12 @@ def decode_media(payload: bytes, fmt: str):
         return decode_ppm(payload)
     if fmt == "wav":
         return decode_wav(payload)
+    if fmt == "jpeg":
+        # baseline-sequential 4:4:4 JPEG from first principles (numpy DCT +
+        # canonical Huffman) — see operators/jpeg.py
+        from platform_etl_backend_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"format {fmt!r} needs an external codec library (PIL/libav), "
         "not present in this environment"

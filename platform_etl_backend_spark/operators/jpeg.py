@@ -1,0 +1,482 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) in pure numpy —
+no PIL/libjpeg. Replaces the honest ``NotImplementedError`` stub for the
+``jpeg`` format in ``decode_media`` with a real codec.
+
+Scope (the baseline-sequential subset this module implements end-to-end):
+- 8-bit samples, YCbCr (JFIF matrix) or grayscale, NO chroma subsampling
+  (4:4:4, sampling factors 1x1 — what :func:`encode_jpeg` emits);
+- 8x8 FDCT/IDCT with the orthonormal DCT-II matrix in float64 (bit-exact
+  deterministic on every IEEE platform — same property the repo's other
+  numeric operators rely on);
+- Annex-K quantization tables scaled with the standard quality formula;
+- canonical Huffman coding with the Annex-K typical tables, written into
+  DHT segments; the DECODER builds its tables from the DHT/DQT segments in
+  the stream (spec behavior), so it reads any 4:4:4 baseline JPEG, not
+  just this encoder's output.
+
+Not supported (raise, never fake): progressive (SOF2), arithmetic coding,
+chroma subsampling other than 1x1, restart markers, 12-bit precision.
+
+The Spark integration path is unchanged: payloads are opaque ``binary``
+columns and decoding runs inside Arrow-batched ``mapInPandas`` (see
+``operators/multimodal.py``); this module is the per-payload kernel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Constant tables (T.81 Annex K — public)
+# --------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(7, s) + 1)
+        for r in (rs if s % 2 == 1 else reversed(list(rs))):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+ZIGZAG = np.array(_zigzag_order(), dtype=np.int64)  # natural index per zz pos
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (bits-per-length[1..16], symbol values) — typical tables, Annex K.
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# Orthonormal DCT-II basis, float64.
+_k = np.arange(8).reshape(8, 1).astype(np.float64)
+_n = np.arange(8).reshape(1, 8).astype(np.float64)
+DCT_T = np.sqrt(2.0 / 8.0) * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+DCT_T[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Huffman helpers
+# --------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical T.81 assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the reader."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in stream")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category size, appended bits) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# --------------------------------------------------------------------------
+# Color transforms (JFIF)
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane padded by edge replication → (n, 8, 8) blocks in
+    raster MCU order."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = p.shape
+    return (
+        p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_scan(planes: list[np.ndarray], quants: list[np.ndarray],
+                 dc_tabs: list[dict], ac_tabs: list[dict]) -> bytes:
+    comp_blocks = [ _blocks(p) for p in planes ]
+    n_mcu = comp_blocks[0].shape[0]
+    # FDCT + quantize all blocks per component (vectorized)
+    coefs = []
+    for blocks, q in zip(comp_blocks, quants):
+        f = DCT_T @ (blocks - 128.0) @ DCT_T.T
+        cq = np.round(f / q).astype(np.int64)
+        coefs.append(cq.reshape(-1, 64)[:, ZIGZAG])  # zigzag order
+    w = _BitWriter()
+    pred = [0] * len(planes)
+    for m in range(n_mcu):
+        for ci in range(len(planes)):
+            zz = coefs[ci][m]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_tabs[ci][size]
+            w.write(code, ln)
+            w.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tabs[ci][0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_tabs[ci][(run << 4) | size]
+                w.write(code, ln)
+                w.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_tabs[ci][0x00]  # EOB
+                w.write(code, ln)
+    return w.flush()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline 4:4:4 JFIF."""
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError(f"expected (H, W, 3) or (H, W), got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        quants, qids, tids = [qy], [0], [(0, 0)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        quants, qids, tids = [qy, qc, qc], [0, 1, 1], [(0, 0), (1, 1), (1, 1)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += _seg(0xC0, sof)  # SOF0 baseline
+    huff_specs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if not gray:
+        huff_specs += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tc_th, (bits, vals) in huff_specs:
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        dc_id, ac_id = tids[ci]
+        sos += bytes([ci + 1, (dc_id << 4) | ac_id])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    enc_dc = [_canonical_codes(*DC_LUMA)] + ([] if gray else [_canonical_codes(*DC_CHROMA)] * 2)
+    enc_ac = [_canonical_codes(*AC_LUMA)] + ([] if gray else [_canonical_codes(*AC_CHROMA)] * 2)
+    out += _encode_scan(planes, quants, enc_dc, enc_ac)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline 4:4:4 (or grayscale) JFIF → (H, W, 3) uint8 RGB (or (H, W))."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
+                quant[tq] = t.reshape(8, 8)
+                b = b[65:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                nv = sum(bits)
+                vals = list(b[17 : 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                b = b[17 + nv :]
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (baseline 4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_tabs = []
+            for ci in range(ns):
+                cid, t = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_tabs.append((cid, t >> 4, t & 0x0F))
+            # entropy-coded data: everything up to the next real marker,
+            # with 0xFF00 unstuffed
+            data = bytearray()
+            while pos < len(payload) - 1:
+                byte = payload[pos]
+                if byte == 0xFF:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        pos += 2
+                        continue
+                    break
+                data.append(byte)
+                pos += 1
+            scan = (scan_tabs, bytes(data))
+            break
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 or SOS segment")
+
+    h, w, comps = frame
+    scan_tabs, data = scan
+    n_bh, n_bw = -(-h // 8), -(-w // 8)
+    n_mcu = n_bh * n_bw
+    reader = _BitReader(data)
+    pred = [0] * len(comps)
+    planes = [np.zeros((n_bh * 8, n_bw * 8), dtype=np.float64) for _ in comps]
+    coef = np.zeros(64, dtype=np.float64)
+    for m in range(n_mcu):
+        by, bx = divmod(m, n_bw)
+        for ci, (cid, tq) in enumerate(comps):
+            _, dc_id, ac_id = scan_tabs[ci]
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            coef[:] = 0.0
+            size = reader.read_symbol(dc_tab)
+            pred[ci] += _extend(reader.read_bits(size), size)
+            coef[0] = pred[ci]
+            k = 1
+            while k <= 63:
+                rs = reader.read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                coef[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            block = np.zeros((8, 8), dtype=np.float64)
+            block.reshape(64)[ZIGZAG] = coef  # de-zigzag
+            block *= quant[tq]
+            px = DCT_T.T @ block @ DCT_T + 128.0
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return _ycbcr_to_rgb(ycc)

