@@ -83,7 +83,9 @@ def test_llr_contingency_broadcast_totals(spark, sf_dir):
     assert_broadcast_join(df, at_least=2)
 
 
-@pytest.mark.parametrize("name", ["q_tfidf_top_terms", "q_bm25_top_terms"])
+@pytest.mark.parametrize(
+    "name", ["q_tfidf_top_terms", "q_bm25_top_terms", "q_bpe_encode"]
+)
 def test_vocabulary_join_is_not_hint_forced_broadcast(spark, sf_dir, name):
     """The per-term document-frequency table is unbounded at corpus scale
     (billions of distinct terms at 100 TB), so its join must not be FORCED
@@ -137,3 +139,53 @@ def test_tpch_star_joins_broadcast_all_dims(spark, sf_dir):
     plan10 = explain_str(q10, "simple")
     assert "TakeOrderedAndProject" in plan10, plan10
     assert plan10.count("BroadcastHashJoin") >= 2, plan10
+
+
+def test_sentence_split_is_pure_map_side(spark, sf_dir):
+    """Segmentation is protect-mark-split + explode: zero shuffles, no
+    joins — the plan an embarrassingly-parallel operator must keep."""
+    df = q("q_sentence_split", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert shuffle_count(df) <= 1  # only the spread() repartition, if any
+    assert "Join" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_skipgram_single_shuffle_take_ordered(spark, sf_dir):
+    """Pair extraction is map-side (shifted zips); the only wide stages are
+    the pair aggregation and the global top-k, which must plan as
+    TakeOrderedAndProject (never a global sort)."""
+    df = q("q_skipgram_pairs", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 2  # spread() + pair groupBy
+
+
+def test_tpch_q3_q18_plan_shapes(spark, sf_dir):
+    """Q3: customer dim broadcast, top-10 as TakeOrderedAndProject.
+    Q18: IN-set as a semi join, top-100 as TakeOrderedAndProject, no
+    cartesian anywhere."""
+    p3 = explain_str(q("q_tpch_q3", spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p3, p3
+    assert "BroadcastHashJoin" in p3, p3
+    assert "CartesianProduct" not in p3
+    p18 = explain_str(q("q_tpch_q18", spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p18, p18
+    assert "LeftSemi" in p18, p18
+    assert "CartesianProduct" not in p18
+
+
+def test_rouge_gram_joins_no_cartesian(spark, sf_dir):
+    df = q("q_rouge_overlap", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_jpeg_roundtrip_is_map_side_arrow(spark, sf_dir):
+    """The codec runs inside one Arrow mapInPandas stage over a pruned
+    single-column scan — no shuffle, no join."""
+    df = q("q_jpeg_roundtrip", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 0, plan

@@ -136,8 +136,12 @@ def test_multimodal_plumbing(spark):
     frames = M.frame_sample(df, "media_id", "data", every=2).collect()
     assert all(r.frame_no % 2 == 0 for r in frames)
 
+    # jpeg decodes for REAL now (operators/jpeg.py): garbage fails loudly
+    # with a parse error, and library-bound formats still raise honestly
+    with pytest.raises(ValueError):
+        M.decode_or_raise(b"x", "jpeg")
     with pytest.raises(NotImplementedError):
-        M.decode_or_raise(b"x")
+        M.decode_or_raise(b"x", "png")
 
 
 def test_multinomial_sampling_invariants_match_reference_contract():
