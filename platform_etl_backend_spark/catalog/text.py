@@ -1994,3 +1994,40 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.skipgram_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", window=2, topk=50
     )
+
+
+@register(
+    "q_text_normalize",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, '{_SENT_PREAMBLE} ' || text AS t FROM documents),
+    n AS (SELECT doc_id, t,
+                 trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g')) AS norm
+          FROM raw)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_raw,
+           CAST(length(norm) AS BIGINT) AS n_norm,
+           md5(norm) AS norm_fp,
+           substr(norm, 1, 60) AS sample
+    FROM n
+    """,
+    description="canonical text normalization (lowercase, strip non-alnum to "
+    "space, collapse whitespace, trim) + the md5 normalized-dedup fingerprint "
+    "— the preprocessing step ahead of exact dedup; exercised on a mixed-case/"
+    "punctuated column (same literal preamble as q_sentence_split), pure "
+    "map-side regexp chain in the RE2∩Java subset",
+    tags=("text", "normalize"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(F.lit(_SENT_PREAMBLE + " "), F.col("text"))
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_raw"),
+        F.length(norm).cast("bigint").alias("n_norm"),
+        F.md5(norm).alias("norm_fp"),
+        F.substring(norm, 1, 60).alias("sample"),
+    )

@@ -490,3 +490,64 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=sliced, queries=sliced.where(F.col("vec_id") < 10),
         id_col="vec_id", vec_col="e16", k=3,
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+    WITH x AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS q
+               FROM embeddings),
+    g AS (SELECT CAST(a.dim AS INTEGER) AS i, CAST(b.dim AS INTEGER) AS j,
+                 COUNT(*) AS n,
+                 CAST(SUM(a.q) AS BIGINT) AS si, CAST(SUM(b.q) AS BIGINT) AS sj,
+                 CAST(SUM(a.q * b.q) AS BIGINT) AS sij
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY i, j)
+    SELECT i, j, n,
+           ROUND((CAST(sij AS DOUBLE) / n
+                  - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+                 / 1000000000000.0, 9) AS cov
+    FROM g
+    """,
+    description="upper-triangle covariance matrix of the embedding dimensions "
+    "(PCA/whitening prep): micro-unit quantize (floor(v*1e6), tie-free) then "
+    "BIGINT power sums so distributed order cannot change results; pair "
+    "fan-out is built MAP-SIDE (nested sequence/transform HOFs, no self-join "
+    "in the Spark plan — the oracle's quadratic join is the test-scale "
+    "formulation), one (i,j)-keyed aggregation carrying only d^2 groups",
+    tags=("vectors", "stats", "agg"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    qarr = F.transform(arr, lambda v: F.floor(v * 1000000.0).cast("bigint"))
+    n_d = F.size(arr)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n_d),
+            lambda i: F.transform(
+                F.sequence(i, n_d),
+                lambda j: F.struct(
+                    (i - 1).cast("int").alias("i"),
+                    (j - 1).cast("int").alias("j"),
+                    F.element_at(qarr, i).alias("qi"),
+                    F.element_at(qarr, j).alias("qj"),
+                ),
+            ),
+        )
+    )
+    x = emb.select(F.explode(pairs).alias("p")).select("p.i", "p.j", "p.qi", "p.qj")
+    g = x.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").cast("bigint").alias("si"),
+        F.sum("qj").cast("bigint").alias("sj"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sij"),
+    )
+    cov = (
+        F.col("sij").cast("double") / F.col("n")
+        - (F.col("si").cast("double") / F.col("n"))
+        * (F.col("sj").cast("double") / F.col("n"))
+    ) / F.lit(1000000000000.0)
+    return g.select("i", "j", "n", F.round(cov, 9).alias("cov"))
