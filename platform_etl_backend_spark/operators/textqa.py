@@ -622,8 +622,12 @@ def rouge_overlap(
     """
     out = pairs
     for n in (1, 2):
-        g = _gram_counts(docs, id_col, text_col, n)
-        tot = g.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+        # the gram-count frame feeds the candidate side, the reference side,
+        # AND both totals — persist at the reuse point or the corpus is
+        # re-scanned and re-aggregated six times per n (observed in
+        # PLAN_AUDIT as 18 scans before this)
+        g = _gram_counts(docs, id_col, text_col, n).persist()
+        tot = g.groupBy(id_col).agg(F.sum("cnt").alias("tot")).persist()
         gc = g.select(
             F.col(id_col).alias("cand_id"), "gram", F.col("cnt").alias("c_cnt")
         )
