@@ -1096,3 +1096,56 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("median_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    a AS (SELECT user_id, event_id AS a_id, ep AS a_start, ep + 600 AS a_end
+          FROM e WHERE event_type = 'click'),
+    b AS (SELECT user_id, event_id AS b_id, ep AS b_start, ep + 900 AS b_end
+          FROM e WHERE event_type = 'purchase'),
+    p AS (SELECT a.user_id, a.a_id, b.b_id,
+                 least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS overlap
+          FROM a JOIN b ON a.user_id = b.user_id
+          WHERE a.a_start <= b.b_end AND b.b_start <= a.a_end)
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(overlap) AS BIGINT) AS total_overlap_s,
+           CAST(MAX(overlap) AS BIGINT) AS max_overlap_s,
+           MIN(a_id) AS sample_click
+    FROM p GROUP BY user_id
+    """,
+    description="interval-overlap join (click 10-min windows x purchase 15-min "
+    "windows per user — the attribution-window op): grid blocking replicates "
+    "each interval to its 1024s cells, plain hash equi-join on (user, cell), "
+    "exact overlap predicate + distinct — NO inequality join, no cartesian; "
+    "the oracle is the quadratic same-user join DuckDB can afford at test scale",
+    tags=("join", "interval", "events"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.asof import interval_overlap_join
+
+    e = events_table(spark, sf_dir)
+    a = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ep").alias("a_start"),
+        (F.col("ep") + 600).alias("a_end"),
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ep").alias("b_start"),
+        (F.col("ep") + 900).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["user_id"], "a_start", "a_end", "b_start", "b_end", bucket=1024
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap").cast("bigint").alias("total_overlap_s"),
+        F.max("overlap").cast("bigint").alias("max_overlap_s"),
+        F.min("a_id").alias("sample_click"),
+    )

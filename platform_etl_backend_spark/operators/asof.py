@@ -271,3 +271,55 @@ def range_join_points_in_intervals(
         *[pt[c] for c in points.columns],
         *[F.col(f"{prefix}{c}") for c in payload],
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket: int = 1024,
+) -> DataFrame:
+    """Interval-overlap join via grid blocking — the interval-interval
+    counterpart of :func:`range_join_points_in_intervals` (which is
+    point-in-interval).
+
+    Each interval is replicated to every ``bucket``-wide grid cell it
+    touches (``start div bucket .. end div bucket`` — integer division,
+    engine-portable for the non-negative epochs this operates on), the
+    sides equi-join on (keys, cell), the exact overlap predicate
+    ``a_start <= b_end AND b_start <= a_end`` filters (touching intervals
+    count, overlap 0), and a distinct collapses pairs that met in more
+    than one cell. No inequality join, no cartesian: the join is a plain
+    hash equi-join whose fan-out is bounded by span/bucket + 1 per
+    interval.
+
+    At 100 TB: pick ``bucket`` near the median interval span so the
+    replication factor stays ~2; a few pathologically long intervals
+    create hot cells — split those to a broadcast side or cap spans
+    upstream (same playbook as the skew-join salting notes in SCALE.md).
+    Column names must be pre-disambiguated by the caller (a and b share
+    only ``key_cols``).
+    """
+    keys = list(key_cols)
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        cells = F.sequence(
+            F.expr(f"{s} div {bucket}"), F.expr(f"{e} div {bucket}")
+        )
+        return df.select("*", F.explode(cells).alias("_cell"))
+
+    pairs = (
+        bucketed(a, a_start, a_end)
+        .join(bucketed(b, b_start, b_end), keys + ["_cell"])
+        .where((F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end)))
+        .drop("_cell")
+        .distinct()
+    )
+    overlap = F.least(F.col(a_end), F.col(b_end)) - F.greatest(
+        F.col(a_start), F.col(b_start)
+    )
+    return pairs.withColumn("overlap", overlap.cast("bigint"))

@@ -624,8 +624,9 @@ def rouge_overlap(
     for n in (1, 2):
         # the gram-count frame feeds the candidate side, the reference side,
         # AND both totals — persist at the reuse point or the corpus is
-        # re-scanned and re-aggregated six times per n (observed in
-        # PLAN_AUDIT as 18 scans before this)
+        # re-scanned and re-aggregated for every reference at runtime
+        # (2.2s -> 1.3s at sf0.1; the static plan text still shows the
+        # lineage per reference, so PLAN_AUDIT's scan count is unchanged)
         g = _gram_counts(docs, id_col, text_col, n).persist()
         tot = g.groupBy(id_col).agg(F.sum("cnt").alias("tot")).persist()
         gc = g.select(

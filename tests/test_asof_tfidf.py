@@ -273,3 +273,27 @@ def test_asof_forward_and_nearest_match_bruteforce_property(spark):
             assert near[i] == n_exp, ("nearest", i, k, t, cands)
 
     run()
+
+
+def test_interval_overlap_join_matches_quadratic(spark):
+    """Grid-blocked overlap join == the quadratic formulation, including
+    touching intervals (overlap 0) and multi-cell-spanning intervals."""
+    from platform_etl_backend_spark.operators.asof import interval_overlap_join
+
+    a_rows = [(1, 10, 0, 50), (1, 11, 100, 2600), (2, 12, 0, 10)]
+    b_rows = [(1, 20, 40, 60), (1, 21, 50, 99), (1, 22, 2550, 2700),
+              (1, 23, 3000, 3100), (2, 24, 11, 20)]
+    a = spark.createDataFrame(a_rows, "user_id: bigint, a_id: bigint, a_start: bigint, a_end: bigint")
+    b = spark.createDataFrame(b_rows, "user_id: bigint, b_id: bigint, b_start: bigint, b_end: bigint")
+    out = {(r.a_id, r.b_id): r.overlap
+           for r in interval_overlap_join(a, b, ["user_id"],
+                                          "a_start", "a_end", "b_start", "b_end",
+                                          bucket=64).collect()}
+    expect = {}
+    for (u1, ai, s1, e1) in a_rows:
+        for (u2, bi, s2, e2) in b_rows:
+            if u1 == u2 and s1 <= e2 and s2 <= e1:
+                expect[(ai, bi)] = min(e1, e2) - max(s1, s2)
+    assert out == expect
+    assert (10, 21) in out and out[(10, 21)] == 0   # touching counts, overlap 0
+    assert (11, 22) in out and out[(11, 22)] == 50  # spans many 64s cells, deduped

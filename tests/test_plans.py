@@ -198,3 +198,12 @@ def test_embedding_covariance_is_map_side_fanout(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "Join" not in plan, plan
     assert shuffle_count(df) <= 1, plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """Grid blocking must plan as a plain hash equi-join on (key, cell) —
+    never an inequality BroadcastNestedLoopJoin or cartesian."""
+    df = q("q_interval_overlap", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_no_cartesian(df)
