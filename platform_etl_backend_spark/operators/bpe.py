@@ -92,6 +92,12 @@ def bpe_train(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # pair space exhausted (every word fully merged): stop like the
+            # textbook algorithm — crossJoining the empty argmax would
+            # otherwise wipe the vocabulary (caught by the hypothesis
+            # property test on the ['a', 'a'] corpus)
+            break
         merge_rounds.append(
             best.select(
                 F.lit(r).cast("bigint").alias("round"),
@@ -112,6 +118,11 @@ def bpe_train(
             .select("word", "wc", F.replace(F.col("units"), pat, rep).alias("units"))
             .localCheckpoint(eager=True)
         )
+    if not merge_rounds:  # empty corpus: no trainable pairs at all
+        empty = df.sparkSession.createDataFrame(
+            [], "round bigint, lhs string, rhs string, merged string, cnt bigint"
+        )
+        return empty, words
     return reduce(DataFrame.unionByName, merge_rounds), words
 
 

@@ -190,3 +190,54 @@ def test_scd2_matches_python_model(spark, events):
             vto = runs[i + 1][1] if i + 1 < len(runs) else None
             expected.append((u, i + 1, state, vfrom, vto, nev))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: sentence segmentation + BPE vs plain-Python models
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=1, max_size=12
+)
+
+
+@given(tokens=_words, punct=st.lists(st.sampled_from([".", "!", "?", ""]), min_size=12, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sentence_split_token_conservation(spark, tokens, punct):
+    """Segmentation never loses or invents tokens: the per-sentence token
+    counts sum to the punctuated text's token count, sentence ids are
+    1..n in order, and re-joining sentences reproduces the text minus the
+    boundary whitespace."""
+    from platform_etl_backend_spark.operators.textqa import segment_sentences
+
+    text = " ".join(t + p for t, p in zip(tokens, punct))
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    rows = sorted(segment_sentences(df, "doc_id", "text").collect(),
+                  key=lambda r: r.sent_id)
+    assert [r.sent_id for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n_tokens for r in rows) == len(tokens)
+    assert " ".join(r.sentence for r in rows) == text
+
+
+@given(words=st.lists(st.text(alphabet="ab", min_size=1, max_size=4),
+                      min_size=2, max_size=8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_reference_on_random_corpora(spark, words):
+    """BPE merges and final vocab equal the plain-Python Sennrich model on
+    random ab-alphabet corpora (small alphabet maximizes merge collisions
+    and tie-breaks — the hard cases)."""
+    from collections import Counter
+
+    from platform_etl_backend_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _ref_bpe
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    ref_merges, ref_vocab = _ref_bpe(dict(Counter(words)), 3)
+    merges, vocab = bpe_train(df, "doc_id", "text", n_merges=3)
+    got = [(r.lhs, r.rhs, r.cnt) for r in merges.orderBy("round").collect()]
+    assert got == ref_merges[: len(got)]
+    got_vocab = {r.word: r.units.strip().split("  ") for r in vocab.collect()}
+    assert got_vocab == ref_vocab
