@@ -2031,3 +2031,75 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fp"),
         F.substring(norm, 1, 60).alias("sample"),
     )
+
+
+@register(
+    "q_kneser_ney",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    bg AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY bigram),
+    cw1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1_fw
+            FROM c12 GROUP BY w1),
+    cw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bw FROM c12 GROUP BY w2),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12)
+    SELECT bigram, c12, c1, n1_fw, n1_bw,
+           ROUND(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1
+                 + (0.75 / c1) * n1_fw * (CAST(n1_bw AS DOUBLE) / n_types), 9) AS pkn
+    FROM c12 JOIN cw1 USING (w1) JOIN cw2 USING (w2), g
+    ORDER BY c12 DESC, bigram LIMIT 50
+    """,
+    description="interpolated Kneser-Ney bigram model (D=0.75 — the fourth "
+    "smoothing-family member beside raw, Stupid-Backoff, and Jelinek-Mercer): "
+    "absolute discounting + continuation-count backoff. Every term is a "
+    "fixed-order chain of IEEE-exact ops on integers (0.75 is exactly "
+    "representable; each divide/multiply is correctly rounded identically on "
+    "both engines), so NO transcendental scaffolding is needed; one "
+    "bigram-keyed shuffle + two context aggregations + hint-free joins, "
+    "top-50 as TakeOrderedAndProject",
+    tags=("text", "quality", "scoring"),
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        D.spread(d, "doc_id")
+        .where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12")).select(
+        "bigram",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+        "c12",
+    )
+    cw1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1_fw"),
+    )
+    cw2 = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1_bw"))
+    g = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    pkn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + (F.lit(0.75) / F.col("c1"))
+        * F.col("n1_fw")
+        * (F.col("n1_bw").cast("double") / F.col("n_types"))
+    )
+    return (
+        c12.join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(g))
+        .select("bigram", "c12", "c1", "n1_fw", "n1_bw", F.round(pkn, 9).alias("pkn"))
+        .orderBy(F.desc("c12"), "bigram")
+        .limit(50)
+    )

@@ -551,3 +551,56 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("sj").cast("double") / F.col("n"))
     ) / F.lit(1000000000000.0)
     return g.select("i", "j", "n", F.round(cov, 9).alias("cov"))
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 20),
+         b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv, label AS nlab
+               FROM embeddings),
+    pairs AS (
+      SELECT query_id, qlab, neighbor_id, nlab, {_COS} AS cos
+      FROM q, b WHERE query_id <> neighbor_id AND qlab <> nlab)
+    SELECT query_id, qlab, neighbor_id, nlab, cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+    description="hard-negative mining for embedding training (contrastive "
+    "batch prep): per query vector, the single most-similar DIFFERENT-label "
+    "neighbor — broadcast bounded query batch x corpus, label-filtered, "
+    "windowed top-1; the full-corpus variant rides the registered IVF cells "
+    "(same shape as q_ann_ivf_nprobe) instead of the exact baseline",
+    tags=("similarity", "vectors", "training"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_array("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double_array("embedding").alias("bv"),
+        F.col("label").alias("nlab"),
+    )
+    pairs = (
+        b.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
+               & (F.col("qlab") != F.col("nlab")))
+        .select(
+            "query_id", "qlab", "neighbor_id", "nlab",
+            F.round(S.cosine(F.col("qv"), F.col("bv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
