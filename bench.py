@@ -67,6 +67,12 @@ HEADLINE = [
     "q_skipgram_pairs",
     "q_tpch_q3",
     "q_tpch_q18",
+    "q_text_normalize",
+    "q_embedding_covariance",
+    "q_interval_overlap",
+    "q_kneser_ney",
+    "q_hard_negatives",
+    "q_feature_hashing",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

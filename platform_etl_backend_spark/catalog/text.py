@@ -2103,3 +2103,30 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "bigram")
         .limit(50)
     )
+
+
+def _fh_digit(pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5('fh:' || term), {pos}, 1)) - 1)"
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    m AS (SELECT doc_id,
+                 CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
+                 CASE WHEN {_fh_digit(3)} < 8 THEN 1 ELSE -1 END AS sign
+          FROM tok)
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+    FROM m GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    """,
+    description="feature hashing ('hashing trick', Weinberger 2009): 64-dim "
+    "signed token vectorizer with NO vocabulary pass — md5 bucket + sign "
+    "nibble, one explode + one (doc, bucket) aggregation; long-form non-zero "
+    "output. The vocabulary-free property is what scales: no df table, no "
+    "broadcast, unbounded token space in O(width) memory per doc",
+    tags=("text", "features", "ml-prep"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.hashed_features(table(spark, sf_dir, "documents"), "doc_id", "text", width=64)

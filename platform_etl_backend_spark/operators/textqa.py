@@ -696,3 +696,32 @@ def skipgram_pairs(
         .orderBy(F.desc("cnt"), "center", "context")
         .limit(topk)
     )
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, width: int = 64
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, the 'hashing trick'): each
+    token maps to ``md5('fh:'||token) mod width`` with a ±1 sign from the
+    next hash nibble, accumulated per (doc, bucket) — the fixed-dimension
+    text vectorizer that needs NO vocabulary pass (the property that makes
+    it the streaming/100TB-friendly featurizer). Output is long-form
+    (id, bucket, val), non-zero buckets only. One explode + one
+    (id, bucket)-keyed aggregation; md5 keeps the bucketing portable to
+    any engine (same convention as the count-min sketch)."""
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("term")))
+    hexd = "0123456789abcdef"
+    d1 = F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1
+    d3 = F.instr(F.lit(hexd), F.substring(h, 3, 1)) - 1
+    bucket = ((d1 * 16 + d2) % width).cast("int")
+    sign = F.when(d3 < 8, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        .where(F.col("val") != 0)
+    )
