@@ -419,3 +419,98 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Benford expected first-digit fractions as shared literals (computed once
+# here in Python — both engines parse the identical doubles; no engine-side
+# transcendental is evaluated).
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL = " ".join(
+    f"WHEN '{d}' THEN {_BENFORD[d]!r}" for d in range(1, 10)
+)
+
+
+@register(
+    "q_benford_profile",
+    oracle=f"""
+    WITH v AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                      AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    g AS (SELECT digit, COUNT(*) AS n FROM v GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_frac,
+           CASE digit {_BENFORD_SQL} END AS exp_frac,
+           ROUND(abs(CAST(n AS DOUBLE) / total - CASE digit {_BENFORD_SQL} END), 6)
+               AS abs_dev
+    FROM g, t
+    """,
+    description="Benford first-digit profile of order totals (the data-quality "
+    "/ fraud-screen distribution test): first digit extracted via BIGINT "
+    "string (portable — float formatting is not), expected log10(1+1/d) "
+    "fractions shipped as shared Python-computed literals so no engine libm "
+    "runs; one digit-keyed aggregation + 1-row broadcast total",
+    tags=("stats", "profiling", "olap"),
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = g.agg(F.sum("n").cast("bigint").alias("total"))
+    exp = None
+    for d in range(1, 10):
+        cond = F.col("digit") == str(d)
+        exp = F.when(cond, _BENFORD[d]) if exp is None else exp.when(cond, _BENFORD[d])
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_frac"),
+            exp.alias("exp_frac"),
+            F.round(
+                F.abs(F.col("n").cast("double") / F.col("total") - exp), 6
+            ).alias("abs_dev"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 12)), 11)
+                      AS INTEGER) AS bin
+               FROM lineitem,
+                    (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                     FROM lineitem))
+    SELECT bin, COUNT(*) AS n
+    FROM b GROUP BY bin
+    """,
+    description="equi-width 12-bin histogram of line prices: global min/max as "
+    "a 1-row broadcast (no driver action), bin = floor((x-mn)/width) clamped "
+    "at the top edge — the one-pass-plus-broadcast distribution profile; all "
+    "arithmetic is a fixed-order IEEE chain, engine-identical",
+    tags=("stats", "profiling", "olap"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    bin_ = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / F.lit(12))
+        ),
+        F.lit(11),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
