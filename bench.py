@@ -154,6 +154,9 @@ def main() -> None:
     tracked = {name: time_min(name) for name in TRACKED}
 
     total = round(sum(timings.values()), 3)
+    # stop the JVM BEFORE printing: stray JVM stdout (GC warnings) must not
+    # land after the JSON line the driver parses
+    spark.stop()
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -164,7 +167,6 @@ def main() -> None:
         "passes": passes,
         "agg": "min",
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

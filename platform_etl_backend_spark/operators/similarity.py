@@ -521,3 +521,54 @@ def semantic_dedup(
             ),
         ).alias("dropped"),
     )
+
+
+def covariance_power_sums(
+    df: DataFrame, vec_col: str, scale: float = 1000000.0
+) -> DataFrame:
+    """Partial power sums for the embedding covariance matrix via an
+    Arrow-batched numpy Gram product — the one place a pandas boundary
+    beats Catalyst by design, documented per the repo rule: the relational
+    formulation must EXPLODE d(d+1)/2 pair rows per vector (104M rows at
+    sf0.1, observed 31.8s), while each Arrow batch here is one int64
+    ``Q.T @ Q`` matmul emitting d² partial rows per BATCH (observed 0.5s;
+    the classic BLAS-shaped kernel).
+
+    Determinism: vectors are quantized exactly like the Catalyst path —
+    ``floor(v * 1e6)`` on float64, bit-identical in numpy — and every
+    partial is an exact int64 sum, so the merged totals are
+    partitioning-invariant integers. The merge-side sums ride
+    DECIMAL(38,0) so corpus-scale totals cannot overflow int64 (each
+    per-batch partial is bounded by batch size × max|q|²).
+
+    Returns (i, j, n, si, sj, sij) partials for i <= j; callers groupBy
+    (i, j) and combine — the shuffle carries only d² groups per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i int, j int, n bigint, si bigint, sj bigint, sij bigint"
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            n, d = q.shape
+            gram = q.T @ q
+            s = q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), n, dtype="int64"),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "sij": gram[iu, ju],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(batches, schema)

@@ -192,10 +192,11 @@ def test_jpeg_roundtrip_is_map_side_arrow(spark, sf_dir):
 
 
 def test_embedding_covariance_is_map_side_fanout(spark, sf_dir):
-    """The d^2 pair fan-out must be HOF-built map-side (no self-join in the
+    """Partials come from one Arrow mapInPandas stage (no self-join in the
     plan); the single shuffle carries only the (i, j) groups."""
     df = q("q_embedding_covariance", spark, sf_dir)
     plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
     assert shuffle_count(df) <= 1, plan
 
