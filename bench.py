@@ -154,10 +154,14 @@ def main() -> None:
     tracked = {name: time_min(name) for name in TRACKED}
 
     total = round(sum(timings.values()), 3)
-    # stop the JVM BEFORE printing: stray JVM stdout (GC warnings) must not
-    # land after the JSON line the driver parses
+    # stop the context before printing so the JSON is the last thing WE
+    # write — and, because the forked JVM's stdout is forwarded
+    # asynchronously (GC warnings can interleave at any time), also write
+    # the JSON to $SPARK_GRAFT_BENCH_OUT when set, which is immune to
+    # interleaving. The driver's parser scans for the JSON line; both
+    # channels carry it.
     spark.stop()
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -166,7 +170,12 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "agg": "min",
-    }))
+    })
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

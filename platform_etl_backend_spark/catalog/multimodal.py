@@ -272,3 +272,43 @@ def q_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     return MM.jpeg_roundtrip_features(d, "doc_id", height=24, width=16, quality=90)
+
+
+@register(
+    "q_png_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s
+               FROM documents
+               WHERE length(text) >= 96
+                 AND regexp_full_match(text, '[\\x00-\\x7F]*')),
+    px AS (SELECT doc_id, p, ascii(substr(s, CAST(p AS INTEGER), 1)) AS v
+           FROM d, range(1, 97) t(p))
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 0), 6) AS mean_r,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 1), 6) AS mean_g,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 2), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    description="REAL PNG codec (stdlib zlib DEFLATE + CRC chunk framing + "
+    "scanline filters, operators/png.py — no PIL): document bytes become an "
+    "8x4 RGB plane, encode+decode inside an Arrow mapInPandas stage, channel "
+    "means out; PNG is lossless so the oracle predicts EXACT means from the "
+    "raw text without ever seeing the container",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same ASCII-bytes guard as q_image_decode (see that query's comment)
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 96)
+        .where(F.col("text").rlike(r"^[\x00-\x7F]*$"))
+        .select("doc_id", F.encode(F.substring("text", 1, 96), "utf-8").alias("data"))
+    )
+    feats = MM.png_roundtrip_features(d, "doc_id", "data")
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -12,8 +12,10 @@ decode from first principles, which upgrades the multimodal plumbing from
   samples.
 
 Baseline-sequential 4:4:4 JPEG also decodes for REAL — from first
-principles in ``operators/jpeg.py`` (numpy DCT + canonical Huffman).
-Formats that genuinely need external libraries (PNG/MP3/H.264, and
+principles in ``operators/jpeg.py`` (numpy DCT + canonical Huffman) — and
+so does PNG (``operators/png.py``: stdlib zlib DEFLATE + all five
+scanline filters + palette; lossless, so roundtrips are byte-exact).
+Formats that genuinely need external libraries (MP3/H.264, and
 progressive or subsampled JPEG) still raise ``NotImplementedError`` via
 ``decode_media`` — honest stubs, per the repo's no-fake-decodes rule.
 
@@ -170,6 +172,11 @@ def decode_media(payload: bytes, fmt: str):
         from platform_etl_backend_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "png":
+        # stdlib zlib + numpy scanline filters — see operators/png.py
+        from platform_etl_backend_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
         f"format {fmt!r} needs an external codec library (PIL/libav), "
         "not present in this environment"

@@ -2,13 +2,16 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Two decode tiers:
-- REAL codecs for formats parseable in pure numpy (PPM images, RIFF/WAVE
-  PCM16 audio — ``operators/codecs.py``): ``image_decode_features`` and
-  ``audio_roundtrip_features`` genuinely parse the containers.
-- STUB for library-bound formats (JPEG/PNG/MP3/video): ``_decode_impl``
-  derives deterministic pseudo-pixels from the payload hash so the
-  Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-  real and testable; ``decode_or_raise`` raises honestly for those formats.
+- REAL codecs for formats parseable without external libraries (PPM images,
+  RIFF/WAVE PCM16 audio — ``operators/codecs.py``; baseline JPEG —
+  ``operators/jpeg.py``; PNG — ``operators/png.py``):
+  ``image_decode_features``, ``audio_roundtrip_features``,
+  ``jpeg_roundtrip_features``, and ``png_roundtrip_features`` genuinely
+  parse the containers.
+- STUB for library-bound formats (MP3/video): ``_decode_impl`` derives
+  deterministic pseudo-pixels from the payload hash so the Spark-side
+  plumbing — schema, batching, partitioning, UDF signature — is real and
+  testable; ``decode_or_raise`` raises honestly for those formats.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
 processes Arrow record batches (no per-row pickling); feature vectors come
@@ -102,10 +105,11 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every: int = 2) -> D
 
 
 def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
-    """Production decode entrypoint. PPM, WAV, and baseline 4:4:4 JPEG
-    decode for REAL via the pure-numpy parsers in ``operators/codecs.py``
-    and ``operators/jpeg.py``; library-bound formats (PNG/MP3/video and
-    progressive/subsampled JPEG) still raise honestly."""
+    """Production decode entrypoint. PPM, WAV, baseline 4:4:4 JPEG, and
+    PNG decode for REAL via the parsers in ``operators/codecs.py``,
+    ``operators/jpeg.py``, and ``operators/png.py``; library-bound formats
+    (MP3/video, progressive/subsampled JPEG, 16-bit/interlaced PNG) still
+    raise honestly."""
     from platform_etl_backend_spark.operators.codecs import decode_media
 
     return decode_media(payload, fmt)
@@ -208,3 +212,37 @@ def audio_roundtrip_features(
             )
 
     return df.select(id_col, pcm_col).mapInPandas(batches, schema)
+
+
+def png_roundtrip_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL PNG codec exercise via ``mapInPandas``: raw payload bytes →
+    8x4 RGB pixel plane → encode to PNG (stdlib zlib DEFLATE + CRC-framed
+    chunks, operators/png.py) → decode back through the chunk/filter
+    parser → channel means. PNG is LOSSLESS, so unlike the JPEG roundtrip
+    the oracle predicts the EXACT means from the source bytes — any
+    framing/CRC/filter/inflate bug shifts a byte and breaks the hashes."""
+    from platform_etl_backend_spark.operators import png as P
+
+    schema = f"{id_col} bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                raw = np.frombuffer(bytes(payload)[:96], dtype=np.uint8)
+                img = raw.reshape(4, 8, 3)
+                out = P.decode_png(P.encode_png(img))
+                assert out.shape == img.shape and (out == img).all()
+                flat = out.reshape(-1, 3).astype(np.int64)
+                n = flat.shape[0]
+                rows.append(
+                    (mid, 8, 4,
+                     float(flat[:, 0].sum()) / n,
+                     float(flat[:, 1].sum()) / n,
+                     float(flat[:, 2].sum()) / n)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema)

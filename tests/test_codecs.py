@@ -83,11 +83,13 @@ def test_wav_rejects_non_pcm_and_garbage():
 def test_decode_media_dispatch():
     px = _pixels(1, 2)
     assert np.array_equal(C.decode_media(C.encode_ppm(px), "ppm"), px)
-    # jpeg is REAL now (operators/jpeg.py); malformed payloads fail loudly
+    # jpeg and png are REAL now; malformed payloads fail loudly
     with pytest.raises(ValueError):
         C.decode_media(b"\xff\xd8\xff", "jpeg")
-    with pytest.raises(NotImplementedError, match="png"):
-        C.decode_media(b"\x89PNG", "png")
+    with pytest.raises(ValueError):
+        C.decode_media(b"\x89PNG", "png")  # truncated signature
+    with pytest.raises(NotImplementedError, match="mp3"):
+        C.decode_media(b"\xff\xfb\x00", "mp3")
 
 
 def test_image_decode_features_mapinpandas(spark):
@@ -182,8 +184,105 @@ def test_decode_media_jpeg_is_real_now():
     img = np.full((8, 16), 99, dtype=np.uint8)
     out = decode_media(encode_jpeg(img, 90), "jpeg")
     assert out.shape == (8, 16)
-    # PNG still an honest stub
+    # MP3 remains an honest stub
     import pytest
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "png")
+        decode_media(b"\xff\xfb\x00", "mp3")
+
+
+# ---------------------------------------------------------------------------
+# PNG (operators/png.py)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrips_byte_exact():
+    import numpy as np
+    from platform_etl_backend_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7), (16, 16, 3), (9, 3, 4), (1, 1), (8, 8, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all(), shape
+
+
+def test_png_decodes_foreign_streams_with_all_filters():
+    """A hand-built stream cycling through filters 0-4 per scanline (what a
+    real size-optimizing encoder emits) must decode byte-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from platform_etl_backend_spark.operators.png import _SIG, _chunk, decode_png
+
+    rng = np.random.RandomState(3)
+    h, w, ch = 7, 5, 3
+    img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    rows = img.reshape(h, stride).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        f = y % 5
+        cur = list(rows[y])
+        enc = []
+        for i in range(stride):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            base = (0, left, up, (left + up) >> 1, paeth(left, up, ul))[f]
+            enc.append((cur[i] - base) & 0xFF)
+        lines += bytes([f]) + bytes(enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(bytes(lines))) + _chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_palette_and_rejections():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+    from platform_etl_backend_spark.operators.png import _SIG, _chunk, decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 4, (4, 6), dtype=np.uint8)
+    palette = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0)
+    lines = b"".join(b"\x00" + r.tobytes() for r in idx)
+    p = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+         + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b""))
+    assert (decode_png(p) == palette[idx]).all()
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # corrupt a CRC byte -> loud failure, never silent garbage
+    img = np.zeros((4, 4), dtype=np.uint8)
+    enc = bytearray(encode_png(img))
+    enc[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(enc))
+    # interlaced declared -> honest NotImplementedError
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    pi = _SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(pi)
+
+
+def test_decode_media_png_is_real_now():
+    import numpy as np
+    from platform_etl_backend_spark.operators.codecs import decode_media
+    from platform_etl_backend_spark.operators.png import encode_png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_media(encode_png(img), "png") == img).all()
