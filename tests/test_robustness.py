@@ -151,3 +151,53 @@ def test_round3_operators_on_empty_and_degenerate_inputs(spark):
     # self-loop-only graph: no nodes after loop removal
     loops = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
     assert triangle_count(loops).collect()[0].n_triangles == 0
+
+
+def test_round4_operators_on_empty_and_degenerate_inputs(spark):
+    """Edge-input behavior of the round-4 operators."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.asof import interval_overlap_join
+    from platform_etl_backend_spark.operators.bpe import bpe_encode_stats, bpe_train
+    from platform_etl_backend_spark.operators.similarity import covariance_power_sums
+    from platform_etl_backend_spark.operators.textqa import (
+        hashed_features,
+        rouge_overlap,
+        segment_sentences,
+        skipgram_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    one_tok = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+
+    # sentence split: empty corpus -> no rows; a single unpunctuated token
+    # -> exactly one sentence covering it
+    assert segment_sentences(empty_docs, "doc_id", "text").count() == 0
+    rows = segment_sentences(one_tok, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0].sentence == "solo" and rows[0].n_tokens == 1
+
+    # BPE: empty corpus -> empty merges AND empty vocab, no crash
+    merges, vocab = bpe_train(empty_docs, "doc_id", "text", n_merges=3)
+    assert merges.count() == 0 and vocab.count() == 0
+    assert bpe_encode_stats(empty_docs, "doc_id", "text", vocab).count() == 0
+
+    # skip-grams: a 1-token doc has no pairs at any window
+    assert skipgram_pairs(one_tok, "doc_id", "text", window=2).count() == 0
+
+    # ROUGE: empty pair list -> empty output (gram frames never consulted)
+    empty_pairs = spark.createDataFrame([], "cand_id bigint, ref_id bigint")
+    assert rouge_overlap(one_tok, empty_pairs, "doc_id", "text").count() == 0
+
+    # interval overlap: either side empty -> empty
+    a = spark.createDataFrame([(1, 0, 10)], "user_id bigint, a_start bigint, a_end bigint")
+    b = spark.createDataFrame([], "user_id bigint, b_start bigint, b_end bigint")
+    assert interval_overlap_join(a, b, ["user_id"],
+                                 "a_start", "a_end", "b_start", "b_end").count() == 0
+
+    # feature hashing: empty corpus -> no rows; signs can cancel to zero
+    # and zero-valued buckets are dropped
+    assert hashed_features(empty_docs, "doc_id", "text").count() == 0
+
+    # covariance partials: empty vectors frame -> no partial rows
+    empty_vecs = spark.createDataFrame([], "embedding array<double>")
+    assert covariance_power_sums(empty_vecs, "embedding").count() == 0
