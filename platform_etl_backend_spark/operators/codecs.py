@@ -16,7 +16,7 @@ principles in ``operators/jpeg.py`` (numpy DCT + canonical Huffman) — and
 so does PNG (``operators/png.py``: stdlib zlib DEFLATE + all five
 scanline filters + palette; lossless, so roundtrips are byte-exact).
 Formats that genuinely need external libraries (MP3/H.264, and
-progressive or subsampled JPEG) still raise ``NotImplementedError`` via
+progressive JPEG) still raise ``NotImplementedError`` via
 ``decode_media`` — honest stubs, per the repo's no-fake-decodes rule.
 
 Everything here is deterministic and byte-exact, so decode paths can be

@@ -3,19 +3,21 @@ no PIL/libjpeg. Replaces the honest ``NotImplementedError`` stub for the
 ``jpeg`` format in ``decode_media`` with a real codec.
 
 Scope (the baseline-sequential subset this module implements end-to-end):
-- 8-bit samples, YCbCr (JFIF matrix) or grayscale, NO chroma subsampling
-  (4:4:4, sampling factors 1x1 — what :func:`encode_jpeg` emits);
+- 8-bit samples, YCbCr (JFIF matrix) or grayscale; 4:4:4 AND the
+  real-world-default 4:2:0 chroma subsampling (sampling factors 1..2 both
+  axes on decode; :func:`encode_jpeg` emits either);
 - 8x8 FDCT/IDCT with the orthonormal DCT-II matrix in float64 (bit-exact
   deterministic on every IEEE platform — same property the repo's other
   numeric operators rely on);
 - Annex-K quantization tables scaled with the standard quality formula;
 - canonical Huffman coding with the Annex-K typical tables, written into
   DHT segments; the DECODER builds its tables from the DHT/DQT segments in
-  the stream (spec behavior), so it reads any 4:4:4 baseline JPEG, not
-  just this encoder's output.
+  the stream (spec behavior) and handles interleaved MCUs for any
+  1..2 sampling factors, so it reads ordinary baseline JPEGs (4:4:4,
+  4:2:0, 4:2:2), not just this encoder's output.
 
 Not supported (raise, never fake): progressive (SOF2), arithmetic coding,
-chroma subsampling other than 1x1, restart markers, 12-bit precision.
+sampling factors above 2, restart markers, 12-bit precision.
 
 The Spark integration path is unchanged: payloads are opaque ``binary``
 columns and decoding runs inside Arrow-batched ``mapInPandas`` (see
@@ -261,46 +263,71 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
+def _emit_block(w: _BitWriter, zz: np.ndarray, pred: list[int], ci: int,
+                dc_tab: dict, ac_tab: dict) -> None:
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, ln = dc_tab[size]
+    w.write(code, ln)
+    w.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        w.write(code, ln)
+
+
+def _quantized_grid(plane: np.ndarray, quant: np.ndarray,
+                    v: int, h: int) -> np.ndarray:
+    """FDCT + quantize + zigzag, as a (block_rows, block_cols, 64) grid;
+    the plane is edge-padded so the block grid tiles whole (v, h) MCUs."""
+    ph = -plane.shape[0] % (8 * v)
+    pw = -plane.shape[1] % (8 * h)
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = p.shape
+    blocks = p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    f = DCT_T @ (blocks - 128.0) @ DCT_T.T
+    cq = np.round(f / quant).astype(np.int64)
+    return cq.reshape(hh // 8, ww // 8, 64)[..., ZIGZAG]
+
+
 def _encode_scan(planes: list[np.ndarray], quants: list[np.ndarray],
-                 dc_tabs: list[dict], ac_tabs: list[dict]) -> bytes:
-    comp_blocks = [ _blocks(p) for p in planes ]
-    n_mcu = comp_blocks[0].shape[0]
-    # FDCT + quantize all blocks per component (vectorized)
-    coefs = []
-    for blocks, q in zip(comp_blocks, quants):
-        f = DCT_T @ (blocks - 128.0) @ DCT_T.T
-        cq = np.round(f / q).astype(np.int64)
-        coefs.append(cq.reshape(-1, 64)[:, ZIGZAG])  # zigzag order
+                 dc_tabs: list[dict], ac_tabs: list[dict],
+                 samplings: list[tuple[int, int]]) -> bytes:
+    """Interleaved MCU scan for arbitrary (h, v) sampling factors — each
+    MCU carries h_i × v_i blocks per component in raster order (T.81
+    §A.2.3); 4:4:4 is the all-1x1 special case."""
+    grids = [
+        _quantized_grid(p, q, v, h)
+        for p, q, (h, v) in zip(planes, quants, samplings)
+    ]
+    h0, v0 = samplings[0]
+    mcu_rows = grids[0].shape[0] // v0
+    mcu_cols = grids[0].shape[1] // h0
     w = _BitWriter()
     pred = [0] * len(planes)
-    for m in range(n_mcu):
-        for ci in range(len(planes)):
-            zz = coefs[ci][m]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_tabs[ci][size]
-            w.write(code, ln)
-            w.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[ci][0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_tabs[ci][(run << 4) | size]
-                w.write(code, ln)
-                w.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_tabs[ci][0x00]  # EOB
-                w.write(code, ln)
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (h_i, v_i) in enumerate(samplings):
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        zz = grids[ci][my * v_i + by, mx * h_i + bx]
+                        _emit_block(w, zz, pred, ci, dc_tabs[ci], ac_tabs[ci])
     return w.flush()
 
 
@@ -308,21 +335,40 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline 4:4:4 JFIF."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline JFIF.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling, 1x1 factors) or
+    ``"420"`` (2x2 luma MCUs with box-averaged half-resolution chroma —
+    what real-world encoders emit by default)."""
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError(f"expected (H, W, 3) or (H, W), got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     h, w = pixels.shape[:2]
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
     if gray:
         planes = [pixels.astype(np.float64)]
-        quants, qids, tids = [qy], [0], [(0, 0)]
-    else:
+        quants, qids, tids, samps = [qy], [0], [(0, 0)], [(1, 1)]
+    elif subsampling == "444":
         ycc = _rgb_to_ycbcr(pixels)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         quants, qids, tids = [qy, qc, qc], [0, 1, 1], [(0, 0), (1, 1), (1, 1)]
+        samps = [(1, 1), (1, 1), (1, 1)]
+    else:  # 420
+        ph, pw = -h % 16, -w % 16
+        padded = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        ycc = _rgb_to_ycbcr(padded)
+        hp, wp = padded.shape[:2]
+        cb = ycc[..., 1].reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        cr = ycc[..., 2].reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        planes = [ycc[..., 0], cb, cr]
+        quants, qids, tids = [qy, qc, qc], [0, 1, 1], [(0, 0), (1, 1), (1, 1)]
+        samps = [(2, 2), (1, 1), (1, 1)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
@@ -332,7 +378,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])
+        h_i, v_i = samps[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, qids[ci]])
     out += _seg(0xC0, sof)  # SOF0 baseline
     huff_specs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
     if not gray:
@@ -348,7 +395,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 
     enc_dc = [_canonical_codes(*DC_LUMA)] + ([] if gray else [_canonical_codes(*DC_CHROMA)] * 2)
     enc_ac = [_canonical_codes(*AC_LUMA)] + ([] if gray else [_canonical_codes(*AC_CHROMA)] * 2)
-    out += _encode_scan(planes, quants, enc_dc, enc_ac)
+    out += _encode_scan(planes, quants, enc_dc, enc_ac, samps)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -404,11 +451,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                h_i, v_i = sampling >> 4, sampling & 0x0F
+                if not (1 <= h_i <= 2 and 1 <= v_i <= 2):
                     raise NotImplementedError(
-                        "chroma subsampling not supported (baseline 4:4:4 only)"
+                        f"sampling factors {h_i}x{v_i} not supported (1..2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, h_i, v_i))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
@@ -441,42 +489,62 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     h, w, comps = frame
     scan_tabs, data = scan
-    n_bh, n_bw = -(-h // 8), -(-w // 8)
-    n_mcu = n_bh * n_bw
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
     reader = _BitReader(data)
     pred = [0] * len(comps)
-    planes = [np.zeros((n_bh * 8, n_bw * 8), dtype=np.float64) for _ in comps]
+    planes = [
+        np.zeros((mcu_rows * 8 * v_i, mcu_cols * 8 * h_i), dtype=np.float64)
+        for (_, _, h_i, v_i) in comps
+    ]
     coef = np.zeros(64, dtype=np.float64)
-    for m in range(n_mcu):
-        by, bx = divmod(m, n_bw)
-        for ci, (cid, tq) in enumerate(comps):
-            _, dc_id, ac_id = scan_tabs[ci]
-            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-            coef[:] = 0.0
-            size = reader.read_symbol(dc_tab)
-            pred[ci] += _extend(reader.read_bits(size), size)
-            coef[0] = pred[ci]
-            k = 1
-            while k <= 63:
-                rs = reader.read_symbol(ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                coef[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            block = np.zeros((8, 8), dtype=np.float64)
-            block.reshape(64)[ZIGZAG] = coef  # de-zigzag
-            block *= quant[tq]
-            px = DCT_T.T @ block @ DCT_T + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    planes = [p[:h, :w] for p in planes]
+
+    def read_block(ci: int, tq: int, py: int, px_: int) -> None:
+        _, dc_id, ac_id = scan_tabs[ci]
+        dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+        coef[:] = 0.0
+        size = reader.read_symbol(dc_tab)
+        pred[ci] += _extend(reader.read_bits(size), size)
+        coef[0] = pred[ci]
+        k = 1
+        while k <= 63:
+            rs = reader.read_symbol(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            coef[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        block = np.zeros((8, 8), dtype=np.float64)
+        block.reshape(64)[ZIGZAG] = coef  # de-zigzag
+        block *= quant[tq]
+        px = DCT_T.T @ block @ DCT_T + 128.0
+        planes[ci][py : py + 8, px_ : px_ + 8] = px
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (cid, tq, h_i, v_i) in enumerate(comps):
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        read_block(
+                            ci, tq, (my * v_i + by) * 8, (mx * h_i + bx) * 8
+                        )
+    # upsample subsampled components by pixel replication, then crop
+    full = []
+    for plane, (_, _, h_i, v_i) in zip(planes, comps):
+        if v_i != vmax:
+            plane = np.repeat(plane, vmax // v_i, axis=0)
+        if h_i != hmax:
+            plane = np.repeat(plane, hmax // h_i, axis=1)
+        full.append(plane[:h, :w])
     if len(comps) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    ycc = np.stack(planes, axis=-1)
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(full, axis=-1)
     return _ycbcr_to_rgb(ycc)

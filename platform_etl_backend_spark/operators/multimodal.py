@@ -108,7 +108,7 @@ def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
     """Production decode entrypoint. PPM, WAV, baseline 4:4:4 JPEG, and
     PNG decode for REAL via the parsers in ``operators/codecs.py``,
     ``operators/jpeg.py``, and ``operators/png.py``; library-bound formats
-    (MP3/video, progressive/subsampled JPEG, 16-bit/interlaced PNG) still
+    (MP3/video, progressive JPEG, 16-bit/interlaced PNG) still
     raise honestly."""
     from platform_etl_backend_spark.operators.codecs import decode_media
 

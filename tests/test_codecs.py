@@ -286,3 +286,45 @@ def test_decode_media_png_is_real_now():
 
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_media(encode_png(img), "png") == img).all()
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 (the real-world default): flat colors exact, gradients within
+    1, quadrant structure preserved, odd (non-multiple-of-16) dims crop
+    correctly, and the MCU interleave places blocks where they belong."""
+    import numpy as np
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[...] = (180, 60, 40)
+    out = decode_jpeg(encode_jpeg(img, 90, "420"))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) == 0
+
+    x = np.linspace(0, 255, 40).astype(np.uint8)
+    grad = np.stack([np.tile(x, (24, 1))] * 3, axis=-1)
+    out = decode_jpeg(encode_jpeg(grad, 90, "420"))
+    assert out.shape == grad.shape
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 1
+
+    # quadrant colors at odd dims: block placement bugs would smear them
+    quad = np.zeros((35, 37, 3), dtype=np.uint8)
+    quad[:17, :18] = (200, 30, 30)
+    quad[:17, 18:] = (30, 200, 30)
+    quad[17:, :18] = (30, 30, 200)
+    quad[17:, 18:] = (220, 220, 40)
+    out = decode_jpeg(encode_jpeg(quad, 90, "420"))
+    assert out.shape == quad.shape
+    for (ys, xs) in [(slice(4, 12), slice(4, 12)), (slice(4, 12), slice(24, 32)),
+                     (slice(22, 30), slice(4, 12)), (slice(22, 30), slice(24, 32))]:
+        got = out[ys, xs].reshape(-1, 3).astype(float).mean(axis=0)
+        want = quad[ys, xs][0, 0].astype(float)
+        # a block-placement bug would swap whole quadrant colors (off by
+        # ~170); per-pixel chroma ringing near edges is legitimate, so the
+        # structural assertion is on the interior MEAN
+        assert np.abs(got - want).max() <= 4, (ys, xs, got, want)
+        err = np.abs(out[ys, xs].astype(int) - quad[ys, xs].astype(int)).max()
+        assert err <= 32, (ys, xs, err)  # bounded half-res DCT ringing
+
+    import pytest
+    with pytest.raises(ValueError):
+        encode_jpeg(quad, 90, "422")
