@@ -57,7 +57,7 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #     (contract change: last-ulp ln values) — q_llr_contingency,
 #     q_tfidf_top_terms, q_bm25_top_terms, q_bigram_logprob,
 #     q_unigram_surprisal, q_lm_quantile_filter;
-# (c) the 17 round-4 additions (sentence split, BPE train/encode, ROUGE,
+# (c) the 18 round-4 additions (sentence split, BPE train/encode, ROUGE,
 #     skip-grams, TPC-H Q3/Q18, JPEG roundtrip, embedding covariance,
 #     text normalization, interval-overlap join — the last four in
 #     padding slots that were q_variant_json / q_asof_join / q_tpch_q10 /
@@ -68,7 +68,7 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # (d) q_semantic_dedup (operator gained the k~sqrt(n) default + pair-cost
 #     guard; the catalog call's k=8 contract is unchanged — re-verified
 #     out of caution);
-# (e) 4 r03-green rows padding the remaining slots, chosen across
+# (e) 3 r03-green rows padding the remaining slots, chosen across
 #     families (text LM, dedup, graph, as-of, multimodal, analytics,
 #     TPC-H) so a regression anywhere shows up.
 # Displaced rows are all r03-green and unchanged; they stay replica-
@@ -122,7 +122,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_stupid_backoff",
     "q_prefix_jaccard",
     "q_png_decode",
-    "q_pagerank",
+    "q_ohlc_bars",
     "q_feature_hashing",
     "q_benford_profile",
     "q_value_histogram",

@@ -1149,3 +1149,51 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("overlap").cast("bigint").alias("max_overlap_s"),
         F.min("a_id").alias("sample_click"),
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    b AS (SELECT event_type, CAST(ep // 3600 AS BIGINT) AS bar, ep, event_id, value FROM e),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                    ORDER BY ep, event_id) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                    ORDER BY ep DESC, event_id DESC) AS rd
+          FROM b)
+    SELECT event_type, bar,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY event_type, bar
+    """,
+    description="OHLC time-series resampling (hourly bars per event type — the "
+    "financial/metrics downsampling classic): open/close by deterministic "
+    "(ep, event_id) order, high/low as exact selections (no float arithmetic "
+    "at all — every output is a passthrough of an input double); one window "
+    "pass + one aggregation over the same partitioning (exchange reused)",
+    tags=("window", "agg", "events", "timeseries"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        F.expr("ep div 3600").cast("bigint").alias("bar"),
+        "ep", "event_id", "value",
+    )
+    wa = Window.partitionBy("event_type", "bar").orderBy("ep", "event_id")
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ep"), F.desc("event_id")
+    )
+    r = b.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
