@@ -136,12 +136,15 @@ def test_multimodal_plumbing(spark):
     frames = M.frame_sample(df, "media_id", "data", every=2).collect()
     assert all(r.frame_no % 2 == 0 for r in frames)
 
-    # jpeg decodes for REAL now (operators/jpeg.py): garbage fails loudly
-    # with a parse error, and library-bound formats still raise honestly
+    # jpeg AND png decode for REAL now (operators/jpeg.py, operators/png.py):
+    # garbage fails loudly with a parse error; library-bound formats still
+    # raise honestly
     with pytest.raises(ValueError):
         M.decode_or_raise(b"x", "jpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_or_raise(b"x", "png")
+    with pytest.raises(NotImplementedError):
+        M.decode_or_raise(b"x", "mp3")
 
 
 def test_multinomial_sampling_invariants_match_reference_contract():
