@@ -241,3 +241,38 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, words):
     assert got == ref_merges[: len(got)]
     got_vocab = {r.word: r.units.strip().split("  ") for r in vocab.collect()}
     assert got_vocab == ref_vocab
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 120)),
+    min_size=0, max_size=12,
+)
+
+
+@given(a_raw=_intervals, b_raw=_intervals)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_overlap_matches_quadratic_model(spark, a_raw, b_raw):
+    """Grid-blocked interval overlap == the plain quadratic definition for
+    random keyed interval sets (spans freely crossing many grid cells;
+    touching endpoints included with overlap 0)."""
+    from platform_etl_backend_spark.operators.asof import interval_overlap_join
+
+    a_rows = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(a_raw)]
+    b_rows = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(b_raw)]
+    a = spark.createDataFrame(
+        a_rows, "k: bigint, a_id: bigint, a_start: bigint, a_end: bigint"
+    ) if a_rows else spark.createDataFrame([], "k bigint, a_id bigint, a_start bigint, a_end bigint")
+    b = spark.createDataFrame(
+        b_rows, "k: bigint, b_id: bigint, b_start: bigint, b_end: bigint"
+    ) if b_rows else spark.createDataFrame([], "k bigint, b_id bigint, b_start bigint, b_end bigint")
+    out = {(r.a_id, r.b_id): r.overlap
+           for r in interval_overlap_join(
+               a, b, ["k"], "a_start", "a_end", "b_start", "b_end", bucket=32
+           ).collect()}
+    expect = {}
+    for (k1, ai, s1, e1) in a_rows:
+        for (k2, bi, s2, e2) in b_rows:
+            if k1 == k2 and s1 <= e2 and s2 <= e1:
+                expect[(ai, bi)] = min(e1, e2) - max(s1, s2)
+    assert out == expect
