@@ -1677,3 +1677,282 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H round-5 breadth: Q7 volume shipping, Q8 market share, Q13 customer
+# order distribution, Q15 top supplier, Q19 disjunctive-predicate revenue.
+# The -ish schema has no partsupp/commitdate/shipinstruct, so Q2/Q4/Q9/Q11/
+# Q12/Q16/Q20 stay out of reach and Q19 drops its shipmode/shipinstruct
+# conjuncts (brand/size/quantity disjunction preserved — the part that
+# stresses the optimizer). Nation pair and target nation are chosen from
+# nations that actually have suppliers in the synthetic data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 (volume shipping): two-nation bilateral trade by "
+    "ship year — the nation pair disjunction lands AFTER both nation joins "
+    "(each broadcast), so the fact side is filtered by two broadcast semi "
+    "probes rather than a cross-filter; year extraction from the pushed "
+    "ship-date range; decimal revenue",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("l_year"),
+        )
+        .agg(dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                  AS DECIMAL(28,4)) AS rev,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_18' THEN rev ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+    description="TPC-H Q8 (national market share): 8-table snowflake — part "
+    "type + customer-region filters broadcast onto the fact, supplier nation "
+    "drives the conditional numerator; share = two exact decimal sums cast to "
+    "double, one IEEE division (no rounding scaffolding needed)",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    rev = (dec2("l_extendedprice") * one_minus_disc).cast("decimal(28,4)")
+    zero = F.lit(0).cast("decimal(28,4)")
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        v.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_18", F.col("rev")).otherwise(zero)
+                ).cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 (customer order distribution): left-outer join so "
+    "zero-order customers survive into the c_count=0 bucket, double "
+    "aggregation (per-customer count, then histogram of counts) — the second "
+    "groupBy keys on a tiny domain so AQE coalesces its shuffle to a few "
+    "partitions",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    description="TPC-H Q15 (top supplier): quarter revenue per supplier, "
+    "argmax via an uncorrelated scalar subquery — the revenue CTE is computed "
+    "once and reused for both the probe and the MAX (exchange reuse), and the "
+    "equality compares exact decimals so ties are engine-portable",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec2("l_extendedprice") * one_minus_disc).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    description="TPC-H Q19 (discounted revenue, shipmode/shipinstruct "
+    "conjuncts dropped — not in the -ish schema): three-branch disjunction "
+    "mixing part and lineitem columns — the partkey equi-join stays a "
+    "broadcast hash join and the OR lands as a post-join filter; the "
+    "brand-set union (Brand#12|23|4) is derivable for part-side pre-pruning "
+    "but Catalyst already prunes via the broadcast side",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    one_minus_disc = (
+        F.expr(_DEC_ONE) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(4,2)")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(
+            dbl(F.sum(dec2("l_extendedprice") * one_minus_disc)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

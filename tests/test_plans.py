@@ -208,3 +208,33 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert_no_cartesian(df)
+
+
+def test_tpch_round5_plan_shapes(spark, sf_dir):
+    """Q7/Q8: every dimension join broadcasts (one fact-fact shuffle at
+    most); Q15: the revenue CTE's argmax probe must not become a cartesian
+    (1-row broadcast equality join); Q19: partkey equi-join broadcasts with
+    the disjunction as a post-join filter, never a nested loop."""
+    p7 = explain_str(q("q_tpch_q7", spark, sf_dir), "simple")
+    assert p7.count("BroadcastHashJoin") >= 4, p7
+    assert "CartesianProduct" not in p7
+    p8 = explain_str(q("q_tpch_q8", spark, sf_dir), "simple")
+    assert p8.count("BroadcastHashJoin") >= 6, p8
+    assert "CartesianProduct" not in p8
+    p15 = explain_str(q("q_tpch_q15", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p15
+    assert "BroadcastNestedLoopJoin" not in p15
+    p19 = explain_str(q("q_tpch_q19", spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p19, p19
+    assert "CartesianProduct" not in p19
+    assert "BroadcastNestedLoopJoin" not in p19
+
+
+def test_tpch_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    """The c_count=0 bucket exists iff the join stayed left-outer — a
+    correctness property the oracle also pins, asserted here so a future
+    'optimization' to inner join fails fast."""
+    rows = {r["c_count"]: r["custdist"] for r in q("q_tpch_q13", spark, sf_dir).collect()}
+    assert sum(rows.values()) > 0
+    plan = explain_str(q("q_tpch_q13", spark, sf_dir), "simple")
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
