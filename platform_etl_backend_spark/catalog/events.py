@@ -1197,3 +1197,79 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    j AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+      FROM e),
+    conv AS (SELECT DISTINCT user_id, journey FROM j WHERE event_type = 'purchase'),
+    t AS (
+      SELECT j.user_id, j.journey, j.event_type, j.ep, j.event_id
+      FROM j JOIN conv ON j.user_id = conv.user_id AND j.journey = conv.journey
+      WHERE j.event_type IN ('click', 'view', 'signup')),
+    r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey ORDER BY ep, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey ORDER BY ep DESC, event_id DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS n_j
+      FROM t)
+    SELECT event_type AS channel,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS first_touch,
+           SUM(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS last_touch,
+           SUM(1000000 // n_j) AS linear_micro,
+           COUNT(*) AS n_touches
+    FROM r GROUP BY event_type ORDER BY channel
+    """,
+    description="multi-touch attribution composite (first-touch / last-touch "
+    "/ linear): journeys segmented per user by conversion boundaries (count "
+    "of prior purchases — one running-window pass), touches joined to "
+    "converted journeys, then ONE channel rollup computes all three models "
+    "via conditional sums; linear credit is scaled-integer (1e6 div n, both "
+    "engines' exact integer division) so distributed summation cannot drift; "
+    "one user-keyed shuffle for every window, one tiny channel aggregation",
+    tags=("events", "window", "agg", "attribution"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    j = e.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(prior),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    conv = (
+        j.where(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    touches = j.where(F.col("event_type").isin("click", "view", "signup")).join(
+        conv, ["user_id", "journey"]
+    )
+    wj = Window.partitionBy("user_id", "journey")
+    r = touches.select(
+        "event_type",
+        F.row_number().over(wj.orderBy("ep", "event_id")).alias("rn"),
+        F.row_number().over(wj.orderBy(F.desc("ep"), F.desc("event_id"))).alias("rd"),
+        F.count(F.lit(1)).over(wj).alias("n_j"),
+    )
+    return (
+        r.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("first_touch"),
+            F.sum(F.when(F.col("rd") == 1, 1).otherwise(0)).cast("bigint").alias("last_touch"),
+            F.sum(F.expr("1000000 div n_j")).cast("bigint").alias("linear_micro"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("channel")
+    )

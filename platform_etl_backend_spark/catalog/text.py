@@ -2130,3 +2130,72 @@ def _fh_digit(pos: int) -> str:
 )
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.hashed_features(table(spark, sf_dir, "documents"), "doc_id", "text", width=64)
+
+
+# --- content-defined chunking (stateless LBFS rolling-hash chunker) --------
+
+def _duck_cdc_cte() -> str:
+    """CDC chunk CTE generated from the SAME constants as the operator."""
+    w, m, d = D.CDC_WINDOW, D.CDC_MOD, D.CDC_DIVISOR
+    plist = "[" + ",".join(f"CAST({p} AS BIGINT)" for p in D.CDC_POWERS) + "]"
+    return f"""
+    c0 AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n FROM documents),
+    c1 AS (SELECT *, [ascii(substr(t, CAST(i AS INT), 1)) FOR i IN range(1, n+1)] AS cs FROM c0),
+    c2 AS (SELECT *, CASE WHEN n >= {w} THEN
+             [CAST(list_sum([CAST(cs[CAST(i-{w}+j AS INT)] AS BIGINT) * {plist}[CAST(j AS INT)]
+                             FOR j IN range(1, {w}+1)]) % {m} AS BIGINT)
+              FOR i IN range({w}, n+1)]
+           ELSE [] END AS hs FROM c1),
+    c3 AS (SELECT *, [i FOR i IN range({w}, n+1) IF hs[CAST(i-{w}+1 AS INT)] % {d} = 0] AS bpos FROM c2),
+    c4 AS (SELECT *, list_prepend(CAST(1 AS BIGINT), [x+1 FOR x IN bpos]) AS starts,
+                     list_append(bpos, n) AS ends FROM c3),
+    c5 AS (SELECT *, CASE WHEN n >= {w} THEN
+             [substr(t, CAST(starts[CAST(k AS INT)] AS INT),
+                     CAST(ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS INT))
+              FOR k IN range(1, CAST(len(starts) AS BIGINT)+1)
+              IF ends[CAST(k AS INT)] >= starts[CAST(k AS INT)]]
+           WHEN n > 0 THEN [t] ELSE [] END AS chunks FROM c4)
+    """
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=f"""
+    WITH {_duck_cdc_cte()}
+    SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks, n AS total_len,
+           CAST(list_max([CAST(length(c) AS BIGINT) FOR c IN chunks]) AS BIGINT) AS max_chunk_len,
+           md5(chunks[1]) AS first_chunk_md5
+    FROM c5
+    """,
+    description="content-defined chunking (stateless LBFS rolling-hash "
+    "chunker, Muthitacharoen et al. 2001): boundary after every position "
+    "whose 8-char polynomial hash is 0 mod 64 — identical text spans chunk "
+    "identically wherever they appear, the property CDC dedup stores rely "
+    "on; O(w*n) map-side Catalyst HOFs, no shuffle, no UDF; per-doc chunk "
+    "stats",
+    tags=("text", "dedup", "cdc"),
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cdc_chunk_summary(
+        D.spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_cdc_dedup_ratio",
+    oracle=f"""
+    WITH {_duck_cdc_cte()},
+    h AS (SELECT unnest([md5(c) FOR c IN chunks]) AS ch FROM c5)
+    SELECT COUNT(*) AS total_chunks, COUNT(DISTINCT ch) AS distinct_chunks,
+           COUNT(*) - COUNT(DISTINCT ch) AS dup_chunks
+    FROM h
+    """,
+    description="CDC chunk-store dedup ratio: total vs distinct chunk hashes "
+    "across the corpus — the storage a CDC-backed store saves; chunk md5s "
+    "map-side, ONE distinct-aggregation shuffle",
+    tags=("text", "dedup", "cdc"),
+)
+def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cdc_dedup_stats(
+        D.spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text"
+    )

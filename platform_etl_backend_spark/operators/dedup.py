@@ -585,3 +585,168 @@ def fuzzy_candidates_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFram
         .select("p.tok_a", "p.tok_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC). Public algorithm: the LBFS rolling-hash
+# chunker (Muthitacharoen et al., SOSP 2001) in its stateless form — a chunk
+# boundary falls after every position whose w-byte rolling polynomial hash is
+# 0 mod the divisor. Stateless (no min/max clamps) means boundary decisions
+# depend only on local content, so the operator is embarrassingly parallel
+# AND oracle-expressible; min/max clamping would make boundaries sequential
+# per document. Identical text spans chunk identically regardless of where
+# they appear, which is the property storage/training-corpus dedup needs.
+#
+# Scale: O(w·n) work per document, embarrassingly parallel, no shuffle
+# until the corpus-level chunk-hash rollup. The hot path is an Arrow
+# numpy kernel (sliding-window int64 dot product): Spark does NOT codegen
+# lambda higher-order functions — a per-character transform() interprets
+# ~30 expression nodes per char (~4.5s / 500 docs measured), while the
+# vectorized kernel does the same exact integer arithmetic in ~10ms. Same
+# documented pandas-boundary exception as the covariance Gram kernel:
+# per-element numeric work over wide value arrays is the one shape where
+# Catalyst's interpreted HOFs lose by orders of magnitude. The pure-
+# Catalyst twin is kept below (cdc_chunk_arrays_expr) and pinned equal to
+# the kernel by a pytest — it is the no-Python fallback and the spec.
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 257
+CDC_MOD = 1_000_000_007
+CDC_DIVISOR = 64  # expected chunk length
+CDC_POWERS = [pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MOD) for j in range(CDC_WINDOW)]
+
+
+def cdc_chunk_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document CDC chunk array: (id_col, n BIGINT, chunks array<string>).
+
+    Arrow numpy kernel: codepoints -> sliding-window dot product with the
+    base powers mod M -> boundary positions -> span slicing. All integer
+    ops are exact (products < 2^41), so the result is bit-identical to the
+    Catalyst twin and the DuckDB oracle.
+    """
+    import numpy as np
+
+    w, m, d = CDC_WINDOW, CDC_MOD, CDC_DIVISOR
+    powers = CDC_POWERS
+
+    def kernel(batches):
+        import pandas as pd
+
+        pw = np.asarray(powers, dtype=np.int64)
+        for pdf in batches:
+            ids, lens, chunk_lists = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                t = t if isinstance(t, str) else ""
+                n = len(t)
+                if n >= w:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+                    win = np.lib.stride_tricks.sliding_window_view(codes, w)
+                    hs = (win @ pw) % m
+                    bpos = np.nonzero(hs % d == 0)[0] + w  # 1-based window ends
+                    starts = np.concatenate(([0], bpos))
+                    ends = np.concatenate((bpos, [n]))
+                    chunks = [t[s:e] for s, e in zip(starts, ends) if e > s]
+                elif n > 0:
+                    chunks = [t]
+                else:
+                    chunks = []
+                ids.append(doc_id)
+                lens.append(n)
+                chunk_lists.append(chunks)
+            yield pd.DataFrame({id_col: ids, "n": lens, "chunks": chunk_lists})
+
+    out_schema = f"{id_col} bigint, n bigint, chunks array<string>"
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def cdc_chunk_arrays_expr(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pure-Catalyst CDC twin (the spec; see module note on why the hot
+    path is the Arrow kernel).
+
+
+    hash(i) = sum_j code(i-w+j)·B^(w-j) mod M over the w chars ending at i;
+    boundary after i iff hash(i) % divisor == 0. Chunks are the spans
+    between boundaries. Products stay < 2^41 (ASCII code × modulus), so
+    bigint arithmetic is exact and bit-identical across engines.
+    """
+    w, m, d = CDC_WINDOW, CDC_MOD, CDC_DIVISOR
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("t"),
+            F.length(text_col).cast("bigint").alias("n"),
+        )
+        .withColumn(
+            # split-to-char-array once: per-position substring(t, i, 1) is an
+            # O(i) UTF-8 scan, turning code extraction quadratic per doc
+            "cs",
+            F.expr("transform(split(t, ''), c -> ascii(c))"),
+        )
+        .withColumn(
+            "hs",
+            # window sum unrolled to one flat lambda: a nested aggregate()
+            # per position builds an iterator per element and runs ~30x
+            # slower than this single-expression form
+            F.expr(
+                f"case when n >= {w} then "
+                f"transform(sequence({w}, length(t)), i -> ("
+                + " + ".join(
+                    f"cast(element_at(cs, i - {w - 1 - j}) as bigint) * {p}"
+                    for j, p in enumerate(CDC_POWERS)
+                )
+                + f") % {m}) else array() end"
+            ),
+        )
+        .withColumn(
+            "bpos",
+            F.expr(
+                f"case when n >= {w} then "
+                f"filter(sequence({w}, length(t)), i -> element_at(hs, i - {w} + 1) % {d} = 0) "
+                f"else cast(array() as array<int>) end"
+            ),
+        )
+        .withColumn(
+            "starts", F.expr("concat(array(cast(1 as bigint)), transform(bpos, x -> cast(x + 1 as bigint)))")
+        )
+        .withColumn("ends", F.expr("concat(transform(bpos, x -> cast(x as bigint)), array(n))"))
+        .withColumn(
+            "chunks",
+            F.expr(
+                f"case when n >= {w} then "
+                "transform(filter(sequence(1, size(starts)), "
+                "                 k -> element_at(ends, k) >= element_at(starts, k)), "
+                "          k -> substring(t, cast(element_at(starts, k) as int), "
+                "                         cast(element_at(ends, k) - element_at(starts, k) + 1 as int))) "
+                "when n > 0 then array(t) else cast(array() as array<string>) end"
+            ),
+        )
+    )
+    return out.select(id_col, "n", "chunks")
+
+
+def cdc_chunk_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document chunk stats (count, total/max length, first-chunk md5)."""
+    c = cdc_chunk_arrays(df, id_col, text_col)
+    return c.select(
+        F.col(id_col),
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.col("n").alias("total_len"),
+        F.array_max(F.expr("transform(chunks, c -> cast(length(c) as bigint))")).alias(
+            "max_chunk_len"
+        ),
+        F.md5(F.element_at("chunks", 1)).alias("first_chunk_md5"),
+    )
+
+
+def cdc_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-level chunk-store dedup: total vs distinct chunk hashes — the
+    number a CDC-backed store would actually save. One shuffle (the
+    distinct), chunk hashes computed map-side."""
+    c = cdc_chunk_arrays(df, id_col, text_col)
+    h = c.select(F.explode(F.expr("transform(chunks, c -> md5(c))")).alias("ch"))
+    return h.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("ch").alias("distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("ch")).alias("dup_chunks"),
+    )

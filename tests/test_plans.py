@@ -238,3 +238,20 @@ def test_tpch_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
     assert sum(rows.values()) > 0
     plan = explain_str(q("q_tpch_q13", spark, sf_dir), "simple")
     assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
+
+
+def test_cdc_chunks_is_map_side_arrow(spark, sf_dir):
+    """The chunker runs in one Arrow mapInPandas stage over a two-column
+    scan; the only shuffle in the ratio query is the distinct rollup."""
+    df = q("q_cdc_chunks", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    ratio = q("q_cdc_dedup_ratio", spark, sf_dir)
+    assert_no_cartesian(ratio)
+
+
+def test_attribution_no_cartesian_bounded_shuffles(spark, sf_dir):
+    df = q("q_attribution", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert shuffle_count(df) <= 6  # user window, (user,journey) windows, conv join, channel agg
