@@ -514,3 +514,102 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- Bloom filter: distributed mergeable bitset sketch ---------------------
+
+def _bloom_pos_sql(key_expr: str, j: int) -> str:
+    from platform_etl_backend_spark.operators.stats import BLOOM_BITS
+
+    return (
+        f"CAST(('0x' || substr(md5('{j}:' || {key_expr}), 1, 12)) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def _bloom_build_cte() -> str:
+    from platform_etl_backend_spark.operators.stats import BLOOM_HASHES, BLOOM_WORD
+
+    plist = ",".join(_bloom_pos_sql("c_name", j) for j in range(BLOOM_HASHES))
+    return f"""
+    bpos AS (SELECT unnest([{plist}]) AS pos FROM customer),
+    words AS (
+      SELECT pos // {BLOOM_WORD} AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INT)) AS BIGINT) AS bits
+      FROM bpos GROUP BY pos // {BLOOM_WORD})
+    """
+
+
+def _register_bloom() -> None:
+    from platform_etl_backend_spark.operators.stats import (
+        BLOOM_HASHES,
+        BLOOM_WORD,
+        bloom_build,
+        bloom_probe_counts,
+    )
+
+    @register(
+        "q_bloom_build",
+        oracle=f"""
+        WITH {_bloom_build_cte()}
+        SELECT word_idx, bits FROM words
+        """,
+        description="Bloom filter build as a distributed mergeable bitset "
+        "(Bloom 1970): k=4 md5-derived bit positions per key fan out "
+        "map-side, ONE bit_or aggregation keyed on 32-bit word index — the "
+        "partial-aggregate/merge shape, so shard/day sketches union for "
+        "free; md5 positions (not murmur) make the whole bitset "
+        "hash-matchable across engines",
+        tags=("sketch", "olap", "bloom"),
+    )
+    def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bloom_build(table(spark, sf_dir, "customer"), "c_name").orderBy("word_idx")
+
+    probe_sql = (
+        "SELECT p_name AS pk FROM part UNION "
+        "SELECT c_name FROM customer WHERE c_custkey % 5 = 0"
+    )
+    plist = ",".join(_bloom_pos_sql("pk", j) for j in range(BLOOM_HASHES))
+
+    @register(
+        "q_bloom_probe",
+        oracle=f"""
+        WITH {_bloom_build_cte()},
+        probes AS ({probe_sql}),
+        pp AS (SELECT pk, unnest([{plist}]) AS pos FROM probes),
+        hit AS (
+          SELECT pk,
+                 SUM(CASE WHEN (COALESCE(w.bits, 0)
+                                & (CAST(1 AS BIGINT) << CAST(pp.pos % {BLOOM_WORD} AS INT))) <> 0
+                          THEN 1 ELSE 0 END) = {BLOOM_HASHES} AS bloom_positive
+          FROM pp LEFT JOIN words w ON pp.pos // {BLOOM_WORD} = w.word_idx
+          GROUP BY pk),
+        truth AS (SELECT DISTINCT c_name AS pk FROM customer),
+        j AS (SELECT h.pk, h.bloom_positive, (t.pk IS NOT NULL) AS present
+              FROM hit h LEFT JOIN truth t ON h.pk = t.pk)
+        SELECT COUNT(*) AS n_probes,
+               CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_true_present,
+               CAST(SUM(CASE WHEN bloom_positive AND NOT present THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+               CAST(SUM(CASE WHEN NOT bloom_positive AND present THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+        FROM j
+        """,
+        description="Bloom filter probe: mixed present/absent key set checked "
+        "against the broadcast word table (all k bits set => positive), "
+        "tallied against exact membership — false negatives MUST be 0 (the "
+        "Bloom guarantee), false positives are the deterministic price of "
+        "m/n; at scale the filter pre-screens keys so the exact join runs "
+        "only on bloom-positives",
+        tags=("sketch", "olap", "bloom"),
+    )
+    def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        c = table(spark, sf_dir, "customer")
+        probe = (
+            table(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+            .union(
+                c.where(F.col("c_custkey") % 5 == 0).select(F.col("c_name").alias("name"))
+            )
+        )
+        return bloom_probe_counts(c.select(F.col("c_name").alias("name")), probe, "name")
+
+
+_register_bloom()

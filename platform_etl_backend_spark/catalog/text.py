@@ -2199,3 +2199,71 @@ def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cdc_dedup_stats(
         D.spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text"
     )
+
+
+# --- web-text processing: tag stripping + URL parsing ----------------------
+
+# HTML synthesized IDENTICALLY on both engines from document fields (same
+# approach as the sentence-split punctuation column): the operator under
+# test is the extraction, not the synthesis.
+_HTML_SPARK = (
+    "concat('<html><head><title>Doc ', cast(doc_id as string), ' - ', source, "
+    "'</title></head><body><p>', text, '</p>', "
+    "'<a href=\"https://data.example.org/corpus/', source, '/doc-', "
+    "cast(doc_id as string), '?lang=', lang, '&amp;rev=4\">next</a></body></html>')"
+)
+_HTML_DUCK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR), ' - ', source, "
+    "'</title></head><body><p>', text, '</p>', "
+    "'<a href=\"https://data.example.org/corpus/', source, '/doc-', "
+    "CAST(doc_id AS VARCHAR), '?lang=', lang, '&amp;rev=4\">next</a></body></html>')"
+)
+
+
+@register(
+    "q_html_extract",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_HTML_DUCK} AS html FROM documents),
+    x AS (
+      SELECT doc_id, html,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             replace(regexp_extract(html, 'href="([^"]*)"', 1), '&amp;', '&') AS href,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id, title,
+           regexp_extract(href, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(href, '^https?://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(href, '[?&]lang=([^&]*)', 1) AS url_lang,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM x
+    """,
+    description="web-text processing: HTML tag stripping (boilerplate "
+    "removal) + URL parsing (host/path/query param, entity unescape) — all "
+    "map-side regexp_replace/regexp_extract in the RE2-and-Java-safe subset "
+    "(no lookaround, no backrefs); the cleaned text is length+md5 "
+    "fingerprinted so the whole strip pipeline is hash-verified",
+    tags=("text", "web", "regex"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HTML_SPARK).alias("html"))
+    x = h.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.replace(
+            F.regexp_extract("html", 'href="([^"]*)"', 1), F.lit("&amp;"), F.lit("&")
+        ).alias("href"),
+        F.trim(
+            F.regexp_replace(F.regexp_replace("html", "<[^>]*>", " "), " +", " ")
+        ).alias("clean"),
+    )
+    return x.select(
+        "doc_id",
+        "title",
+        F.regexp_extract("href", "^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("href", "^https?://[^/]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("href", "[?&]lang=([^&]*)", 1).alias("url_lang"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+    )

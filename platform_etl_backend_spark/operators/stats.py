@@ -334,3 +334,80 @@ def count_min_estimates(
         "rk", "token", F.col("exact").cast("bigint").alias("exact"), "cm_estimate",
         (F.col("cm_estimate") - F.col("exact")).cast("bigint").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a distributed mergeable bitset (Bloom 1970). m bits live
+# in m/32 BIGINT-typed 32-bit words; building is one map-side position fan-out (k md5
+# hashes per key) + ONE bit_or aggregation keyed on word index — the same
+# partial-aggregate/merge shape as any sum, so the sketch merges across
+# partitions, shards, and days for free. Probing broadcasts the (tiny,
+# <= m/64 rows) word table and checks all k bits per probe key map-side.
+# md5-derived positions (not murmur/xxhash) keep the filter bit-identical
+# across engines, so the whole bitset is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # m
+BLOOM_WORD = 32  # bits per word: shifts stay <= 31, inside both engines'
+# overflow-checked BIGINT shift range (DuckDB raises on 1::BIGINT << 63)
+BLOOM_HASHES = 4  # k
+
+
+def _bloom_pos(key: Column, j: int) -> Column:
+    """j-th bit position for a key: md5-prefix hex -> bigint -> mod m."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key)), 1, 12), 16, 10)
+    return (h.cast("bigint") % BLOOM_BITS).alias(f"pos_{j}")
+
+
+def _positions(key: Column) -> Column:
+    return F.array(*[_bloom_pos(key, j) for j in range(BLOOM_HASHES)])
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter: (word_idx BIGINT, bits BIGINT) rows, one per
+    non-zero 64-bit word of the m-bit array."""
+    w = BLOOM_WORD
+    pos = df.select(F.explode(_positions(F.col(key_col))).alias("pos"))
+    return (
+        pos.select(
+            (F.col("pos") / w).cast("bigint").alias("word_idx"),
+            # numBits must be a Column here; the python shiftleft wrapper
+            # only takes an int literal
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {w} as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe_counts(build_df: DataFrame, probe_df: DataFrame, key_col: str) -> DataFrame:
+    """Probe the filter with ``probe_df[key_col]`` and tally outcomes
+    against exact membership: (n_probes, n_bloom_positive, n_true_present,
+    n_false_positive). The word table is broadcast (<= m/32 rows); the
+    exact check is a left-semi join — at scale, the filter is the thing
+    that lets you SKIP that join for bloom-negative keys."""
+    words = bloom_build(build_df, key_col)
+    probes = probe_df.select(F.col(key_col).alias("pk")).distinct()
+    w = BLOOM_WORD
+    pp = probes.select(
+        "pk", F.posexplode(_positions(F.col("pk")))
+    ).select(
+        "pk",
+        (F.col("col") / w).cast("bigint").alias("word_idx"),
+        F.expr(f"shiftleft(cast(1 as bigint), cast(col % {w} as int))").alias("mask"),
+    )
+    hit = (
+        pp.join(F.broadcast(words), "word_idx", "left_outer")
+        .withColumn("bit_set", (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0))
+        .groupBy("pk")
+        .agg((F.sum(F.col("bit_set").cast("int")) == BLOOM_HASHES).alias("bloom_positive"))
+    )
+    truth = build_df.select(F.col(key_col).alias("pk")).distinct().withColumn("present", F.lit(True))
+    j = hit.join(truth, "pk", "left_outer").na.fill({"present": False})
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("bloom_positive").cast("int")).cast("bigint").alias("n_bloom_positive"),
+        F.sum(F.col("present").cast("int")).cast("bigint").alias("n_true_present"),
+        F.sum((F.col("bloom_positive") & ~F.col("present")).cast("int")).cast("bigint").alias("n_false_positive"),
+        F.sum((~F.col("bloom_positive") & F.col("present")).cast("int")).cast("bigint").alias("n_false_negative"),
+    )

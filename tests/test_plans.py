@@ -255,3 +255,17 @@ def test_attribution_no_cartesian_bounded_shuffles(spark, sf_dir):
     df = q("q_attribution", spark, sf_dir)
     assert_no_cartesian(df)
     assert shuffle_count(df) <= 6  # user window, (user,journey) windows, conv join, channel agg
+
+
+def test_bloom_probe_broadcasts_words_no_cartesian(spark, sf_dir):
+    df = q("q_bloom_probe", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_html_extract_is_pure_map_side(spark, sf_dir):
+    df = q("q_html_extract", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 0

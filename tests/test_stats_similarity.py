@@ -327,3 +327,42 @@ def test_count_min_width_error_trade(spark, sf_dir):
     over_wide = sum(wide[t] - exact[t] for t in wide)
     over_narrow = sum(narrow[t] - exact[t] for t in narrow)
     assert over_narrow > over_wide  # the width knob is visible
+
+
+def test_bloom_filter_no_false_negatives_and_mergeable(spark):
+    """Bloom guarantee: every built key probes positive; sketch is
+    mergeable — the filter of A union B equals the word-wise bit_or of the
+    separate filters (the property that lets shard/day sketches combine)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.stats import bloom_build, bloom_probe_counts
+
+    a = spark.createDataFrame([(f"key_{i}",) for i in range(40)], "k string")
+    b = spark.createDataFrame([(f"other_{i}",) for i in range(40)], "k string")
+    both = a.union(b)
+
+    r = bloom_probe_counts(both, both, "k").collect()[0]
+    assert r["n_false_negative"] == 0
+    assert r["n_bloom_positive"] == r["n_probes"] == 80
+
+    merged = (
+        bloom_build(a, "k")
+        .union(bloom_build(b, "k"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").cast("bigint").alias("bits"))
+    )
+    direct = bloom_build(both, "k")
+    sym_diff = merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_bloom_absent_keys_mostly_negative(spark):
+    """At m=65536, n=40 the false-positive probability is ~1e-12 per key —
+    every absent probe must come back negative at this load factor."""
+    from platform_etl_backend_spark.operators.stats import bloom_probe_counts
+
+    built = spark.createDataFrame([(f"key_{i}",) for i in range(40)], "k string")
+    absent = spark.createDataFrame([(f"missing_{i}",) for i in range(200)], "k string")
+    r = bloom_probe_counts(built, absent, "k").collect()[0]
+    assert r["n_true_present"] == 0
+    assert r["n_bloom_positive"] == 0
