@@ -8,11 +8,17 @@ LOSSLESS, so round-trips are byte-exact (even stronger than the JPEG
 codec's bounded-error guarantee; oracle pairing can predict exact values).
 
 Scope:
-- bit depth 8; color types 0 (grayscale), 2 (RGB), 3 (palette + PLTE),
-  6 (RGBA); interlace 0. All five scanline filters (None/Sub/Up/Average/
-  Paeth) on decode; the encoder emits filter 0 with a per-row heuristic
-  escape hatch kept out for determinism.
-- Adam7 interlace, 16-bit depth, and ancillary color management raise
+- bit depths 8 and 16 (16-bit samples are big-endian per spec and decode
+  to uint16); color types 0 (grayscale), 2 (RGB), 3 (palette + PLTE),
+  4 (gray+alpha), 6 (RGBA).
+- interlace 0 (sequential) AND 1 (Adam7): each of the seven passes is an
+  independently-filtered sub-image — empty passes contribute zero bytes
+  (not even filter bytes), per spec. The encoder can emit either layout.
+- All five scanline filters (None/Sub/Up/Average/Paeth) on decode; the
+  encoder emits filter 0 for deterministic output. Filters operate on
+  BYTES with bpp = channels * depth/8 regardless of sample width (spec
+  §6.2), so one unfilter routine serves both depths.
+- Sub-byte depths (1/2/4) and ancillary color management still raise
   ``NotImplementedError`` honestly.
 
 Like the other codecs this is a per-payload kernel for Arrow-batched
@@ -29,7 +35,17 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -41,21 +57,47 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
-    """uint8 array → PNG. (H, W) → grayscale, (H, W, 3) → RGB,
-    (H, W, 4) → RGBA. Filter 0 on every scanline (deterministic output)."""
-    px = np.asarray(pixels, dtype=np.uint8)
+def _plane_shape(px: np.ndarray) -> tuple[int, int, int, int]:
+    """(h, w, channels, color_type) from an array shape."""
     if px.ndim == 2:
-        color, ch = 0, 1
-        h, w = px.shape
-    elif px.ndim == 3 and px.shape[2] in (3, 4):
-        color = 2 if px.shape[2] == 3 else 6
-        h, w, ch = px.shape
+        return px.shape[0], px.shape[1], 1, 0
+    if px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        color = {2: 4, 3: 2, 4: 6}[px.shape[2]]
+        return px.shape[0], px.shape[1], px.shape[2], color
+    raise ValueError(f"expected (H,W) / (H,W,2|3|4), got {px.shape}")
+
+
+def _sample_bytes(px: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Rows of raw sample bytes, big-endian for 16-bit."""
+    if px.dtype == np.uint16:
+        return px.reshape(h, w * ch).astype(">u2").view(np.uint8).reshape(h, -1)
+    return px.reshape(h, w * ch)
+
+
+def encode_png(pixels: np.ndarray, level: int = 6, interlace: bool = False) -> bytes:
+    """uint8/uint16 array → PNG. (H, W) → grayscale, (H, W, 2) →
+    gray+alpha, (H, W, 3) → RGB, (H, W, 4) → RGBA. Filter 0 on every
+    scanline (deterministic output); ``interlace=True`` emits Adam7."""
+    px = np.asarray(pixels)
+    if px.dtype not in (np.uint8, np.uint16):
+        px = px.astype(np.uint8)
+    depth = 16 if px.dtype == np.uint16 else 8
+    h, w, ch, color = _plane_shape(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raw = _sample_bytes(px, h, w, ch)
+        scanlines = b"".join(b"\x00" + row.tobytes() for row in raw)
     else:
-        raise ValueError(f"expected (H,W) / (H,W,3) / (H,W,4), got {px.shape}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = px.reshape(h, w * ch)
-    scanlines = b"".join(b"\x00" + row.tobytes() for row in raw)
+        px3 = px.reshape(h, w, ch)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px3[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue  # empty pass: zero bytes, no filter bytes
+            rows = _sample_bytes(np.ascontiguousarray(sub), ph, pw, ch)
+            parts.append(b"".join(b"\x00" + row.tobytes() for row in rows))
+        scanlines = b"".join(parts)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -72,14 +114,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    stride = w * bpp
+def _unfilter_at(data: bytes, pos: int, h: int, stride: int, bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at ``pos``;
+    returns (rows, next_pos). Filters are bytewise with the spec's bpp."""
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
+        if pos >= len(data):
+            raise ValueError("scanline data truncated")
         ftype = data[pos]
         row = bytearray(data[pos + 1 : pos + 1 + stride])
+        if len(row) != stride:
+            raise ValueError("scanline data truncated")
         pos += 1 + stride
         if ftype == 0:
             cur = np.frombuffer(bytes(row), dtype=np.uint8).copy()
@@ -104,14 +150,20 @@ def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
         prev = cur
-    if pos != len(data):
-        raise ValueError("scanline data length mismatch")
-    return out
+    return out, pos
+
+
+def _bytes_to_samples(rows: np.ndarray, h: int, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, w*bpp) filter-decoded bytes → (h, w, ch) uint8/uint16 samples."""
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, ch)
+    return rows.reshape(h, w, ch)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → uint8 array: (H, W) for grayscale, (H, W, 3) for RGB/palette,
-    (H, W, 4) for RGBA. CRC-checked chunk framing; all 5 filters."""
+    """PNG → array: (H, W) for grayscale, (H, W, 2|3|4) for
+    gray+alpha/RGB(also palette)/RGBA; dtype uint16 for 16-bit images.
+    CRC-checked chunk framing; all 5 filters; sequential and Adam7."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -130,15 +182,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise NotImplementedError("only bit depth 8 supported")
+            if depth not in (8, 16):
+                raise NotImplementedError("only bit depths 8 and 16 supported")
             if color not in _CHANNELS:
                 raise NotImplementedError(f"color type {color} not supported")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlace not supported")
+            if color == 3 and depth == 16:
+                raise ValueError("palette images cannot be 16-bit (spec 11.2.2)")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid compression/filter method")
-            ihdr = (w, h, color)
+            ihdr = (w, h, depth, color, interlace)
         elif tag == b"PLTE":
             if length % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -149,10 +203,28 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    w, h, color = ihdr
+    w, h, depth, color, interlace = ihdr
     ch = _CHANNELS[color]
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, h, w, ch)
+    if interlace == 0:
+        rows, end = _unfilter_at(raw, 0, h, w * bpp, bpp)
+        if end != len(raw):
+            raise ValueError("scanline data length mismatch")
+        px = _bytes_to_samples(rows, h, w, ch, depth)
+    else:
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, at = _unfilter_at(raw, at, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if at != len(raw):
+            raise ValueError("scanline data length mismatch")
+        px = _bytes_to_samples(px.reshape(h, w * bpp), h, w, ch, depth)
     if color == 0:
         return px.reshape(h, w)
     if color == 3:
