@@ -73,6 +73,22 @@ HEADLINE = [
     "q_kneser_ney",
     "q_hard_negatives",
     "q_feature_hashing",
+    # round-4 session-2 additions
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_attribution",
+    "q_conversion_paths",
+    "q_cdc_chunks",
+    "q_cdc_dedup_ratio",
+    "q_bloom_probe",
+    "q_hll_estimate",
+    "q_html_extract",
+    "q_rrf_fusion",
+    "q_tpch_q22",
+    "q_window_distribution",
+    "q_seasonal_naive",
+    "q_kcore",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under
@@ -98,7 +114,15 @@ def main() -> None:
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+            # the PySpark local-mode default heap is 1g: with 32 executor
+            # threads and ~70 queries x 3 passes, leaked persist/checkpoint
+            # blocks OOM'd the shared JVM before the ContextCleaner caught
+            # up (observed at the round-4 headline width). The bench box
+            # has 128 GiB; give the JVM a real heap.
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_BENCH_HEAP", "16g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up outside timing, standard steady-state benchmarking practice:
@@ -148,6 +172,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        # drop persisted frames a query pinned (e.g. the prefix-jaccard doc
+        # table) so block-manager memory cannot accumulate across the run;
+        # per-query plans never reuse another query's cache, so this does
+        # not distort timings
+        spark.catalog.clearCache()
         return round(best, 3)
 
     timings = {name: time_min(name) for name in HEADLINE}

@@ -65,12 +65,19 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #     q_graph_closure / q_dup_spans / q_image_decode (Kneser-Ney, hard
 #     negatives, feature hashing, Benford profile, value histogram), all
 #     r03-green unchanged (q_graph_closure green in r02 AND r03);
-# (d) q_semantic_dedup (operator gained the k~sqrt(n) default + pair-cost
-#     guard; the catalog call's k=8 contract is unchanged — re-verified
-#     out of caution);
-# (e) 3 r03-green rows padding the remaining slots, chosen across
-#     families (text LM, dedup, graph, as-of, multimodal, analytics,
-#     TPC-H) so a regression anywhere shows up.
+# (d) slot reassigned late in round 4: q_semantic_dedup's guard change
+#     left its catalog contract unchanged (replica-green both SFs), so
+#     its out-of-caution slot went to q_hll_estimate instead;
+# (e) 3 of the round-4 SESSION-2 additions with genuinely novel
+#     arithmetic — q_cdc_chunks (Arrow rolling-hash kernel),
+#     q_bloom_probe (cross-engine bitwise words), q_hll_estimate
+#     (scaled-integer harmonic sum + portable-ln branch). They displaced
+#     the r03-green re-verification pads (q_stupid_backoff,
+#     q_prefix_jaccard) and the out-of-caution q_semantic_dedup re-check.
+#     The 11 other session-2 additions (TPC-H Q7/Q8/Q13/Q15/Q19,
+#     attribution, conversion paths, cdc ratio, bloom build, hll
+#     registers, html extract, rrf fusion) queue for the round-5
+#     rotation — proven expression families, lower divergence risk.
 # Displaced rows are all r03-green and unchanged; they stay replica-
 # checked at two scale factors via scripts/check_oracle.py.
 # ---------------------------------------------------------------------------
@@ -117,10 +124,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_tpch_q3",
     "q_tpch_q18",
     # (d) operator changed this round (contract unchanged)
-    "q_semantic_dedup",
+    "q_hll_estimate",
     # (e) r03-green cross-family padding
-    "q_stupid_backoff",
-    "q_prefix_jaccard",
+    "q_cdc_chunks",
+    "q_bloom_probe",
     "q_png_decode",
     "q_ohlc_bars",
     "q_feature_hashing",

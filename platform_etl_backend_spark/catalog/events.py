@@ -1273,3 +1273,126 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q_conversion_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    j AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+      FROM e),
+    conv AS (SELECT DISTINCT user_id, journey FROM j WHERE event_type = 'purchase'),
+    paths AS (
+      SELECT j.user_id, j.journey,
+             string_agg(j.event_type, '>' ORDER BY j.ep, j.event_id) AS path
+      FROM j JOIN conv ON j.user_id = conv.user_id AND j.journey = conv.journey
+      WHERE j.event_type IN ('click', 'view', 'signup')
+      GROUP BY j.user_id, j.journey)
+    SELECT path, COUNT(*) AS n_journeys
+    FROM paths GROUP BY path
+    ORDER BY n_journeys DESC, path LIMIT 20
+    """,
+    description="conversion path analysis: the ordered channel sequence of "
+    "every converted journey (same journey segmentation as q_attribution), "
+    "rolled up to the top-20 most frequent paths — ordered aggregation via "
+    "sort_array(collect_list(struct)) so the path string is "
+    "partitioning-invariant; top-k plans as TakeOrderedAndProject",
+    tags=("events", "window", "agg", "attribution"),
+)
+def q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    j = e.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(prior),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    conv = (
+        j.where(F.col("event_type") == "purchase").select("user_id", "journey").distinct()
+    )
+    paths = (
+        j.where(F.col("event_type").isin("click", "view", "signup"))
+        .join(conv, ["user_id", "journey"])
+        .groupBy("user_id", "journey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ep", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "q_seasonal_naive",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    hourly AS (
+      SELECT event_type, (ep // 3600) * 3600 AS h,
+             SUM(CAST(value AS DECIMAL(18,6))) AS actual
+      FROM e GROUP BY event_type, (ep // 3600) * 3600),
+    scored AS (
+      SELECT a.event_type,
+             CAST(a.actual AS DOUBLE) AS actual,
+             CAST(f.actual AS DOUBLE) AS forecast
+      FROM hourly a JOIN hourly f
+        ON a.event_type = f.event_type AND f.h = a.h - 86400)
+    SELECT event_type, COUNT(*) AS n_scored,
+           CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mae
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    description="seasonal-naive forecast backtest (daily season over hourly "
+    "buckets): forecast(t) = actual(t - 24h) via a self-join of the tiny "
+    "aggregated bucket frame — never a window over raw events; hourly sums "
+    "and the MAE numerator ride exact decimals, the mean is one IEEE "
+    "division; the baseline every real forecaster must beat, as a "
+    "deterministic relational query",
+    tags=("events", "timeseries", "agg"),
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            "event_type", (F.expr("ep div 3600") * 3600).cast("bigint").alias("h")
+        )
+        .agg(F.sum(dec6("value")).alias("actual"))
+    )
+    a = hourly.select("event_type", "h", F.col("actual").cast("double").alias("actual"))
+    f = hourly.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("h") + 86400).cast("bigint").alias("f_h"),
+        F.col("actual").cast("double").alias("forecast"),
+    )
+    scored = a.join(
+        f, (F.col("event_type") == F.col("f_type")) & (F.col("h") == F.col("f_h"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            (
+                F.sum(F.abs(F.col("actual") - F.col("forecast")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -259,3 +259,52 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p_partkey") % 7) + 1).cast("bigint").alias("w"),
     )
     return sssp(edges, sources=[1], rounds=6)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronous peeling mirroring operators/graph.k_core."""
+    ctes = [
+        """r0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node FROM (SELECT a AS node FROM r{i - 1} UNION ALL SELECT b FROM r{i - 1})
+      GROUP BY node HAVING COUNT(*) >= {k})"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM r{i - 1} e
+      JOIN d{i} x ON e.a = x.node JOIN d{i} y ON e.b = y.node)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS node FROM r{rounds} UNION ALL SELECT b FROM r{rounds})
+    GROUP BY node ORDER BY node
+    """
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    description="3-core decomposition by synchronous peeling (Matula-Beck): "
+    "8 fixed BSP rounds of drop-degree-<k + induced-subgraph recompute over "
+    "the events-derived 50-node graph (two alive-set semi joins + one degree "
+    "aggregation per round, localCheckpoint lineage truncation); the fixed "
+    "round budget keeps it CTE-unrollable, and the paired pytest proves the "
+    "budget reaches the true fixpoint (round 9 == round 8)",
+    tags=("graph", "iterative"),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import k_core
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
+    return k_core(edges, k=3, rounds=8).orderBy("node")

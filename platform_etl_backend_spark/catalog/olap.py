@@ -613,3 +613,57 @@ def _register_bloom() -> None:
 
 
 _register_bloom()
+
+
+# --- engine-portable HyperLogLog -------------------------------------------
+
+def _register_hll() -> None:
+    from platform_etl_backend_spark.operators.stats import (
+        duck_hll_cte,
+        duck_hll_estimate_sql,
+        hll_estimate,
+        hll_registers,
+    )
+
+    @register(
+        "q_hll_registers",
+        oracle=f"""
+        SELECT bucket, mx FROM ({duck_hll_cte("l_orderkey", "lineitem")})
+        """,
+        description="engine-portable HyperLogLog register table (Flajolet "
+        "2007): md5-derived 48-bit hashes make every register value "
+        "bit-identical across engines — the full sketch hash-matches, which "
+        "Spark's native HLL++ (engine-specific serialization, the rows-only "
+        "A5 row) cannot do; map-side hashing + ONE bucket-keyed max, "
+        "mergeable by bucket-wise MAX like any partial aggregate",
+        tags=("sketch", "olap", "hll"),
+    )
+    def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return hll_registers(table(spark, sf_dir, "lineitem"), "l_orderkey").orderBy("bucket")
+
+    @register(
+        "q_hll_estimate",
+        oracle=f"""
+        {duck_hll_estimate_sql("l_orderkey", "lineitem", "orderkeys")}
+        UNION ALL
+        {duck_hll_estimate_sql("l_suppkey", "lineitem", "suppkeys")}
+        ORDER BY key
+        """,
+        description="HyperLogLog cardinality estimates next to exact counts "
+        "— BOTH correction branches exercised (orderkeys: raw harmonic-mean "
+        "path; suppkeys: linear-counting small-range path via the portable "
+        "ratio log); the harmonic denominator is a SCALED-INTEGER sum "
+        "(2^(41-M_j)) so no float accumulates, and the one float literal "
+        "(alpha*m^2*2^41) is shared with the oracle",
+        tags=("sketch", "olap", "hll"),
+    )
+    def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        return (
+            hll_estimate(li, "l_orderkey", "orderkeys")
+            .union(hll_estimate(li, "l_suppkey", "suppkeys"))
+            .orderBy("key")
+        )
+
+
+_register_hll()

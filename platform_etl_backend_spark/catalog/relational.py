@@ -1956,3 +1956,90 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey, c_nationkey
+                 FROM customer WHERE c_acctbal > 0.0),
+    avg_bal AS (SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS a FROM pos),
+    cand AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntry_band,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE CAST(c_acctbal AS DOUBLE) > (SELECT a FROM avg_bal)),
+    lonely AS (
+      SELECT * FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    SELECT cntry_band, COUNT(*) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM lonely GROUP BY cntry_band ORDER BY cntry_band
+    """,
+    description="TPC-H Q22 (global sales opportunity; nationkey band stands "
+    "in for the missing phone country code): above-average positive-balance "
+    "customers with NO orders — 1-row broadcast scalar threshold (decimal "
+    "sum, one IEEE division), LEFT-ANTI join against orders, tiny band "
+    "rollup; the anti join's build side is the filtered candidate set",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(avg_bal))  # 1-row scalar frame
+        .where(F.col("c_acctbal").cast("double") > F.col("a"))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 5).alias("cntry_band"),
+            dec2("c_acctbal").alias("bal"),
+        )
+    )
+    lonely = cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+    return (
+        lonely.groupBy("cntry_band")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dbl(F.sum("bal")).alias("totacctbal"),
+        )
+        .orderBy("cntry_band")
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(nth_value(l_quantity, 2) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+               AS second_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+    description="analytic distribution functions (percent_rank, cume_dist, "
+    "nth_value over an unbounded frame) with a fully unique ordering key so "
+    "every rank is engine-portable; percent_rank's (r-1)/(N-1) and "
+    "cume_dist's c/N are single IEEE divisions of exact integers — "
+    "deterministic without rounding scaffolding",
+    tags=("window", "relational"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.expr("nth_value(l_quantity, 2)").over(wfull).cast("double").alias("second_qty"),
+    )

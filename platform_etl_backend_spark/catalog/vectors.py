@@ -5,7 +5,7 @@ sign-bit-bucketed (LSH) approximate variant that survives 100TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table
@@ -594,4 +594,83 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+_DOT6 = "ROUND(list_dot_product(qv, bv), 6)"
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos, {_DOT6} AS dot
+      FROM q, b WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS r_dot
+      FROM pairs),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(1000000 // (60 + r_cos) + 1000000 // (60 + r_dot) AS BIGINT) AS rrf_micro,
+             CAST(r_cos AS BIGINT) AS r_cos, CAST(r_dot AS BIGINT) AS r_dot
+      FROM ranked)
+    SELECT query_id, rn, neighbor_id, rrf_micro, r_cos, r_dot
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """,
+    description="reciprocal-rank fusion (Cormack et al. 2009): two retrieval "
+    "rankings per query (cosine and raw dot product — they disagree when "
+    "norms vary) fused via k=60 RRF; credit kept as SCALED INTEGERS "
+    "(1e6 div (60+rank)) so fused scores sum exactly on any engine or "
+    "partitioning; both rankings ride ONE broadcast pair computation, the "
+    "fused top-5 is a windowed rank with a unique tiebreak",
+    tags=("similarity", "vectors", "fusion"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), S.as_double_array("embedding").alias("qv")
+    )
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    b = emb.repartition(n).select(
+        F.col("vec_id").alias("neighbor_id"), S.as_double_array("embedding").alias("bv")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("bv")), 6).alias("cos"),
+            F.round(S.dot(F.col("qv"), F.col("bv")), 6).alias("dot"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wq.orderBy(F.desc("cos"), "neighbor_id")).alias("r_cos"),
+        F.row_number().over(wq.orderBy(F.desc("dot"), "neighbor_id")).alias("r_dot"),
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.expr("cast(1000000 div (60 + r_cos) + 1000000 div (60 + r_dot) as bigint)").alias(
+            "rrf_micro"
+        ),
+        F.col("r_cos").cast("bigint").alias("r_cos"),
+        F.col("r_dot").cast("bigint").alias("r_dot"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), "neighbor_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "rn", "neighbor_id", "rrf_micro", "r_cos", "r_dot")
     )

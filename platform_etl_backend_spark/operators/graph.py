@@ -503,3 +503,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         [(n_nodes, n_edges, n_wedges, n_tris)],
         "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of an undirected graph by synchronous peeling (Matula-Beck
+    1983): each round drops every node whose CURRENT degree is < k, then
+    recomputes degrees over the induced subgraph. A FIXED number of
+    synchronous rounds (not run-to-convergence) keeps the computation
+    bit-identical to an unrolled-CTE oracle; the paired pytest asserts the
+    fixed budget reaches the true fixpoint on the catalog graph (one extra
+    round changes nothing).
+
+    Scale: each round is two alive-set semi joins + one degree
+    aggregation — all hash-partitioned on node ids, O(rounds·m) total;
+    ``localCheckpoint`` per round truncates the lineage like the other
+    BSP operators. Synchronous peeling converges in at most
+    O(max-coreness) effective rounds.
+
+    Returns (node BIGINT, core_deg BIGINT): the surviving nodes with
+    their degree inside the k-core.
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = und
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+        )
+        cur = (
+            cur.join(deg.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(deg.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final_deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+    return final_deg

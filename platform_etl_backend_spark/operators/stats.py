@@ -411,3 +411,120 @@ def bloom_probe_counts(build_df: DataFrame, probe_df: DataFrame, key_col: str) -
         F.sum((F.col("bloom_positive") & ~F.col("present")).cast("int")).cast("bigint").alias("n_false_positive"),
         F.sum((~F.col("bloom_positive") & F.col("present")).cast("int")).cast("bigint").alias("n_false_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (Flajolet et al. 2007). The repo's A5 row
+# (approx_count_distinct) is rows-only because Spark's native HLL++ sketch
+# is engine-specific — but NOTHING in the algorithm itself is: registers
+# are max-of-leading-zero-counts over a uniform hash, and with md5-derived
+# 48-bit hashes (portable, same trick as min-hash/sampling) every register
+# value is bit-identical across engines, so the WHOLE sketch — and the
+# estimate computed from it — is oracle-checkable.
+#
+# Determinism inventory:
+# - registers: integer max per bucket — exact everywhere;
+# - harmonic denominator: kept as a SCALED INTEGER sum(2^(41-M_j)) — no
+#   float accumulation at all;
+# - raw estimate: ONE double literal (alpha_m * m^2 * 2^41, computed once
+#   in Python and embedded in both engines' expressions) divided by the
+#   integer denominator — a single IEEE division;
+# - linear-counting branch (raw <= 2.5m, V > 0): m * ln(m/V) through
+#   portable_ln_ratio — integers in, bit-stable ln out.
+# Mergeability: register tables merge by bucket-wise MAX, the same
+# partial-aggregate shape as the Bloom filter's bit_or.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8
+HLL_M = 1 << HLL_B  # 256 registers
+HLL_HASH_BITS = 48  # md5-prefix bits
+_HLL_W_BITS = HLL_HASH_BITS - HLL_B  # 40-bit tail
+_HLL_W_MOD = 1 << _HLL_W_BITS
+HLL_MAX_RHO = _HLL_W_BITS + 1  # 41 when the tail is all zeros
+# alpha_256 * m^2 * 2^41 — the one float literal, shared with the oracle
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_MAX_RHO - 0)
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket BIGINT, mx BIGINT): the HLL register table for the distinct
+    values of ``key_col``. Map-side hashing, one bucket-keyed max."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = df.select(F.col(key_col)).distinct().select(h.alias("hv"))
+    rho = (
+        F.lit(HLL_MAX_RHO)
+        - F.length(F.expr(f"trim(LEADING '0' FROM bin(hv % {_HLL_W_MOD}))"))
+    ).cast("bigint")
+    return (
+        keyed.select(
+            F.expr(f"hv div {_HLL_W_MOD}").cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """One row: (key, n_exact, n_buckets, estimate) — the HLL cardinality
+    estimate next to the exact count it approximates."""
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    reg = hll_registers(df, key_col)
+    agg = reg.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({HLL_MAX_RHO} - mx as int))"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    exact = df.select(F.countDistinct(key_col).alias("n_exact"))
+    j = agg.crossJoin(exact)  # two 1-row frames
+    v = F.lit(HLL_M) - F.col("n_buckets")  # zero registers
+    denom = (
+        F.col("s_present")
+        + v.cast("bigint") * F.lit(1 << HLL_MAX_RHO).cast("bigint")
+    ).cast("double")
+    raw = F.lit(HLL_NUMERATOR) / denom
+    linear = F.lit(float(HLL_M)) * portable_ln_ratio(F.lit(HLL_M), v)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), linear).otherwise(raw)
+    return j.select(
+        F.lit(label).alias("key"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("estimate"),
+    )
+
+
+def duck_hll_cte(key_sql: str, table_sql: str) -> str:
+    """Register-table CTE body mirroring ``hll_registers`` exactly."""
+    return f"""
+      SELECT hv // {_HLL_W_MOD} AS bucket,
+             MAX(CAST({HLL_MAX_RHO} - length(ltrim(bin(hv % {_HLL_W_MOD}), '0')) AS BIGINT)) AS mx
+      FROM (SELECT CAST(('0x' || substr(md5('hll:' || k), 1, 12)) AS BIGINT) AS hv
+            FROM (SELECT DISTINCT CAST({key_sql} AS VARCHAR) AS k FROM {table_sql}))
+      GROUP BY hv // {_HLL_W_MOD}
+    """
+
+
+def duck_hll_estimate_sql(key_sql: str, table_sql: str, label: str) -> str:
+    """Full estimate query mirroring ``hll_estimate``'s operation order."""
+    from platform_etl_backend_spark.functions.portable_math import duck_portable_ln_ratio
+
+    ln_mv = duck_portable_ln_ratio(str(HLL_M), f"({HLL_M} - n_buckets)")
+    return f"""
+    SELECT '{label}' AS key,
+           (SELECT CAST(COUNT(DISTINCT {key_sql}) AS BIGINT) FROM {table_sql}) AS n_exact,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CASE WHEN ({HLL_NUMERATOR!r} / CAST(s_present + ({HLL_M} - n_buckets) * {1 << HLL_MAX_RHO} AS DOUBLE)) <= {2.5 * HLL_M!r}
+                     AND ({HLL_M} - n_buckets) > 0
+                THEN {float(HLL_M)!r} * ({ln_mv})
+                ELSE {HLL_NUMERATOR!r} / CAST(s_present + ({HLL_M} - n_buckets) * {1 << HLL_MAX_RHO} AS DOUBLE)
+           END AS estimate
+    FROM (SELECT COUNT(*) AS n_buckets,
+                 CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_MAX_RHO} - mx AS INT)) AS BIGINT) AS s_present
+          FROM ({duck_hll_cte(key_sql, table_sql)}))
+    """

@@ -149,3 +149,27 @@ def test_sssp_parallel_edges_keep_cheapest(spark):
     )
     got = {r["node"]: r["dist"] for r in sssp(df, sources=[0], rounds=3).collect()}
     assert got == {0: 0, 1: 2}
+
+
+def test_kcore_fixed_rounds_reach_fixpoint_and_hand_graph(spark, sf_dir):
+    """(1) The catalog's 8-round budget is the true fixpoint on the events
+    graph (round 9 output identical). (2) Hand-checked: a 4-clique with a
+    pendant path — the 3-core is exactly the clique, every core degree 3."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.graph import k_core
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
+    r8 = {(r["node"], r["core_deg"]) for r in k_core(edges, 3, rounds=8).collect()}
+    r9 = {(r["node"], r["core_deg"]) for r in k_core(edges, 3, rounds=9).collect()}
+    assert r8 == r9
+    assert len(r8) > 0  # non-degenerate on the catalog graph
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    path = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "src bigint, dst bigint")
+    core = {(r["node"], r["core_deg"]) for r in k_core(df, 3, rounds=6).collect()}
+    assert core == {(0, 3), (1, 3), (2, 3), (3, 3)}

@@ -366,3 +366,35 @@ def test_bloom_absent_keys_mostly_negative(spark):
     r = bloom_probe_counts(built, absent, "k").collect()[0]
     assert r["n_true_present"] == 0
     assert r["n_bloom_positive"] == 0
+
+
+def test_hll_accuracy_envelope_and_mergeability(spark):
+    """Estimate within the ~3-sigma HLL envelope (1.04/sqrt(m) per sigma)
+    across two decades of cardinality; register tables merge by bucket-wise
+    MAX (shard merge == direct build)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.stats import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    sigma = 1.04 / (HLL_M**0.5)
+    for n in (100, 1000, 20000):
+        df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        r = hll_estimate(df, "k", "t").collect()[0]
+        assert r["n_exact"] == n
+        rel = abs(r["estimate"] - n) / n
+        assert rel < 3 * sigma + 0.01, (n, r["estimate"])
+
+    a = spark.range(500).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(500).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    merged = (
+        hll_registers(a, "k")
+        .union(hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    direct = hll_registers(a.union(b), "k")
+    assert merged.exceptAll(direct).count() + direct.exceptAll(merged).count() == 0
