@@ -89,6 +89,9 @@ HEADLINE = [
     "q_window_distribution",
     "q_seasonal_naive",
     "q_kcore",
+    "q_entity_resolution",
+    "q_merge_upsert",
+    "q_bmp_decode",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -312,3 +312,63 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+def _bmp_header_8x4() -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER for an 8x4 24-bit image whose
+    96-byte body follows — computed from the struct layout at import so the
+    literal can't drift from the codec."""
+    import struct
+
+    body_len = 96
+    off = 54
+    return struct.pack("<2sIHHI", b"BM", off + body_len, 0, 0, off) + struct.pack(
+        "<IiiHHIIiiII", 40, 8, 4, 1, 24, 0, body_len, 2835, 2835, 0, 0
+    )
+
+
+@register(
+    "q_bmp_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s
+               FROM documents
+               WHERE length(text) >= 96
+                 AND regexp_full_match(text, '[\\x00-\\x7F]*')),
+    px AS (SELECT doc_id, p, ascii(substr(s, CAST(p AS INTEGER), 1)) AS v
+           FROM d, range(1, 97) t(p))
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 2), 6) AS mean_r,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 1), 6) AS mean_g,
+           round(avg(v) FILTER (WHERE (p - 1) % 3 = 0), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    description="REAL BMP decode: Catalyst concatenates a Windows DIB "
+    "container (binary BITMAPINFOHEADER literal + document bytes as the "
+    "pixel body), the Arrow stage parses it with the pure-numpy BMP codec "
+    "(BGR order, bottom-up rows, 4-byte row padding); the oracle recomputes "
+    "channel means from the raw text with the B<->R swap the format "
+    "mandates — a codec that missed the BGR order or the row flip breaks "
+    "the hashes",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 96)
+        .where(F.col("text").rlike(r"^[\x00-\x7F]*$"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(_bmp_header_8x4()),
+                F.encode(F.substring("text", 1, 96), "utf-8"),
+            ).alias("bmp"),
+        )
+    )
+    feats = MM.image_decode_features(d, "doc_id", "bmp", fmt="bmp")
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

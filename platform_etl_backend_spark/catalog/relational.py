@@ -2043,3 +2043,65 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.expr("nth_value(l_quantity, 2)").over(wfull).cast("double").alias("second_qty"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 4 <> 0),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS k,
+             CASE WHEN c.op = 'U' THEN c.price ELSE b.price END AS price,
+             CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                  WHEN c.op = 'D' THEN 'deleted'
+                  WHEN b.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS outcome
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+    SELECT outcome, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN outcome <> 'deleted' THEN price END) AS DOUBLE) AS total_price
+    FROM merged GROUP BY outcome ORDER BY outcome
+    """,
+    description="MERGE INTO semantics as one full-outer join (the batch "
+    "CDC-apply / upsert primitive): matched+U -> update, matched+D -> "
+    "delete, unmatched change -> insert, untouched base -> keep — audited "
+    "by outcome with exact decimal totals; ONE key-partitioned shuffle "
+    "joins base and changes, the same plan a Delta/Iceberg MERGE lowers to",
+    tags=("relational", "join", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("bk"), dec2("o_totalprice").alias("bprice")
+    )
+    changes = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (dec2("o_totalprice") + F.lit(1).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("cprice"),
+    )
+    merged = base.join(changes, F.col("bk") == F.col("ck"), "full_outer").select(
+        F.when(F.col("op") == "U", F.col("cprice")).otherwise(F.col("bprice")).alias("price"),
+        F.when(F.col("ck").isNull(), "kept")
+        .when(F.col("op") == "D", "deleted")
+        .when(F.col("bk").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("outcome"),
+    )
+    return (
+        merged.groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("outcome") != "deleted", F.col("price")))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("outcome")
+    )

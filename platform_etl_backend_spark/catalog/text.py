@@ -2267,3 +2267,65 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("bigint").alias("clean_len"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE vocab AS (SELECT DISTINCT c_name AS token FROM customer),
+    variants AS (
+      SELECT token, unnest([token] ||
+             [substr(token, 1, i - 1) || substr(token, i + 1, len(token))
+              FOR i IN range(1, len(token) + 1)]) AS variant
+      FROM vocab),
+    v AS (SELECT DISTINCT token, variant FROM variants),
+    cands AS (
+      SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+      FROM v a JOIN v b ON a.variant = b.variant AND a.token < b.token),
+    pairs AS (SELECT tok_a, tok_b FROM cands WHERE levenshtein(tok_a, tok_b) <= 1),
+    sym AS (SELECT tok_a AS a, tok_b AS b FROM pairs
+            UNION SELECT tok_b, tok_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    clusters AS (
+      SELECT component, COUNT(*) AS cluster_size,
+             array_to_string(list_sort(list(node)), '|') AS members
+      FROM comp GROUP BY component)
+    SELECT c.component, c.cluster_size, c.members,
+           (SELECT COUNT(*) FROM customer cu JOIN comp m ON cu.c_name = m.node
+            WHERE m.component = c.component) AS n_records
+    FROM clusters c ORDER BY component
+    """,
+    description="entity-resolution composite: deletion-neighborhood fuzzy "
+    "blocking (edit distance <= 1 on names) -> exact levenshtein verify -> "
+    "large-star/small-star connected components -> canonical clusters with "
+    "the lexicographically-smallest member as the survivor and the count of "
+    "source records it absorbs — the full dedupe-merge pipeline every MDM / "
+    "record-linkage system runs, composed from the repo's own primitives; "
+    "every stage is the bucketed/bounded scale path (no all-pairs stage)",
+    tags=("text", "fuzzy", "graph", "composite"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import connected_components
+
+    c = table(spark, sf_dir, "customer")
+    pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name").select("tok_a", "tok_b")
+    cc = connected_components(pairs, "tok_a", "tok_b")
+    clusters = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.concat_ws("|", F.sort_array(F.collect_set("node"))).alias("members"),
+    )
+    n_rec = (
+        c.join(cc, c.c_name == cc.node)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+    return (
+        clusters.join(n_rec, "component")
+        .select("component", "cluster_size", "members", "n_records")
+        .orderBy("component")
+    )

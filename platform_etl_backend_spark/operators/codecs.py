@@ -154,6 +154,66 @@ def audio_features(samples: np.ndarray) -> dict[str, float]:
 
 
 # ---------------------------------------------------------------------------
+# BMP (Windows DIB, BITMAPINFOHEADER — public spec). Uncompressed 24-bit
+# BGR, bottom-up row order, rows padded to 4-byte boundaries: trivial but
+# REAL — the format data-lake image dumps actually contain alongside
+# PNG/JPEG. Encoder + decoder, byte-exact roundtrips.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BMP (BGR, bottom-up, padded rows)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3) RGB, got {px.shape}")
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = px[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    body = b"".join(row.tobytes() + b"\x00" * pad for row in bgr.reshape(h, row_bytes))
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB. Handles positive
+    (bottom-up) and negative (top-down) heights."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (_, _fsize, _, _, data_offset) = struct.unpack("<2sIHHI", payload[:14])
+    (hdr_size, w, h, planes, bpp, comp) = struct.unpack("<IiiHHI", payload[14:34])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (method {comp}) not supported")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (24-bit only)")
+    if planes != 1 or w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload[data_offset : data_offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return img if top_down else img[::-1]
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -177,6 +237,8 @@ def decode_media(payload: bytes, fmt: str):
         from platform_etl_backend_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"format {fmt!r} needs an external codec library (PIL/libav), "
         "not present in this environment"

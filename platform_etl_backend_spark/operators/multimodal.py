@@ -153,13 +153,15 @@ def jpeg_roundtrip_features(
     return df.select(id_col).mapInPandas(batches, schema)
 
 
-def image_decode_features(df: DataFrame, id_col: str, ppm_col: str) -> DataFrame:
+def image_decode_features(
+    df: DataFrame, id_col: str, ppm_col: str, fmt: str = "ppm"
+) -> DataFrame:
     """REAL image decode via Arrow-batched ``mapInPandas``: parse each binary
-    PPM payload (header + raster) with the pure-numpy P6 codec and emit
-    dimensions + per-channel means. The decode is genuine — a mis-parsed
-    header offset would shift every pixel and break the oracle pairing.
-    Means come back raw (IEEE double); callers round at the SQL layer per
-    the cross-engine conventions."""
+    image payload (``fmt``: ppm/bmp/png/jpeg — any real codec behind
+    ``decode_media``) and emit dimensions + per-channel means. The decode is
+    genuine — a mis-parsed header offset would shift every pixel and break
+    the oracle pairing. Means come back raw (IEEE double); callers round at
+    the SQL layer per the cross-engine conventions."""
     from platform_etl_backend_spark.operators import codecs
 
     schema = f"{id_col} bigint, width int, height int, mean_r double, mean_g double, mean_b double"
@@ -168,7 +170,7 @@ def image_decode_features(df: DataFrame, id_col: str, ppm_col: str) -> DataFrame
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[ppm_col]):
-                px = codecs.decode_ppm(bytes(payload))
+                px = codecs.decode_media(bytes(payload), fmt)
                 feats = codecs.image_features(px)
                 rows.append(
                     (mid, px.shape[1], px.shape[0],

@@ -383,3 +383,40 @@ def test_png_adam7_and_16bit_roundtrips():
     pb = _SIG + _chunk(b"IHDR", bad) + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(pb)
+
+
+def test_bmp_roundtrip_and_foreign_streams():
+    """24-bit BMP: byte-exact roundtrips, top-down (negative height)
+    foreign streams, row padding honored, loud rejection of non-BMP and
+    unsupported depths."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from platform_etl_backend_spark.operators.codecs import (
+        decode_bmp,
+        decode_media,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(7, 5, 3), (1, 1, 3), (16, 16, 3), (3, 9, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+        assert (decode_media(encode_bmp(px), "bmp") == px).all()
+
+    w, h = 6, 4
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(px[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    assert (decode_bmp(hdr + dib + body) == px).all()
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX not a bmp")
+    dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + dib8 + body)

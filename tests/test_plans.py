@@ -269,3 +269,22 @@ def test_html_extract_is_pure_map_side(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "Join" not in plan, plan
     assert shuffle_count(df) == 0
+
+
+def test_entity_resolution_no_cartesian(spark, sf_dir):
+    df = q("q_entity_resolution", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_merge_upsert_single_key_shuffle_full_outer(spark, sf_dir):
+    df = q("q_merge_upsert", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "FullOuter" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_bmp_decode_is_map_side_arrow(spark, sf_dir):
+    df = q("q_bmp_decode", spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
