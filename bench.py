@@ -92,6 +92,9 @@ HEADLINE = [
     "q_entity_resolution",
     "q_merge_upsert",
     "q_bmp_decode",
+    "q_moving_median",
+    "q_kmv_set_estimates",
+    "q_jl_projection",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

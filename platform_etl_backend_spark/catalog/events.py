@@ -1396,3 +1396,38 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_moving_median",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events)
+    SELECT event_id, event_type, ep,
+           ROUND(median(value) OVER (PARTITION BY event_type ORDER BY ep
+                                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 6)
+               AS med_30m
+    FROM e
+    """,
+    description="moving median over a 30-minute time-RANGE frame per event "
+    "type (robust rolling statistic — the moving average's outlier-immune "
+    "sibling): Spark has no native windowed median, so the frame is "
+    "collect_list + array_sort + rank-pick (odd) / midpoint (even), all "
+    "Catalyst; ROUND(6) absorbs the one last-ulp hazard (two engines' "
+    "midpoint formulas); frame sets are identical because RANGE bounds are "
+    "on the same integer epoch column",
+    tags=("events", "window", "timeseries"),
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ep").rangeBetween(-1800, 0)
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(vals, (n / 2).cast("int"))
+        + F.element_at(vals, (n / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return e.select(
+        "event_id", "event_type", "ep", F.round(med, 6).alias("med_30m")
+    )

@@ -667,3 +667,64 @@ def _register_hll() -> None:
 
 
 _register_hll()
+
+
+# --- KMV / theta sketch: distinct counting with set algebra ----------------
+
+def _register_kmv() -> None:
+    from platform_etl_backend_spark.operators.stats import KMV_K, kmv_set_estimates
+
+    knum = float((KMV_K - 1) * (1 << 48))  # exact in double: 2^54 - 2^48
+    hash_sql = "CAST(('0x' || substr(md5('kmv:' || key), 1, 12)) AS BIGINT)"
+    est = (
+        f"CASE WHEN {{n}} >= {KMV_K} THEN ROUND({knum!r} / CAST({{mx}} AS DOUBLE), 6) "
+        f"ELSE CAST({{n}} AS DOUBLE) END"
+    )
+
+    @register(
+        "q_kmv_set_estimates",
+        oracle=f"""
+        WITH a_keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        b_keys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_custkey % 3 <> 0),
+        ha AS (SELECT DISTINCT {hash_sql} AS hv FROM a_keys),
+        hb AS (SELECT DISTINCT {hash_sql} AS hv FROM b_keys),
+        sa AS MATERIALIZED (SELECT hv FROM ha ORDER BY hv LIMIT {KMV_K}),
+        sb AS MATERIALIZED (SELECT hv FROM hb ORDER BY hv LIMIT {KMV_K}),
+        su AS MATERIALIZED (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+                            ORDER BY hv LIMIT {KMV_K}),
+        st AS (
+          SELECT (SELECT COUNT(*) FROM sa) AS n_a, (SELECT MAX(hv) FROM sa) AS mx_a,
+                 (SELECT COUNT(*) FROM sb) AS n_b, (SELECT MAX(hv) FROM sb) AS mx_b,
+                 (SELECT COUNT(*) FROM su) AS n_u, (SELECT MAX(hv) FROM su) AS mx_u,
+                 (SELECT COUNT(*) FROM ha) AS ex_a, (SELECT COUNT(*) FROM hb) AS ex_b,
+                 (SELECT COUNT(*) FROM (SELECT hv FROM ha INTERSECT SELECT hv FROM hb)) AS ex_i,
+                 (SELECT COUNT(*) FROM sa JOIN sb USING (hv)
+                  WHERE hv <= (SELECT MAX(hv) FROM su)) AS n_cb)
+        SELECT 'a' AS key, CAST(ex_a AS BIGINT) AS n_exact,
+               {est.format(n="n_a", mx="mx_a")} AS estimate FROM st
+        UNION ALL
+        SELECT 'b', CAST(ex_b AS BIGINT), {est.format(n="n_b", mx="mx_b")} FROM st
+        UNION ALL
+        SELECT 'union', CAST(ex_a + ex_b - ex_i AS BIGINT),
+               {est.format(n="n_u", mx="mx_u")} FROM st
+        UNION ALL
+        SELECT 'intersection', CAST(ex_i AS BIGINT),
+               ROUND((CAST(n_cb AS DOUBLE) / CAST(n_u AS DOUBLE))
+                     * ({est.format(n="n_u", mx="mx_u")}), 6) FROM st
+        ORDER BY key
+        """,
+        description="KMV/theta sketch set algebra (Beyer 2007): k=64 minimum "
+        "md5 hash values per key set — distinct-count estimates for two key "
+        "sets PLUS their union (min-k merge) and intersection (theta-cut "
+        "scaling), the set feature HLL cannot offer; sketches build as "
+        "TakeOrderedAndProject, every estimate is one IEEE division of "
+        "exact integers, whole sketch bit-identical across engines",
+        tags=("sketch", "olap", "kmv"),
+    )
+    def q_kmv_set_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 != 0)
+        return kmv_set_estimates(o, "o_custkey", c, "c_custkey").orderBy("key")
+
+
+_register_kmv()

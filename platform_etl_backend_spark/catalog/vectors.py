@@ -674,3 +674,47 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "rn", "neighbor_id", "rrf_micro", "r_cos", "r_dot")
     )
+
+
+@register(
+    "q_jl_projection",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5('jl:' || i || ':' || j), 1, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM range(1, 17) a(i), range(1, 65) b(j)),
+    q AS MATERIALIZED (
+      SELECT vec_id, j,
+             CAST(FLOOR(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qj
+      FROM embeddings, range(1, 65) t(j)),
+    y AS MATERIALIZED (
+      SELECT vec_id, i, CAST(SUM(qj * sgn) AS BIGINT) AS yi
+      FROM q JOIN s USING (j) GROUP BY vec_id, i),
+    qq AS (SELECT vec_id, CAST(SUM(qj * qj) AS BIGINT) AS qq FROM q GROUP BY vec_id),
+    yy AS (SELECT vec_id, CAST(SUM(yi * yi) AS BIGINT) AS yy FROM y GROUP BY vec_id)
+    SELECT y.vec_id,
+           MAX(CASE WHEN i = 1 THEN yi END) AS y1_micro,
+           MAX(CASE WHEN i = 2 THEN yi END) AS y2_micro,
+           MAX(CASE WHEN i = 3 THEN yi END) AS y3_micro,
+           MAX(CASE WHEN i = 4 THEN yi END) AS y4_micro,
+           CASE WHEN MAX(qq.qq) = 0 THEN 0.0
+                ELSE (CAST(MAX(yy.yy) AS DOUBLE) / 16) / CAST(MAX(qq.qq) AS DOUBLE) END
+               AS norm_ratio
+    FROM y JOIN qq USING (vec_id) JOIN yy USING (vec_id)
+    GROUP BY y.vec_id
+    """,
+    description="Johnson-Lindenstrauss random projection (Achlioptas +-1 "
+    "signs from md5 parity — identical in hashlib/Spark/DuckDB): 64 -> 16 "
+    "dims with micro-unit quantization so every projected coordinate is an "
+    "EXACT int64 dot product (no float accumulation); Arrow int-matmul "
+    "kernel (covariance precedent — interpreted HOFs lose 30x on "
+    "per-element numeric work), relational oracle; norm_ratio is the "
+    "JL-lemma quantity (||y||^2/d_out)/||q||^2 ~ 1",
+    tags=("similarity", "vectors", "projection"),
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    return S.jl_project(emb.repartition(n, "vec_id"), "vec_id", "embedding").orderBy("vec_id")

@@ -572,3 +572,77 @@ def covariance_power_sums(
             )
 
     return df.select(vec_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2001: +-1 sign
+# matrix — "database-friendly random projections"). Deterministic and
+# engine-portable by construction: the sign matrix entries come from md5
+# parity (md5('jl:i:j') — identical in hashlib, Spark, and DuckDB), and
+# vectors are micro-unit quantized (floor(v*1e6) BIGINT) so every
+# projected coordinate is an EXACT integer dot product — no float
+# accumulation anywhere. The hot path is an Arrow int64 matmul (the
+# covariance-kernel precedent: per-element numeric work is where
+# interpreted HOFs lose 30x+); the oracle recomputes relationally from
+# the same md5 rule.
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIMS = 16
+JL_IN_DIMS = 64
+
+
+def jl_sign(i: int, j: int) -> int:
+    """+1/-1 from the parity of the first hex char of md5('jl:i:j')."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def jl_sign_matrix() -> "np.ndarray":
+    import numpy as np
+
+    return np.array(
+        [[jl_sign(i, j) for j in range(1, JL_IN_DIMS + 1)] for i in range(1, JL_OUT_DIMS + 1)],
+        dtype=np.int64,
+    )
+
+
+def jl_project(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, y1..y4 micro BIGINT, norm_ratio double): projected coordinates
+    (first 4 of 16 for a bounded schema) and the norm-preservation ratio
+    (||y||^2/d_out) / ||q||^2 that the JL lemma bounds around 1."""
+    import numpy as np
+
+    sign = jl_sign_matrix()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cols, ratios = [], [[] for _ in range(4)], []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                q = np.floor(np.asarray(vec, dtype=np.float64) * 1e6).astype(np.int64)
+                y = sign @ q  # exact int64: |q|<=1e6ish, 64 terms
+                ids.append(vid)
+                for c in range(4):
+                    cols[c].append(int(y[c]))
+                qq = int(q @ q)
+                yy = int(y @ y)
+                ratios.append((yy / float(JL_OUT_DIMS)) / qq if qq else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "y1_micro": cols[0],
+                    "y2_micro": cols[1],
+                    "y3_micro": cols[2],
+                    "y4_micro": cols[3],
+                    "norm_ratio": ratios,
+                }
+            )
+
+    schema = (
+        f"{id_col} bigint, y1_micro bigint, y2_micro bigint, "
+        f"y3_micro bigint, y4_micro bigint, norm_ratio double"
+    )
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)

@@ -528,3 +528,93 @@ def duck_hll_estimate_sql(key_sql: str, table_sql: str, label: str) -> str:
                  CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_MAX_RHO} - mx AS INT)) AS BIGINT) AS s_present
           FROM ({duck_hll_cte(key_sql, table_sql)}))
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Beyer et al., SIGMOD 2007 — the k-minimum-values
+# distinct-count sketch underlying Theta sketches). Keep the k smallest
+# md5-derived hash values of a key set; estimate |S| = (k-1) / u_k with
+# u_k the k-th smallest normalized hash. Unlike HLL it supports SET
+# ALGEBRA: the union sketch is the min-k of the merged sketches, and
+# intersections estimate via the theta cut — the warehouse feature
+# (COUNT DISTINCT of unions/intersections without re-scanning). Same
+# portability argument as the HLL/Bloom rows: md5 hashes make every
+# sketch element bit-identical across engines, TakeOrderedAndProject
+# keeps the build one bounded top-k, and the estimates are single IEEE
+# divisions of exact integers.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_NORM = 1 << 48  # md5-prefix hash range
+
+
+def kmv_hashes(df: DataFrame, key_col: str) -> DataFrame:
+    """Distinct md5-derived 48-bit hash values (column ``hv``) of a key set."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return df.select(F.col(key_col)).distinct().select(h.alias("hv")).distinct()
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """The sketch: k smallest hash values (TakeOrderedAndProject)."""
+    return kmv_hashes(df, key_col).orderBy("hv").limit(k)
+
+
+def _est(n_col: Column, max_col: Column, k: int) -> Column:
+    """(k-1)*2^48 / h_(k) when the sketch is full, else the exact held
+    count (the sketch IS the set below k elements)."""
+    est = F.lit(float((k - 1) * _KMV_NORM)) / max_col.cast("double")
+    return F.when(n_col >= k, est).otherwise(n_col.cast("double"))
+
+
+def kmv_set_estimates(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str, k: int = KMV_K
+) -> DataFrame:
+    """Four rows — a, b, union, intersection — each with the exact
+    cardinality next to the sketch estimate. Intersection uses the theta
+    cut: elements of both sketches below the union's k-th value, scaled by
+    the union estimate. Every scalar is a 1-row aggregated frame composed
+    by broadcast crossJoin — no driver-side collects."""
+    ha = kmv_hashes(a, a_key).localCheckpoint()
+    hb = kmv_hashes(b, b_key).localCheckpoint()
+    sk_a = ha.orderBy("hv").limit(k).localCheckpoint()
+    sk_b = hb.orderBy("hv").limit(k).localCheckpoint()
+    union_sk = sk_a.unionAll(sk_b).distinct().orderBy("hv").limit(k).localCheckpoint()
+
+    agg_a = sk_a.agg(F.count("*").alias("n_a"), F.max("hv").alias("mx_a"))
+    agg_b = sk_b.agg(F.count("*").alias("n_b"), F.max("hv").alias("mx_b"))
+    agg_u = union_sk.agg(F.count("*").alias("n_u"), F.max("hv").alias("mx_u"))
+    ex_a = ha.agg(F.count("*").alias("ex_a"))
+    ex_b = hb.agg(F.count("*").alias("ex_b"))
+    ex_i = ha.intersect(hb).agg(F.count("*").alias("ex_i"))
+    below = (
+        sk_a.join(sk_b, "hv")
+        .crossJoin(F.broadcast(agg_u.select(F.col("mx_u").alias("theta"))))
+        .where(F.col("hv") <= F.col("theta"))
+        .agg(F.count("*").alias("n_common_below"))
+    )
+    scalars = (
+        agg_a.crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(agg_u))
+        .crossJoin(F.broadcast(ex_a))
+        .crossJoin(F.broadcast(ex_b))
+        .crossJoin(F.broadcast(ex_i))
+        .crossJoin(F.broadcast(below))
+    )
+    est_a = _est(F.col("n_a"), F.col("mx_a"), k)
+    est_b = _est(F.col("n_b"), F.col("mx_b"), k)
+    est_u = _est(F.col("n_u"), F.col("mx_u"), k)
+    est_i = (F.col("n_common_below").cast("double") / F.col("n_u").cast("double")) * est_u
+    return scalars.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("key"), F.col("ex_a").cast("bigint").alias("n_exact"), F.round(est_a, 6).alias("estimate")),
+                F.struct(F.lit("b").alias("key"), F.col("ex_b").cast("bigint").alias("n_exact"), F.round(est_b, 6).alias("estimate")),
+                F.struct(F.lit("union").alias("key"), (F.col("ex_a") + F.col("ex_b") - F.col("ex_i")).cast("bigint").alias("n_exact"), F.round(est_u, 6).alias("estimate")),
+                F.struct(F.lit("intersection").alias("key"), F.col("ex_i").cast("bigint").alias("n_exact"), F.round(est_i, 6).alias("estimate")),
+            )
+        ).alias("r")
+    ).select("r.key", "r.n_exact", "r.estimate")

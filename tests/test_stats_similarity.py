@@ -398,3 +398,62 @@ def test_hll_accuracy_envelope_and_mergeability(spark):
     )
     direct = hll_registers(a.union(b), "k")
     assert merged.exceptAll(direct).count() + direct.exceptAll(merged).count() == 0
+
+
+def test_kmv_sketch_estimates_and_subset_logic(spark):
+    """KMV estimates within the ~3/sqrt(k) envelope; a true subset's
+    intersection estimate tracks the subset; union of disjoint sets tracks
+    the sum; sub-k sets estimate EXACTLY (the sketch holds them whole)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.stats import KMV_K, kmv_set_estimates
+
+    a = spark.range(2000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    b = spark.range(500).select(F.concat(F.lit("x"), F.col("id")).alias("k"))  # subset
+    rows = {r["key"]: r for r in kmv_set_estimates(a, "k", b, "k").collect()}
+    tol = 3.0 / (KMV_K**0.5)
+    assert abs(rows["a"]["estimate"] - 2000) / 2000 < tol
+    assert abs(rows["b"]["estimate"] - 500) / 500 < tol
+    assert rows["union"]["n_exact"] == 2000
+    assert abs(rows["union"]["estimate"] - 2000) / 2000 < tol
+    assert rows["intersection"]["n_exact"] == 500
+    assert abs(rows["intersection"]["estimate"] - 500) / 500 < 2 * tol
+
+    small = spark.range(20).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    other = spark.range(30).select(F.concat(F.lit("t"), F.col("id")).alias("k"))
+    rows2 = {r["key"]: r for r in kmv_set_estimates(small, "k", other, "k").collect()}
+    assert rows2["a"]["estimate"] == 20.0  # sub-k => exact
+    assert rows2["b"]["estimate"] == 30.0
+    assert rows2["intersection"]["n_exact"] == 0
+    assert rows2["intersection"]["estimate"] == 0.0
+
+
+def test_jl_projection_matches_python_model_and_preserves_norms(spark):
+    """Kernel output == plain-Python model on exact integers; corpus-mean
+    norm ratio near 1 (the JL lemma at d_out=16)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.similarity import (
+        JL_OUT_DIMS,
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    rng = np.random.RandomState(0)
+    vecs = rng.uniform(-1, 1, size=(60, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in jl_project(df, "vec_id", "embedding").collect()}
+    sign = jl_sign_matrix()
+    ratios = []
+    for i in range(60):
+        q = np.floor(vecs[i].astype(np.float64) * 1e6).astype(np.int64)
+        y = sign @ q
+        for c in range(4):
+            assert got[i][f"y{c + 1}_micro"] == int(y[c]), (i, c)
+        ratios.append((int(y @ y) / float(JL_OUT_DIMS)) / int(q @ q))
+        assert abs(got[i]["norm_ratio"] - ratios[-1]) == 0.0
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.25
