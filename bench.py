@@ -95,6 +95,7 @@ HEADLINE = [
     "q_moving_median",
     "q_kmv_set_estimates",
     "q_jl_projection",
+    "q_pq_adc_topk",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

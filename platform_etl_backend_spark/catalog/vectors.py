@@ -718,3 +718,128 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n = emb.sparkSession.sparkContext.defaultParallelism
     return S.jl_project(emb.repartition(n, "vec_id"), "vec_id", "embedding").orderBy("vec_id")
+
+
+def _pq_cte_chain(iters: int = 2) -> str:
+    """CTE chain mirroring pq_fit_codebooks + pq_encode exactly (M=4
+    subspaces x 16 dims, K=8, bottom-k-md5 init, ROUND(6)-L2 argmin with
+    cell ties, decimal dimension means). MATERIALIZED throughout — the
+    chain is referenced multiply and plain CTEs re-expand exponentially."""
+    from platform_etl_backend_spark.operators.similarity import PQ_DSUB, PQ_K, PQ_M
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum([({a}[CAST(d AS INT)] - {b}[CAST(d AS INT)])"
+            f" * ({a}[CAST(d AS INT)] - {b}[CAST(d AS INT)])"
+            f" FOR d IN range(1, {PQ_DSUB} + 1)]), 6)"
+        )
+
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""init AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cell_id, vec
+          FROM (SELECT vid, vec FROM v ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {PQ_K}))""",
+        f"""subs AS MATERIALIZED (
+          SELECT vid, s, vec[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS sv
+          FROM v, range(0, {PQ_M}) t(s))""",
+        f"""cent0 AS MATERIALIZED (
+          SELECT s, cell_id, vec[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS cvec
+          FROM init, range(0, {PQ_M}) t(s))""",
+    ]
+    for i in range(iters):
+        d = l2("sv", "c.cvec")
+        parts.append(f"""asg{i} AS MATERIALIZED (
+          SELECT vid, s, sv, cell_id FROM (
+            SELECT subs.vid, subs.s, subs.sv, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY subs.vid, subs.s
+                                      ORDER BY {d} ASC, c.cell_id) AS rn
+            FROM subs JOIN cent{i} c ON subs.s = c.s) WHERE rn = 1)""")
+        parts.append(f"""dim{i} AS MATERIALIZED (
+          SELECT s, cell_id, d,
+                 CAST(SUM(CAST(sv[CAST(d AS INTEGER)] AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*) AS m
+          FROM asg{i}, range(1, {PQ_DSUB} + 1) t(d) GROUP BY s, cell_id, d)""")
+        parts.append(
+            f"cent{i + 1} AS MATERIALIZED (SELECT s, cell_id, list(m ORDER BY d) AS cvec "
+            f"FROM dim{i} GROUP BY s, cell_id)"
+        )
+    d = l2("sv", "c.cvec")
+    parts.append(f"""codes AS MATERIALIZED (
+      SELECT vid, s, cell_id AS code, dd AS sub_err FROM (
+        SELECT subs.vid, subs.s, c.cell_id, {d} AS dd,
+               ROW_NUMBER() OVER (PARTITION BY subs.vid, subs.s
+                                  ORDER BY {d} ASC, c.cell_id) AS rn
+        FROM subs JOIN cent{iters} c ON subs.s = c.s) WHERE rn = 1)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q_pq_codes",
+    oracle=f"""
+    WITH {_pq_cte_chain()}
+    SELECT vid AS vec_id,
+           CAST(MAX(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code0,
+           CAST(MAX(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code1,
+           CAST(MAX(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code2,
+           CAST(MAX(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code3,
+           CAST(SUM(CAST(sub_err AS DECIMAL(18,6))) AS DOUBLE) AS quant_err
+    FROM codes GROUP BY vid ORDER BY vid
+    """,
+    description="product quantization encoding (Jegou 2011): 4 subspaces x "
+    "16 dims, one deterministic 8-centroid codebook per subspace (bottom-k "
+    "md5 init, ROUND(6)-L2 argmin, decimal means — the kmeans_fit "
+    "conventions), each vector stored as 4 codes + its decimal-summed "
+    "quantization error; codebooks are 32 rows broadcast everywhere, "
+    "encoding is one corpus pass",
+    tags=("similarity", "vectors", "pq"),
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.pq_fit_codebooks(emb, "vec_id", "embedding")
+    codes = S.pq_encode(emb, books, "vec_id", "embedding")
+    return (
+        codes.groupBy(F.col("vid").alias("vec_id"))
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("code"))).cast("bigint").alias(f"code{s}")
+                for s in range(4)
+            ],
+            F.sum(F.col("sub_err").cast("decimal(18,6)")).cast("double").alias("quant_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_cte_chain()},
+    q AS (SELECT vid AS qid, s, sv AS qv FROM subs WHERE vid < 5),
+    dtable AS MATERIALIZED (
+      SELECT qid, q.s AS s, c.cell_id AS code,
+             ROUND(list_sum([(qv[CAST(d AS INT)] - c.cvec[CAST(d AS INT)])
+                             * (qv[CAST(d AS INT)] - c.cvec[CAST(d AS INT)])
+                             FOR d IN range(1, 17)]), 6) AS dd
+      FROM q JOIN cent2 c ON q.s = c.s),
+    scored AS (
+      SELECT qid AS query_id, vid AS neighbor_id,
+             CAST(SUM(CAST(dd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      FROM codes JOIN dtable ON codes.s = dtable.s AND codes.code = dtable.code
+      WHERE qid <> vid GROUP BY qid, vid)
+    SELECT query_id, rn, neighbor_id, adc_dist
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    description="PQ asymmetric-distance search (ADC): each query computes a "
+    "4x8 distance table to the codebooks (broadcast, 32 rows), candidates "
+    "are scored by 4 TABLE LOOKUPS on their codes instead of a 64-dim "
+    "scan — the memory-bandwidth trick that lets FAISS search billions; "
+    "the 4-term reduction rides DECIMAL so summation order is free, "
+    "per-query top-3 with vid ties",
+    tags=("similarity", "vectors", "pq", "topk"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, "vec_id", "embedding", F.col("qid") < 5, k=3)

@@ -646,3 +646,173 @@ def jl_project(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         f"y3_micro bigint, y4_micro bigint, norm_ratio double"
     )
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al., PAMI 2011) — the third ANN family
+# beside LSH and IVF: split vectors into M subspaces, k-means each
+# subspace, store each vector as M one-byte codes, and answer queries via
+# asymmetric distance computation (ADC) — a table lookup per subspace
+# instead of a full-dimension scan. Deterministic by the same conventions
+# as kmeans_fit (bottom-k md5 init, ROUND(6) argmin with cell-id ties,
+# decimal-sum centroid means); ADC sums ride DECIMAL(18,6) so the
+# M-term reduction is order-free. Scale shape: codebooks are M*K rows
+# (broadcast everywhere); encoding is one pass over the corpus; the ADC
+# join fans out per query to M rows, never |corpus|^2.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_DSUB = 16  # dims per subspace (M * DSUB = 64)
+PQ_K = 8  # centroids per subspace
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential fold (same op order as the
+    oracle's list_sum comprehension)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub(vec: Column, s: int) -> Column:
+    return F.slice(vec, s * PQ_DSUB + 1, PQ_DSUB)
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, iters: int = 2
+) -> DataFrame:
+    """(s, cell_id, cvec): one K-centroid codebook per subspace, fitted
+    with deterministic Lloyd iterations under ROUND(6)-L2 argmin."""
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+    subs = v.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub(F.col("vec"), s).alias("sv"))
+                for s in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vid", "e.s", "e.sv")
+    init = (
+        v.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "vid")) - 1).alias("cell_id"),
+            "vec",
+        )
+    )
+    cents = init.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub(F.col("vec"), s).alias("cvec"))
+                for s in range(PQ_M)
+            ])
+        ).alias("e"),
+        "cell_id",
+    ).select("e.s", "cell_id", "e.cvec").localCheckpoint()
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(cents), "s").select(
+            "vid", "s", "sv", "cell_id",
+            F.round(l2sq(F.col("sv"), F.col("cvec")), 6).alias("d"),
+        )
+        w = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("cell_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "s", "sv", "cell_id")
+        )
+        dims = (
+            assigned.select("s", "cell_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "cell_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = (
+            dims.groupBy("s", "cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, s, code, sub_err): per-subspace nearest-centroid code and the
+    ROUND(6) quantization error that code costs."""
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec"))
+    subs = v.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub(F.col("vec"), s).alias("sv"))
+                for s in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vid", "e.s", "e.sv")
+    scored = subs.join(F.broadcast(codebooks), "s").select(
+        "vid", "s", "cell_id",
+        F.round(l2sq(F.col("sv"), F.col("cvec")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "s", F.col("cell_id").alias("code"), F.col("d").alias("sub_err"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 3,
+    iters: int = 2,
+) -> DataFrame:
+    """ADC search: queries compute an M x K distance table to the
+    codebooks, candidates are scored by M table lookups on their codes
+    (DECIMAL sum — order-free), per-query top-k by (distance, vid)."""
+    books = pq_fit_codebooks(corpus, id_col, vec_col, iters).localCheckpoint()
+    codes = pq_encode(corpus, books, id_col, vec_col).select("vid", "s", "code")
+    v = corpus.select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("vec"))
+    queries = v.where(query_pred)
+    qsubs = queries.select(
+        "qid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub(F.col("vec"), s).alias("qv"))
+                for s in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("qid", "e.s", "e.qv")
+    dtable = qsubs.join(F.broadcast(books), "s").select(
+        "qid", "s", F.col("cell_id").alias("code"),
+        F.round(l2sq(F.col("qv"), F.col("cvec")), 6).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["s", "code"])
+        .where(F.col("qid") != F.col("vid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "rn",
+            F.col("vid").alias("neighbor_id"), "adc_dist",
+        )
+    )

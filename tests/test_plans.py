@@ -288,3 +288,10 @@ def test_bmp_decode_is_map_side_arrow(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pq_adc_no_cartesian_codebooks_broadcast(spark, sf_dir):
+    df = q("q_pq_adc_topk", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
