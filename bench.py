@@ -96,6 +96,9 @@ HEADLINE = [
     "q_kmv_set_estimates",
     "q_jl_projection",
     "q_pq_adc_topk",
+    "q_dq_checks",
+    "q_linear_interpolate",
+    "q_gif_roundtrip",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

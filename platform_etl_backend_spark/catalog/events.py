@@ -1431,3 +1431,93 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "event_type", "ep", F.round(med, 6).alias("med_30m")
     )
+
+
+@register(
+    "q_linear_interpolate",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    hourly AS (
+      SELECT event_type, (ep // 3600) * 3600 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM e GROUP BY event_type, (ep // 3600) * 3600),
+    bounds AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY event_type),
+    grid AS (SELECT event_type, unnest(range(mn, mx + 1, 3600)) AS h FROM bounds),
+    g AS (
+      SELECT grid.event_type, grid.h, hourly.v
+      FROM grid LEFT JOIN hourly USING (event_type, h)),
+    ctx AS (
+      SELECT event_type, h, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+      FROM g
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, h,
+           CASE WHEN v IS NOT NULL THEN ROUND(v, 6)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN ROUND(pv + (nv - pv) * (h - ph) / (nh - ph), 6)
+                ELSE NULL END AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'actual'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src
+    FROM ctx
+    """,
+    description="time-series resampling with LINEAR interpolation: hourly "
+    "grid per type (sequence explode — no driver loop), present buckets "
+    "keep their exact decimal sums, gaps fill with v0+(v1-v0)*(t-t0)/"
+    "(t1-t0) from IGNORE-NULLS bracketing windows (the interpolating "
+    "sibling of q_locf_fill's step fill); identical operation order both "
+    "engines + ROUND(6); edges stay NULL (no extrapolation)",
+    tags=("events", "timeseries", "window"),
+)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", (F.expr("ep div 3600") * 3600).cast("bigint").alias("h")
+    ).agg(F.sum(dec6("value")).cast("double").alias("v"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("h")
+    )
+    g = grid.join(hourly, ["event_type", "h"], "left_outer")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = g.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(marked, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph")) / (
+        F.col("nh") - F.col("ph")
+    )
+    return ctx.select(
+        "event_type",
+        "h",
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.round(interp, 6))
+        .alias("value_filled"),
+        F.when(F.col("v").isNotNull(), "actual")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interp")
+        .otherwise("edge")
+        .alias("src"),
+    )

@@ -372,3 +372,72 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@register(
+    "q_gif_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s
+               FROM documents
+               WHERE length(text) >= 96
+                 AND regexp_full_match(text, '[\\x00-\\x7F]*')),
+    px AS (SELECT doc_id, p, ascii(substr(s, CAST(p AS INTEGER), 1)) AS v
+           FROM d, range(1, 97) t(p))
+    SELECT doc_id,
+           CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           round(avg(v), 6) AS mean_r,
+           round(avg(v), 6) AS mean_g,
+           round(avg(v), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    description="REAL GIF round-trip: the Arrow kernel LZW-compresses each "
+    "document's bytes into a GIF89a (identity grayscale palette, 12x8), "
+    "then decodes it back through the full variable-width-code path — the "
+    "oracle predicts the exact channel means from the raw text because LZW "
+    "is lossless; a mis-packed bit or a wrong dictionary reset corrupts "
+    "every downstream pixel and breaks the hashes",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 96)
+        .where(F.col("text").rlike(r"^[\x00-\x7F]*$"))
+        .select("doc_id", F.encode(F.substring("text", 1, 96), "utf-8").alias("raw"))
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from platform_etl_backend_spark.operators.gif import decode_gif, encode_gif
+
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf["doc_id"], pdf["raw"]):
+                idx = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(8, 12)
+                img = decode_gif(encode_gif(idx, palette))
+                rows.append(
+                    (
+                        did,
+                        img.shape[1],
+                        img.shape[0],
+                        float(img[:, :, 0].astype(np.float64).mean()),
+                        float(img[:, :, 1].astype(np.float64).mean()),
+                        float(img[:, :, 2].astype(np.float64).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    schema = "doc_id bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+    out = d.mapInPandas(kernel, schema)
+    return out.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -2105,3 +2105,101 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_failed
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'orders_custkey_references_customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_status_accepted_values',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0.0)
+    UNION ALL
+    SELECT 'lineitem_orderkey_references_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    ORDER BY check_name
+    """,
+    description="data-quality expectation suite (the dbt-tests / "
+    "Great-Expectations shape): not-null, uniqueness, referential "
+    "integrity (anti-join probes), accepted values, and range checks as "
+    "ONE relational result — each check a (name, n_rows, n_failed) row; "
+    "the FK probes are left-anti joins with the dimension broadcast, the "
+    "uniqueness check one distinct aggregation; at scale every check "
+    "shares the same base scans via exchange reuse",
+    tags=("relational", "quality", "composite"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def row(name: str, n_rows: DataFrame, n_failed: DataFrame) -> DataFrame:
+        a = n_rows.select(F.count(F.lit(1)).alias("n_rows"))
+        b = n_failed
+        return (
+            a.crossJoin(F.broadcast(b))
+            .select(F.lit(name).alias("check_name"), "n_rows", "n_failed")
+        )
+
+    not_null = row(
+        "orders_custkey_not_null",
+        o,
+        o.agg(F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint").alias("n_failed")),
+    )
+    unique = row(
+        "orders_orderkey_unique",
+        o,
+        o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_failed")),
+    )
+    fk_cust = row(
+        "orders_custkey_references_customer",
+        o,
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_failed")),
+    )
+    accepted = row(
+        "orders_status_accepted_values",
+        o,
+        o.agg(
+            F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("int"))
+            .cast("bigint")
+            .alias("n_failed")
+        ),
+    )
+    positive = row(
+        "orders_totalprice_positive",
+        o,
+        o.agg(F.sum((F.col("o_totalprice") <= 0.0).cast("int")).cast("bigint").alias("n_failed")),
+    )
+    fk_li = row(
+        "lineitem_orderkey_references_orders",
+        li,
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_failed")),
+    )
+    return (
+        not_null.unionAll(unique)
+        .unionAll(fk_cust)
+        .unionAll(accepted)
+        .unionAll(positive)
+        .unionAll(fk_li)
+        .orderBy("check_name")
+    )

@@ -239,6 +239,11 @@ def decode_media(payload: bytes, fmt: str):
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "gif":
+        # real LZW (variable-width codes, dict growth/reset) + GIF container
+        from platform_etl_backend_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"format {fmt!r} needs an external codec library (PIL/libav), "
         "not present in this environment"

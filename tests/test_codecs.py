@@ -420,3 +420,52 @@ def test_bmp_roundtrip_and_foreign_streams():
     dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 0, 0)
     with pytest.raises(NotImplementedError):
         decode_bmp(hdr + dib8 + body)
+
+
+def test_gif_lzw_and_container_roundtrips():
+    """Real LZW: dictionary growth across code widths, the 4096 reset, the
+    KwKwK corner case, and container roundtrips for palettes of every
+    power-of-two size; loud rejection of bad streams; interlace honest."""
+    import numpy as np
+    import pytest
+
+    from platform_etl_backend_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(0)
+    cases = [
+        b"",
+        b"a",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 50,  # dict growth
+        bytes(rng.randint(0, 4, 5000)),
+        bytes(rng.randint(0, 256, 20000)),  # crosses the 4096 reset
+        b"ababababababab",  # KwKwK pattern
+    ]
+    for data in cases:
+        mcs = 8 if (data and max(data) >= 4) else 2
+        assert lzw_decode(lzw_encode(data, mcs), mcs) == data
+
+    for h, w, n in [(4, 6, 4), (13, 17, 256), (1, 1, 2), (9, 3, 16)]:
+        pal = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    from platform_etl_backend_spark.operators.codecs import decode_media
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    idx = rng.randint(0, 256, size=(5, 7)).astype(np.uint8)
+    assert (decode_media(encode_gif(idx, pal), "gif") == pal[idx]).all()
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    # interlace flag -> honest NotImplementedError
+    enc = bytearray(encode_gif(idx, pal))
+    sep = 13 + 256 * 3  # header + full 256-entry GCT; 0x2C can occur IN the palette
+    assert enc[sep] == 0x2C
+    enc[sep + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(enc))
