@@ -247,3 +247,58 @@ def sliding_dau_stream(
         .agg(F.count(F.lit(1)).alias("dau7"))
         .select(F.col("win.start").alias("report_day"), "dau7")
     )
+
+
+def sketch_maintenance_stream(
+    events: DataFrame, key_col: str, base_path: str, checkpoint: str
+):
+    """foreachBatch INCREMENTAL SKETCH MAINTENANCE — the streaming-warehouse
+    pattern the mergeable sketches exist for: each micro-batch computes its
+    partial Bloom word table and HLL register table (both O(sketch) rows,
+    regardless of batch size), and merges them into parquet-backed sketch
+    tables by the sketches' own merge operators (bit_or per word / MAX per
+    bucket). The maintained tables are AT ANY MOMENT exactly equal to the
+    batch build over all data seen so far — asserted by the twin test —
+    because both merges are commutative, associative, and idempotent
+    (replayed batches cannot corrupt them; checkpointing plus idempotent
+    merge = exactly-once effect).
+    """
+    import os
+
+    from platform_etl_backend_spark.operators.stats import bloom_build, hll_registers
+
+    def merge_table(spark, new: DataFrame, path: str, key: str, val: str, agg) -> None:
+        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+            current = spark.read.parquet(path)
+            merged = current.unionByName(new).groupBy(key).agg(agg.alias(val))
+        else:
+            merged = new
+        tmp = f"{path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        merge_table(
+            spark,
+            bloom_build(batch, key_col),
+            f"{base_path}/bloom",
+            "word_idx",
+            "bits",
+            F.expr("bit_or(bits)").cast("bigint"),
+        )
+        merge_table(
+            spark,
+            hll_registers(batch, key_col),
+            f"{base_path}/hll",
+            "bucket",
+            "mx",
+            F.max("mx"),
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

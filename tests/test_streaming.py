@@ -256,3 +256,34 @@ def test_sliding_dau_stream_matches_batch(spark, sf_dir, events_stream):
             assert expected.get(d) == n, (d, n, expected.get(d))
     finally:
         q.stop()
+
+
+def test_sketch_maintenance_stream_equals_batch_build(spark, sf_dir, events_stream, tmp_path):
+    """The incrementally-maintained Bloom/HLL sketch tables must equal the
+    one-shot batch builds over the same data — the mergeability guarantee,
+    exercised through micro-batch boundaries."""
+    from platform_etl_backend_spark.operators.stats import bloom_build, hll_registers
+    from platform_etl_backend_spark.streaming.jobs import sketch_maintenance_stream
+
+    base = str(tmp_path / "sketches")
+    q = sketch_maintenance_stream(
+        events_stream, "user_id", base, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want_bloom = {
+        (r["word_idx"], r["bits"]) for r in bloom_build(batch, "user_id").collect()
+    }
+    got_bloom = {
+        (r["word_idx"], r["bits"])
+        for r in spark.read.parquet(f"{base}/bloom").collect()
+    }
+    assert got_bloom == want_bloom
+    want_hll = {
+        (r["bucket"], r["mx"]) for r in hll_registers(batch, "user_id").collect()
+    }
+    got_hll = {
+        (r["bucket"], r["mx"]) for r in spark.read.parquet(f"{base}/hll").collect()
+    }
+    assert got_hll == want_hll
