@@ -99,6 +99,8 @@ HEADLINE = [
     "q_dq_checks",
     "q_linear_interpolate",
     "q_gif_roundtrip",
+    "q_skyline_2d",
+    "q_item_similarity",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

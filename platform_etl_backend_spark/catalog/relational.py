@@ -2203,3 +2203,126 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fk_li)
         .orderBy("check_name")
     )
+
+
+@register(
+    "q_skyline_2d",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part)
+    SELECT a.p_partkey, a.cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.size >= a.size
+        AND (b.cents < a.cents OR b.size > a.size))
+    ORDER BY a.cents, a.size DESC, a.p_partkey
+    """,
+    description="2-D skyline / Pareto frontier (cheapest-for-the-size "
+    "parts), computed band-then-merge: a LOCAL skyline per price band "
+    "(parallel windows keyed on the band — the global skyline is always a "
+    "subset of local skylines) followed by the same two window passes over "
+    "the small survivor set — so the only single-partition stage sees "
+    "survivors, not the corpus; survive iff size exceeds the running max "
+    "over all STRICTLY cheaper rows (integer-cents RANGE frame ending at "
+    "-1) and equals the max within the same price; the oracle is the "
+    "independent quadratic NOT-EXISTS dominance definition",
+    tags=("relational", "window", "skyline"),
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+
+    def skyline_pass(df, extra_part):
+        w_strict = (
+            Window.partitionBy(*extra_part)
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy(*extra_part, "cents")
+        scored = df.select(
+            "p_partkey",
+            "cents",
+            "size",
+            *extra_part,
+            F.max("size").over(w_strict).alias("prev_max"),
+            F.max("size").over(w_same).alias("same_max"),
+        )
+        return scored.where(
+            (F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+            & (F.col("size") == F.col("same_max"))
+        ).select("p_partkey", "cents", "size")
+
+    local = skyline_pass(p.withColumn("band", F.expr("cents div 1000")), ["band"])
+    return skyline_pass(local, []).orderBy("cents", F.desc("size"), "p_partkey")
+
+
+@register(
+    "q_item_similarity",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey),
+    co AS (
+      SELECT x.l_partkey AS item_a, y.l_partkey AS item_b, COUNT(*) AS co
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY item_a, item_b),
+    sim AS (
+      SELECT item_a, item_b, co,
+             ROUND(CAST(co AS DOUBLE) / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)), 6) AS cos_sim
+      FROM co JOIN deg da ON co.item_a = da.l_partkey
+              JOIN deg db ON co.item_b = db.l_partkey)
+    SELECT item_a, rn, item_b, co, cos_sim
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item_a
+                                            ORDER BY cos_sim DESC, item_b) AS BIGINT) AS rn
+          FROM sim)
+    WHERE rn <= 3
+    ORDER BY item_a, rn
+    """,
+    description="item-item collaborative-filtering similarity ('customers "
+    "also bought'): basket co-occurrence normalized by sqrt(deg_a*deg_b) — "
+    "the bipartite-projection cosine; pair fan-out is per-basket (quadratic "
+    "in basket size, not corpus), degree tables broadcast, per-item top-3 "
+    "with id ties; sqrt and one division are IEEE-exact, ROUND(6) applied "
+    "identically",
+    tags=("relational", "join", "recommendation"),
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    x = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a"))
+    y = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b"))
+    co = (
+        x.join(y, "k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    da = deg.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na"))
+    db = deg.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb"))
+    sim = (
+        co.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("cos_sim"), "item_b")
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("item_a", "rn", "item_b", "co", "cos_sim")
+        .orderBy("item_a", "rn")
+    )

@@ -295,3 +295,15 @@ def test_pq_adc_no_cartesian_codebooks_broadcast(spark, sf_dir):
     assert_no_cartesian(df)
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skyline_band_merge_and_item_similarity_shapes(spark, sf_dir):
+    """Skyline: the banded local pass runs on parallel (band-keyed)
+    windows so the single-partition global stage only sees survivors.
+    Item similarity: degree tables broadcast, no cartesian."""
+    sky = q("q_skyline_2d", spark, sf_dir)
+    assert_no_cartesian(sky)
+    sim = q("q_item_similarity", spark, sf_dir)
+    plan = explain_str(sim, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert_no_cartesian(sim)
