@@ -101,6 +101,8 @@ HEADLINE = [
     "q_gif_roundtrip",
     "q_skyline_2d",
     "q_item_similarity",
+    "q_quantile_normalize",
+    "q_containment_join",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -2329,3 +2329,88 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "cluster_size", "members", "n_records")
         .orderBy("component")
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM d),
+    gl AS (
+      SELECT n_chars AS gval,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS idx
+      FROM d),
+    gn AS (SELECT COUNT(*) AS n_glob FROM d)
+    SELECT s.doc_id, s.source, s.n_chars AS raw,
+           CAST(((s.r - 1) * (gn.n_glob - 1)) // (s.n_src - 1) + 1 AS BIGINT) AS g_idx,
+           g.gval AS norm_value
+    FROM src s
+    CROSS JOIN gn
+    JOIN gl g ON g.idx = ((s.r - 1) * (gn.n_glob - 1)) // (s.n_src - 1) + 1
+    WHERE s.n_src > 1
+    """,
+    description="quantile normalization across sources (training-mixture "
+    "score calibration: map each source's score distribution onto the "
+    "GLOBAL distribution so per-source scale drift cannot bias filtering): "
+    "source rank r of n maps to global order statistic ((r-1)(N-1)) div "
+    "(n-1) + 1 — PURE INTEGER index arithmetic, no float percentile "
+    "boundary to diverge on; the global ranking is the one single-"
+    "partition stage (documented W2 caveat — at scale, replace with "
+    "range-partitioned cumulative counts)",
+    tags=("text", "window", "normalization"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    w_glob = Window.orderBy("n_chars", "doc_id")
+    glob = d.select(
+        F.col("n_chars").alias("gval"), F.row_number().over(w_glob).alias("idx")
+    )
+    n_glob = d.agg(F.count(F.lit(1)).alias("n_glob"))
+    g_idx = F.expr("((r - 1) * (n_glob - 1)) div (n_src - 1) + 1")
+    return (
+        src.where(F.col("n_src") > 1)
+        .crossJoin(F.broadcast(n_glob))
+        .withColumn("g_idx", g_idx.cast("bigint"))
+        .join(glob, F.col("idx") == F.col("g_idx"))
+        .select("doc_id", "source", F.col("n_chars").alias("raw"), "g_idx",
+                F.col("gval").alias("norm_value"))
+    )
+
+
+@register(
+    "q_containment_join",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / za.n, 6) AS containment
+    FROM inter
+    JOIN sz za ON id_a = za.doc_id
+    WHERE CAST(inter AS DOUBLE) / za.n >= 0.8
+    """,
+    description="asymmetric containment join (|A∩B|/|A| >= 0.8): the "
+    "near-containment duplicates symmetric Jaccard misses when sizes "
+    "differ; A-side prefix filter (AllPairs family) bounds candidates to "
+    "A's rarest (1-t) shingle fraction x B's postings — exact, the oracle "
+    "is the brute-force ordered-pair definition",
+    tags=("dedup", "text", "join"),
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )

@@ -750,3 +750,72 @@ def cdc_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.countDistinct("ch").alias("distinct_chunks"),
         (F.count(F.lit(1)) - F.countDistinct("ch")).alias("dup_chunks"),
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT asymmetric containment join: ordered pairs (a, b) where
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — the
+    near-containment case symmetric Jaccard MISSES when sizes differ (a
+    500-word doc pasted inside a 5000-word doc has Jaccard ~0.1 but
+    containment ~1.0). Public algorithm: the A-side prefix filter of the
+    AllPairs/PPJoin family — if a shares >= t·|a| shingles with b, then at
+    least one of a's first (|a| - ceil(t·|a|) + 1) rarest shingles is in b
+    (else overlap <= ceil(t·|a|) - 1), so candidates come only from
+    A-prefix x B-full-posting joins, never all ordered pairs; verification
+    is the row-wise exact array_intersect.
+
+    Scale: the A-side prefix is the (1-t) rarest fraction of each doc;
+    the B side keeps full postings (inherent to asymmetric containment),
+    so posting-list skew matters more than for symmetric Jaccard — at
+    corpus scale, cap or split hot shingles' postings (the inverted-index
+    head-cap pattern) and route capped shingles through the pairwise
+    fallback."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        sh.join(dfs, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("df"), F.col("shingle")))).alias("lst"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.col("lst"),
+            F.sort_array(F.transform("lst", lambda s: s["shingle"])).alias("sh_arr"),
+        )
+        .persist()
+    )
+    p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("bigint") + 1
+    prefix_a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.slice("lst", F.lit(1), p)).alias("ps"),
+    ).select("id_a", F.xxhash64(F.col("ps.shingle")).alias("sh_h"))
+    full_b = docs.select(
+        F.col(id_col).alias("id_b"), F.explode("sh_arr").alias("shingle")
+    ).select("id_b", F.xxhash64(F.col("shingle")).alias("sh_h"))
+    cands = (
+        prefix_a.join(full_b, "sh_h")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"), F.col("n").alias("sz_a")
+    )
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("sz_a"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "containment")
+    )

@@ -288,3 +288,28 @@ def test_skipgram_pairs_window_semantics(spark):
                 expect[(toks[i], toks[i + d])] = expect.get((toks[i], toks[i + d]), 0) + 1
                 expect[(toks[i + d], toks[i])] = expect.get((toks[i + d], toks[i]), 0) + 1
     assert got == expect
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A small doc pasted inside a big one: containment >= 0.8 finds the
+    ordered pair while symmetric Jaccard at 0.5 does not; prefix-filtered
+    candidates produce the same verified output as brute force."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators import dedup as D
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = ("completely different opening words here now " + small
+           + " and a very long unrelated tail " + "filler word soup " * 20)
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "nothing shared at all in this one truly")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(df, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8
+    assert (2, 1) not in got  # asymmetric: big is NOT contained in small
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
