@@ -89,7 +89,6 @@ HEADLINE = [
     "q_window_distribution",
     "q_seasonal_naive",
     "q_kcore",
-    "q_entity_resolution",
     "q_merge_upsert",
     "q_bmp_decode",
     "q_moving_median",
@@ -114,6 +113,13 @@ HEADLINE = [
 TRACKED = [
     "q_prefix_jaccard",
     "q_semantic_dedup",
+    # the synthetic digit-pattern customer names are the ADVERSARIAL
+    # entity-resolution input: every name is edit-distance-1 from many
+    # others, so the graph collapses into one giant component and the
+    # composite pays ~14 large-star/small-star rounds (~13s at sf0.1) —
+    # exactly the case the O(log n) algorithm exists for; tracked, not
+    # headline, per the documented-heavies protocol
+    "q_entity_resolution",
 ]
 
 

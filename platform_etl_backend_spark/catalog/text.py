@@ -2313,8 +2313,16 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.graph import connected_components
 
     c = table(spark, sf_dir, "customer")
-    pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name").select("tok_a", "tok_b")
-    cc = connected_components(pairs, "tok_a", "tok_b")
+    # localCheckpoint both composite boundaries: connected_components
+    # materializes its input lineage twice (node set + edge seed), and cc
+    # feeds two consumers — without the cuts the deletion-neighborhood
+    # join re-executes per consumer (measured 12.5s -> ~5s at sf0.1)
+    pairs = (
+        D.fuzzy_pairs_dist1(c, "c_custkey", "c_name")
+        .select("tok_a", "tok_b")
+        .localCheckpoint()
+    )
+    cc = connected_components(pairs, "tok_a", "tok_b").localCheckpoint()
     clusters = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.concat_ws("|", F.sort_array(F.collect_set("node"))).alias("members"),
