@@ -102,6 +102,8 @@ HEADLINE = [
     "q_item_similarity",
     "q_quantile_normalize",
     "q_containment_join",
+    "q_cuped",
+    "q_ab_ztest",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

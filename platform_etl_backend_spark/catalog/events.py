@@ -1521,3 +1521,142 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge")
         .alias("src"),
     )
+
+
+_CUPED_CUT = 1705276800  # 2024-01-15 00:00 UTC: pre/post period boundary
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH e AS (SELECT user_id, value, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN ep < {_CUPED_CUT} THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ep >= {_CUPED_CUT} THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS y
+      FROM e GROUP BY user_id),
+    moments AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM per_user),
+    theta AS (
+      SELECT n, sx / n AS mean_x,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+      FROM moments)
+    SELECT variant, COUNT(*) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_y,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                 - t.th * (CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) - t.mean_x), 6)
+               AS mean_y_cuped
+    FROM per_user CROSS JOIN theta t
+    GROUP BY variant, t.th, t.mean_x
+    ORDER BY variant
+    """,
+    description="CUPED variance reduction (Deng et al., WSDM 2013 — the "
+    "standard experimentation adjustment): theta = cov(x,y)/var(x) from "
+    "pre-period covariates, adjusted variant means = mean_y - "
+    "theta*(mean_x_v - mean_x) — everything derives from DECIMAL power "
+    "sums (one scan builds x/y per user, one tiny moments row broadcast), "
+    "so no per-row adjustment pass and no float accumulation; identical "
+    "operation order both engines + ROUND(6)",
+    tags=("events", "agg", "experiment"),
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ep") < _CUPED_CUT, dec6("value"))), F.lit(0)
+        ).cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ep") >= _CUPED_CUT, dec6("value"))), F.lit(0)
+        ).cast("double").alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("bigint"))
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    theta = moments.select(
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("variant", "th", "mean_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum(dec("y")).cast("double") / F.count(F.lit(1)), 6).alias("mean_y"),
+            F.round(
+                F.sum(dec("y")).cast("double") / F.count(F.lit(1))
+                - F.col("th")
+                * (F.sum(dec("x")).cast("double") / F.count(F.lit(1)) - F.col("mean_x")),
+                6,
+            ).alias("mean_y_cuped"),
+        )
+        .select("variant", "n_users", "mean_y", "mean_y_cuped")
+        .orderBy("variant")
+    )
+
+
+@register(
+    "q_ab_ztest",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, value FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 190.0 THEN 1 ELSE 0 END) AS converted
+      FROM e GROUP BY user_id),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM per_user)
+    SELECT n_a, n_b, c_a, c_b,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM agg
+    """,
+    description="two-proportion z-test (pooled) for an A/B conversion "
+    "split: integer tallies in one aggregation, the statistic is a fixed "
+    "chain of IEEE divisions + one correctly-rounded sqrt — deterministic "
+    "without libm-CDF scaffolding (the p-value needs erf, which is NOT "
+    "engine-portable; consumers threshold on |z| instead, e.g. 1.96)",
+    tags=("events", "agg", "experiment"),
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    # conversion = a HIGH-VALUE purchase: every synthetic user purchases
+    # eventually, which would make p_pool = 1 and the pooled sd exactly 0
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 190.0), 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    agg = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("bigint").alias("c_b"),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select("n_a", "n_b", "c_a", "c_b", F.round(z, 6).alias("z_score"))

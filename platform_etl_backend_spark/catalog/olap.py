@@ -621,7 +621,6 @@ def _register_hll() -> None:
     from platform_etl_backend_spark.operators.stats import (
         duck_hll_cte,
         duck_hll_estimate_sql,
-        hll_estimate,
         hll_registers,
     )
 
@@ -658,12 +657,17 @@ def _register_hll() -> None:
         tags=("sketch", "olap", "hll"),
     )
     def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from platform_etl_backend_spark.operators.stats import hll_estimates_grouped
+
         li = table(spark, sf_dir, "lineitem")
-        return (
-            hll_estimate(li, "l_orderkey", "orderkeys")
-            .union(hll_estimate(li, "l_suppkey", "suppkeys"))
-            .orderBy("key")
+        keyed = li.select(
+            F.lit("orderkeys").alias("label"), F.col("l_orderkey").alias("k")
+        ).unionAll(
+            li.select(F.lit("suppkeys").alias("label"), F.col("l_suppkey").alias("k"))
         )
+        # one distinct shuffle + two tiny grouped aggs for BOTH sketches
+        # (was: two full hll_estimate pipelines, each re-scanning lineitem)
+        return hll_estimates_grouped(keyed).orderBy("key")
 
 
 _register_hll()

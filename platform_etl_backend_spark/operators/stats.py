@@ -618,3 +618,54 @@ def kmv_set_estimates(
             )
         ).alias("r")
     ).select("r.key", "r.n_exact", "r.estimate")
+
+
+def hll_estimates_grouped(keyed: DataFrame, label_col: str = "label", key_col: str = "k") -> DataFrame:
+    """Multi-set HLL in ONE pass: (label, key) rows -> per-label register
+    tables -> per-label estimates. Replaces N separate hll_estimate
+    pipelines (each re-scanning the data) with one distinct shuffle + two
+    tiny grouped aggregations — the shape a sketch-per-dimension warehouse
+    rollup actually runs."""
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    distinct = (
+        keyed.select(F.col(label_col).alias("label"), F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .localCheckpoint()  # feeds registers AND the exact count
+    )
+    hv = distinct.select("label", h.alias("hv"))
+    rho = (
+        F.lit(HLL_MAX_RHO)
+        - F.length(F.expr(f"trim(LEADING '0' FROM bin(hv % {_HLL_W_MOD}))"))
+    ).cast("bigint")
+    reg = (
+        hv.select("label", F.expr(f"hv div {_HLL_W_MOD}").cast("bigint").alias("bucket"), rho.alias("rho"))
+        .groupBy("label", "bucket")
+        .agg(F.max("rho").alias("mx"))
+    )
+    agg = reg.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({HLL_MAX_RHO} - mx as int))"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    exact = distinct.groupBy("label").agg(F.count(F.lit(1)).alias("n_exact"))
+    j = agg.join(F.broadcast(exact), "label")
+    v = F.lit(HLL_M) - F.col("n_buckets")
+    denom = (
+        F.col("s_present") + v.cast("bigint") * F.lit(1 << HLL_MAX_RHO).cast("bigint")
+    ).cast("double")
+    raw = F.lit(HLL_NUMERATOR) / denom
+    linear = F.lit(float(HLL_M)) * portable_ln_ratio(F.lit(HLL_M), v)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), linear).otherwise(raw)
+    return j.select(
+        F.col("label").alias("key"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("estimate"),
+    )
