@@ -104,6 +104,7 @@ HEADLINE = [
     "q_containment_join",
     "q_cuped",
     "q_ab_ztest",
+    "q_textrank_keywords",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -48,13 +48,23 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 5, damping: float = 0.85, scale: int = 9) -> str:
+def _pagerank_oracle(
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+    edge_ctes: list[str] | None = None,
+    final_select: str | None = None,
+) -> str:
     """Unrolled-CTE PageRank mirroring operators/graph.pagerank: per-edge
     contributions rounded in double then summed as decimal (order-invariant),
-    same simplified no-dangling-redistribution variant."""
+    same simplified no-dangling-redistribution variant. ``edge_ctes``
+    parameterizes the graph (last CTE must define e(s, d)); ``final_select``
+    overrides the rank projection (e.g. a top-k)."""
     d = f"DECIMAL(38,{scale})"
-    ctes = [
+    ctes = list(edge_ctes) if edge_ctes else [
         "e AS (SELECT DISTINCT p_partkey // 2 AS s, p_partkey AS d FROM part WHERE p_partkey >= 1)",
+    ]
+    ctes += [
         "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "outdeg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)",
@@ -70,10 +80,8 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85, scale: int = 9)
                SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) * {damping!r} / o.outdeg, {scale}) AS {d})) AS csum
         FROM pr{i} p JOIN e ON p.node = e.s JOIN outdeg o ON e.s = o.s
         GROUP BY e.d) c ON nd.node = c.node)""")
-    return (
-        "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT node, ROUND(CAST(pr AS DOUBLE), 6) AS pr FROM pr{iterations}"
-    )
+    final = final_select or f"SELECT node, ROUND(CAST(pr AS DOUBLE), 6) AS pr FROM pr{iterations}"
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
 
 
 @register(
@@ -308,3 +316,64 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.floor(F.col("value")).cast("bigint") % 50
     edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
     return k_core(edges, k=3, rounds=8).orderBy("node")
+
+
+_TEXTRANK_EDGES = [
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents)""",
+    """adj AS (
+      SELECT z[1] AS a, z[2] AS b
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM toks)
+      WHERE z[1] <> z[2])""",
+    """e AS (SELECT DISTINCT a AS s, b AS d FROM adj
+             UNION SELECT DISTINCT b, a FROM adj)""",
+]
+
+
+@register(
+    "q_textrank_keywords",
+    oracle=_pagerank_oracle(
+        iterations=5,
+        edge_ctes=_TEXTRANK_EDGES,
+        final_select=(
+            "SELECT word, pr, rn FROM ("
+            "  SELECT node AS word, ROUND(CAST(pr AS DOUBLE), 6) AS pr,"
+            "         CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rn"
+            "  FROM pr5) WHERE rn <= 10"
+        ),
+    ),
+    description="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "PageRank over the adjacent-token co-occurrence graph (symmetric "
+    "edges, map-side shifted zips — no positional self-join), top-10 "
+    "words by rank with a word tiebreak; reuses the decimal-deterministic "
+    "pagerank operator and the SAME unrolled-CTE oracle machinery, just "
+    "parameterized with the word graph",
+    tags=("graph", "text", "iterative", "topk"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from platform_etl_backend_spark.operators.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim("text"), r" +").alias("t"))
+    adj = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"), F.expr("slice(t, 2, size(t) - 1)")
+            )
+        ).alias("z")
+    ).select(F.col("z")["0"].alias("a"), F.col("z")["1"].alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(e, iterations=5, damping=0.85, scale=9)
+    w = Window.orderBy(F.desc("pr"), "node")
+    return (
+        pr.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 10)
+        .select(F.col("node").alias("word"), "pr", "rn")
+    )
