@@ -105,6 +105,7 @@ HEADLINE = [
     "q_cuped",
     "q_ab_ztest",
     "q_textrank_keywords",
+    "q_cusum_changepoint",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

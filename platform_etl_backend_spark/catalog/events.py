@@ -1660,3 +1660,75 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
     return agg.select("n_a", "n_b", "c_a", "c_b", F.round(z, 6).alias("z_score"))
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    hourly AS (
+      SELECT event_type, (ep // 3600) * 3600 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM e GROUP BY event_type, (ep // 3600) * 3600),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM hourly GROUP BY event_type),
+    p AS (
+      SELECT h.event_type, h.h,
+             SUM(h.v - b.mu) OVER (PARTITION BY h.event_type ORDER BY h.h
+                                   ROWS UNBOUNDED PRECEDING) AS pf
+      FROM hourly h JOIN base b ON h.event_type = b.event_type),
+    sline AS (
+      SELECT event_type, h,
+             pf - LEAST(0.0, MIN(pf) OVER (PARTITION BY event_type ORDER BY h
+                                           ROWS UNBOUNDED PRECEDING)) AS s
+      FROM p)
+    SELECT event_type, COUNT(*) AS n_points,
+           ROUND(MAX(struct_pack(s := s, nh := -h)).s, 6) AS max_cusum,
+           CAST(-MAX(struct_pack(s := s, nh := -h)).nh AS BIGINT) AS changepoint_h
+    FROM sline GROUP BY event_type ORDER BY event_type
+    """,
+    description="CUSUM mean-shift change-point detection (Page 1954) via "
+    "the prefix-sum identity S_k = P_k - min(0, min_j<=k P_j) — the "
+    "clamped recursion becomes two running windows (prefix sum + running "
+    "min), fully relational and bit-reproducible (both engines accumulate "
+    "window sums left-to-right over the same (type, hour) order); peak "
+    "statistic + its hour via a struct max with a -h tiebreak (first hour "
+    "attaining the max). The fold formulation was abandoned: DuckDB's "
+    "list_reduce mutates the accumulator struct FIELD-BY-FIELD, so later "
+    "field expressions read already-updated values — a cross-engine "
+    "divergence by construction",
+    tags=("events", "timeseries", "window"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", (F.expr("ep div 3600") * 3600).cast("bigint").alias("h")
+    ).agg(F.sum(dec6("value")).cast("double").alias("v"))
+    base = hourly.groupBy("event_type").agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = (
+        hourly.join(F.broadcast(base), "event_type")
+        .select("event_type", "h", (F.col("v") - F.col("mu")).alias("raw"))
+        .withColumn("pf", F.sum("raw").over(run))
+    )
+    sline = p.withColumn(
+        "s", F.col("pf") - F.least(F.lit(0.0), F.min("pf").over(run))
+    )
+    peak = F.max(F.struct(F.col("s"), (-F.col("h")).alias("nh")))
+    return (
+        sline.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(peak["s"], 6).alias("max_cusum"),
+            (-peak["nh"]).cast("bigint").alias("changepoint_h"),
+        )
+        .orderBy("event_type")
+    )
