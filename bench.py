@@ -106,6 +106,7 @@ HEADLINE = [
     "q_ab_ztest",
     "q_textrank_keywords",
     "q_cusum_changepoint",
+    "q_kaplan_meier",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

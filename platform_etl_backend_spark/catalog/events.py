@@ -233,6 +233,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaction := props.k decile, report := event_id.
 # ---------------------------------------------------------------------------
 
+from platform_etl_backend_spark.functions.portable_math import duck_portable_ln_ratio
 from platform_etl_backend_spark.operators.stats import duck_portable_llr
 
 _LLR_ORACLE = f"""
@@ -1731,4 +1732,96 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-peak["nh"]).cast("bigint").alias("changepoint_h"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(ep) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' AND value >= 190.0 THEN ep END) AS t_conv,
+             MAX(ep) AS t_last
+      FROM e GROUP BY user_id),
+    subjects AS (
+      SELECT user_id,
+             CASE WHEN t_conv IS NOT NULL THEN t_conv - t0 ELSE t_last - t0 END AS dur,
+             CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user),
+    times AS (
+      SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d
+      FROM subjects GROUP BY dur HAVING SUM(ev) > 0),
+    risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM subjects s WHERE s.dur >= times.t) AS n
+      FROM times),
+    terms AS (
+      SELECT t, d, CAST(n AS BIGINT) AS at_risk,
+             {duck_portable_ln_ratio("n - d", "n")} AS log_term
+      FROM risk WHERE n > d),
+    curve AS (
+      SELECT t, d, at_risk,
+             SUM(log_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_log_s
+      FROM terms)
+    SELECT CAST(t AS BIGINT) AS duration_s, at_risk, d AS n_events,
+           ROUND(cum_log_s, 6) AS log_survival
+    FROM curve ORDER BY duration_s
+    """,
+    description="Kaplan-Meier survival estimator (1958) for "
+    "time-to-first-high-value-purchase with right censoring at last "
+    "activity: at each event time, log S(t) += ln((n-d)/n) through the "
+    "engine-portable ratio log (INTEGER at-risk/event counts in, "
+    "bit-stable ln out — no libm, and emitting LOG-survival avoids the "
+    "non-portable exp); the at-risk counts come from one risk-set "
+    "range-join (event-time table is tiny — broadcast), the curve is one "
+    "ordered prefix sum",
+    tags=("events", "timeseries", "survival"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    e = events_table(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min("ep").alias("t0"),
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 190.0), F.col("ep"))
+        ).alias("t_conv"),
+        F.max("ep").alias("t_last"),
+    )
+    subjects = per_user.select(
+        F.when(F.col("t_conv").isNotNull(), F.col("t_conv") - F.col("t0"))
+        .otherwise(F.col("t_last") - F.col("t0"))
+        .alias("dur"),
+        F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).localCheckpoint()  # feeds event times AND risk counts
+    times = (
+        subjects.groupBy(F.col("dur").alias("t"))
+        .agg(F.sum("ev").cast("bigint").alias("d"))
+        .where(F.col("d") > 0)
+    )
+    risk = (
+        subjects.crossJoin(F.broadcast(times))  # event-time table is tiny
+        .where(F.col("dur") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") > F.col("d"))
+    )
+    terms = risk.select(
+        "t",
+        "d",
+        F.col("n").alias("at_risk"),
+        portable_ln_ratio(F.col("n") - F.col("d"), F.col("n")).alias("log_term"),
+    )
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        terms.withColumn("cum_log_s", F.sum("log_term").over(run))
+        .select(
+            F.col("t").cast("bigint").alias("duration_s"),
+            "at_risk",
+            F.col("d").alias("n_events"),
+            F.round("cum_log_s", 6).alias("log_survival"),
+        )
+        .orderBy("duration_s")
     )
