@@ -74,10 +74,17 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #     (scaled-integer harmonic sum + portable-ln branch). They displaced
 #     the r03-green re-verification pads (q_stupid_backoff,
 #     q_prefix_jaccard) and the out-of-caution q_semantic_dedup re-check.
-#     The 11 other session-2 additions (TPC-H Q7/Q8/Q13/Q15/Q19,
-#     attribution, conversion paths, cdc ratio, bloom build, hll
-#     registers, html extract, rrf fusion) queue for the round-5
-#     rotation — proven expression families, lower divergence risk.
+#     ROUND-5 ROTATION TODO: every round-4 session-2/3 addition except
+#     the three in-window ones queues for driver evidence — diff the
+#     CORRECTNESS_r04 key set against the registry order to enumerate
+#     (TPC-H Q7/Q8/Q13/Q15/Q19/Q22, attribution, conversion paths, cdc
+#     ratio, bloom build, hll registers, html extract, rrf fusion,
+#     window distribution, seasonal naive, kcore, dq checks, linear
+#     interpolate, gif/bmp decode, skyline, item similarity, quantile
+#     normalize, containment, cuped, ab ztest, textrank, cusum,
+#     kaplan-meier, merge upsert, entity resolution, pq codes/adc, kmv,
+#     jl projection, moving median) — all proven expression families,
+#     replica-green at both SFs.
 # Displaced rows are all r03-green and unchanged; they stay replica-
 # checked at two scale factors via scripts/check_oracle.py.
 # ---------------------------------------------------------------------------
