@@ -107,6 +107,10 @@ HEADLINE = [
     "q_textrank_keywords",
     "q_cusum_changepoint",
     "q_kaplan_meier",
+    "q_rolling_zscore",
+    "q_rfm_segments",
+    "q_gini",
+    "q_cohort_ltv",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

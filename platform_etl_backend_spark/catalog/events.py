@@ -1825,3 +1825,121 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_s")
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    hourly AS (
+      SELECT event_type, (ep // 3600) * 3600 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM e GROUP BY event_type, (ep // 3600) * 3600),
+    win AS (
+      SELECT event_type, h, v,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, h, ROUND(v, 6) AS v,
+           CASE WHEN n >= 6 AND s2 / n - (s1 / n) * (s1 / n) > 0.0
+                THEN ROUND((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+                ELSE NULL END AS zscore
+    FROM win
+    """,
+    description="rolling z-score anomaly detection: each hour scored "
+    "against the TRAILING 24-hour window's mean/std (frame excludes the "
+    "current row — no self-masking), variance from DECIMAL frame power "
+    "sums so window accumulation order is free, then a fixed IEEE chain + "
+    "sqrt + ROUND(6); warm-up (<6 points) and zero-variance windows emit "
+    "NULL honestly",
+    tags=("events", "timeseries", "window", "anomaly"),
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", (F.expr("ep div 3600") * 3600).cast("bigint").alias("h")
+    ).agg(F.sum(dec6("value")).cast("double").alias("v"))
+    w = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    )
+    dec = F.col("v").cast("decimal(28,6)")
+    win = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return win.select(
+        "event_type",
+        "h",
+        F.round("v", 6).alias("v"),
+        F.when((F.col("n") >= 6) & (var > 0.0), F.round(z, 6)).alias("zscore"),
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, value,
+                      CAST({_EPOCH_DUCK} // 86400 AS BIGINT) AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    rev AS (
+      SELECT e.user_id, f.cohort_day, e.day - f.cohort_day AS age,
+             CAST(e.value AS DECIMAL(18,6)) AS v
+      FROM e JOIN f USING (user_id) WHERE e.event_type = 'purchase'),
+    daily AS (
+      SELECT cohort_day, age, SUM(v) AS rev_day
+      FROM rev GROUP BY cohort_day, age),
+    sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY cohort_day)
+    SELECT d.cohort_day, d.age, s.cohort_size,
+           CAST(SUM(d.rev_day) OVER (PARTITION BY d.cohort_day ORDER BY d.age
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cum_revenue,
+           ROUND(CAST(SUM(d.rev_day) OVER (PARTITION BY d.cohort_day ORDER BY d.age
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.cohort_size, 6) AS ltv_per_user
+    FROM daily d JOIN sizes s USING (cohort_day)
+    """,
+    description="cohort LTV curves (cumulative purchase revenue per "
+    "cohort-age, per capita): the retention matrix's revenue sibling — "
+    "decimal daily sums, a DECIMAL running window (so the cumulative "
+    "revenue is order-free), one IEEE per-capita division; cohort sizes "
+    "broadcast",
+    tags=("agg", "events", "cohort", "window"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir).withColumn(
+        "day", F.expr("ep div 86400").cast("bigint")
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age"), dec6("value").alias("v"))
+    )
+    daily = rev.groupBy("cohort_day", "age").agg(F.sum("v").alias("rev_day"))
+    sizes = f.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    run = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(sizes), "cohort_day")
+        .withColumn("cum_revenue", F.sum("rev_day").over(run).cast("double"))
+        .select(
+            "cohort_day",
+            "age",
+            "cohort_size",
+            "cum_revenue",
+            F.round(F.col("cum_revenue") / F.col("cohort_size"), 6).alias("ltv_per_user"),
+        )
+    )

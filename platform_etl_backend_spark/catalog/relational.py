@@ -2326,3 +2326,102 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_a", "rn", "item_b", "co", "cos_sim")
         .orderBy("item_a", "rn")
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+             monetary
+      FROM per_cust)
+    SELECT r, f, m, COUNT(*) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    description="RFM segmentation (recency/frequency/monetary quintiles — "
+    "the classic CRM scoring): per-customer rollup, three NTILE(5) "
+    "rankings each with a unique custkey tiebreak (NTILE boundary "
+    "placement is deterministic only under a total order), segment-level "
+    "counts + decimal revenue; the single-partition NTILE carries the "
+    "documented W2 caveat — at scale, percentile-threshold banding from "
+    "approx quantiles replaces the global sort",
+    tags=("relational", "window", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec2("o_totalprice")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dbl(F.sum("monetary")).alias("total_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT spend, ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM x)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND((2.0 * CAST(SUM(CAST(i AS DECIMAL(28,2)) * spend) AS DOUBLE))
+                 / (MAX(n) * CAST(SUM(spend) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+    description="Gini coefficient of customer spend concentration (the "
+    "Lorenz-curve inequality measure): G = 2*sum(i*x_i)/(n*sum(x)) - "
+    "(n+1)/n over rank-ordered spend — rank weights are integers, both "
+    "sums ride DECIMAL, the final expression is a fixed IEEE chain + "
+    "ROUND(6); the ranking needs a total order (custkey tiebreak) or ties "
+    "make G itself ill-defined",
+    tags=("relational", "window", "stats"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice")).alias("spend"))
+    wr = Window.orderBy("spend", "o_custkey")
+    ranked = x.select(
+        "spend",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i").cast("decimal(28,2)") * F.col("spend")).cast("double"))
+            / (F.max("n") * F.sum("spend").cast("double"))
+            - (F.max("n").cast("double") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
