@@ -111,6 +111,7 @@ HEADLINE = [
     "q_rfm_segments",
     "q_gini",
     "q_cohort_ltv",
+    "q_zipf_fit",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -24,7 +24,12 @@ Determinism conventions (both sides MUST follow them or value-hashes drift):
 - no raw TIMESTAMP outputs (cast to DATE or string);
 - every ranking has a unique tiebreak key;
 - IEEE-exact operations (+ - * / sqrt on identical operands, integer ops,
-  md5) need no scaffolding — they are bit-identical everywhere.
+  md5) need no scaffolding — they are bit-identical everywhere;
+- NEVER multiply two wide decimals: decimal(28,s) x decimal(28,s) exceeds
+  precision 38 and each engine reduces the result scale DIFFERENTLY
+  (observed: 1-micro q_zipf_fit intercept drift). Power/cross sums
+  compute the product in DOUBLE (bit-identical per row) and decimal-cast
+  only the product for the order-free SUM.
 """
 
 from __future__ import annotations

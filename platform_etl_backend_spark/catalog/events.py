@@ -1540,8 +1540,8 @@ _CUPED_CUT = 1705276800  # 2024-01-15 00:00 UTC: pre/post period boundary
       SELECT COUNT(*) AS n,
              CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
       FROM per_user),
     theta AS (
       SELECT n, sx / n AS mean_x,
@@ -1580,8 +1580,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("x")).cast("double").alias("sx"),
         F.sum(dec("y")).cast("double").alias("sy"),
-        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
-        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        # products in DOUBLE then decimal-cast for the order-free sum:
+        # decimal(28,6)^2 exceeds precision 38 and engines reduce scale
+        # differently (the q_zipf_fit finding)
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).cast("double").alias("sxy"),
     )
     theta = moments.select(
         (F.col("sx") / F.col("n")).alias("mean_x"),
@@ -1838,7 +1841,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     win AS (
       SELECT event_type, h, v,
              CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
+             CAST(SUM(CAST(v * v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
              COUNT(*) OVER w AS n
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY h
@@ -1871,7 +1874,7 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "v",
         F.sum(dec).over(w).cast("double").alias("s1"),
-        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,6)")).over(w).cast("double").alias("s2"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     mean = F.col("s1") / F.col("n")

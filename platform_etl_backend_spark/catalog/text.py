@@ -2422,3 +2422,75 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_T}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r FROM freq),
+    pts AS (
+      SELECT {duck_portable_ln_ratio("r", "1")} AS x,
+             {duck_portable_ln_ratio("f", "1")} AS y
+      FROM ranked),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_types,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           ROUND(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n), 6)
+               AS intercept
+    FROM m
+    """,
+    description="Zipf's-law fit: least-squares slope of ln(freq) vs "
+    "ln(rank) over the full rank-frequency vocabulary (a natural corpus "
+    "~-1; a slope far off flags synthetic or templated text — a standard "
+    "training-data diagnostic); BOTH logs come from the engine-portable "
+    "ratio ln (integer rank/freq in, bit-stable out — thousands of "
+    "transcendental values is exactly the regime where libm's last-ulp "
+    "divergence bites), moments ride DECIMAL, slope/intercept are fixed "
+    "IEEE chains + ROUND(6)",
+    tags=("text", "stats", "diagnostics"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), r" +")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "tok")).alias("r")
+    )
+    pts = ranked.select(
+        _portable_ln_ratio(F.col("r"), F.lit(1)).alias("x"),
+        _portable_ln_ratio(F.col("f"), F.lit(1)).alias("y"),
+    )
+    # products in DOUBLE (bit-identical per row), decimal only for the
+    # order-free SUM: decimal x decimal at scale 24 exceeds precision 38
+    # and the engines reduce scale DIFFERENTLY (observed 1-micro intercept
+    # drift) — the per-term-contribution convention avoids it
+    dx = F.col("x").cast("decimal(28,12)")
+    dy = F.col("y").cast("decimal(28,12)")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6).alias(
+            "intercept"
+        ),
+    )
