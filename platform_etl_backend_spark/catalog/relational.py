@@ -2394,7 +2394,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER () AS n
       FROM x)
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           ROUND((2.0 * CAST(SUM(CAST(i AS DECIMAL(28,2)) * spend) AS DOUBLE))
+           ROUND((2.0 * CAST(SUM(CAST(i AS DECIMAL(12,0)) * CAST(spend AS DECIMAL(18,2))) AS DOUBLE))
                  / (MAX(n) * CAST(SUM(spend) AS DOUBLE))
                  - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n), 6) AS gini
     FROM ranked
@@ -2419,7 +2419,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.round(
-            (F.lit(2.0) * F.sum(F.col("i").cast("decimal(28,2)") * F.col("spend")).cast("double"))
+            # (12,0)x(18,2) stays inside precision 38 — the product is EXACT
+            # (wide-decimal products get engine-divergent scale reduction)
+            (F.lit(2.0) * F.sum(
+                F.col("i").cast("decimal(12,0)") * F.col("spend").cast("decimal(18,2)")
+            ).cast("double"))
             / (F.max("n") * F.sum("spend").cast("double"))
             - (F.max("n").cast("double") + F.lit(1.0)) / F.max("n"),
             6,
