@@ -43,6 +43,7 @@ from platform_etl_backend_spark.catalog import graphs  # noqa: E402,F401
 from platform_etl_backend_spark.catalog import olap  # noqa: E402,F401
 from platform_etl_backend_spark.catalog import multimodal  # noqa: E402,F401
 from platform_etl_backend_spark.catalog import text  # noqa: E402,F401
+from platform_etl_backend_spark.catalog import tpch  # noqa: E402,F401
 from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,49 @@ def test_tpch_round5_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p19
 
 
+def test_tpch_suite_completion_plan_shapes(spark, sf_dir):
+    """The catalog/tpch.py adaptations completing all 22 TPC-H shapes:
+    Q4's EXISTS must decorrelate to a semi join, Q21's EXISTS/NOT-EXISTS
+    pair to semi+anti hash joins (the orderkey equi-component keeps them
+    off BNLJ), Q20's nested INs to two semi joins, Q16's NOT-IN to an
+    anti join, Q6 must stay a pure scan-agg with pushed filters, and Q2's
+    decorrelated min-cost probe must not go cartesian."""
+    p4 = explain_str(q("q_tpch_q4", spark, sf_dir), "simple")
+    assert "LeftSemi" in p4, p4
+    assert "BroadcastNestedLoopJoin" not in p4
+
+    p21 = explain_str(q("q_tpch_q21", spark, sf_dir), "simple")
+    assert "LeftSemi" in p21, p21
+    assert "LeftAnti" in p21, p21
+    assert "BroadcastNestedLoopJoin" not in p21
+    assert "CartesianProduct" not in p21
+
+    p20 = explain_str(q("q_tpch_q20", spark, sf_dir), "simple")
+    assert p20.count("LeftSemi") >= 2, p20
+    assert "CartesianProduct" not in p20
+
+    p16 = explain_str(q("q_tpch_q16", spark, sf_dir), "simple")
+    assert "LeftAnti" in p16, p16
+    assert "CartesianProduct" not in p16
+
+    df6 = q("q_tpch_q6", spark, sf_dir)
+    p6 = explain_str(df6, "simple")
+    assert "Join" not in p6, p6
+    assert_pushed_filters(df6, "IsNotNull(l_discount)")
+
+    p2 = explain_str(q("q_tpch_q2", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastHashJoin" in p2, p2
+
+    p9 = explain_str(q("q_tpch_q9", spark, sf_dir), "simple")
+    assert p9.count("BroadcastHashJoin") >= 3, p9
+    assert "CartesianProduct" not in p9
+
+    p17 = explain_str(q("q_tpch_q17", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p17
+    assert "BroadcastNestedLoopJoin" not in p17
+
+
 def test_tpch_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
     """The c_count=0 bucket exists iff the join stayed left-outer — a
     correctness property the oracle also pins, asserted here so a future
