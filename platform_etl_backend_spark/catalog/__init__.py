@@ -49,109 +49,103 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness harness verifies the FIRST 50
 # registered queries only; evidence is cumulative across rounds
-# (r01: 43 green; r02: 49 green + 1 rows-only; r03: 50/50 green — see the
-# CORRECTNESS_r0*.json files and the per-round notes in git history).
-# After r03, 136 of the then-158 queries had cumulative driver evidence.
+# (r01: 43 green; r02: 49+1 rows-only; r03: 50/50; r04: 49+1 rows-only —
+# see the CORRECTNESS_r0*.json files and the per-round notes in git
+# history). After r04, 179 of the 230 catalog queries had cumulative
+# driver evidence; the 51 without it were all round-4 session-2/3
+# additions registered past position 50.
 #
-# The round-4 window closes the evidence gap and re-verifies every changed
-# contract:
-# (a) the 22 queries never driver-checked (registered past position 50
-#     during the round-3 session-2 burst; q_approx_percentile is
-#     rows-only by design like the HLL row) — with these green, EVERY
-#     query registered before round 4 has cumulative driver evidence;
-# (b) the 6 queries migrated onto the engine-portable ratio log this round
-#     (contract change: last-ulp ln values) — q_llr_contingency,
-#     q_tfidf_top_terms, q_bm25_top_terms, q_bigram_logprob,
-#     q_unigram_surprisal, q_lm_quantile_filter;
-# (c) the 18 round-4 additions (sentence split, BPE train/encode, ROUGE,
-#     skip-grams, TPC-H Q3/Q18, JPEG roundtrip, embedding covariance,
-#     text normalization, interval-overlap join — the last four in
-#     padding slots that were q_variant_json / q_asof_join / q_tpch_q10 /
-#     q_scd2_intervals / q_funnel_stages / q_audio_decode /
-#     q_graph_closure / q_dup_spans / q_image_decode (Kneser-Ney, hard
-#     negatives, feature hashing, Benford profile, value histogram), all
-#     r03-green unchanged (q_graph_closure green in r02 AND r03);
-# (d) slot reassigned late in round 4: q_semantic_dedup's guard change
-#     left its catalog contract unchanged (replica-green both SFs), so
-#     its out-of-caution slot went to q_hll_estimate instead;
-# (e) 3 of the round-4 SESSION-2 additions with genuinely novel
-#     arithmetic — q_cdc_chunks (Arrow rolling-hash kernel),
-#     q_bloom_probe (cross-engine bitwise words), q_hll_estimate
-#     (scaled-integer harmonic sum + portable-ln branch). They displaced
-#     the r03-green re-verification pads (q_stupid_backoff,
-#     q_prefix_jaccard) and the out-of-caution q_semantic_dedup re-check.
-#     ROUND-5 ROTATION TODO: every round-4 session-2/3 addition except
-#     the three in-window ones queues for driver evidence — diff the
-#     CORRECTNESS_r04 key set against the registry order to enumerate
-#     (TPC-H Q7/Q8/Q13/Q15/Q19/Q22, attribution, conversion paths, cdc
-#     ratio, bloom build, hll registers, html extract, rrf fusion,
-#     window distribution, seasonal naive, kcore, dq checks, linear
-#     interpolate, gif/bmp decode, skyline, item similarity, quantile
-#     normalize, containment, cuped, ab ztest, textrank, cusum,
-#     kaplan-meier, merge upsert, entity resolution, pq codes/adc, kmv,
-#     jl projection, moving median) — all proven expression families,
-#     replica-green at both SFs.
-# Displaced rows are all r03-green and unchanged; they stay replica-
-# checked at two scale factors via scripts/check_oracle.py.
+# The round-5 window closes that gap: it contains EXACTLY the 51-minus-one
+# never-driver-checked queries (enumerated by diffing the four CORRECTNESS
+# key sets against the registry — the same computation the round-4 VERDICT
+# ran). The single deferral is q_cdc_dedup_ratio: its CDC rolling-hash
+# kernel already carries driver evidence through q_cdc_chunks (hash-green
+# in r04) and the ratio query is one derived aggregation over the same
+# chunk table — the lowest-novelty row of the 51. It stays replica-checked
+# at two SFs and queues for round 6.
+#
+# q_agg_basic leaves the window for the first time (driver-green in all of
+# r01-r04 — its 4-round record can afford a round off, per the round-4
+# VERDICT). entry() still runs it as the flagship.
+#
+# Changed contracts fronted this round:
+# - q_kmv_set_estimates: the intersection estimate now multiplies the
+#   ROUNDED union estimate on both engines (ADVICE r4: the raw-product
+#   chain diverged from the oracle's ROUND-nested template in the 6th
+#   decimal for some sketch values — green by data luck only).
+# It was already in the unchecked set, so the fix gets driver evidence
+# for free. q_value_histogram's mn==mx guard is output-identical on
+# non-degenerate data (replica re-verified), so it does not need a slot.
+#
+# ROUND-6 ROTATION TODO: with CORRECTNESS_r05 green, the only queries
+# without cumulative driver evidence are q_cdc_dedup_ratio (the documented
+# deferral) and the round-5 additions q_quality_classifier,
+# q_unigram_tokenize, q_unigram_em_costs (registered past position 50 —
+# slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
+# prioritization). All four are replica-green at both SFs; front them in
+# the round-6 window plus any round-6 changed contracts, then pad with
+# never-twice-checked rows.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship (also used by entry())
-    "q_agg_basic",
-    # (a) the 22 never-driver-checked queries
-    "q_tpch_q5",
-    "q_tpch_q14",
-    "q_assoc_rules",
-    "q_profile_table",
-    "q_funnel_windowed",
-    "q_chi_square",
-    "q_dedup_keep_best",
-    "q_sequence_match",
-    "q_autocorr_lag1",
-    "q_winsorized_mean",
-    "q_rag_retrieve",
-    "q_weighted_sample",
-    "q_kl_divergence",
-    "q_linear_trend",
-    "q_mode_per_group",
-    "q_count_min_narrow",
-    "q_interp_lm",
-    "q_sssp",
-    "q_item_cooccur",
-    "q_conversion_latency",
-    "q_approx_percentile",
-    "q_snapshot_diff",
-    # (b) portable-ln migrations (changed contracts)
-    "q_llr_contingency",
-    "q_tfidf_top_terms",
-    "q_bm25_top_terms",
-    "q_bigram_logprob",
-    "q_unigram_surprisal",
-    "q_lm_quantile_filter",
-    # (c) round-4 additions
-    "q_sentence_split",
-    "q_bpe_vocab",
-    "q_bpe_encode",
-    "q_rouge_overlap",
-    "q_skipgram_pairs",
-    "q_tpch_q3",
-    "q_tpch_q18",
-    # (d) operator changed this round (contract unchanged)
-    "q_hll_estimate",
-    # (e) r03-green cross-family padding
-    "q_cdc_chunks",
-    "q_bloom_probe",
-    "q_png_decode",
-    "q_ohlc_bars",
-    "q_feature_hashing",
-    "q_benford_profile",
-    "q_value_histogram",
-    "q_hard_negatives",
-    "q_kneser_ney",
-    "q_interval_overlap",
-    "q_embedding_covariance",
-    "q_text_normalize",
-    "q_jpeg_roundtrip",
+    # the 21 TPC-H completions (highest novelty: full-suite claim)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # sketches / vectors (novel arithmetic)
+    "q_bloom_build",
+    "q_hll_registers",
+    "q_kmv_set_estimates",
+    "q_jl_projection",
+    "q_pq_codes",
+    "q_pq_adc_topk",
+    "q_rrf_fusion",
+    # dedup / similarity composites
+    "q_entity_resolution",
+    "q_containment_join",
+    "q_quantile_normalize",
+    "q_item_similarity",
+    "q_skyline_2d",
+    # codecs
+    "q_gif_roundtrip",
+    "q_bmp_decode",
+    # text
+    "q_html_extract",
+    "q_textrank_keywords",
+    # experimentation / time series
+    "q_cuped",
+    "q_ab_ztest",
+    "q_cusum_changepoint",
+    "q_kaplan_meier",
+    "q_rolling_zscore",
+    "q_seasonal_naive",
+    "q_moving_median",
+    "q_linear_interpolate",
+    "q_zipf_fit",
+    # events / windows / relational
+    "q_attribution",
+    "q_conversion_paths",
+    "q_window_distribution",
+    "q_merge_upsert",
+    "q_dq_checks",
+    "q_rfm_segments",
+    "q_gini",
+    "q_cohort_ltv",
+    # graph
+    "q_kcore",
 )
 
 

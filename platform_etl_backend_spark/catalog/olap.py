@@ -482,8 +482,9 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_value_histogram",
     oracle="""
-    WITH b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 12)), 11)
-                      AS INTEGER) AS bin
+    WITH b AS (SELECT CASE WHEN mx = mn THEN 0
+                      ELSE CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 12)), 11)
+                           AS INTEGER) END AS bin
                FROM lineitem,
                     (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
                      FROM lineitem))
@@ -493,7 +494,9 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="equi-width 12-bin histogram of line prices: global min/max as "
     "a 1-row broadcast (no driver action), bin = floor((x-mn)/width) clamped "
     "at the top edge — the one-pass-plus-broadcast distribution profile; all "
-    "arithmetic is a fixed-order IEEE chain, engine-identical",
+    "arithmetic is a fixed-order IEEE chain, engine-identical; degenerate "
+    "constant-valued input (mx == mn, width 0 — Spark's non-ANSI x/0 is NULL "
+    "while DuckDB's is inf) collapses to a single bin 0 on BOTH engines",
     tags=("stats", "profiling", "olap"),
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,13 +504,15 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = li.agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
     )
-    bin_ = F.least(
-        F.floor(
-            (F.col("l_extendedprice") - F.col("mn"))
-            / ((F.col("mx") - F.col("mn")) / F.lit(12))
-        ),
-        F.lit(11),
-    ).cast("int")
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(12))
+            ),
+            F.lit(11),
+        ).cast("int")
+    )
     return (
         li.crossJoin(F.broadcast(mm))
         .select(bin_.alias("bin"))

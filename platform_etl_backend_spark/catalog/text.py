@@ -2116,7 +2116,7 @@ def _fh_digit(pos: int) -> str:
     m AS (SELECT doc_id,
                  CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
                  CASE WHEN {_fh_digit(3)} < 8 THEN 1 ELSE -1 END AS sign
-          FROM tok)
+          FROM tok WHERE term <> '')
     SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
     FROM m GROUP BY doc_id, bucket
     HAVING SUM(sign) <> 0
@@ -2130,6 +2130,49 @@ def _fh_digit(pos: int) -> str:
 )
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.hashed_features(table(spark, sf_dir, "documents"), "doc_id", "text", width=64)
+
+
+def _quality_weights_sql() -> str:
+    """The committed weight vector as a DuckDB BIGINT list literal —
+    generated from the SAME tuple the Spark operator uses."""
+    return "[" + ",".join(f"CAST({w} AS BIGINT)" for w in TQ.QUALITY_WEIGHTS_MICRO) + "]"
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    m AS (SELECT doc_id,
+                 CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
+                 CASE WHEN {_fh_digit(3)} < 8 THEN 1 ELSE -1 END AS sign
+          FROM tok WHERE term <> ''),
+    f AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+          FROM m GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+    l AS (SELECT doc_id,
+                 CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)
+                 + CAST(SUM(val * ({_quality_weights_sql()})[bucket + 1]) AS BIGINT)
+                     AS logit_micro
+          FROM f GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(l.logit_micro, CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)) AS logit_micro,
+           CASE WHEN COALESCE(l.logit_micro, CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)) >= 0
+                THEN 1 ELSE 0 END AS passed
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN l USING (doc_id)
+    """,
+    description="model-based quality filter (fastText/DSIR-style): a trained "
+    "linear classifier over the 64-dim hashed bag-of-words features scores "
+    "every doc and thresholds the logit. Weights are committed micro-unit "
+    "integers (trained offline by scripts/train_quality_weights.py, recipe "
+    "documented there), so scoring is pure BIGINT arithmetic — bit-identical "
+    "across engines. One explode + two doc-keyed aggregations, weight lookup "
+    "is a 64-literal array element_at: a single vocabulary-free pass that "
+    "runs over 100 TB with two narrow shuffles and no joins",
+    tags=("text", "quality", "ml-prep", "classifier"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TQ.quality_classifier(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
 
 
 # --- content-defined chunking (stateless LBFS rolling-hash chunker) --------
@@ -2494,3 +2537,152 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --- unigram-LM (SentencePiece-style) subword tokenizer ---------------------
+
+from platform_etl_backend_spark.operators import unigram as UNI
+
+
+def _unigram_base_ctes() -> str:
+    """Shared oracle CTEs: word types -> seed vocabulary with portable-ln
+    micro-nat costs -> Viterbi DP (statically unrolled over UNI_WMAX
+    character positions, UNI_LMAX piece lengths) -> backtrack. Generated
+    from the SAME constants as operators/unigram.py; DP tie-break (CASE in
+    ascending j order == shortest last piece) mirrors the Spark LEAST/CASE
+    chain exactly."""
+    wmax, lmax = UNI.UNI_WMAX, UNI.UNI_LMAX
+    inf, unk = UNI.UNI_INF_MICRO, UNI.UNI_UNK_MICRO
+    topk = UNI.UNI_TOPK
+    subs = " || ".join(
+        f"[substr(word, CAST(s AS INT), {j}) "
+        f"FOR s IN range(1, CAST(length(word) AS BIGINT) - {j} + 2)]"
+        for j in range(1, lmax + 1)
+    )
+    cost = (
+        f"CAST(floor({duck_portable_ln_ratio('total', 'freq')} * 1000000.0) AS BIGINT)"
+    )
+    parts = [
+        f"""wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM (SELECT unnest({_T}) AS word FROM documents)
+       WHERE word <> '' AND length(word) <= {wmax} GROUP BY word),
+occ AS (SELECT piece, freq
+        FROM (SELECT freq, unnest({subs}) AS piece FROM wt) WHERE piece <> ''),
+pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM occ GROUP BY piece),
+vocab0 AS (SELECT piece, freq FROM pf WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, freq FROM (SELECT piece, freq FROM pf
+                                    WHERE length(piece) >= 2
+                                    ORDER BY freq DESC, piece LIMIT {topk})),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab0),
+vocab AS (SELECT piece, freq, {cost} AS cost_micro FROM vocab0, tot),
+vmap AS (SELECT map(list(piece ORDER BY piece), list(cost_micro ORDER BY piece)) AS m
+         FROM vocab)"""
+    ]
+    # cost columns c_i_j, all in one CTE off the word x map cross product
+    cexprs = []
+    for i in range(1, wmax + 1):
+        for j in range(1, min(lmax, i) + 1):
+            fb = unk if j == 1 else inf
+            cexprs.append(
+                f"COALESCE(m[substr(word, {i - j + 1}, {j})][1], "
+                f"CAST({fb} AS BIGINT)) AS c_{i}_{j}"
+            )
+    parts.append(
+        "d0 AS (SELECT word, freq, CAST(length(word) AS INT) AS n,\n  "
+        + ",\n  ".join(cexprs)
+        + "\n  FROM wt, vmap)"
+    )
+    parts.append("lv0 AS (SELECT *, CAST(0 AS BIGINT) AS best_0 FROM d0)")
+    for i in range(1, wmax + 1):
+        cands = [f"(best_{i - j} + c_{i}_{j})" for j in range(1, min(lmax, i) + 1)]
+        least = f"least({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        whens = " ".join(
+            f"WHEN {cands[j - 1]} = best_{i} THEN {j}"
+            for j in range(1, min(lmax, i) + 1)
+        )
+        parts.append(
+            f"lv{i} AS (SELECT *, {least} AS best_{i}, "
+            f"CAST(CASE {whens} END AS INT) AS bp_{i} FROM lv{i - 1})"
+        )
+    bp_at = lambda p: (  # noqa: E731
+        "CASE " + " ".join(f"WHEN {p} = {i} THEN bp_{i}" for i in range(1, wmax + 1)) + " END"
+    )
+    parts.append(f"bt0 AS (SELECT *, n AS p_0 FROM lv{wmax})")
+    for k in range(1, wmax + 1):
+        parts.append(
+            f"bt{k} AS (SELECT *, "
+            f"CAST(CASE WHEN p_{k - 1} <= 0 THEN 0 ELSE ({bp_at(f'p_{k - 1}')}) END AS INT) AS l_{k}, "
+            f"CAST(p_{k - 1} - l_{k} AS INT) AS p_{k}, "
+            f"CASE WHEN l_{k} > 0 THEN substr(word, p_{k - 1} - l_{k} + 1, l_{k}) END AS piece_{k} "
+            f"FROM bt{k - 1})"
+        )
+    pieces = ", ".join(f"piece_{k}" for k in range(wmax, 0, -1))
+    npieces = " + ".join(
+        f"(CASE WHEN l_{k} > 0 THEN 1 ELSE 0 END)" for k in range(1, wmax + 1)
+    )
+    best_at = (
+        "CASE " + " ".join(f"WHEN n = {i} THEN best_{i}" for i in range(1, wmax + 1)) + " END"
+    )
+    parts.append(
+        f"""seg AS (SELECT word, freq, n AS n_chars,
+        concat_ws('|', {pieces}) AS pieces,
+        CAST({npieces} AS INT) AS n_pieces,
+        CAST({best_at} AS BIGINT) AS cost_micro
+        FROM bt{wmax})"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "q_unigram_tokenize",
+    oracle=f"""
+    WITH {_unigram_base_ctes()}
+    SELECT word, freq, n_chars, pieces, n_pieces, cost_micro
+    FROM seg ORDER BY word
+    """,
+    description="unigram-LM subword tokenizer (SentencePiece, Kudo 2018): "
+    "seed vocabulary = every char + top-40 substrings by corpus frequency "
+    "with -ln(p) costs in portable integer micro-nats; per-word-type "
+    "Viterbi DP statically unrolled over 8 character positions (bounded-"
+    "rounds trick, same family as the unrolled PageRank/BPE oracles), "
+    "shortest-last-piece tie-break. Runs on the word-TYPE table (the BPE "
+    "rollup), vocabulary rides as a 1-row broadcast map: at 100 TB the "
+    "only heavy ops are one token explode + one word-keyed aggregation — "
+    "the DP itself is map-side column arithmetic, zero joins",
+    tags=("text", "tokenizer", "ml-prep"),
+)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = UNI.word_types(docs, "doc_id", "text")
+    vocab = UNI.seed_piece_costs(words)
+    return UNI.viterbi_segment(words, vocab).orderBy("word")
+
+
+@register(
+    "q_unigram_em_costs",
+    oracle=f"""
+    WITH {_unigram_base_ctes()},
+    occ2 AS (SELECT freq, piece
+             FROM (SELECT freq, unnest(string_split(pieces, '|')) AS piece FROM seg)
+             WHERE piece <> ''),
+    pf2 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM occ2 GROUP BY piece),
+    tot2 AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM pf2)
+    SELECT piece, freq,
+           CAST(floor({duck_portable_ln_ratio('total', 'freq')} * 1000000.0) AS BIGINT)
+               AS cost_micro
+    FROM pf2, tot2 ORDER BY piece
+    """,
+    description="one hard-EM (Viterbi-EM) step of the unigram-LM trainer: "
+    "piece frequencies counted from the corpus Viterbi segmentation "
+    "(word types weighted by corpus frequency) re-estimate the -ln(p) "
+    "costs; unused seed pieces drop out (the EM prune). One piece-keyed "
+    "aggregation + a 1-row broadcast total on top of the tokenize plan — "
+    "the M-step is O(vocab), never O(corpus)",
+    tags=("text", "tokenizer", "ml-prep"),
+)
+def q_unigram_em_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = UNI.word_types(docs, "doc_id", "text")
+    vocab = UNI.seed_piece_costs(words)
+    return UNI.em_reestimate_costs(UNI.viterbi_segment(words, vocab)).orderBy("piece")

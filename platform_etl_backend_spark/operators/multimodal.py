@@ -105,11 +105,12 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every: int = 2) -> D
 
 
 def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
-    """Production decode entrypoint. PPM, WAV, baseline 4:4:4 JPEG, and
-    PNG decode for REAL via the parsers in ``operators/codecs.py``,
-    ``operators/jpeg.py``, and ``operators/png.py``; library-bound formats
-    (MP3/video, progressive JPEG, 16-bit/interlaced PNG) still
-    raise honestly."""
+    """Production decode entrypoint. PPM, WAV, baseline JPEG (4:4:4 and
+    subsampled up to 2x2), PNG (all byte-aligned depths incl. 16-bit and
+    Adam7 interlace), GIF, and BMP decode for REAL via the parsers in
+    ``operators/codecs.py``, ``operators/jpeg.py``, ``operators/png.py``,
+    and ``operators/gif.py``; library-bound formats (MP3/video,
+    progressive JPEG, sub-byte-depth PNG) still raise honestly."""
     from platform_etl_backend_spark.operators.codecs import decode_media
 
     return decode_media(payload, fmt)

@@ -365,7 +365,8 @@ def _positions(key: Column) -> Column:
 
 def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
     """Build the filter: (word_idx BIGINT, bits BIGINT) rows, one per
-    non-zero 64-bit word of the m-bit array."""
+    non-zero 32-bit word of the m-bit array (words stay 32-bit because the
+    DuckDB oracle rejects 1::BIGINT << 63; see BLOOM_WORD)."""
     w = BLOOM_WORD
     pos = df.select(F.explode(_positions(F.col(key_col))).alias("pos"))
     return (
@@ -607,7 +608,14 @@ def kmv_set_estimates(
     est_a = _est(F.col("n_a"), F.col("mx_a"), k)
     est_b = _est(F.col("n_b"), F.col("mx_b"), k)
     est_u = _est(F.col("n_u"), F.col("mx_u"), k)
-    est_i = (F.col("n_common_below").cast("double") / F.col("n_u").cast("double")) * est_u
+    # The theta-cut scale factor multiplies the ROUNDED union estimate —
+    # the same 6-dp value the union row displays — so the intersection
+    # estimate is derived from published numbers and, critically, both
+    # engines evaluate the identical chain (the raw (k-1)*2^48/mx_u product
+    # differs from ratio*round(est_u) in the 6th decimal for some sketches).
+    est_i = (
+        F.col("n_common_below").cast("double") / F.col("n_u").cast("double")
+    ) * F.round(est_u, 6)
     return scalars.select(
         F.explode(
             F.array(

@@ -709,8 +709,12 @@ def hashed_features(
     (id, bucket, val), non-zero buckets only. One explode + one
     (id, bucket)-keyed aggregation; md5 keeps the bucketing portable to
     any engine (same convention as the count-min sketch)."""
-    tok = spread(df, id_col).select(
-        F.col(id_col), F.explode(ws_tokens(text_col)).alias("term")
+    tok = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+        # empty/whitespace-only docs tokenize to [''] — don't hash the
+        # empty token (it isn't a feature; matches the python twin)
+        .where(F.col("term") != "")
     )
     h = F.md5(F.concat(F.lit("fh:"), F.col("term")))
     hexd = "0123456789abcdef"
@@ -724,4 +728,81 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.sum("sign").cast("bigint").alias("val"))
         .where(F.col("val") != 0)
+    )
+
+
+# --- model-based quality filter (trained linear classifier) -----------------
+
+# Committed weights of the fastText/DSIR-style linear quality classifier,
+# trained OFFLINE by scripts/train_quality_weights.py (logistic regression
+# over the 64-dim hashed_features vectorizer; label = doc distinct-token
+# ratio >= corpus median, i.e. "predict repetition-heavy docs from
+# bag-of-words evidence"; train accuracy 0.782 at base rate 0.5 — see the
+# script header for the full recipe). Micro-unit integers so that scoring
+# is pure BIGINT arithmetic: bit-identical on every engine, no libm, no
+# rounding scaffolding. This is the standard model-based quality filter
+# that sits beside the heuristic Gopher/C4 rules in LLM-data pipelines
+# (reference has no such operator; public algorithm: fastText supervised /
+# DSIR importance weighting).
+QUALITY_BIAS_MICRO = 11809537
+QUALITY_WEIGHTS_MICRO = (
+    0, -185670, 74656, -350001, 0, -423127, 376997, 0,
+    -668031, 837, -620604, 0, 0, 0, -295308, -178295,
+    406795, -540096, 130127, 0, 0, -127420, -323614, -229087,
+    0, -747850, 0, 0, 0, 0, 0, 288383,
+    -425160, 0, -469832, -507395, 0, 0, 0, -319924,
+    0, 0, 0, 0, 0, 468433, 0, 0,
+    0, -130883, 0, 0, 353029, 0, 0, 0,
+    0, 0, 0, 0, 250357, 54365, -418134, 0,
+)
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_micro: tuple[int, ...] = QUALITY_WEIGHTS_MICRO,
+    bias_micro: int = QUALITY_BIAS_MICRO,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score every doc with the committed linear model over hashed
+    bag-of-words features and threshold the logit — the model-based
+    quality filter (fastText-style classifier filter / DSIR).
+
+    logit_micro = bias + sum_b count_b * w_b, all BIGINT (counts are the
+    signed hashed-feature values, weights are micro-units), so the score
+    is exact integer arithmetic — engine-portable by construction.
+    ``passed`` = logit_micro >= threshold_micro (0 == probability 0.5).
+
+    Scale: hashed_features is one explode + one (doc, bucket) aggregation
+    (vocabulary-free — no df table, no broadcast); the weight lookup is an
+    element_at into a 64-literal array (map-side); the dot product is one
+    (doc)-keyed SUM. Two narrow shuffles total, no joins — this filter
+    runs over 100 TB as a single pass."""
+    feats = hashed_features(df, id_col, text_col, width=len(weights_micro))
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights_micro])
+    contrib = F.col("val") * F.element_at(warr, F.col("bucket") + 1)
+    logit = (
+        feats.select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg((F.lit(int(bias_micro)).cast("bigint") + F.sum("c")).alias("logit_micro"))
+    )
+    # docs whose every token hashed to a zero-weight bucket (or with no
+    # tokens at all) never appear in feats' non-zero rows — left-join back
+    # so the filter scores EVERY doc (bias-only logit), as the python
+    # model does
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(logit, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("logit_micro"), F.lit(int(bias_micro)).cast("bigint")).alias(
+                "logit_micro"
+            ),
+        )
+        .withColumn(
+            "passed",
+            (F.col("logit_micro") >= F.lit(int(threshold_micro))).cast("int"),
+        )
     )

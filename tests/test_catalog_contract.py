@@ -65,8 +65,14 @@ def test_driver_window_invariants():
     assert len(win) == 50
     assert len(set(win)) == 50
     assert all(n in QUERIES for n in win)
-    assert win[0] == "q_agg_basic"  # entry() flagship must stay first
     assert list(QUERIES)[:50] == list(win)
+    # q_agg_basic sat the round-5 window out for the first time after 4
+    # green rounds; entry() still runs it as the flagship — that path is
+    # driver-smoke-checked independently of window position. Rotation
+    # discipline (window == never-driver-checked set) is re-derived each
+    # round by diffing CORRECTNESS_r0*.json against the registry — see
+    # the window comment in catalog/__init__.py; it cannot be a static
+    # assertion here because the artifacts land asynchronously.
 
 
 def test_rows_only_queries_are_the_known_ones():
@@ -93,3 +99,17 @@ def test_documented_counts_match_registry():
     coverage = open(os.path.join(root, "COVERAGE.md")).read()
     m = re.search(r"\*\*Oracle gate\*\*: (\d+) of (\d+) queries", coverage)
     assert m and (int(m.group(1)), int(m.group(2))) == (paired, total)
+    # the bench headline count drifted in round 4 (README said 47 while
+    # bench.py had 91) — pin it too
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    m = re.search(r"`bench\.py` — (\d+) headline queries", readme)
+    assert m and int(m.group(1)) == len(bench.HEADLINE), (
+        m and m.group(1),
+        len(bench.HEADLINE),
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert all(n in QUERIES for n in bench.HEADLINE + bench.TRACKED)
