@@ -2654,7 +2654,11 @@ vmap AS (SELECT map(list(piece ORDER BY piece), list(cost_micro ORDER BY piece))
 )
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    words = UNI.word_types(docs, "doc_id", "text")
+    # materialize the word-TYPE rollup once: both the seed-vocab branch
+    # and the Viterbi branch consume it, and without the checkpoint the
+    # corpus token explode runs twice (at 100 TB the type table is exactly
+    # what you materialize)
+    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
     vocab = UNI.seed_piece_costs(words)
     return UNI.viterbi_segment(words, vocab).orderBy("word")
 
@@ -2683,6 +2687,10 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unigram_em_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    words = UNI.word_types(docs, "doc_id", "text")
+    # materialize the word-TYPE rollup once: both the seed-vocab branch
+    # and the Viterbi branch consume it, and without the checkpoint the
+    # corpus token explode runs twice (at 100 TB the type table is exactly
+    # what you materialize)
+    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
     vocab = UNI.seed_piece_costs(words)
     return UNI.em_reestimate_costs(UNI.viterbi_segment(words, vocab)).orderBy("piece")

@@ -471,7 +471,9 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
     )
 
 
-def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+def fuzzy_pairs_dist1(
+    df: DataFrame, id_col: str, str_col: str, max_block_cost: int | None = None
+) -> DataFrame:
     """Fuzzy self-join at Levenshtein distance <= 1 via deletion-neighborhood
     blocking (the spell-join / entity-resolution primitive, cf. the public
     SymSpell/FastSS family): every string emits itself plus its 1-deletion
@@ -481,8 +483,11 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     all-pairs distance matrix — and are verified with the exact metric.
 
     Returns (tok_a, tok_b, dist) with tok_a < tok_b.
+
+    ``max_block_cost``: see :func:`fuzzy_candidates_dist1` — the
+    quadratic-bomb guard for pathological blocking keys.
     """
-    cands = fuzzy_candidates_dist1(df, id_col, str_col)
+    cands = fuzzy_candidates_dist1(df, id_col, str_col, max_block_cost=max_block_cost)
     return cands.select(
         "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b").alias("dist")
     ).where(F.col("dist") <= 1)
@@ -532,9 +537,22 @@ def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     )
 
 
-def fuzzy_candidates_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+def fuzzy_candidates_dist1(
+    df: DataFrame, id_col: str, str_col: str, max_block_cost: int | None = None
+) -> DataFrame:
     """Candidate (tok_a, tok_b) pairs sharing a 1-deletion variant — the
-    blocking stage shared by the Levenshtein and Damerau verifiers."""
+    blocking stage shared by the Levenshtein and Damerau verifiers.
+
+    ``max_block_cost`` (optional): the verify join's cost is Σ|bucket|²
+    over variant buckets. A pathological key distribution (e.g. every
+    name one deletion from a shared variant) collapses blocking into one
+    giant bucket and the "bounded" expansion quadratic-bombs. When set,
+    the ACTUAL Σ|bucket|² is computed after bucketing (one small
+    aggregation over bucket sizes — the same enforce-don't-document
+    pattern as semantic_dedup's ``max_pair_cost``) and ``ValueError`` is
+    raised before any pair is expanded — fail fast instead of launching a
+    quadratic stage. The bucket table is checkpointed first so the guard
+    scan is not recomputed by the expansion."""
     vocab = spread(df, id_col).select(F.col(str_col).alias("token")).distinct()
     n = F.length("token")
     dels = F.transform(
@@ -567,6 +585,21 @@ def fuzzy_candidates_dist1(df: DataFrame, id_col: str, str_col: str) -> DataFram
         .agg(F.sort_array(F.collect_set("token")).alias("toks"))
         .where(F.size("toks") > 1)
     )
+    if max_block_cost is not None:
+        buckets = buckets.localCheckpoint()
+        cost_row = (
+            buckets.select(F.size("toks").alias("n"))
+            .agg(F.sum(F.col("n").cast("bigint") * F.col("n")).alias("cost"))
+            .first()
+        )
+        cost = int(cost_row["cost"] or 0)
+        if cost > max_block_cost:
+            raise ValueError(
+                f"fuzzy_candidates_dist1: blocking pair cost {cost} exceeds "
+                f"max_block_cost={max_block_cost}; the variant-key distribution "
+                "is pathological for this input — pre-split the blocking key "
+                "(e.g. add a length or prefix component) or raise the bound"
+            )
     sz = F.size("toks")
     pairs = F.flatten(
         F.transform(

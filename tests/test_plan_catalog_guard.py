@@ -23,3 +23,20 @@ def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+
+
+def test_plan_audit_covers_every_registered_query():
+    """PLAN_AUDIT.md lagged the registry in round 4 (220/230 rows — the
+    last TPC-H commit forgot the regeneration). Pin it: every registered
+    query must have an audit row, so the file cannot silently go stale.
+    Regenerate with scripts/plan_audit.py when this fails."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audit = open(os.path.join(root, "PLAN_AUDIT.md")).read()
+    audited = set(re.findall(r"^\| (q_\w+) \|", audit, flags=re.M))
+    missing = sorted(set(QUERIES) - audited)
+    stale = sorted(audited - set(QUERIES))
+    assert not missing, f"queries without a PLAN_AUDIT row: {missing}"
+    assert not stale, f"PLAN_AUDIT rows for unregistered queries: {stale}"

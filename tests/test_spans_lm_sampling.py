@@ -315,3 +315,31 @@ def test_weighted_sample_upweights_and_is_partitioning_invariant(spark, sf_dir):
     assert a == b  # cluster-size invariance
 
     assert "TakeOrderedAndProject" in explain_str(s, "simple")  # no global sort
+
+
+def test_fuzzy_block_cost_guard_fires_on_hot_block(spark):
+    """max_block_cost is the quadratic-bomb guard (same enforce-don't-
+    document pattern as semantic_dedup.max_pair_cost): a deliberately hot
+    blocking key — 26 tokens that all share the 1-deletion variant 'x' —
+    must raise BEFORE the pair expansion launches, while a loose bound
+    leaves output identical to the unguarded path."""
+    import pytest as _pytest
+
+    from platform_etl_backend_spark.operators.dedup import fuzzy_pairs_dist1
+
+    rows = [(i, ch + "x") for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz")]
+    df = spark.createDataFrame(rows, ["c_custkey", "c_name"])
+    with _pytest.raises(ValueError, match="max_block_cost"):
+        fuzzy_pairs_dist1(df, "c_custkey", "c_name", max_block_cost=100).collect()
+
+    loose = sorted(
+        (r.tok_a, r.tok_b, r.dist)
+        for r in fuzzy_pairs_dist1(
+            df, "c_custkey", "c_name", max_block_cost=10_000
+        ).collect()
+    )
+    unguarded = sorted(
+        (r.tok_a, r.tok_b, r.dist)
+        for r in fuzzy_pairs_dist1(df, "c_custkey", "c_name").collect()
+    )
+    assert loose == unguarded and len(loose) > 0
