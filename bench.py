@@ -116,6 +116,7 @@ HEADLINE = [
     "q_quality_classifier",
     "q_unigram_tokenize",
     "q_unigram_em_costs",
+    "q_mp3_frame_walk",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

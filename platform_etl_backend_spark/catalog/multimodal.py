@@ -441,3 +441,65 @@ def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# --- MP3 frame-header walk (real struct-math codec path) -------------------
+
+_MP3_BITRATES = (64, 96, 128, 192, 320)  # catalog choice by doc_id % 5
+
+
+def _mp3_sql_case(expr_fmt: str) -> str:
+    from platform_etl_backend_spark.operators.codecs import mp3_frame_size
+
+    whens = " ".join(
+        f"WHEN {i} THEN {expr_fmt.format(br=br, fsz=mp3_frame_size(br, 44100, 0))}"
+        for i, br in enumerate(_MP3_BITRATES)
+    )
+    return f"CASE doc_id % 5 {whens} END"
+
+
+@register(
+    "q_mp3_frame_walk",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, length(text) % 8 + 1 AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST({_mp3_sql_case("{br}")} AS INTEGER) AS bitrate_kbps,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(n * 1152 AS BIGINT) AS total_samples,
+           CAST(n * {_mp3_sql_case("{fsz}")} AS BIGINT) AS payload_bytes
+    FROM m
+    """,
+    description="REAL MP3 frame-header walk (ISO 11172-3 struct math): "
+    "Catalyst assembles a CBR stream per doc — genuine MPEG-1 Layer III "
+    "headers (bitrate varying by doc, every third doc behind an ID3v2 tag "
+    "with a synchsafe size) — and the Arrow stage walks it frame by frame "
+    "(sync validation, bitrate/samplerate table lookups, frame-length "
+    "hops, ID3 skip). The oracle predicts every stat in closed form from "
+    "the public frame-length formula; a walker that mis-hopped a single "
+    "frame or mis-read the synchsafe size breaks the hashes. Zero-shuffle "
+    "plan; Layer III AUDIO decode stays an honest stub (DSP-library-bound)",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.codecs import build_mp3_cbr
+
+    d = table(spark, sf_dir, "documents")
+    n = (F.length("text") % 8 + 1).cast("int")
+    # one real frame per bitrate, as binary literals (zeroed main data)
+    frame = None
+    for i, br in enumerate(_MP3_BITRATES):
+        lit = F.lit(build_mp3_cbr(1, br))
+        frame = F.when(F.col("doc_id") % 5 == i, lit) if frame is None else frame.when(
+            F.col("doc_id") % 5 == i, lit
+        )
+    id3 = build_mp3_cbr(0, 64, id3_pad=17)[: 10 + 17]  # tag only, no frames
+    prefix = F.when(F.col("doc_id") % 3 == 0, F.lit(id3)).otherwise(
+        F.lit(b"")
+    )
+    reps = None
+    for k in range(1, 9):
+        body = F.concat(*([frame] * k))
+        reps = F.when(n == k, body) if reps is None else reps.when(n == k, body)
+    stream = d.select("doc_id", F.concat(prefix, reps).alias("mp3"))
+    return MM.mp3_stats(stream, "doc_id", "mp3")

@@ -248,3 +248,102 @@ def decode_media(payload: bytes, fmt: str):
         f"format {fmt!r} needs an external codec library (PIL/libav), "
         "not present in this environment"
     )
+
+
+# --- MP3 (MPEG-1 Audio Layer III) frame walking -----------------------------
+# Pure struct math over the public header format (ISO/IEC 11172-3): the
+# frame-header walk — sync validation, bitrate/samplerate table lookups,
+# frame-length arithmetic, ID3v2 skip — needs no DSP library and is the
+# part a 100 TB audio-corpus pipeline actually runs at scan time (duration
+# and bitrate bookkeeping before any sample is decoded). Decoding Layer
+# III AUDIO (huffman spectral data, IMDCT, polyphase filterbank) stays an
+# honest NotImplementedError in decode_media.
+
+MP3_BITRATES_V1L3 = (  # kbps by header index, MPEG-1 Layer III (index 0=free, 15=bad)
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES_V1 = (44100, 48000, 32000)  # by header index (3 = reserved)
+MP3_SAMPLES_PER_FRAME_V1L3 = 1152
+
+
+def mp3_frame_size(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """Layer III MPEG-1 frame length in bytes: 144 * bitrate / samplerate
+    + padding (integer floor — the spec's formula)."""
+    return 144 * bitrate_kbps * 1000 // sample_rate + padding
+
+
+def build_mp3_cbr(
+    n_frames: int, bitrate_kbps: int, sample_rate: int = 44100, id3_pad: int = 0
+) -> bytes:
+    """Synthesize a structurally-valid CBR stream: real headers, zeroed
+    main data (silence placeholder — audio synthesis is out of scope).
+    Optional ID3v2 tag prefix with a synchsafe size of ``id3_pad``."""
+    br_idx = MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = MP3_SAMPLE_RATES_V1.index(sample_rate)
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]  # MPEG1, L3, no CRC, stereo
+    )
+    frame = hdr + b"\x00" * (mp3_frame_size(bitrate_kbps, sample_rate, 0) - 4)
+    out = b""
+    if id3_pad:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+             (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        ) + b"\x00" * id3_pad
+    return out + frame * n_frames
+
+
+def mp3_frame_walk(payload: bytes) -> dict[str, int]:
+    """Walk every frame header: skip an ID3v2 tag if present, then
+    repeatedly validate the 11-bit sync + table indices, look up bitrate/
+    samplerate, and hop by the computed frame length. The stream must
+    consist of whole frames (a truncated tail raises). Returns
+    n_frames, bitrate_kbps (-1 when frames disagree — VBR), sample_rate,
+    total_samples, payload_bytes (frame bytes excl. the ID3 tag)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    start = pos
+    n_frames = 0
+    bitrates: set[int] = set()
+    sample_rate = None
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame header")
+        b0, b1, b2, _ = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost sync at byte {pos}")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise NotImplementedError("only MPEG-1 Layer III frame walk supported")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"bad bitrate/samplerate index at byte {pos}")
+        br = MP3_BITRATES_V1L3[br_idx]
+        sr = MP3_SAMPLE_RATES_V1[sr_idx]
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("sample-rate change mid-stream")
+        size = mp3_frame_size(br, sr, padding)
+        if pos + size > len(payload):
+            raise ValueError(f"truncated frame at byte {pos}")
+        bitrates.add(br)
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrates.pop() if len(bitrates) == 1 else -1,
+        "sample_rate": sample_rate,
+        "total_samples": n_frames * MP3_SAMPLES_PER_FRAME_V1L3,
+        "payload_bytes": pos - start,
+    }

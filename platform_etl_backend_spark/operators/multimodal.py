@@ -8,10 +8,13 @@ Two decode tiers:
   ``image_decode_features``, ``audio_roundtrip_features``,
   ``jpeg_roundtrip_features``, and ``png_roundtrip_features`` genuinely
   parse the containers.
-- STUB for library-bound formats (MP3/video): ``_decode_impl`` derives
-  deterministic pseudo-pixels from the payload hash so the Spark-side
-  plumbing — schema, batching, partitioning, UDF signature — is real and
-  testable; ``decode_or_raise`` raises honestly for those formats.
+- STUB for library-bound formats (MP3/video SAMPLE decode): ``_decode_impl``
+  derives deterministic pseudo-pixels from the payload hash so the
+  Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+  real and testable; ``decode_or_raise`` raises honestly for those formats.
+  MP3 frame-HEADER walking (``mp3_stats``) is real — pure struct math over
+  the public ISO 11172-3 header format; only Layer III audio synthesis
+  remains library-bound.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
 processes Arrow record batches (no per-row pickling); feature vectors come
@@ -249,3 +252,36 @@ def png_roundtrip_features(df: DataFrame, id_col: str, data_col: str) -> DataFra
             )
 
     return df.select(id_col, data_col).mapInPandas(batches, schema)
+
+
+def mp3_stats(df: DataFrame, id_col: str, mp3_col: str) -> DataFrame:
+    """REAL MP3 frame-header walk via Arrow-batched ``mapInPandas``: sync
+    validation, bitrate/samplerate table lookups, ID3v2 skip, frame-length
+    hops (operators/codecs.py mp3_frame_walk — pure struct math over the
+    public ISO 11172-3 header format). This is the scan-time bookkeeping an
+    audio corpus pipeline runs before any sample is decoded; Layer III
+    audio DECODE stays an honest NotImplementedError (DSP-library-bound).
+    Zero-shuffle plan: select + mapInPandas only."""
+    from platform_etl_backend_spark.operators import codecs
+
+    schema = (
+        f"{id_col} bigint, n_frames int, bitrate_kbps int, sample_rate int, "
+        "total_samples bigint, payload_bytes bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[mp3_col]):
+                s = codecs.mp3_frame_walk(bytes(payload))
+                rows.append(
+                    (mid, s["n_frames"], s["bitrate_kbps"], s["sample_rate"],
+                     s["total_samples"], s["payload_bytes"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "bitrate_kbps", "sample_rate",
+                         "total_samples", "payload_bytes"],
+            )
+
+    return df.select(id_col, mp3_col).mapInPandas(batches, schema)

@@ -469,3 +469,56 @@ def test_gif_lzw_and_container_roundtrips():
     enc[sep + 9] |= 0x40
     with pytest.raises(NotImplementedError):
         decode_gif(bytes(enc))
+
+
+# --- MP3 frame-header walk --------------------------------------------------
+
+def test_mp3_walk_cbr_and_id3():
+    from platform_etl_backend_spark.operators.codecs import (
+        build_mp3_cbr,
+        mp3_frame_size,
+        mp3_frame_walk,
+    )
+
+    s = mp3_frame_walk(build_mp3_cbr(7, 192))
+    assert s == {
+        "n_frames": 7, "bitrate_kbps": 192, "sample_rate": 44100,
+        "total_samples": 7 * 1152, "payload_bytes": 7 * mp3_frame_size(192, 44100, 0),
+    }
+    # ID3v2 skip: identical frame stats, tag excluded from payload_bytes
+    assert mp3_frame_walk(build_mp3_cbr(7, 192, id3_pad=100)) == s
+
+
+def test_mp3_walk_vbr_padding_and_rejection():
+    import pytest as _pytest
+
+    from platform_etl_backend_spark.operators.codecs import (
+        build_mp3_cbr,
+        mp3_frame_size,
+        mp3_frame_walk,
+    )
+
+    vbr = build_mp3_cbr(2, 64) + build_mp3_cbr(1, 320)
+    assert mp3_frame_walk(vbr)["bitrate_kbps"] == -1  # frames disagree
+
+    # hand-built frame WITH the padding bit: one extra byte, still walks
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2) | 0x02, 0x00])  # 128k, padded
+    padded = hdr + b"\x00" * (mp3_frame_size(128, 44100, 1) - 4)
+    assert mp3_frame_walk(padded)["n_frames"] == 1
+
+    with _pytest.raises(ValueError, match="truncated frame"):
+        mp3_frame_walk(build_mp3_cbr(2, 128)[:-5])
+    with _pytest.raises(ValueError, match="lost sync"):
+        mp3_frame_walk(b"\x00\x01\x02\x03" * 30)
+    with _pytest.raises(ValueError, match="bad bitrate"):
+        mp3_frame_walk(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 400)
+    with _pytest.raises(NotImplementedError):
+        mp3_frame_walk(bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\x00" * 400)  # MPEG-2
+
+
+def test_mp3_frame_walk_query_plan_is_map_side(spark, sf_dir):
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.plans import explain_str
+
+    plan = explain_str(QUERIES["q_mp3_frame_walk"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan  # zero-shuffle: scan -> project -> Arrow map
