@@ -117,6 +117,7 @@ HEADLINE = [
     "q_unigram_tokenize",
     "q_unigram_em_costs",
     "q_mp3_frame_walk",
+    "q_jpeg_progressive",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -80,7 +80,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # ROUND-6 ROTATION TODO: with CORRECTNESS_r05 green, the only queries
 # without cumulative driver evidence are q_cdc_dedup_ratio (the documented
 # deferral) and the round-5 additions q_quality_classifier,
-# q_unigram_tokenize, q_unigram_em_costs, q_mp3_frame_walk (registered past position 50 —
+# q_unigram_tokenize, q_unigram_em_costs, q_mp3_frame_walk,
+# q_jpeg_progressive (registered past position 50 —
 # slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
 # prioritization). All four are replica-green at both SFs; front them in
 # the round-6 window plus any round-6 changed contracts, then pad with

@@ -275,6 +275,31 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jpeg_progressive",
+    oracle="""
+    SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+           TRUE AS ok
+    FROM documents
+    """,
+    description="REAL progressive JPEG (SOF2, T.81 Annex G — spectral "
+    "selection + successive approximation with EOB-run coding, plus DRI/"
+    "RSTn restart framing; operators/jpeg.py, no PIL/libjpeg): per-doc "
+    "plane encoded through the standard scan script (DC+AC first/refine) "
+    "and decoded by coefficient accumulation across scans; ok requires "
+    "the progressive decode to equal the plain-baseline decode EXACTLY "
+    "(same quantized coefficients by construction), so any refinement-"
+    "bit, EOB-run, or restart bug flips the hash. Zero-shuffle Arrow plan",
+    tags=("multimodal", "binary", "pandas-udf", "codec"),
+)
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return MM.jpeg_roundtrip_features(
+        d, "doc_id", height=24, width=16, quality=90,
+        progressive=True, restart_interval=2,
+    )
+
+
+@register(
     "q_png_decode",
     oracle="""
     WITH d AS (SELECT doc_id, substr(text, 1, 96) AS s

@@ -11,13 +11,15 @@ decode from first principles, which upgrades the multimodal plumbing from
   (PCM format tag 1, 16-bit) + ``data`` chunk of little-endian int16
   samples.
 
-Baseline-sequential 4:4:4 JPEG also decodes for REAL — from first
-principles in ``operators/jpeg.py`` (numpy DCT + canonical Huffman) — and
-so does PNG (``operators/png.py``: stdlib zlib DEFLATE + all five
-scanline filters + palette; lossless, so roundtrips are byte-exact).
-Formats that genuinely need external libraries (MP3/H.264, and
-progressive JPEG) still raise ``NotImplementedError`` via
-``decode_media`` — honest stubs, per the repo's no-fake-decodes rule.
+JPEG decodes for REAL — from first principles in ``operators/jpeg.py``
+(numpy DCT + canonical Huffman; baseline sequential incl. 4:2:0 AND
+progressive SOF2 with successive approximation, restart intervals in both
+modes) — and so does PNG (``operators/png.py``: stdlib zlib DEFLATE + all
+five scanline filters + palette; lossless, so roundtrips are byte-exact).
+MP3 frame-HEADER walking is real struct math (``mp3_frame_walk`` below);
+formats that genuinely need external libraries (MP3 audio synthesis,
+H.264) still raise ``NotImplementedError`` via ``decode_media`` — honest
+stubs, per the repo's no-fake-decodes rule.
 
 Everything here is deterministic and byte-exact, so decode paths can be
 oracle-paired: a catalog query ENCODES payloads from known bytes Spark-side,

@@ -108,12 +108,13 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every: int = 2) -> D
 
 
 def decode_or_raise(payload: bytes, fmt: str = "jpeg") -> np.ndarray:
-    """Production decode entrypoint. PPM, WAV, baseline JPEG (4:4:4 and
-    subsampled up to 2x2), PNG (all byte-aligned depths incl. 16-bit and
-    Adam7 interlace), GIF, and BMP decode for REAL via the parsers in
-    ``operators/codecs.py``, ``operators/jpeg.py``, ``operators/png.py``,
-    and ``operators/gif.py``; library-bound formats (MP3/video,
-    progressive JPEG, sub-byte-depth PNG) still raise honestly."""
+    """Production decode entrypoint. PPM, WAV, JPEG (baseline incl.
+    subsampling up to 2x2 AND progressive with successive approximation,
+    restart intervals in both modes), PNG (all byte-aligned depths incl.
+    16-bit and Adam7 interlace), GIF, and BMP decode for REAL via the
+    parsers in ``operators/codecs.py``, ``operators/jpeg.py``,
+    ``operators/png.py``, and ``operators/gif.py``; library-bound formats
+    (MP3/video sample decode, sub-byte-depth PNG) still raise honestly."""
     from platform_etl_backend_spark.operators.codecs import decode_media
 
     return decode_media(payload, fmt)
@@ -126,6 +127,8 @@ def jpeg_roundtrip_features(
     width: int = 16,
     quality: int = 90,
     max_err: int = 3,
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """REAL JPEG codec exercise via ``mapInPandas``: build a smooth
     grayscale plane from each id (base = id mod 128, +row +col gradient),
@@ -135,7 +138,15 @@ def jpeg_roundtrip_features(
     plane is within ``max_err`` of the source everywhere. The oracle
     predicts (width, height, TRUE) from the spec guarantee — any bug in
     either direction (marker framing, Huffman tables, zigzag, quant, IDCT)
-    breaks the roundtrip bound and flips the hash."""
+    breaks the roundtrip bound and flips the hash.
+
+    With ``progressive``/``restart_interval`` set, the encode runs through
+    the SOF2 scan script (spectral selection + successive approximation)
+    and/or DRI+RSTn framing, and ``ok`` ADDITIONALLY requires the decoded
+    plane to equal the plain-baseline decode EXACTLY — progressive coding
+    transmits the same quantized coefficients, so any refinement-bit or
+    EOB-run bug breaks exact equality even when the loose error bound
+    would still pass."""
     from platform_etl_backend_spark.operators import jpeg as J
 
     schema = f"{id_col} bigint, width int, height int, ok boolean"
@@ -147,10 +158,19 @@ def jpeg_roundtrip_features(
             rows = []
             for mid in pdf[id_col]:
                 img = ((int(mid) % 128) + r + c).astype(np.uint8)
-                out = J.decode_jpeg(J.encode_jpeg(img, quality))
+                out = J.decode_jpeg(
+                    J.encode_jpeg(
+                        img, quality,
+                        progressive=progressive,
+                        restart_interval=restart_interval,
+                    )
+                )
                 ok = out.shape == (height, width) and int(
                     np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
                 ) <= max_err
+                if ok and (progressive or restart_interval):
+                    base = J.decode_jpeg(J.encode_jpeg(img, quality))
+                    ok = bool(np.array_equal(out, base))
                 rows.append((mid, width, height, bool(ok)))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "ok"])
 

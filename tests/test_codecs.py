@@ -522,3 +522,62 @@ def test_mp3_frame_walk_query_plan_is_map_side(spark, sf_dir):
 
     plan = explain_str(QUERIES["q_mp3_frame_walk"].fn(spark, sf_dir), "simple")
     assert "Exchange" not in plan  # zero-shuffle: scan -> project -> Arrow map
+
+
+# --- progressive JPEG + restart intervals -----------------------------------
+
+def test_jpeg_progressive_exactly_equals_baseline_decode():
+    """Progressive coding transmits the SAME quantized coefficients, so
+    the decoded planes must be bit-identical to the baseline decode —
+    a single wrong refinement bit or EOB-run hop breaks equality."""
+    import numpy as np
+
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (np.add.outer(np.arange(24), np.arange(17)).astype(np.uint8) * 3, {}),
+        (rng.randint(0, 256, (32, 21, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (33, 30, 3)).astype(np.uint8), {"subsampling": "420"}),
+        (np.full((32, 32, 3), 77, np.uint8), {}),  # flat: EOB runs > 1
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, 85, **kw))
+        prog = decode_jpeg(encode_jpeg(img, 85, progressive=True, **kw))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_restart_intervals_both_modes():
+    import numpy as np
+
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (40, 35, 3)).astype(np.uint8)
+    for kw in ({}, {"subsampling": "420"}, {"progressive": True},
+               {"progressive": True, "subsampling": "420"}):
+        a = decode_jpeg(encode_jpeg(img, 85, **kw))
+        b = decode_jpeg(encode_jpeg(img, 85, restart_interval=2, **kw))
+        assert np.array_equal(a, b), kw
+    # stream genuinely contains RST markers
+    s = encode_jpeg(img, 85, restart_interval=2)
+    assert any(s[i] == 0xFF and 0xD0 <= s[i + 1] <= 0xD7 for i in range(2, len(s) - 3))
+
+
+def test_jpeg_progressive_stream_structure_and_rejection():
+    import numpy as np
+    import pytest as _pytest
+
+    from platform_etl_backend_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(16), np.arange(16)) * 5 % 256).astype(np.uint8)
+    s = encode_jpeg(img, 85, progressive=True)
+    assert b"\xff\xc2" in s  # SOF2
+    assert s.count(b"\xff\xda") >= 5  # multi-scan script
+    # truncating inside a later scan must raise, not return garbage
+    with _pytest.raises(ValueError):
+        decode_jpeg(s[: len(s) // 2] + b"\xff\xd9")
+    # arithmetic/lossless SOFs still rejected honestly
+    bad = s.replace(b"\xff\xc2", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bad)
