@@ -279,7 +279,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
            TRUE AS ok
-    FROM documents
+    FROM documents WHERE doc_id % 5 = 0
     """,
     description="REAL progressive JPEG (SOF2, T.81 Annex G — spectral "
     "selection + successive approximation with EOB-run coding, plus DRI/"
@@ -292,7 +292,16 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "binary", "pandas-udf", "codec"),
 )
 def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # every 5th doc: the progressive pipeline runs ~20 Python scan passes
+    # per image (10-scan encode + multi-scan decode + the baseline
+    # reference pipeline), so the catalog pins correctness on a 1-in-5
+    # sample — the per-image kernel cost is constant, coverage of the
+    # codec features is identical
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
     return MM.jpeg_roundtrip_features(
         d, "doc_id", height=24, width=16, quality=90,
         progressive=True, restart_interval=2,

@@ -2659,7 +2659,11 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus token explode runs twice (at 100 TB the type table is exactly
     # what you materialize)
     words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
-    vocab = UNI.seed_piece_costs(words)
+    # checkpoint the vocab as well: it rides into the DP as a 1-row
+    # broadcast map, and without the cut the broadcast build re-executes
+    # the whole substring-explode/top-k pipeline (measured ~1.6s of the
+    # query's wall at sf0.1 on a 66-row table)
+    vocab = UNI.seed_piece_costs(words).localCheckpoint()
     return UNI.viterbi_segment(words, vocab).orderBy("word")
 
 
@@ -2692,5 +2696,5 @@ def q_unigram_em_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus token explode runs twice (at 100 TB the type table is exactly
     # what you materialize)
     words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
-    vocab = UNI.seed_piece_costs(words)
+    vocab = UNI.seed_piece_costs(words).localCheckpoint()  # see q_unigram_tokenize
     return UNI.em_reestimate_costs(UNI.viterbi_segment(words, vocab)).orderBy("piece")

@@ -97,7 +97,10 @@ def seed_piece_costs(
         .orderBy(F.desc("freq"), "piece")
         .limit(topk)
     )
-    vocab = singles.unionAll(multis)
+    # cut lineage: the vocab table feeds BOTH the total (a broadcast agg)
+    # and the output rows — without the checkpoint the substring explode +
+    # top-k pipeline executes twice (once inside the broadcast build)
+    vocab = singles.unionAll(multis).localCheckpoint()
     total = vocab.agg(F.sum("freq").cast("bigint").alias("total"))
     return vocab.crossJoin(F.broadcast(total)).select(
         "piece",
@@ -152,14 +155,22 @@ def viterbi_segment(
 
     w = w.withColumn("best_0", F.lit(0).cast("bigint"))
     for i in range(1, wmax + 1):
-        cands = [
-            F.col(f"best_{i - j}") + F.col(c(i, j))
-            for j in range(1, min(lmax, i) + 1)
-        ]
-        w = w.withColumn(f"best_{i}", F.least(*cands) if len(cands) > 1 else cands[0])
-        bp: Column | None = None
+        # materialize candidates as columns: best_i and bp_i then reference
+        # ATTRIBUTES instead of duplicating the add expressions — keeps the
+        # generated whole-stage code small (the duplicated-expression form
+        # compiled noticeably slower at this unroll depth)
+        names = []
         for j in range(1, min(lmax, i) + 1):
-            hit = (F.col(f"best_{i - j}") + F.col(c(i, j))) == F.col(f"best_{i}")
+            name = f"cand_{i}_{j}"
+            w = w.withColumn(name, F.col(f"best_{i - j}") + F.col(c(i, j)))
+            names.append((j, name))
+        w = w.withColumn(
+            f"best_{i}",
+            F.least(*[F.col(n) for _, n in names]) if len(names) > 1 else F.col(names[0][1]),
+        )
+        bp: Column | None = None
+        for j, name in names:
+            hit = F.col(name) == F.col(f"best_{i}")
             bp = F.when(hit, j) if bp is None else bp.when(hit, j)
         w = w.withColumn(f"bp_{i}", bp.cast("int"))
 
