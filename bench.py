@@ -118,6 +118,30 @@ HEADLINE = [
     "q_unigram_em_costs",
     "q_mp3_frame_walk",
     "q_jpeg_progressive",
+    "q_markov_transitions",
+    "q_double_exp_smoothing",
+    "q_sax_symbols",
+    "q_multi_pattern_match",
+    "q_grid_cluster",
+    "q_dsir_weights",
+    "q_pca_power",
+    "q_mann_whitney",
+    "q_ks_test",
+    "q_ams_sketch",
+    "q_recursive_cte",
+    "q_welch_ttest",
+    "q_acf_multilag",
+    "q_seasonal_indices",
+    "q_spearman_corr",
+    "q_hits",
+    "q_readability",
+    "q_rake_keywords",
+    "q_wordpiece_encode",
+    "q_phonetic_blocking",
+    "q_fellegi_sunter",
+    "q_personalized_pagerank",
+    "q_paragraph_dedup",
+    "q_epoch_shuffle",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -81,9 +81,16 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # without cumulative driver evidence are q_cdc_dedup_ratio (the documented
 # deferral) and the round-5 additions q_quality_classifier,
 # q_unigram_tokenize, q_unigram_em_costs, q_mp3_frame_walk,
-# q_jpeg_progressive (registered past position 50 —
+# q_jpeg_progressive, q_markov_transitions, q_double_exp_smoothing,
+# q_sax_symbols, q_multi_pattern_match, q_grid_cluster, q_dsir_weights,
+# q_pca_power, q_mann_whitney, q_ks_test, q_ams_sketch, q_recursive_cte,
+# q_welch_ttest, q_acf_multilag, q_seasonal_indices, q_spearman_corr,
+# q_hits, q_readability, q_rake_keywords, q_wordpiece_encode,
+# q_phonetic_blocking, q_fellegi_sunter, q_personalized_pagerank,
+# q_paragraph_dedup, q_epoch_shuffle
+# (registered past position 50 —
 # slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
-# prioritization). All four are replica-green at both SFs; front them in
+# prioritization). All are replica-green at both SFs; front them in
 # the round-6 window plus any round-6 changed contracts, then pad with
 # never-twice-checked rows.
 # ---------------------------------------------------------------------------

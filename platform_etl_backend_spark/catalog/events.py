@@ -1946,3 +1946,638 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum_revenue") / F.col("cohort_size"), 6).alias("ltv_per_user"),
         )
     )
+
+
+# --- Markov transition matrix (session-based next-event model) -------------
+
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    p AS (SELECT event_type AS prev_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                     AS next_type
+          FROM e),
+    c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM p WHERE next_type IS NOT NULL GROUP BY prev_type, next_type),
+    t AS (SELECT prev_type, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.c_ab, t.c_a,
+           CAST((1000000 * c.c_ab) // t.c_a AS BIGINT) AS p_micro
+    FROM c JOIN t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    description="first-order Markov transition matrix over per-user event "
+    "sequences (the next-event / session-based recommendation model): "
+    "consecutive (prev, next) pairs from one user-keyed window, transition "
+    "probability as exact integer micro-units (1e6*c_ab div c_a — no float "
+    "division crosses the engine boundary). One window shuffle + two tiny "
+    "aggregations; the conditional-total join broadcasts (|event types|^2 "
+    "matrix) at any corpus size",
+    tags=("events", "sequence", "markov", "ml-prep"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    p = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    c = p.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type", "next_type", "c_ab", "c_a",
+            F.expr("CAST((1000000 * c_ab) div c_a AS BIGINT)").alias("p_micro"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --- Brown's double exponential smoothing (trend-aware forecast) -----------
+
+@register(
+    "q_double_exp_smoothing",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    l1 AS (SELECT event_id, user_id,
+                  list(value) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+           FROM e),
+    s1 AS (SELECT event_id, user_id,
+                  list_reduce(vs, (acc, x) -> acc * 0.8 + x * 0.2) AS s1
+           FROM l1),
+    l2 AS (SELECT event_id, user_id, s1,
+                  list(s1) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss
+           FROM s1),
+    s2 AS (SELECT event_id, user_id, s1,
+                  list_reduce(ss, (acc, x) -> acc * 0.8 + x * 0.2) AS s2
+           FROM l2)
+    SELECT event_id, user_id,
+           ROUND(2.0 * s1 - s2, 6) AS level,
+           ROUND(0.25 * (s1 - s2), 6) AS trend,
+           ROUND((2.0 * s1 - s2) + 0.25 * (s1 - s2), 6) AS forecast_1
+    FROM s2
+    """,
+    description="Brown's double exponential smoothing (public textbook "
+    "method): trend-aware one-step forecast as two chained EWMA folds — "
+    "S1 = EWMA(x), S2 = EWMA(S1), level = 2*S1 - S2, trend = "
+    "alpha/(1-alpha)*(S1-S2). Both folds are the q_ewma pattern: "
+    "single-field sequential recurrences over identical doubles, "
+    "bit-reproducible without decimal scaffolding (and immune to the "
+    "documented DuckDB multi-field list_reduce mutation). Two user-keyed "
+    "window passes over ONE shuffle partitioning — the second window "
+    "reuses the first exchange",
+    tags=("events", "timeseries", "forecast", "hof"),
+)
+def q_double_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    alpha = 0.2
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    fold = lambda vs: F.aggregate(  # noqa: E731
+        F.slice(vs, 2, F.size(vs) - 1),
+        F.element_at(vs, 1),
+        lambda acc, x: acc * F.lit(1 - alpha) + x * F.lit(alpha),
+    )
+    s1 = e.select(
+        "event_id", "user_id",
+        fold(F.collect_list("value").over(w1)).alias("s1"),
+    )
+    # the second smoothing pass orders by event_id alone: s1 is already a
+    # deterministic per-row value, and (user_id, event_id) is unique, so
+    # the fold order is identical on both engines
+    w2 = (
+        Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-19, 0)
+    )
+    s2 = s1.select(
+        "event_id", "user_id", "s1",
+        fold(F.collect_list("s1").over(w2)).alias("s2"),
+    )
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.lit(alpha / (1 - alpha)) * (F.col("s1") - F.col("s2"))
+    return s2.select(
+        "event_id", "user_id",
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + trend, 6).alias("forecast_1"),
+    )
+
+
+# --- SAX: symbolic aggregate approximation of per-user series --------------
+
+@register(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_EPOCH_DUCK} AS ep FROM events),
+    st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+           FROM e GROUP BY user_id),
+    r AS (SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ep, event_id) AS rn
+          FROM e),
+    seg AS (SELECT user_id, ((rn - 1) * 4) // n AS seg, value
+            FROM r JOIN st USING (user_id)),
+    paa AS (SELECT user_id, seg,
+                   CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS psum,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM seg GROUP BY user_id, seg),
+    z AS (SELECT p.user_id, p.seg, s.n,
+                 CASE WHEN (s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) <= 0 THEN NULL
+                      ELSE ((p.psum / p.cnt) - s.sx / s.n)
+                           / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) END AS zv
+          FROM paa p JOIN st s USING (user_id))
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+           string_agg(CASE WHEN zv IS NULL THEN '_'
+                           WHEN zv < -0.6745 THEN 'a'
+                           WHEN zv < 0.0 THEN 'b'
+                           WHEN zv < 0.6745 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax
+    FROM z GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="SAX (symbolic aggregate approximation, Lin/Keogh 2003 — "
+    "public): per-user series z-normalized (population moments from DECIMAL "
+    "power sums — order-free distributed summation; sqrt and the division "
+    "chain are IEEE-exact on identical operands), PAA-compressed to 4 "
+    "segments by pure integer index math, discretized on the standard "
+    "4-symbol Gaussian breakpoints (+-0.6745 literals). The motif/anomaly "
+    "indexing representation for massive time-series corpora: two "
+    "user-keyed aggregations + one window, no per-point state",
+    tags=("events", "timeseries", "sax", "ml-prep"),
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    st = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    r = e.select("user_id", "value", F.row_number().over(w).alias("rn"))
+    seg = r.join(st, "user_id").select(
+        "user_id", F.expr("((rn - 1) * 4) div n").alias("seg"), "value"
+    )
+    paa = seg.groupBy("user_id", "seg").agg(
+        F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("psum"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    zv = F.when(var <= 0, F.lit(None)).otherwise(
+        ((F.col("psum") / F.col("cnt")) - mean) / F.sqrt(var)
+    )
+    sym = (
+        F.when(F.col("zv").isNull(), "_")
+        .when(F.col("zv") < -0.6745, "a")
+        .when(F.col("zv") < 0.0, "b")
+        .when(F.col("zv") < 0.6745, "c")
+        .otherwise("d")
+    )
+    z = paa.join(st, "user_id").select("user_id", "seg", "n", zv.alias("zv"))
+    return (
+        z.select("user_id", "seg", "n", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+                    lambda s: s.sym,
+                ),
+                "",
+            ).alias("sax"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Mann-Whitney U (Wilcoxon rank-sum) two-sample test --------------------
+
+# Shared final-expression text: the z statistic must be the SAME arithmetic
+# chain on both engines (every operand an exact integer, so the double
+# divisions / sqrt are correctly rounded on identical bits).
+_MW_Z = (
+    "ROUND(CAST(u2_a - n_a * n_b AS DOUBLE) / "
+    "(2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) * "
+    "(CAST(n + 1 AS DOUBLE) - CAST(tie AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6)"
+)
+
+
+@register(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM base GROUP BY event_type, value),
+    r AS (
+      SELECT event_type, cnt, cnt_a,
+             COALESCE(CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS BIGINT), 0) AS cum
+      FROM g),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(cnt_a * (2 * cum + cnt + 1)) AS BIGINT) AS two_ra,
+             CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+      FROM r GROUP BY event_type),
+    s AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             two_ra - n_a * (n_a + 1) AS u2_a, n, tie
+      FROM a)
+    SELECT event_type, n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+           {_MW_Z} AS z
+    FROM s ORDER BY event_type
+    """,
+    description="Mann-Whitney U / Wilcoxon rank-sum two-sample test per "
+    "event type (cohort A = even user_id): midranks with tie handling as "
+    "EXACT integers (2x the rank-sum of A is sum(cnt_a*(2*cum+cnt+1)) over "
+    "the distinct-value frame), U from the rank-sum identity, z with the "
+    "tie-corrected variance — the only floats are final divisions/sqrt on "
+    "identical exact operands. SCALE: the ECDF window runs over the "
+    "DISTINCT-VALUE frame (|group| x |distinct values|), not raw rows — "
+    "a per-type shuffle carries one row per distinct value, and the raw "
+    "scan aggregates map-side first",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type", "cnt", "cnt_a",
+        F.coalesce(F.sum("cnt").over(w).cast("bigint"), F.lit(0)).alias("cum"),
+    )
+    a = r.groupBy("event_type").agg(
+        F.sum(F.col("cnt_a") * (2 * F.col("cum") + F.col("cnt") + 1))
+        .cast("bigint").alias("two_ra"),
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint").alias("tie"),
+    )
+    s = a.select(
+        "event_type", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
+        (F.col("two_ra") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+        "n", "tie",
+    )
+    return s.select(
+        "event_type", "n_a", "n_b",
+        F.col("u2_a").cast("bigint").alias("u2_a"),
+        F.expr(_MW_Z).alias("z"),
+    ).orderBy("event_type")
+
+
+# --- Kolmogorov-Smirnov two-sample test ------------------------------------
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM base GROUP BY event_type, value),
+    r AS (
+      SELECT event_type,
+             CAST(SUM(cnt_a) OVER wc AS BIGINT) AS cum_a,
+             CAST(SUM(cnt) OVER wc AS BIGINT) AS cum,
+             CAST(SUM(cnt_a) OVER wf AS BIGINT) AS n_a,
+             CAST(SUM(cnt) OVER wf AS BIGINT) AS n
+      FROM g
+      WINDOW wc AS (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type)),
+    d AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             ABS(cum_a * (n - n_a) - (cum - cum_a) * n_a) AS d_num
+      FROM r)
+    SELECT event_type, n_a, n_b,
+           CAST(MAX(d_num) AS BIGINT) AS d_num,
+           CAST(MAX(d_num) AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               AS d_stat,
+           ROUND(CAST(MAX(d_num) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_scaled
+    FROM d GROUP BY event_type, n_a, n_b ORDER BY event_type
+    """,
+    description="two-sample Kolmogorov-Smirnov test per event type (cohort "
+    "A = even user_id): D = max |ECDF_A - ECDF_B| carried as the EXACT "
+    "integer cross-product |cumA*nB - cumB*nA| (no float compare decides "
+    "the max), one final IEEE division for D and the sqrt(n_a*n_b/n) "
+    "effect scaling. SCALE: identical shape to q_mann_whitney — the "
+    "cumulative window runs over the distinct-value frame after a map-side "
+    "pre-aggregation, so the shuffle is |distinct values|, not |events|",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        F.sum("cnt_a").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt_a").over(wf).cast("bigint").alias("n_a"),
+        F.sum("cnt").over(wf).cast("bigint").alias("n"),
+    )
+    d = r.select(
+        "event_type", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
+        F.abs(
+            F.col("cum_a") * (F.col("n") - F.col("n_a"))
+            - (F.col("cum") - F.col("cum_a")) * F.col("n_a")
+        ).alias("d_num"),
+    )
+    out = d.groupBy("event_type", "n_a", "n_b").agg(
+        F.max("d_num").cast("bigint").alias("d_num")
+    )
+    d_stat = F.col("d_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return out.select(
+        "event_type", "n_a", "n_b", "d_num",
+        d_stat.alias("d_stat"),
+        F.round(
+            d_stat
+            * F.sqrt(
+                F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+            ),
+            6,
+        ).alias("ks_scaled"),
+    ).orderBy("event_type")
+
+
+# --- Welch's t-test ----------------------------------------------------------
+
+# Shared scalar tail evaluated by BOTH engines from identical exact moment
+# columns (n_a/n_b BIGINT, sx/sxx DOUBLE backed by DECIMAL(18,6) sums):
+# every operation below is fixed-order IEEE arithmetic on bit-identical
+# operands, so the results hash-match without any transcendental scaffolding
+# (sqrt is correctly rounded by the IEEE standard).
+_VA = "((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))"
+_VB = "((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+_SEA = f"({_VA} / CAST(n_a AS DOUBLE))"
+_SEB = f"({_VB} / CAST(n_b AS DOUBLE))"
+_WELCH_T = (
+    f"ROUND((sx_a / CAST(n_a AS DOUBLE) - sx_b / CAST(n_b AS DOUBLE))"
+    f" / sqrt({_SEA} + {_SEB}), 6)"
+)
+_WELCH_DF = (
+    f"ROUND(({_SEA} + {_SEB}) * ({_SEA} + {_SEB})"
+    f" / ({_SEA} * {_SEA} / CAST(n_a - 1 AS DOUBLE)"
+    f" + {_SEB} * {_SEB} / CAST(n_b - 1 AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, round(value, 6) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN in_a = 1 THEN CAST(v AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
+             CAST(SUM(CASE WHEN in_a = 0 THEN CAST(v AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
+             CAST(SUM(CASE WHEN in_a = 1 THEN CAST(round(v * v, 6) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sxx_a,
+             CAST(SUM(CASE WHEN in_a = 0 THEN CAST(round(v * v, 6) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sxx_b
+      FROM base GROUP BY event_type)
+    SELECT event_type, n_a, n_b, {_WELCH_T} AS t, {_WELCH_DF} AS df
+    FROM m ORDER BY event_type
+    """,
+    description="Welch's unequal-variance t-test per event type (cohort A = "
+    "even user_id), completing the experimentation family beside the pooled "
+    "z-test / chi-square / Mann-Whitney / KS: per-cohort moments ride "
+    "DECIMAL(18,6) conditional sums (order-invariant under distributed "
+    "aggregation), then t and the Welch-Satterthwaite df are one shared "
+    "fixed-order IEEE expression evaluated from identical operands on both "
+    "engines. SCALE: one map-side partial-aggregated groupBy over the raw "
+    "scan — the whole test is a single shuffle of |event_type| rows",
+    tags=("events", "stats", "experiment"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type",
+        F.round("value", 6).alias("v"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    z6 = F.lit(0).cast("decimal(18,6)")
+    m = base.groupBy("event_type").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("in_a") == 1, dec6("v")).otherwise(z6))
+        .cast("double").alias("sx_a"),
+        F.sum(F.when(F.col("in_a") == 0, dec6("v")).otherwise(z6))
+        .cast("double").alias("sx_b"),
+        F.sum(
+            F.when(F.col("in_a") == 1, dec6(F.round(F.col("v") * F.col("v"), 6)))
+            .otherwise(z6)
+        ).cast("double").alias("sxx_a"),
+        F.sum(
+            F.when(F.col("in_a") == 0, dec6(F.round(F.col("v") * F.col("v"), 6)))
+            .otherwise(z6)
+        ).cast("double").alias("sxx_b"),
+    )
+    return m.select(
+        "event_type", "n_a", "n_b",
+        F.expr(_WELCH_T).alias("t"),
+        F.expr(_WELCH_DF).alias("df"),
+    ).orderBy("event_type")
+
+
+# --- multi-lag autocorrelation (ACF) ----------------------------------------
+
+_ACF_LAGS = 7
+
+
+@register(
+    "q_acf_multilag",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ssum
+           FROM days),
+    r AS (
+      SELECT day, CAST((SELECT n FROM st) * s - (SELECT ssum FROM st)
+                       AS DECIMAL(38,0)) AS r
+      FROM days),
+    ld AS (
+      SELECT r,
+             {", ".join(f"LEAD(r, {k}) OVER (ORDER BY day) AS r{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM r),
+    agg AS (
+      SELECT CAST(SUM(r * r) AS DECIMAL(38,0)) AS den,
+             {", ".join(f"CAST(SUM(r * r{k}) AS DECIMAL(38,0)) AS num{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM ld)
+    {" UNION ALL ".join(f"SELECT CAST({k} AS INTEGER) AS lag, ROUND(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf FROM agg" for k in range(1, _ACF_LAGS + 1))}
+    ORDER BY lag
+    """,
+    description="multi-lag autocorrelation function (lags 1..7) of the "
+    "daily event-value series: daily totals are EXACT integer micro-units "
+    "(DECIMAL sums x 1e6), residuals use the scaled identity r_t = n*s_t - S "
+    "(no float mean subtraction — r_t is an exact integer), and each "
+    "acf_k = sum(r_t*r_{{t+k}})/sum(r_t^2) is one final IEEE division of "
+    "exact DECIMAL(38,0) cross-products. SCALE: the raw scan aggregates "
+    "map-side to |days| rows; the lag windows run on that tiny frame (the "
+    "single-partition window is over ~365 rows, not the event stream)",
+    tags=("events", "timeseries", "stats"),
+)
+def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    st = days.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("ssum"),
+    )
+    r = days.crossJoin(F.broadcast(st)).select(
+        "day",
+        (F.col("n") * F.col("s") - F.col("ssum")).cast("decimal(38,0)").alias("r"),
+    )
+    w = Window.orderBy("day")
+    ld = r.select(
+        "r",
+        *[F.lead("r", k).over(w).alias(f"r{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    agg = ld.agg(
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("den"),
+        *[
+            F.sum(F.col("r") * F.col(f"r{k}")).cast("decimal(38,0)").alias(f"num{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    stacked = agg.selectExpr(
+        "stack({n}, {pairs}) AS (lag, acf)".format(
+            n=_ACF_LAGS,
+            pairs=", ".join(
+                f"CAST({k} AS INT), ROUND(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+                for k in range(1, _ACF_LAGS + 1)
+            ),
+        )
+    )
+    return stacked.orderBy("lag")
+
+
+# --- seasonal indices (ratio-to-overall-mean decomposition) ------------------
+
+@register(
+    "q_seasonal_indices",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    per AS (
+      SELECT CAST(day % 7 AS INTEGER) AS dow,
+             CAST(SUM(s) AS BIGINT) AS sum_d,
+             CAST(COUNT(*) AS BIGINT) AS cnt_d
+      FROM days GROUP BY day % 7),
+    tot AS (SELECT CAST(SUM(s) AS BIGINT) AS sum_all,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_all
+            FROM days)
+    SELECT dow, cnt_d,
+           ROUND(CAST(CAST(sum_d AS DECIMAL(38,0)) * cnt_all AS DOUBLE)
+                 / CAST(CAST(cnt_d AS DECIMAL(38,0)) * sum_all AS DOUBLE),
+                 6) AS seasonal_idx
+    FROM per CROSS JOIN tot ORDER BY dow
+    """,
+    description="day-of-week seasonal indices (the classical "
+    "ratio-to-overall-mean decomposition step): daily totals as exact "
+    "integer micro-units, index = (dow mean)/(grand mean) evaluated as ONE "
+    "IEEE division of two exact DECIMAL(38,0) cross-products "
+    "(sum_d*cnt_all)/(cnt_d*sum_all) — no intermediate float means. "
+    "SCALE: map-side rollup to |days|, then a 7-row group-by against a "
+    "1-row broadcast total",
+    tags=("events", "timeseries", "seasonality"),
+)
+def q_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    per = days.groupBy((F.col("day") % 7).cast("int").alias("dow")).agg(
+        F.sum("s").cast("bigint").alias("sum_d"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_d"),
+    )
+    tot = days.agg(
+        F.sum("s").cast("bigint").alias("sum_all"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_all"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow", "cnt_d",
+        F.round(
+            (F.col("sum_d").cast("decimal(38,0)") * F.col("cnt_all")).cast("double")
+            / (F.col("cnt_d").cast("decimal(38,0)") * F.col("sum_all")).cast("double"),
+            6,
+        ).alias("seasonal_idx"),
+    ).orderBy("dow")

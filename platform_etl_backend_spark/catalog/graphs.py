@@ -377,3 +377,143 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select(F.col("node").alias("word"), "pr", "rn")
     )
+
+
+def _hits_oracle(iterations: int = 3, scale: int = 9) -> str:
+    """Unrolled-CTE HITS mirroring operators/graph.hits: decimal score
+    sums, ROUND(raw/norm, scale) L1 normalization per half-step. Every
+    score CTE is referenced twice (contributions + norm), so AS
+    MATERIALIZED is mandatory (the k-core/PCA exponential-re-expansion
+    gotcha)."""
+    d = f"DECIMAL(38,{scale})"
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT user_id % 100 AS s, event_type AS d FROM events)",
+        f"h0 AS MATERIALIZED (SELECT DISTINCT s AS node, CAST(1 AS {d}) AS score FROM e)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.d AS node, CAST(SUM(h.score) AS {d}) AS raw
+      FROM e JOIN {prev_h} h ON e.s = h.node GROUP BY e.d)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT node, CAST(ROUND(CAST(raw AS DOUBLE)
+                   / CAST((SELECT CAST(SUM(raw) AS {d}) FROM a{i}r) AS DOUBLE),
+                   {scale}) AS {d}) AS score FROM a{i}r)"""
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+      SELECT e.s AS node, CAST(SUM(a.score) AS {d}) AS raw
+      FROM e JOIN a{i} a ON e.d = a.node GROUP BY e.s)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT node, CAST(ROUND(CAST(raw AS DOUBLE)
+                   / CAST((SELECT CAST(SUM(raw) AS {d}) FROM h{i}r) AS DOUBLE),
+                   {scale}) AS {d}) AS score FROM h{i}r)"""
+        )
+        prev_h = f"h{i}"
+    final = (
+        f"SELECT 'auth' AS kind, CAST(node AS VARCHAR) AS node,"
+        f" ROUND(CAST(score AS DOUBLE), 6) AS score FROM a{iterations}"
+        f" UNION ALL SELECT 'hub', CAST(node AS VARCHAR),"
+        f" ROUND(CAST(score AS DOUBLE), 6) FROM h{iterations}"
+        f" ORDER BY kind, node"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@register(
+    "q_hits",
+    oracle=_hits_oracle(),
+    description="HITS hubs-and-authorities (Kleinberg 1999, the PageRank "
+    "sibling) over the bipartite user-bucket -> event-type graph: 3 "
+    "mutual-reinforcement rounds, scores as DECIMAL(38,9) exact sums with "
+    "ROUND(raw/norm, 9) L1 normalization — the q_pagerank decimal "
+    "determinism convention. SCALE: each half-step is one edge join + one "
+    "hash agg + a 1-row broadcast norm (Pregel-equivalent relational "
+    "plan); rounds are bounded, edges localCheckpoint-pinned",
+    tags=("graph", "iterative"),
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.catalog.events import events_table
+    from platform_etl_backend_spark.operators.graph import hits
+
+    e = events_table(spark, sf_dir)
+    edges = e.select(
+        (F.col("user_id") % 100).cast("bigint").alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    return hits(edges, iterations=3, scale=9).orderBy("kind", "node")
+
+
+def _ppr_oracle(iterations: int = 5, damping: float = 0.85, scale: int = 9) -> str:
+    """Unrolled-CTE personalized PageRank mirroring
+    operators/graph.personalized_pagerank: teleport mass lands only on the
+    seed set {1,2,3}; per-edge contributions rounded in double then summed
+    as decimal. Shared frames (e/nodes/outdeg) AS MATERIALIZED — they are
+    referenced every round."""
+    d = f"DECIMAL(38,{scale})"
+    dm, base = damping, 1.0 - damping
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT p_partkey // 2 AS s, p_partkey AS d"
+        " FROM part WHERE p_partkey >= 1)",
+        "nodes AS MATERIALIZED (SELECT node,"
+        " CASE WHEN node IN (1, 2, 3) THEN 1 ELSE 0 END AS is_seed"
+        " FROM (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        "ns AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)",
+        f"""pr0 AS (SELECT node, is_seed,
+      CASE WHEN is_seed = 1
+           THEN CAST(ROUND(1.0 / (SELECT n FROM ns), {scale}) AS {d})
+           ELSE CAST(0 AS {d}) END AS pr FROM nodes)""",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""pr{i + 1} AS (
+      SELECT nd.node, nd.is_seed,
+             CAST(CASE WHEN nd.is_seed = 1
+                       THEN CAST(ROUND({base!r} / (SELECT n FROM ns), {scale}) AS {d})
+                       ELSE CAST(0 AS {d}) END
+                  + COALESCE(c.csum, CAST(0 AS {d})) AS {d}) AS pr
+      FROM nodes nd LEFT JOIN (
+        SELECT e.d AS node,
+               SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) * {dm!r} / o.outdeg, {scale})
+                        AS {d})) AS csum
+        FROM pr{i} p JOIN e ON p.node = e.s JOIN outdeg o ON e.s = o.s
+        GROUP BY e.d) c ON nd.node = c.node)""")
+    final = (
+        f"SELECT node, ROUND(CAST(pr AS DOUBLE), 6) AS ppr FROM pr{iterations}"
+        f" ORDER BY ppr DESC, node LIMIT 100"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@register(
+    "q_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    description="personalized PageRank / random walk with restart "
+    "(Haveliwala 2002; the related-entity recommendation staple) over the "
+    "part-tree DAG with seed set {1,2,3}: teleport mass restarts only to "
+    "seeds, so scores measure proximity to the seed neighborhood rather "
+    "than global centrality. Same decimal-contribution determinism as "
+    "q_pagerank; top-100 with (score, node) tiebreak. SCALE: per round one "
+    "src-keyed join + one dst-keyed agg; seed flag broadcast; "
+    "TakeOrderedAndProject final — no global sort",
+    tags=("graph", "iterative", "recommendation"),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import personalized_pagerank
+
+    p = table(spark, sf_dir, "part")
+    edges = p.where(F.col("p_partkey") >= 1).select(
+        F.expr("p_partkey div 2").cast("bigint").alias("src"),
+        F.col("p_partkey").cast("bigint").alias("dst"),
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
+    return (
+        personalized_pagerank(edges, seeds, iterations=5, damping=0.85, scale=9)
+        .orderBy(F.desc("ppr"), "node")
+        .limit(100)
+    )

@@ -737,3 +737,163 @@ def _register_kmv() -> None:
 
 
 _register_kmv()
+
+
+# --- AMS (Alon-Matias-Szegedy) F2 second-moment sketch ---------------------
+
+@register(
+    "q_ams_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey),
+    h AS (
+      SELECT l_partkey, c,
+             CAST(('0x' || substr(md5('ams:' || CAST(l_partkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hv
+      FROM c),
+    x AS (
+      SELECT i.i,
+             CAST(SUM((1 - 2 * ((h.hv >> i.i) % 2)) * h.c) AS BIGINT) AS x
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) i
+      GROUP BY i.i),
+    grp AS (
+      SELECT i // 4 AS j, CAST(SUM(x * x) AS BIGINT) AS gsum
+      FROM x GROUP BY i // 4),
+    med AS (
+      SELECT gsum AS f2_est_x4
+      FROM grp ORDER BY gsum, j LIMIT 1 OFFSET 2),
+    ex AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM c)
+    SELECT f2_est_x4, f2_exact, n_keys,
+           CAST(f2_est_x4 AS DOUBLE) / (4.0 * CAST(f2_exact AS DOUBLE)) AS ratio
+    FROM med CROSS JOIN ex
+    """,
+    description="AMS/tug-of-war F2 sketch (Alon-Matias-Szegedy 1996) over "
+    "lineitem part frequencies: 16 independent estimators whose +-1 signs "
+    "are md5 bits (portable), X_i = sum(sign_i(k)*c_k) as exact BIGINTs, "
+    "boosted the classical way — median of 4 means of 4 X_i^2 each (the "
+    "mean kept as an exact x4-scaled BIGINT sum, the median a rank-pick "
+    "with the group index as tiebreak; no float compare anywhere) beside "
+    "the exact F2 = sum(c^2). Completes the mergeable-sketch family "
+    "(count-min / Bloom / HLL / KMV / AMS). SCALE: counts aggregate "
+    "map-side; the 16-way fan-out happens on the |distinct keys| frame and "
+    "each estimator is one BIGINT sum — sketch state is 16 numbers, "
+    "mergeable by addition across shards",
+    tags=("sketch", "olap", "ams"),
+)
+def q_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    h = c.withColumn(
+        "hv",
+        F.expr(
+            "CAST(conv(substr(md5('ams:' || CAST(l_partkey AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ),
+    )
+    x = (
+        h.select("hv", "c", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                (F.lit(1) - 2 * F.expr("(hv >> i) % 2")) * F.col("c")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grp = x.groupBy(F.expr("i div 4").cast("bigint").alias("j")).agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("gsum")
+    )
+    med = grp.select(
+        F.element_at(
+            F.sort_array(F.collect_list(F.struct("gsum", "j"))), 3
+        )["gsum"].cast("bigint").alias("f2_est_x4")
+    )
+    ex = c.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return med.crossJoin(ex).select(
+        "f2_est_x4", "f2_exact", "n_keys",
+        (
+            F.col("f2_est_x4").cast("double")
+            / (F.lit(4.0) * F.col("f2_exact").cast("double"))
+        ).alias("ratio"),
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS r2x,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS r2y
+      FROM lineitem),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(r2y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0)) AS syy
+      FROM r GROUP BY grp)
+    SELECT grp, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+    FROM m ORDER BY grp
+    """,
+    description="Spearman rank correlation of quantity vs extendedprice per "
+    "return flag: tie-aware midranks carried as EXACT integers (2*midrank = "
+    "2*rank + tiecount - 1, the q_mann_whitney convention — Pearson is "
+    "affine-invariant so the x2 scale cancels), all five moments as exact "
+    "DECIMAL(38,0) sums, rho = one final IEEE division/sqrt of identical "
+    "exact operands. SCALE: two rank windows per group key (the same "
+    "sort-based shuffle a global rank needs), then a map-side moment rollup "
+    "— no per-pair work, O(n log n) not O(n^2)",
+    tags=("olap", "stats", "correlation"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wxe = Window.partitionBy("l_returnflag", "l_quantity")
+    wy = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wye = Window.partitionBy("l_returnflag", "l_extendedprice")
+    r = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1)
+        .cast("bigint").alias("r2x"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1)
+        .cast("bigint").alias("r2y"),
+    )
+    d38 = "decimal(38,0)"
+    m = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2x").cast(d38).alias("sx"),
+        F.sum("r2y").cast(d38).alias("sy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2y")).cast(d38).alias("sxy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2x")).cast(d38).alias("sxx"),
+        F.sum(F.col("r2y").cast(d38) * F.col("r2y")).cast(d38).alias("syy"),
+    )
+    return m.select(
+        "grp", "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("rho"),
+    ).orderBy("grp")

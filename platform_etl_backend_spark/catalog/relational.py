@@ -2429,3 +2429,49 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- Recursive CTE (Spark 4 WITH RECURSIVE) --------------------------------
+
+# Binary-tree ancestor walk over suppliers: node k's parent is k div 2, so
+# every supplier contributes one row per level until the walk reaches the
+# root. Exercises Spark 4's recursive CTE execution (UNION ALL recursion,
+# SPARK-24497) through the plain SQL surface; DuckDB runs the same shape.
+_RECURSIVE_SPARK = """
+    WITH RECURSIVE walk(suppkey, node, depth) AS (
+      SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, node div 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(suppkey) AS BIGINT) AS sum_supp
+    FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(suppkey, node, depth) AS (
+      SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, node // 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(suppkey) AS BIGINT) AS sum_supp
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    description="recursive CTE through the SQL surface (Spark 4 WITH "
+    "RECURSIVE, SPARK-24497): per-supplier ancestor walk up the implicit "
+    "binary tree (parent = key div 2) — a hierarchy/bill-of-materials "
+    "traversal no single join can express; aggregated per depth with exact "
+    "integer sums. The iteration count is data-bounded (log2(max key)); "
+    "each recursion step is one map-side projection + filter of the "
+    "previous frontier, the same BSP shape as the hand-built BFS operator",
+    tags=("relational", "sql", "recursive", "graph"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_RECURSIVE_SPARK)

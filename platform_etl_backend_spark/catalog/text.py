@@ -2698,3 +2698,810 @@ def q_unigram_em_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
     vocab = UNI.seed_piece_costs(words).localCheckpoint()  # see q_unigram_tokenize
     return UNI.em_reestimate_costs(UNI.viterbi_segment(words, vocab)).orderBy("piece")
+
+
+# --- multi-pattern blocklist matching --------------------------------------
+
+_BLOCK_PATTERNS = ("join", "merge", "quantum", "stream", "window", "xylophone")
+
+
+@register(
+    "q_multi_pattern_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 list_sort(list_filter({list(_BLOCK_PATTERNS)!r},
+                                       p -> list_contains(toks, p))) AS hits
+          FROM t)
+    SELECT doc_id, CAST(len(hits) AS INTEGER) AS n_matched,
+           array_to_string(hits, '|') AS matched
+    FROM m WHERE len(hits) > 0
+    ORDER BY doc_id
+    """,
+    description="multi-pattern blocklist scan (the PII/contamination-term "
+    "screening shape): a bounded pattern set rides as a literal array and "
+    "every doc reports its token-level hits in ONE map-side pass — the "
+    "single-scan alternative to per-pattern LIKE sweeps (N patterns cost "
+    "one tokenization + N bounded array probes per doc, not N table "
+    "scans). Pattern set is broadcast-by-literal; plan is scan -> project "
+    "-> filter, zero shuffles",
+    tags=("text", "filter", "blocklist"),
+)
+def q_multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    pats = F.array(*[F.lit(p) for p in _BLOCK_PATTERNS])
+    hits = F.sort_array(
+        F.filter(pats, lambda p: F.array_contains(toks, p))
+    )
+    return (
+        d.select("doc_id", hits.alias("hits"))
+        .where(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            F.size("hits").cast("int").alias("n_matched"),
+            F.array_join("hits", "|").alias("matched"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- DSIR: data selection via importance resampling -------------------------
+
+_DSIR_TARGET_SQL = "('src0', 'src1', 'src2', 'src3')"
+_DSIR_TARGETS = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_T}) AS term FROM documents),
+    m AS (SELECT doc_id, source,
+                 CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok WHERE term <> '' GROUP BY doc_id, source, bucket),
+    raw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM m GROUP BY bucket),
+    tgt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS ct
+            FROM m WHERE source IN {_DSIR_TARGET_SQL} GROUP BY bucket),
+    tots AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr,
+                    (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS tt),
+    model AS (SELECT r.bucket,
+                     {duck_portable_ln_ratio(
+                         "(COALESCE(t.ct, 0) + 1) * (s.tr + 64)",
+                         "(r.cr + 1) * (s.tt + 64)")} AS lnr
+              FROM raw r LEFT JOIN tgt t USING (bucket), tots s),
+    w AS (SELECT m.doc_id,
+                 CAST(SUM(CAST(m.cnt * md.lnr AS DECIMAL(28,12))) AS DOUBLE) AS logw
+          FROM m JOIN model md USING (bucket) GROUP BY m.doc_id)
+    SELECT doc_id, ROUND(logw, 6) AS logw, rank FROM (
+      SELECT doc_id, logw,
+             CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS INTEGER) AS rank
+      FROM w) WHERE rank <= 100
+    ORDER BY rank
+    """,
+    description="DSIR (Data Selection via Importance Resampling, Xie et al. "
+    "2023, public arXiv:2302.03169): importance weight per doc = ratio of "
+    "hashed bag-of-words likelihoods between a target domain (4 sources) "
+    "and the raw corpus, Laplace-smoothed; log-ratio per bucket via the "
+    "engine-portable ratio-ln on exact integer products, per-doc log "
+    "weight as order-free DECIMAL contributions, top-100 resample by "
+    "weight. The standard pretraining-data targeting method: two 64-row "
+    "model aggregations + one broadcast model join + one doc rollup — no "
+    "vocabulary pass, no per-doc state, any corpus size",
+    tags=("text", "quality", "ml-prep", "sampling"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    tok = (
+        D.spread(docs, "doc_id")
+        .select("doc_id", "source", F.explode(D.ws_tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("term")))
+    hexd = "0123456789abcdef"
+    d1 = F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1
+    m = (
+        tok.select(
+            "doc_id", "source", ((d1 * 16 + d2) % 64).cast("int").alias("bucket")
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # feeds raw, target AND the per-doc rollup
+    )
+    raw = m.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cr"))
+    tgt = (
+        m.where(F.col("source").isin(*_DSIR_TARGETS))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("ct"))
+    )
+    tots = (
+        raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+        .crossJoin(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+        )
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            portable_ln_ratio(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("tr") + 64),
+                (F.col("cr") + 1) * (F.col("tt") + 64),
+            ).alias("lnr"),
+        )
+    )
+    w = (
+        m.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cnt") * F.col("lnr")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("logw")
+        )
+    )
+    # top-100 as TakeOrderedAndProject (scale-safe per-partition top-k +
+    # merge), THEN the rank window — which now sees only 100 rows, not a
+    # full-corpus single-partition sort
+    top = w.orderBy(F.desc("logw"), "doc_id").limit(100)
+    win = Window.orderBy(F.desc("logw"), "doc_id")
+    return (
+        top.select(
+            "doc_id", "logw", F.row_number().over(win).cast("int").alias("rank")
+        )
+        .select("doc_id", F.round("logw", 6).alias("logw"), "rank")
+        .orderBy("rank")
+    )
+
+
+# --- Flesch-Kincaid readability ----------------------------------------------
+
+@register(
+    "q_readability",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS w,
+             CAST(GREATEST(1, len(toks) // 15) AS BIGINT) AS s,
+             CAST(list_sum(list_transform(toks,
+                  x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+                  AS BIGINT) AS y
+      FROM t WHERE len(toks) >= 2),
+    g AS (
+      SELECT doc_id, w, s, y,
+             39 * w * w + 1180 * y * s - 1559 * s * w AS num,
+             100 * s * w AS den
+      FROM m)
+    SELECT doc_id, w, s, y,
+           CASE WHEN num >= 0 THEN (2 * num * 1000000 + den) // (2 * den)
+                ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
+           END AS fk_grade_micro
+    FROM g ORDER BY doc_id
+    """,
+    description="Flesch-Kincaid grade level per document (the classical "
+    "readability quality signal; Kincaid et al. 1975): syllables = "
+    "vowel-group count per token (clamped >= 1, the standard heuristic), "
+    "pseudo-sentences = fixed 15-token segments (the corpus is unpunctuated "
+    "word soup — documented stand-in), and the grade 0.39*W/S + 11.8*Y/W - "
+    "15.59 evaluated as ONE exact integer rational (39*W^2 + 1180*Y*S - "
+    "1559*S*W) / (100*S*W), emitted micro-scaled with sign-aware "
+    "round-half-away integer arithmetic — zero float ops anywhere. "
+    "SCALE: pure map-side expression over the doc scan, no shuffle but "
+    "the final presentation sort",
+    tags=("text", "quality", "readability"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("w"),
+        F.greatest(F.lit(1), F.expr("size(split(trim(text), ' +')) div 15"))
+        .cast("bigint").alias("s"),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda x: F.greatest(F.lit(1), F.regexp_count(x, F.lit("[aeiouy]+"))),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("y"),
+    ).where(F.col("w") >= 2)
+    g = m.select(
+        "doc_id", "w", "s", "y",
+        (39 * F.col("w") * F.col("w") + 1180 * F.col("y") * F.col("s")
+         - 1559 * F.col("s") * F.col("w")).alias("num"),
+        (100 * F.col("s") * F.col("w")).alias("den"),
+    )
+    return g.select(
+        "doc_id", "w", "s", "y",
+        F.when(
+            F.col("num") >= 0,
+            F.expr("(2 * num * 1000000 + den) div (2 * den)"),
+        )
+        .otherwise(-F.expr("(2 * (-num) * 1000000 + den) div (2 * den)"))
+        .cast("bigint")
+        .alias("fk_grade_micro"),
+    ).orderBy("doc_id")
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+_RAKE_STOP = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on", "with",
+    "as", "at", "by", "an", "be", "this", "that", "from", "or", "are", "was",
+)
+
+
+@register(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    pw AS (
+      SELECT doc_id, u.w AS word, u.p AS pos,
+             CASE WHEN list_contains({list(_RAKE_STOP)!r}, u.w)
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM t, unnest([struct_pack(p := i, w := toks[i])
+                      FOR i IN range(1, len(toks) + 1)]) AS s(u)),
+    ids AS (
+      -- WHERE evaluates BEFORE window functions, so the stopword filter
+      -- must live in a separate step or the running sum never increments
+      SELECT doc_id, pos, word, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM pw),
+    ph AS (SELECT doc_id, pos, word, phrase_id FROM ids WHERE is_stop = 0),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             array_to_string(list_transform(
+                 list_sort(list(struct_pack(p := pos, w := word))),
+                 x -> x.w), ' ') AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM ph GROUP BY doc_id, phrase_id),
+    pword AS (
+      SELECT p.phrase, p.plen, unnest(string_split(p.phrase, ' ')) AS word
+      FROM phrases p),
+    wstat AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM pword GROUP BY word),
+    wscore AS (
+      SELECT word, (2 * deg * 1000000 + freq) // (2 * freq) AS score_micro
+      FROM wstat),
+    pscore AS (
+      SELECT pw2.phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(ws.score_micro) AS BIGINT) AS score_micro
+      FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+            FROM (SELECT DISTINCT phrase FROM phrases)) pw2
+      JOIN wscore ws ON pw2.word = ws.word
+      GROUP BY pw2.phrase)
+    SELECT phrase, n_words, score_micro
+    FROM pscore ORDER BY score_micro DESC, phrase LIMIT 20
+    """,
+    description="RAKE keyword extraction (Rose et al. 2010): candidate "
+    "phrases = maximal stopword-free token runs (phrase boundaries via a "
+    "running stopword count — the gaps-and-islands shape), word score = "
+    "degree/frequency where degree sums the lengths of phrases containing "
+    "the word, phrase score = sum of member word scores. Scores are exact "
+    "integers end-to-end: word scores round-half-away to micro units "
+    "BEFORE the phrase sum (documented convention), so no float ever "
+    "enters the ranking. SCALE: one doc-keyed window for phrase ids, one "
+    "word rollup, one bounded vocabulary join back to distinct phrases, "
+    "TakeOrdered top-20 — no single-partition full sort",
+    tags=("text", "keywords", "rake"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    stop = F.array(*[F.lit(s) for s in _RAKE_STOP])
+    pw = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word")
+    ).select(
+        "doc_id", "pos", "word",
+        F.when(F.array_contains(stop, F.col("word")), 1).otherwise(0).alias("is_stop"),
+    )
+    wseq = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph = pw.select(
+        "doc_id", "pos", "word",
+        F.sum("is_stop").over(wseq).alias("phrase_id"),
+    ).where(F.col("is_stop") == 0)
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    pword = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wstat = pword.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstat.select(
+        "word",
+        F.expr("(2 * deg * 1000000 + freq) div (2 * freq)").alias("score_micro"),
+    )
+    pscore = (
+        phrases.select("phrase").distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(wscore, "word")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return pscore.orderBy(F.desc("score_micro"), "phrase").limit(20)
+
+
+# --- WordPiece tokenizer (greedy longest-match-first) ------------------------
+
+# Committed vocabulary: every single char (+ '##' continuation twin) so
+# matching never fails, plus multi-char pieces chosen to force multi-step
+# segmentations of the corpus vocabulary. Greedy longest-match-first is the
+# HuggingFace/BERT WordPiece ENCODER algorithm (the trainer is BPE-like and
+# already covered by q_bpe_vocab); with singles guaranteed, [UNK] cannot
+# occur and the loop consumes >= 1 char per step, so a static unroll over
+# the max word length (8) is exact.
+_WP_SINGLES = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+_WP_MULTI = [
+    "sc", "##an", "col", "##umn", "win", "##dow", "or", "##der", "so",
+    "##rt", "pa", "agg", "val", "##ue", "li", "##ne", "key", "jo", "##in",
+    "mer", "##ge", "que", "##ry", "gro", "##up", "vec", "##tor", "ha",
+    "##sh", "slow", "st", "fil", "##ter", "fast", "sp", "##ark",
+    "ba", "##tch", "ta", "##ble", "row", "da", "##ta", "big", "sm",
+    "##all", "cu", "##sto", "##mer", "du", "##p", "the", "##e",
+    # deliberately NO '##ream'/'##eam' piece: 'stream' must fall back to
+    # single-char continuations, exercising the deep unroll (5+ pieces)
+]
+_WP_VOCAB = sorted(set(_WP_SINGLES + ["##" + c for c in _WP_SINGLES] + _WP_MULTI))
+_WP_STEPS = 8
+_WP_MAXLEN = 6
+
+
+def _wordpiece_sql(source_cte: str, contains: str) -> str:
+    """Shared unrolled greedy-match SQL (runs verbatim on Spark SQL and
+    DuckDB; only the vocabulary-membership syntax differs). ``contains``
+    is a format string with one ``{piece}`` hole."""
+    ctes = [
+        source_cte,
+        "w1 AS (SELECT word, CAST(1 AS INTEGER) AS pos0, '' AS out0 FROM w0)",
+    ]
+    prev = "w1"
+    for k in range(1, _WP_STEPS + 1):
+        p, o = f"pos{k - 1}", f"out{k - 1}"
+        cands = []
+        for l in range(_WP_MAXLEN, 0, -1):
+            piece = (
+                f"CASE WHEN {p} = 1 THEN substr(word, {p}, {l}) "
+                f"ELSE '##' || substr(word, {p}, {l}) END"
+            )
+            cands.append(
+                f"WHEN length(word) - {p} + 1 >= {l} "
+                f"AND {contains.format(piece=piece)} THEN {l}"
+            )
+        ctes.append(
+            f"""m{k} AS (
+      SELECT word, {p}, {o},
+             CASE {' '.join(cands)} ELSE 1 END AS len{k}
+      FROM {prev}),
+    s{k} AS (
+      SELECT word,
+             CASE WHEN {p} > length(word) THEN {p}
+                  ELSE {p} + len{k} END AS pos{k},
+             CASE WHEN {p} > length(word) THEN {o}
+                  ELSE {o} || '|' ||
+                       (CASE WHEN {p} = 1 THEN substr(word, {p}, len{k})
+                             ELSE '##' || substr(word, {p}, len{k}) END)
+             END AS out{k}
+      FROM m{k})"""
+        )
+        prev = f"s{k}"
+    final = (
+        f"SELECT word, substr(out{_WP_STEPS}, 2) AS pieces,\n"
+        f"           CAST(length(out{_WP_STEPS})"
+        f" - length(replace(out{_WP_STEPS}, '|', '')) AS INTEGER) AS n_pieces\n"
+        f"    FROM {prev} ORDER BY word"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+_WP_DUCK_CONTAINS = f"list_contains({_WP_VOCAB!r}, {{piece}})"
+_WP_SPARK_CONTAINS = (
+    "array_contains(array(" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + "), {piece})"
+)
+
+
+@register(
+    "q_wordpiece_encode",
+    oracle=_wordpiece_sql(
+        "w0 AS (SELECT DISTINCT unnest(string_split_regex(trim(text), ' +'))"
+        " AS word FROM documents)",
+        _WP_DUCK_CONTAINS,
+    ),
+    description="WordPiece encoding (BERT's greedy longest-match-first "
+    "subword segmentation; completes the tokenizer family beside trainable "
+    "BPE and the unigram-LM Viterbi): committed vocabulary with guaranteed "
+    "single-char fallback, statically unrolled over the max word length — "
+    "each step one bounded CASE over candidate lengths, '##' continuation "
+    "convention, '|'-serialized pieces. The SAME generated SQL text runs "
+    "on both engines (only the array-membership builtin differs). SCALE: "
+    "runs on the DISTINCT-WORD frame (vocabulary-sized, not corpus-sized) "
+    "as pure map-side expressions; re-attach to the corpus with one "
+    "vocabulary join when per-doc pieces are needed",
+    tags=("text", "tokenizer", "wordpiece"),
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_wp")
+    return spark.sql(
+        _wordpiece_sql(
+            "w0 AS (SELECT DISTINCT explode(split(trim(text), ' +'))"
+            " AS word FROM documents_wp)",
+            _WP_SPARK_CONTAINS,
+        )
+    )
+
+
+# --- portable Soundex phonetic blocking --------------------------------------
+
+_SOUNDEX_CLASSES = (
+    ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+    ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouyhw]", "0"),
+)
+
+
+def _soundex_sql(word: str, rr) -> str:
+    """American-Soundex-lite phonetic code built from ONE regexp_replace
+    chain (simplified: the h/w same-code-bridging nuance is skipped —
+    documented; deterministic on both engines). ``rr(expr, pat, rep,
+    backref)`` formats an engine's global regexp_replace. The duplicate
+    collapse uses one literal run pattern PER digit — RE2 (DuckDB) has no
+    pattern backreferences, so ([0-9])\\1+ silently never matches there
+    (the Java-regex ∩ RE2 subset rule)."""
+    coded = word
+    for pat, rep in _SOUNDEX_CLASSES:
+        coded = rr(coded, pat, rep, False)
+    collapsed = coded
+    for d in "0123456":
+        collapsed = rr(collapsed, f"{d}{d}+", d, False)
+    return (
+        f"upper(substr({word}, 1, 1)) || "
+        f"substr(replace(substr({collapsed}, 2), '0', '') || '000', 1, 3)"
+    )
+
+
+def _rr_duck(expr: str, pat: str, rep: str, backref: bool) -> str:
+    r = "\\1" if backref else rep
+    return f"regexp_replace({expr}, '{pat}', '{r}', 'g')"
+
+
+def _rr_spark(expr: str, pat: str, rep: str, backref: bool) -> str:
+    # Spark SQL string literals are backslash-escaped (unlike DuckDB's),
+    # so the \1 pattern backreference must be doubled or it parses to '1'
+    r = "$1" if backref else rep
+    return f"regexp_replace({expr}, '{pat.replace(chr(92), chr(92) * 2)}', '{r}')"
+
+
+@register(
+    "q_phonetic_blocking",
+    oracle=f"""
+    WITH w AS (
+      SELECT p_partkey, string_split_regex(trim(p_name), ' +')[1] AS word
+      FROM part),
+    c AS (SELECT p_partkey, word, {_soundex_sql('word', _rr_duck)} AS code
+          FROM w)
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+           array_to_string(list_sort(list(DISTINCT word)), '|') AS words
+    FROM c GROUP BY code ORDER BY code
+    """,
+    description="phonetic blocking via a from-scratch engine-portable "
+    "Soundex (American Soundex simplified: consonant classes -> digits, "
+    "adjacent-duplicate collapse via one backreference regex, vowel strip, "
+    "pad to 4 — the h/w bridging nuance skipped, documented): the standard "
+    "cheap blocking key for entity resolution that survives spelling "
+    "variation, beside the deletion-neighborhood and prefix-filter "
+    "blockers. SCALE: pure map-side expression chain -> one rollup on the "
+    "code; as a blocker it bounds candidate pairs to sum(block^2) exactly "
+    "like the ER composite's guard",
+    tags=("text", "er", "blocking", "phonetic"),
+)
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = p.select(
+        "p_partkey",
+        F.element_at(F.split(F.trim("p_name"), r" +"), 1).alias("word"),
+    )
+    c = w.select(
+        "p_partkey", "word",
+        F.expr(_soundex_sql("word", _rr_spark)).alias("code"),
+    )
+    return (
+        c.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.concat_ws("|", F.sort_array(F.collect_set("word"))).alias("words"),
+        )
+        .orderBy("code")
+    )
+
+
+# --- Fellegi-Sunter probabilistic record linkage ------------------------------
+
+# Committed m/u field weights (Fellegi & Sunter 1969; the Splink-style
+# scoring model): log-odds precomputed OFFLINE from the m/u probabilities
+# below and committed as micro-nat INTEGER literals, so scoring is pure
+# BIGINT arithmetic on both engines (the q_quality_classifier convention).
+#   field            m     u      agree w = ln(m/u)   disagree w = ln((1-m)/(1-u))
+#   acctbal band     0.90  0.10   +2.197225           -2.197225
+#   key fragment     0.95  0.01   +4.553877           -2.986213
+#   name suffix      0.90  0.01   +4.499810           -2.292535
+_FS_WEIGHTS = {
+    "bal": (2197225, -2197225),
+    "key": (4553877, -2986213),
+    "sfx": (4499810, -2292535),
+}
+_FS_THRESHOLD = 2_000_000  # micro-nats
+
+
+@register(
+    "q_fellegi_sunter",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nation,
+             CASE WHEN floor(c.c_acctbal / 1000) = floor(s.s_acctbal / 1000)
+                  THEN 1 ELSE 0 END AS ag_bal,
+             CASE WHEN c.c_custkey % 100 = s.s_suppkey % 100
+                  THEN 1 ELSE 0 END AS ag_key,
+             CASE WHEN right(c.c_name, 2) = right(s.s_name, 2)
+                  THEN 1 ELSE 0 END AS ag_sfx
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+       AND floor(c.c_acctbal / 2000) = floor(s.s_acctbal / 2000)),
+    scored AS (
+      SELECT nation,
+             (CASE WHEN ag_bal = 1 THEN {_FS_WEIGHTS['bal'][0]}
+                   ELSE {_FS_WEIGHTS['bal'][1]} END
+            + CASE WHEN ag_key = 1 THEN {_FS_WEIGHTS['key'][0]}
+                   ELSE {_FS_WEIGHTS['key'][1]} END
+            + CASE WHEN ag_sfx = 1 THEN {_FS_WEIGHTS['sfx'][0]}
+                   ELSE {_FS_WEIGHTS['sfx'][1]} END) AS score_micro
+      FROM pairs)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN score_micro >= {_FS_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_links,
+           CAST(MAX(score_micro) AS BIGINT) AS max_score_micro,
+           CAST(MIN(score_micro) AS BIGINT) AS min_score_micro
+    FROM scored GROUP BY nation ORDER BY nation
+    """,
+    description="Fellegi-Sunter probabilistic record linkage (1969; the "
+    "Splink scoring model) between customers and suppliers: candidate "
+    "pairs from a compound blocking key (nationkey + acctbal/2000 band — "
+    "never all-pairs), per-field agreement log-odds committed as "
+    "micro-nat integer literals (offline m/u estimates documented above), "
+    "match score = exact BIGINT sum, threshold classification, per-nation "
+    "rollup. SCALE: one equi-join on the compound block key bounds "
+    "candidates to sum(block_c * block_s); weights ride as literals "
+    "(no weight table join); scoring is map-side",
+    tags=("text", "er", "linkage", "scoring"),
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    pairs = c.join(
+        s,
+        (c["c_nationkey"] == s["s_nationkey"])
+        & (F.floor(c["c_acctbal"] / 2000) == F.floor(s["s_acctbal"] / 2000)),
+    ).select(
+        c["c_nationkey"].alias("nation"),
+        F.when(
+            F.floor(c["c_acctbal"] / 1000) == F.floor(s["s_acctbal"] / 1000), 1
+        ).otherwise(0).alias("ag_bal"),
+        F.when(c["c_custkey"] % 100 == s["s_suppkey"] % 100, 1)
+        .otherwise(0).alias("ag_key"),
+        F.when(F.expr("right(c_name, 2)") == F.expr("right(s_name, 2)"), 1)
+        .otherwise(0).alias("ag_sfx"),
+    )
+    wa, wd = _FS_WEIGHTS["bal"]
+    ka, kd = _FS_WEIGHTS["key"]
+    sa, sd = _FS_WEIGHTS["sfx"]
+    scored = pairs.select(
+        "nation",
+        (
+            F.when(F.col("ag_bal") == 1, wa).otherwise(wd)
+            + F.when(F.col("ag_key") == 1, ka).otherwise(kd)
+            + F.when(F.col("ag_sfx") == 1, sa).otherwise(sd)
+        ).alias("score_micro"),
+    )
+    return (
+        scored.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("score_micro") >= _FS_THRESHOLD, 1).otherwise(0)
+            ).cast("bigint").alias("n_links"),
+            F.max("score_micro").cast("bigint").alias("max_score_micro"),
+            F.min("score_micro").cast("bigint").alias("min_score_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- C4-style paragraph dedup (chunk -> keep-first -> reassemble) ------------
+
+_PARA_W = 20  # tokens per paragraph
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+    ch0 AS (
+      -- chunk list built in the projection: DuckDB's LATERAL comprehension
+      -- binder resolves outer columns only as subscripts (toks[i]), not
+      -- inside nested calls (list_slice(toks, ...)) — a real binder gap
+      SELECT doc_id,
+             [struct_pack(
+                  ci := i,
+                  ch := array_to_string(list_slice(toks, i * {_PARA_W} + 1,
+                                                   i * {_PARA_W} + {_PARA_W}), ' '))
+              FOR i IN range(0, CAST(ceil(len(toks) / {_PARA_W}.0) AS BIGINT))]
+             AS chunks
+      FROM t),
+    ch AS (
+      SELECT doc_id, u.ci AS chunk_idx, u.ch AS chunk
+      FROM ch0, unnest(chunks) AS s(u)),
+    rk AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch
+            GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(array_to_string(list_transform(
+                 list_sort(list(struct_pack(ci := chunk_idx, ch := chunk))),
+                 x -> x.ch), chr(31))) AS kept_hash
+      FROM rk WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           t.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped,
+           COALESCE(k.kept_hash, '') AS kept_hash
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    ORDER BY t.doc_id
+    """,
+    description="C4-style paragraph-level exact dedup with document "
+    "reassembly (Raffel et al. 2020 dedupe by three-sentence span; here "
+    "fixed 20-token paragraphs over the unpunctuated corpus): chunk every "
+    "doc, keep each distinct paragraph only at its FIRST (doc_id, "
+    "chunk_idx) occurrence, rebuild the surviving document and fingerprint "
+    "it (md5 over the chunk_idx-ordered kept text). SCALE: the keep-first "
+    "window shuffles on paragraph CONTENT (uniform key space, no skew "
+    "hot-spot), totals aggregate map-side, reassembly is one doc-keyed "
+    "rollup — the standard corpus-dedup plan at any scale",
+    tags=("text", "dedup", "c4"),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = D.ws_tokens("text")
+    w = _PARA_W
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(float(w))).cast("bigint") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    rk = ch.select(
+        "doc_id", "chunk_idx", "chunk",
+        F.row_number()
+        .over(Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx"))
+        .alias("rn"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    kept = (
+        rk.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("chunk_idx").alias("ci"),
+                                                    F.col("chunk").alias("ch")))
+                        ),
+                        lambda x: x["ch"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+    return (
+        tot.join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("kept_hash", F.lit("")).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- deterministic epoch shuffle ----------------------------------------------
+
+@register(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, e.epoch,
+             md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch) e),
+    top AS (
+      SELECT epoch, doc_id, skey,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY skey, doc_id) AS pos
+      FROM k)
+    SELECT CAST(epoch AS INTEGER) AS epoch, CAST(pos AS INTEGER) AS pos,
+           doc_id, skey
+    FROM top WHERE pos <= 50 ORDER BY epoch, pos
+    """,
+    description="deterministic per-epoch training-data shuffle (the "
+    "content-hash ordering every large-scale data loader needs: seeded, "
+    "partitioning-invariant, resumable — no RNG state): shuffle key = "
+    "md5(epoch salt || doc_id), epochs decorrelated by construction; "
+    "emits each epoch's first 50 positions. SCALE: the per-epoch rank "
+    "window is the oracle-mirror formulation; the production path is "
+    "TakeOrdered per epoch (same result, no global sort) or full "
+    "repartitionByRange(skey) when materializing whole epochs",
+    tags=("text", "sampling", "shuffle"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    k = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id", "epoch",
+        F.md5(
+            F.concat(
+                F.lit("ep"), F.col("epoch").cast("string"),
+                F.lit(":"), F.col("doc_id").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    top = k.select(
+        "epoch", "doc_id", "skey",
+        F.row_number()
+        .over(Window.partitionBy("epoch").orderBy("skey", "doc_id"))
+        .alias("pos"),
+    )
+    return (
+        top.where(F.col("pos") <= 50)
+        .select("epoch", F.col("pos").cast("int").alias("pos"), "doc_id", "skey")
+        .orderBy("epoch", "pos")
+    )

@@ -843,3 +843,224 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.pq_adc_topk(emb, "vec_id", "embedding", F.col("qid") < 5, k=3)
+
+
+# --- grid-density clustering (cell-based DBSCAN variant) --------------------
+
+@register(
+    "q_grid_cluster",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS INTEGER) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS INTEGER) AS cy
+      FROM embeddings),
+    dense AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_points
+              FROM p GROUP BY cx, cy HAVING COUNT(*) >= 3),
+    ids AS (SELECT (cx + 100) * 1000 + (cy + 100) AS cell, cx, cy, n_points
+            FROM dense),
+    edges AS (
+      SELECT a.cell AS a, b.cell AS b FROM ids a
+      JOIN ids b ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+                 OR (b.cx = a.cx AND b.cy = a.cy + 1)),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            UNION SELECT cell, cell FROM ids),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS cell, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster
+             FROM reach GROUP BY a)
+    SELECT c.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(i.n_points) AS BIGINT) AS n_points
+    FROM comp c JOIN ids i ON c.cell = i.cell
+    GROUP BY c.cluster ORDER BY c.cluster
+    """,
+    description="grid-density clustering (cell-based DBSCAN family, "
+    "public GRIDCLUS/CLIQUE lineage): quantize points to 0.05 cells on the "
+    "first two embedding dims (pure floor arithmetic — no distance "
+    "computations), keep cells with >= 3 points, merge 4-adjacent dense "
+    "cells with the large-star/small-star components operator. The shape "
+    "that clusters billions of points without a single pairwise distance: "
+    "one cell rollup + an equi-join on shifted cell keys + O(log n) "
+    "component rounds; singleton dense cells stay clusters via self-loops",
+    tags=("vectors", "clustering", "graph", "composite"),
+)
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") / F.lit(0.05))
+        .cast("int")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") / F.lit(0.05))
+        .cast("int")
+        .alias("cy"),
+    )
+    dense = (
+        p.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .where(F.col("n_points") >= 3)
+    )
+    ids = dense.select(
+        ((F.col("cx") + 100) * 1000 + (F.col("cy") + 100)).cast("bigint").alias("cell"),
+        "cx", "cy", "n_points",
+    ).localCheckpoint()  # feeds edges (twice) + the final rollup
+    right = ids.select(
+        F.col("cell").alias("bcell"), F.col("cx").alias("bx"), F.col("cy").alias("by")
+    )
+    e1 = ids.join(
+        right,
+        (F.col("bx") == F.col("cx") + 1) & (F.col("by") == F.col("cy")),
+    ).select(F.col("cell").alias("src"), F.col("bcell").alias("dst"))
+    e2 = ids.join(
+        right,
+        (F.col("bx") == F.col("cx")) & (F.col("by") == F.col("cy") + 1),
+    ).select(F.col("cell").alias("src"), F.col("bcell").alias("dst"))
+    edges = e1.unionAll(e2)
+    # components over the real adjacency only; isolated dense cells (no
+    # dense neighbor) don't appear in the edge set, so they rejoin as
+    # their own singleton cluster via the left join + coalesce
+    cc = connected_components(edges, "src", "dst")
+    return (
+        ids.join(cc, ids.cell == cc.node, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("cell"))
+            .cast("bigint")
+            .alias("cluster"),
+            "n_points",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_points").cast("bigint").alias("n_points"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --- PCA top component by power iteration -----------------------------------
+
+def _duck_cov_cte() -> str:
+    """Full symmetric covariance matrix CTE — the q_embedding_covariance
+    oracle (micro-unit quantize + integer power sums, ROUND 9) plus the
+    mirrored lower triangle. Both engines start power iteration from the
+    IDENTICAL rounded matrix."""
+    return """
+    x AS (SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS q
+          FROM embeddings),
+    g AS (SELECT CAST(a.dim AS INTEGER) AS i, CAST(b.dim AS INTEGER) AS j,
+                 COUNT(*) AS n,
+                 CAST(SUM(a.q) AS BIGINT) AS si, CAST(SUM(b.q) AS BIGINT) AS sj,
+                 CAST(SUM(a.q * b.q) AS BIGINT) AS sij
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY i, j),
+    ut AS (SELECT i, j,
+                  ROUND((CAST(sij AS DOUBLE) / n
+                         - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+                        / 1000000000000.0, 9) AS cov
+           FROM g),
+    cm AS MATERIALIZED (SELECT i, j, cov FROM ut
+           UNION ALL
+           SELECT j, i, cov FROM ut WHERE i <> j)
+    """
+
+
+def _duck_power_iters(n_iter: int) -> str:
+    # AS MATERIALIZED throughout: u{k} is referenced twice per round
+    # (norm + normalize) and plain DuckDB CTEs re-expand per reference —
+    # 2^n_iter plan copies == EMFILE (the documented unrolled-oracle rule)
+    parts = ["v0 AS MATERIALIZED (SELECT CAST(t.range AS INTEGER) AS i, 0.125 AS v FROM range(0, 64) t)"]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (SELECT cm.i,
+                   CAST(SUM(CAST(cm.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS u
+            FROM cm JOIN v{k - 1} v ON cm.j = v.i GROUP BY cm.i)"""
+        )
+        parts.append(
+            f"""n{k} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+            FROM u{k})"""
+        )
+        parts.append(f"v{k} AS MATERIALIZED (SELECT i, u / nrm AS v FROM u{k}, n{k})")
+    return ",\n".join(parts)
+
+
+_PCA_ITERS = 20
+
+
+@register(
+    "q_pca_power",
+    oracle=f"""
+    WITH {_duck_cov_cte().strip().rstrip()},
+    {_duck_power_iters(_PCA_ITERS)}
+    SELECT i, ROUND(v, 6) AS loading,
+           (SELECT ROUND(nrm, 9) FROM n{_PCA_ITERS}) AS eigval
+    FROM v{_PCA_ITERS} ORDER BY i
+    """,
+    description="top principal component by power iteration (public "
+    "textbook PCA): the covariance matrix comes from the one-pass Arrow "
+    "Gram kernel (exact integer power sums, 9-dp rounded so both engines "
+    "iterate the IDENTICAL matrix), then 20 driver-free matrix-vector "
+    "rounds (near-isotropic spectra converge slowly — bounded-iteration "
+    "depth is the documented knob) — each one broadcast-sized join + "
+    "DECIMAL-contribution sums, "
+    "normalization by IEEE sqrt. Eigenvalue = final Rayleigh norm. The "
+    "100 TB story: the corpus is touched ONCE (the Gram pass); every "
+    "iteration runs on the 64x64 matrix — constant work regardless of "
+    "corpus size, no collect, no MLlib",
+    tags=("vectors", "stats", "pca", "iterative"),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    partials = S.covariance_power_sums(emb, "embedding")
+    g = partials.groupBy("i", "j").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("si").cast("decimal(38,0)")).cast("bigint").alias("si"),
+        F.sum(F.col("sj").cast("decimal(38,0)")).cast("bigint").alias("sj"),
+        F.sum(F.col("sij").cast("decimal(38,0)")).cast("bigint").alias("sij"),
+    )
+    cov = (
+        F.col("sij").cast("double") / F.col("n")
+        - (F.col("si").cast("double") / F.col("n"))
+        * (F.col("sj").cast("double") / F.col("n"))
+    ) / F.lit(1000000000000.0)
+    ut = g.select("i", "j", F.round(cov, 9).alias("cov"))
+    cm = ut.unionAll(
+        ut.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()  # the 64x64 matrix reused by every iteration
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
+    )
+    nrm_last = None
+    for _ in range(_PCA_ITERS):
+        u = (
+            cm.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cov") * F.col("v")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum((F.col("u") * F.col("u")).cast("decimal(28,12)")).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("i", (F.col("u") / F.col("nrm")).alias("v"))
+            .localCheckpoint()
+        )
+        nrm_last = nrm
+    return (
+        v.crossJoin(F.broadcast(nrm_last.select(F.round("nrm", 9).alias("eigval"))))
+        .select("i", F.round("v", 6).alias("loading"), "eigval")
+        .orderBy("i")
+    )

@@ -558,3 +558,154 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
     return final_deg
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with engine-portable
+    determinism: authority(d) = sum of hub scores over in-edges, hub(s) =
+    sum of authority scores over out-edges, each vector L1-normalized per
+    half-step. Scores ride DECIMAL(38,scale) (exact distributed sums); the
+    only floats are the normalizing division ROUND(raw/norm, scale) — one
+    fixed-order IEEE op on decimal-backed operands, the q_pagerank
+    convention, reproducible on any engine that rounds half-up.
+
+    Returns (kind 'auth'|'hub', node STRING, score DOUBLE rounded 6).
+
+    Shape at scale: per half-step one src- or dst-keyed join + hash agg
+    (the Pregel-equivalent plan) plus a 1-row broadcast for the L1 norm;
+    edges pinned with localCheckpoint, the score recurrence stays lazy.
+    """
+    dec = f"decimal(38,{scale})"
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.lit(1).cast(dec).alias("score")
+    )
+    a = None
+    for _ in range(iterations):
+        # each raw frame has TWO consumers (its L1 norm and the next
+        # half-step's join): without a materialization barrier the lazy
+        # recurrence re-executes the whole lineage per consumer —
+        # exponentially across rounds (observed: 285 shuffles for 3
+        # rounds). localCheckpoint keeps it at 2 shuffles per half-step.
+        araw = (
+            h.join(e, h["node"] == e["s"])
+            .groupBy(F.col("d").alias("anode"))
+            .agg(F.sum("score").cast(dec).alias("raw"))
+            .localCheckpoint()
+        )
+        anorm = araw.agg(F.sum("raw").cast(dec).alias("norm"))
+        a = araw.crossJoin(F.broadcast(anorm)).select(
+            F.col("anode").alias("node"),
+            F.round(F.col("raw").cast("double") / F.col("norm").cast("double"), scale)
+            .cast(dec)
+            .alias("score"),
+        )
+        hraw = (
+            a.join(e, a["node"] == e["d"])
+            .groupBy(F.col("s").alias("hnode"))
+            .agg(F.sum("score").cast(dec).alias("raw"))
+            .localCheckpoint()
+        )
+        hnorm = hraw.agg(F.sum("raw").cast(dec).alias("norm"))
+        h = hraw.crossJoin(F.broadcast(hnorm)).select(
+            F.col("hnode").alias("node"),
+            F.round(F.col("raw").cast("double") / F.col("norm").cast("double"), scale)
+            .cast(dec)
+            .alias("score"),
+        )
+    auth = a.select(
+        F.lit("auth").alias("kind"),
+        F.col("node").cast("string").alias("node"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+    hub = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("node").cast("string").alias("node"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+    return auth.unionByName(hub)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set —
+    the recommendation / related-entity staple): identical to
+    :func:`pagerank` except the teleport mass lands only on seeds,
+    pr0 = 1/|S| on seeds else 0. Same decimal determinism convention
+    (per-edge contributions ROUNDed in IEEE double then summed as
+    DECIMAL(38,scale)); same simplified no-dangling-redistribution
+    variant, documented in the oracle too.
+
+    ``seeds`` is a 1-column frame of node ids. Shape at scale: the seed
+    flag rides as a broadcast left-join; per iteration one src-keyed
+    join + one dst-keyed agg, recurrence lazy (single consumer per round).
+    """
+    dec = f"decimal(38,{scale})"
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    sd = seeds.toDF("node").distinct()
+    nodes = nodes.join(
+        F.broadcast(sd.select("node", F.lit(1).alias("is_seed"))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    nodes = nodes.localCheckpoint()
+    ns = nodes.where(F.col("is_seed") == 1).count()
+    if ns == 0:
+        return nodes.select("node", F.lit(None).cast("double").alias("ppr"))
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    zero = F.lit(0).cast(dec)
+    seed_mass = F.round(F.lit(1.0 / ns), scale).cast(dec)
+    base_mass = F.round(F.lit((1.0 - damping) / ns), scale).cast(dec)
+    ranks = nodes.select(
+        "node", "is_seed",
+        F.when(F.col("is_seed") == 1, seed_mass).otherwise(zero).alias("pr"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["s"])
+            .join(outdeg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.round(
+                    F.col("pr").cast("double") * F.lit(damping) / F.col("outdeg"),
+                    scale,
+                ).cast(dec).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast(dec).alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node", "is_seed",
+                (
+                    F.when(F.col("is_seed") == 1, base_mass).otherwise(zero)
+                    + F.coalesce(F.col("csum"), zero)
+                ).cast(dec).alias("pr"),
+            )
+        )
+    return ranks.select("node", F.round(F.col("pr").cast("double"), 6).alias("ppr"))
