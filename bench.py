@@ -142,6 +142,11 @@ HEADLINE = [
     "q_personalized_pagerank",
     "q_paragraph_dedup",
     "q_epoch_shuffle",
+    "q_anova_f",
+    "q_bh_fdr",
+    "q_theil_sen",
+    "q_adamic_adar",
+    "q_mmr_rerank",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

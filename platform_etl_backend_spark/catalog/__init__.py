@@ -87,7 +87,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_welch_ttest, q_acf_multilag, q_seasonal_indices, q_spearman_corr,
 # q_hits, q_readability, q_rake_keywords, q_wordpiece_encode,
 # q_phonetic_blocking, q_fellegi_sunter, q_personalized_pagerank,
-# q_paragraph_dedup, q_epoch_shuffle
+# q_paragraph_dedup, q_epoch_shuffle, q_anova_f, q_bh_fdr, q_theil_sen,
+# q_adamic_adar, q_mmr_rerank
 # (registered past position 50 —
 # slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
 # prioritization). All are replica-green at both SFs; front them in

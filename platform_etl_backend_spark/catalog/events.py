@@ -2581,3 +2581,277 @@ def q_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_idx"),
     ).orderBy("dow")
+
+
+# --- one-way ANOVA F ----------------------------------------------------------
+
+@register(
+    "q_anova_f",
+    oracle=f"""
+    WITH base AS (SELECT event_type, round(value, 6) AS v FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s_j,
+             CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS ss_j
+      FROM base GROUP BY event_type),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_j) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(s_j * s_j / n_j, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sum_sq_over_n,
+             CAST(SUM(CAST(s_j AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ss_j AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM g)
+    SELECT k, n,
+           ROUND((sum_sq_over_n - s * s / n) / (k - 1), 6) AS msb,
+           ROUND((ss - sum_sq_over_n) / (n - k), 6) AS msw,
+           ROUND(((sum_sq_over_n - s * s / n) / (k - 1))
+                 / ((ss - sum_sq_over_n) / (n - k)), 6) AS f_stat
+    FROM t
+    """,
+    description="one-way ANOVA F statistic across event types (completes "
+    "the experimentation family: z / chi-square / Welch / Mann-Whitney / "
+    "KS / F): per-group moments ride DECIMAL sums; the cross-group "
+    "reduction sums ROUND(s_j^2/n_j, 6) DECIMAL per-group contributions "
+    "(group iteration order cannot change a decimal sum), then F = "
+    "[SSB/(k-1)]/[SSW/(n-k)] as fixed-order IEEE ops on identical "
+    "operands. SCALE: one map-side partial-aggregated groupBy, then a "
+    "k-row reduction — the whole test costs one shuffle of |event_type|",
+    tags=("events", "stats", "experiment"),
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select("event_type", F.round("value", 6).alias("v"))
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum(dec6("v")).cast("double").alias("s_j"),
+        F.sum(dec6(F.round(F.col("v") * F.col("v"), 6))).cast("double").alias("ss_j"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum(dec6(F.round(F.col("s_j") * F.col("s_j") / F.col("n_j"), 6)))
+        .cast("double").alias("sum_sq_over_n"),
+        F.sum(dec6("s_j")).cast("double").alias("s"),
+        F.sum(dec6("ss_j")).cast("double").alias("ss"),
+    )
+    msb = (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("ss") - F.col("sum_sq_over_n")) / (F.col("n") - F.col("k"))
+    return t.select(
+        "k", "n",
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+# --- Benjamini-Hochberg FDR -----------------------------------------------
+
+_BH_ALPHA_NANO = 50_000_000  # alpha = 0.05 in nano units
+
+
+@register(
+    "q_bh_fdr",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM base GROUP BY event_type, value),
+    r AS (
+      SELECT event_type, cnt, cnt_a,
+             COALESCE(CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS BIGINT), 0) AS cum
+      FROM g),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(cnt_a * (2 * cum + cnt + 1)) AS BIGINT) AS two_ra,
+             CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+      FROM r GROUP BY event_type),
+    s AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             two_ra - n_a * (n_a + 1) AS u2_a, n, tie
+      FROM a),
+    z AS (SELECT event_type, {_MW_Z} AS z FROM s),
+    p AS (
+      SELECT event_type,
+             CAST(ROUND(ROUND(1.0 / (1.0 + z * z), 9) * 1000000000)
+                  AS BIGINT) AS p_nano
+      FROM z),
+    rk AS (
+      SELECT event_type, p_nano,
+             ROW_NUMBER() OVER (ORDER BY p_nano, event_type) AS i,
+             COUNT(*) OVER () AS m
+      FROM p),
+    adj0 AS (
+      SELECT event_type, p_nano, i, m,
+             LEAST((2 * m * p_nano + i) // (2 * i),
+                   CAST(1000000000 AS BIGINT)) AS a_i,
+             CASE WHEN p_nano * m <= i * {_BH_ALPHA_NANO} THEN i END AS ok_i
+      FROM rk),
+    fin AS (
+      SELECT event_type, p_nano, CAST(i AS BIGINT) AS i,
+             CAST(MIN(a_i) OVER (ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS adj_p_nano,
+             MAX(ok_i) OVER () AS i_max
+      FROM adj0)
+    SELECT event_type, p_nano, i, adj_p_nano,
+           CASE WHEN i_max IS NOT NULL AND i <= i_max THEN 1 ELSE 0 END
+             AS rejected
+    FROM fin ORDER BY i
+    """,
+    description="Benjamini-Hochberg step-up FDR control across the "
+    "per-event-type Mann-Whitney z family (the multiple-testing layer "
+    "every experimentation platform needs over its per-metric tests): "
+    "p surrogate = 1/(1+z^2) nano-scaled (erf/exp are not engine-portable "
+    "— any monotone-in-|z| surrogate exercises identical BH mechanics, "
+    "documented), then the BH machinery is EXACT integer arithmetic: "
+    "p_(i)*m <= i*alpha_nano step-up cutoff, adjusted p = backward cummin "
+    "of round-half-away m*p/i, clamp at 1. SCALE: the test frame is "
+    "|event_type| rows — the windows are global but over m rows, not the "
+    "event stream (which aggregates map-side first)",
+    tags=("events", "stats", "experiment", "fdr"),
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type", "cnt", "cnt_a",
+        F.coalesce(F.sum("cnt").over(w).cast("bigint"), F.lit(0)).alias("cum"),
+    )
+    a = r.groupBy("event_type").agg(
+        F.sum(F.col("cnt_a") * (2 * F.col("cum") + F.col("cnt") + 1))
+        .cast("bigint").alias("two_ra"),
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint").alias("tie"),
+    )
+    s = a.select(
+        "event_type", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
+        (F.col("two_ra") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+        "n", "tie",
+    )
+    z = s.select("event_type", F.expr(_MW_Z).alias("z"))
+    p = z.select(
+        "event_type",
+        F.round(F.round(1.0 / (1.0 + F.col("z") * F.col("z")), 9) * 1000000000)
+        .cast("bigint").alias("p_nano"),
+    )
+    rk = p.select(
+        "event_type", "p_nano",
+        F.row_number().over(Window.orderBy("p_nano", "event_type")).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m"),
+    )
+    adj0 = rk.select(
+        "event_type", "p_nano", "i", "m",
+        F.least(
+            F.expr("(2 * m * p_nano + i) div (2 * i)"),
+            F.lit(1000000000).cast("bigint"),
+        ).alias("a_i"),
+        F.when(
+            F.col("p_nano") * F.col("m") <= F.col("i") * F.lit(_BH_ALPHA_NANO),
+            F.col("i"),
+        ).alias("ok_i"),
+    )
+    wtail = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fin = adj0.select(
+        "event_type", "p_nano", F.col("i").cast("bigint").alias("i"),
+        F.min("a_i").over(wtail).cast("bigint").alias("adj_p_nano"),
+        F.max("ok_i").over(wall).alias("i_max"),
+    )
+    return fin.select(
+        "event_type", "p_nano", "i", "adj_p_nano",
+        F.when(
+            F.col("i_max").isNotNull() & (F.col("i") <= F.col("i_max")), 1
+        ).otherwise(0).alias("rejected"),
+    ).orderBy("i")
+
+
+# --- Theil-Sen robust slope ----------------------------------------------------
+
+@register(
+    "q_theil_sen",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    pairs AS (
+      SELECT a.day AS i, b.day AS j,
+             CAST(b.s - a.s AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM days a JOIN days b ON b.day > a.day),
+    rk AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM pairs)
+    SELECT ROUND(slope, 6) AS slope_micro_per_day,
+           CAST(cnt AS BIGINT) AS n_pairs
+    FROM rk WHERE rn = (cnt + 1) // 2
+    """,
+    description="Theil-Sen robust trend estimator over the daily "
+    "event-value series (the median-of-pairwise-slopes alternative to "
+    "least squares — immune to outlier days): daily totals as exact "
+    "integer micro-units, each pairwise slope ONE IEEE division of exact "
+    "integers, median by rank-pick with (slope, i, j) tiebreak (the "
+    "percentile_disc convention — no float interpolation). SCALE: the "
+    "pair join runs on the DAILY rollup (bounded by the calendar, "
+    "~365 rows regardless of event volume), never on raw events — the "
+    "O(n^2) term is O(days^2), constant in data size",
+    tags=("events", "timeseries", "robust"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    a = days.select(F.col("day").alias("i"), F.col("s").alias("sa"))
+    b = days.select(F.col("day").alias("j"), F.col("s").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        "i", "j",
+        ((F.col("sb") - F.col("sa")).cast("double")
+         / (F.col("j") - F.col("i")).cast("double")).alias("slope"),
+    )
+    rk = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "i", "j")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("cnt"),
+    )
+    return rk.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        F.round("slope", 6).alias("slope_micro_per_day"),
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from platform_etl_backend_spark.catalog.registry import register, table
+from platform_etl_backend_spark.catalog.registry import register, table, dec6
 from platform_etl_backend_spark.operators.graph import transitive_closure
 
 
@@ -517,3 +517,91 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr"), "node")
         .limit(100)
     )
+
+
+# --- Adamic-Adar link prediction ---------------------------------------------
+
+@register(
+    "q_adamic_adar",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+    wedge AS (
+      SELECT x.b AS u, y.b AS v, x.a AS w
+      FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b),
+    cand AS (
+      SELECT wd.u, wd.v, d.deg
+      FROM wedge wd
+      JOIN deg d ON wd.w = d.node
+      LEFT JOIN und e ON wd.u = e.a AND wd.v = e.b
+      WHERE e.a IS NULL),
+    aa AS (
+      SELECT u, v,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS aa_score
+      FROM cand GROUP BY u, v)
+    SELECT u, v, common_neighbors, aa_score
+    FROM aa ORDER BY aa_score DESC, u, v LIMIT 20
+    """,
+    description="Adamic-Adar link prediction over the event co-occurrence "
+    "graph (the classic common-neighbor recommender; Adamic & Adar 2003): "
+    "for each NON-adjacent pair, sum 1/ln(deg(w)) over common neighbors w "
+    "— the wedge join from q_triangle_count re-aimed at missing links, "
+    "existing edges removed by an anti-join. Per-wedge contributions are "
+    "ROUND(6) DECIMAL terms (order-invariant distributed sum); ln stays "
+    "libm here because each 1/ln(deg) is rounded to 6dp before summation "
+    "— a last-ulp ln divergence cannot move the 6th decimal of these "
+    "magnitudes (degrees are small integers, documented). SCALE: wedge "
+    "fan-out is sum(deg^2) — the triangle-counting bound; degree table "
+    "broadcast; TakeOrdered top-20",
+    tags=("graph", "recommendation", "linkprediction"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    e = events_table(spark, sf_dir)
+    und = (
+        e.where(
+            F.col("user_id") % 50
+            != F.floor("value").cast("bigint") % 50
+        )
+        .select(
+            F.least(
+                F.col("user_id") % 50, F.floor("value").cast("bigint") % 50
+            ).alias("a"),
+            F.greatest(
+                F.col("user_id") % 50, F.floor("value").cast("bigint") % 50
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    x = sym.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    y = sym.select(F.col("a").alias("w2"), F.col("b").alias("v"))
+    wedge = x.join(y, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v"))).select(
+        "u", "v", "w"
+    )
+    cand = (
+        wedge.join(F.broadcast(deg), wedge["w"] == deg["node"])
+        .join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select("u", "v", "deg")
+    )
+    aa = cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(
+            dec6(F.round(1.0 / F.log(F.col("deg").cast("double")), 6))
+        ).cast("double").alias("aa_score"),
+    )
+    return aa.orderBy(F.desc("aa_score"), "u", "v").limit(20)

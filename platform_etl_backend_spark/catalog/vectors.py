@@ -1064,3 +1064,132 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", F.round("v", 6).alias("loading"), "eigval")
         .orderBy("i")
     )
+
+
+# --- MMR (maximal marginal relevance) reranking -------------------------------
+
+_MMR_K = 8
+_MMR_CAND = 16
+
+
+def _mmr_oracle(k: int = _MMR_K, cand: int = _MMR_CAND) -> str:
+    """Unrolled greedy MMR mirroring q_mmr_rerank: candidate/sim frames and
+    every selection CTE are referenced by all later rounds -> MATERIALIZED
+    (the k-core/PCA re-expansion rule). score_milli = 7*rel - 3*maxsim on
+    exact micro integers (lambda = 0.7)."""
+    ctes = [
+        "q AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+        " WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+      SELECT vec_id, bv,
+             CAST(ROUND(ROUND(list_dot_product(qv, bv)
+                  / (sqrt(list_dot_product(qv, qv))
+                     * sqrt(list_dot_product(bv, bv))), 6) * 1000000)
+                  AS BIGINT) AS rel
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+            WHERE vec_id <> 0) b CROSS JOIN q
+      ORDER BY rel DESC, vec_id LIMIT {cand})""",
+        """sims AS MATERIALIZED (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             CAST(ROUND(ROUND(list_dot_product(a.bv, b.bv)
+                  / (sqrt(list_dot_product(a.bv, a.bv))
+                     * sqrt(list_dot_product(b.bv, b.bv))), 6) * 1000000)
+                  AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)""",
+        """sel1 AS MATERIALIZED (
+      SELECT vec_id, 1 AS pos, 7 * rel AS score_milli, rel
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    prev_union = "SELECT vec_id, pos, score_milli, rel FROM sel1"
+    for i in range(2, k + 1):
+        ctes.append(f"""selected{i - 1} AS MATERIALIZED ({prev_union})""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+      SELECT c.vec_id, {i} AS pos,
+             7 * c.rel - 3 * MAX(s.sim) AS score_milli, c.rel
+      FROM cand c
+      JOIN sims s ON s.u = c.vec_id
+      JOIN selected{i - 1} t ON s.v = t.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selected{i - 1})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY score_milli DESC, c.vec_id LIMIT 1)""")
+        prev_union += f" UNION ALL SELECT vec_id, pos, score_milli, rel FROM sel{i}"
+    final = (
+        f"SELECT CAST(pos AS INTEGER) AS pos, vec_id,"
+        f" CAST(rel AS BIGINT) AS rel_micro,"
+        f" CAST(score_milli AS BIGINT) AS score_milli"
+        f" FROM ({prev_union}) ORDER BY pos"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description="maximal marginal relevance reranking (Carbonell & "
+    "Goldstein 1998 — the diversity-aware selection layer between "
+    "retrieval and a RAG prompt, completing the family beside BM25 / RRF "
+    "/ hard negatives / cross-encoder plumbing): greedy k=8 selection from "
+    "the top-16 cosine candidates, score = 0.7*rel - 0.3*max-sim-to-"
+    "selected carried as EXACT micro integers (7*rel - 3*maxsim), vec_id "
+    "tiebreaks. SCALE: candidate set is bounded (top-16 via "
+    "TakeOrdered), so the greedy rounds run on constant-size frames — "
+    "corpus cost is ONE brute-force scan (or any ANN query) for the "
+    "candidates; the k greedy rounds are driver-free 16-row joins",
+    tags=("vectors", "retrieval", "rerank", "mmr"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.similarity import as_double_array, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    )
+    micro = lambda c: F.round(F.round(c, 6) * 1000000).cast("bigint")  # noqa: E731
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", as_double_array("embedding").alias("bv"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "bv", micro(cosine(F.col("qv"), F.col("bv"))).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_CAND)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("vec_id").alias("u"), F.col("bv").alias("av"))
+    b = cand.select(F.col("vec_id").alias("v"), F.col("bv").alias("bv2"))
+    sims = (
+        a.join(F.broadcast(b), F.col("u") != F.col("v"))
+        .select("u", "v", micro(cosine(F.col("av"), F.col("bv2"))).alias("sim"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id", F.lit(1).alias("pos"),
+            (7 * F.col("rel")).alias("score_milli"), "rel",
+        )
+        .localCheckpoint()
+    )
+    for pos in range(2, _MMR_K + 1):
+        sel_ids = sel.select("vec_id")
+        scored = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(sims, F.col("vec_id") == sims["u"])
+            .join(
+                sel_ids.select(F.col("vec_id").alias("v")), "v"
+            )
+            .groupBy(F.col("vec_id"), F.col("rel"))
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "vec_id", F.lit(pos).alias("pos"),
+                (7 * F.col("rel") - 3 * F.col("maxsim")).alias("score_milli"),
+                "rel",
+            )
+        )
+        pick = scored.orderBy(F.desc("score_milli"), "vec_id").limit(1)
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        F.col("pos").cast("int").alias("pos"), "vec_id",
+        F.col("rel").cast("bigint").alias("rel_micro"),
+        F.col("score_milli").cast("bigint").alias("score_milli"),
+    ).orderBy("pos")
