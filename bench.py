@@ -147,6 +147,12 @@ HEADLINE = [
     "q_theil_sen",
     "q_adamic_adar",
     "q_mmr_rerank",
+    "q_mp4_box_walk",
+    "q_distributed_topk",
+    "q_mergeable_quantiles",
+    "q_modularity",
+    "q_collocations",
+    "q_classifier_eval",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

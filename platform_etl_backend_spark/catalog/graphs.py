@@ -175,10 +175,11 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("dist").cast("bigint").alias("dist"))
 
 
-def _lpa_oracle(iterations: int = 3) -> str:
+def _lpa_oracle(iterations: int = 3, final: str | None = None) -> str:
     """Unrolled-CTE synchronous LPA mirroring operators/graph.label_propagation:
     same events-derived 50-node graph as q_triangle_count, same
-    (count DESC, label ASC) deterministic tie-break."""
+    (count DESC, label ASC) deterministic tie-break. ``final`` overrides the
+    closing SELECT (q_modularity scores the same labels)."""
     ctes = [
         """und AS (
       SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
@@ -201,7 +202,8 @@ def _lpa_oracle(iterations: int = 3) -> str:
         )
     return (
         "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT node, label AS community FROM l{iterations}"
+        + "\n    "
+        + (final or f"SELECT node, label AS community FROM l{iterations}")
     )
 
 
@@ -605,3 +607,98 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("aa_score"),
     )
     return aa.orderBy(F.desc("aa_score"), "u", "v").limit(20)
+
+_M_EDGES = "(SELECT COUNT(*) FROM und)"
+_M_NUM = f"(4 * {_M_EDGES} * COALESCE(i.intra, 0) - p.degree_sum * p.degree_sum)"
+_M_DEN = f"(4 * {_M_EDGES} * {_M_EDGES})"
+_MODULARITY_FINAL = f"""SELECT p.community, p.n_nodes,
+           CAST(COALESCE(i.intra, 0) AS BIGINT) AS intra_edges, p.degree_sum,
+           CAST(CASE WHEN {_M_NUM} >= 0
+                THEN (2 * {_M_NUM} * 1000000 + {_M_DEN}) // (2 * {_M_DEN})
+                ELSE -((2 * -{_M_NUM} * 1000000 + {_M_DEN}) // (2 * {_M_DEN}))
+           END AS BIGINT) AS contrib_micro
+    FROM (SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+          FROM l3 la JOIN (SELECT u AS node, COUNT(*) AS deg
+                           FROM sym GROUP BY u) d ON la.node = d.node
+          GROUP BY la.label) p
+    LEFT JOIN (SELECT la.label AS community, COUNT(*) AS intra
+               FROM und e JOIN l3 la ON e.a = la.node
+               JOIN l3 lb ON e.b = lb.node AND la.label = lb.label
+               GROUP BY la.label) i
+      ON p.community = i.community
+    ORDER BY p.community"""
+
+
+@register(
+    "q_modularity",
+    oracle=_lpa_oracle(3, final=_MODULARITY_FINAL),
+    description="Newman modularity scoring of the LPA communities (Newman "
+    "& Girvan 2004): Q_c = intra_c/m - (D_c/2m)^2 per community, carried "
+    "as ONE exact integer rational (4m*intra - D^2)/(4m^2) with "
+    "sign-aware round-half-away micro output — the community-quality "
+    "metric beside the detection operator, zero float ops; total Q = sum "
+    "of contribs. SCALE: labels come from the bounded LPA rounds "
+    "(localCheckpoint-pinned so scoring doesn't re-run them); scoring is "
+    "two label-keyed joins + rollups; m rides as a 1-row broadcast",
+    tags=("graph", "community", "metric"),
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import label_propagation
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = (
+        label_propagation(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            iterations=3,
+        )
+        .localCheckpoint()
+    )
+    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    per = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la, "a").join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra"))
+    )
+    out = (
+        per.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community", "n_nodes",
+            F.coalesce("intra", F.lit(0)).cast("bigint").alias("intra_edges"),
+            "degree_sum", "m",
+        )
+    )
+    return out.selectExpr(
+        "community", "n_nodes", "intra_edges", "degree_sum",
+        """CAST(CASE
+             WHEN 4 * m * intra_edges - degree_sum * degree_sum >= 0
+             THEN (2 * (4 * m * intra_edges - degree_sum * degree_sum) * 1000000
+                   + 4 * m * m) div (2 * (4 * m * m))
+             ELSE -((2 * -(4 * m * intra_edges - degree_sum * degree_sum) * 1000000
+                     + 4 * m * m) div (2 * (4 * m * m)))
+           END AS BIGINT) AS contrib_micro""",
+    ).orderBy("community")

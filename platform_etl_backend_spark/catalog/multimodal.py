@@ -537,3 +537,88 @@ def q_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps = F.when(n == k, body) if reps is None else reps.when(n == k, body)
     stream = d.select("doc_id", F.concat(prefix, reps).alias("mp3"))
     return MM.mp3_stats(stream, "doc_id", "mp3")
+
+
+# --- MP4 / ISO BMFF box walk ---------------------------------------------------
+
+def _be4(col):
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+@register(
+    "q_mp4_box_walk",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 7 ELSE 6 END AS INTEGER)
+             AS n_boxes,
+           CASE WHEN doc_id % 4 = 0 THEN 'ftyp|free|moov|mdat'
+                ELSE 'ftyp|moov|mdat' END AS top_types,
+           'isom' AS brand,
+           CAST(1000 AS INTEGER) AS timescale,
+           CAST((doc_id % 100 + 1) * 500 AS BIGINT) AS duration,
+           CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+           CAST(180 + (doc_id % 4) * 90 AS INTEGER) AS height,
+           CAST(length(text) % 256 + 16 AS BIGINT) AS mdat_bytes
+    FROM documents ORDER BY doc_id
+    """,
+    description="REAL ISO BMFF (MP4) box-tree walk (ISO/IEC 14496-12 "
+    "struct math — the video-container sibling of the MP3 frame walk): "
+    "Catalyst assembles a genuine minimal MP4 per doc — ftyp, optional "
+    "free box, moov(mvhd+trak(tkhd)) with per-doc duration and 16.16 "
+    "fixed-point dimensions, mdat with a 64-bit LARGESIZE header on every "
+    "5th doc — and the Arrow stage recursively walks the tree (size "
+    "validation against the enclosing container, largesize and "
+    "to-end-of-container cases, nested containers). The oracle predicts "
+    "every field in closed form from the synthesis parameters; a walker "
+    "that mis-sized one box or mis-read the 16.16 fields breaks the hash. "
+    "Zero-shuffle plan; video SAMPLE decode stays an honest stub "
+    "(codec-library-bound)",
+    tags=("multimodal", "binary", "pandas-udf", "codec", "video"),
+)
+def q_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.codecs import (
+        _mp4_box,
+        mp4_mvhd_payload,
+        mp4_tkhd_payload,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    duration = ((F.col("doc_id") % 100 + 1) * 500).cast("bigint")
+    width = (320 + (F.col("doc_id") % 4) * 160).cast("bigint")
+    height = (180 + (F.col("doc_id") % 4) * 90).cast("bigint")
+    mdat_len = (F.length("text") % 256 + 16).cast("bigint")
+
+    # constant skeleton bytes from the same builders the walker tests use
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2mp41")
+    free = _mp4_box(b"free", b"\x00" * 8)
+    mv = mp4_mvhd_payload(1000, 0)
+    tk = mp4_tkhd_payload(0, 0, 0)
+    moov_hdr = (216).to_bytes(4, "big") + b"moov"
+    mvhd_hdr = (108).to_bytes(4, "big") + b"mvhd"
+    trak_hdr = (100).to_bytes(4, "big") + b"trak"
+    tkhd_hdr = (92).to_bytes(4, "big") + b"tkhd"
+
+    # repeat('00', n) is n REPETITIONS of the 2-char unit = n bytes
+    zeros = F.unhex(F.repeat(F.lit("00"), mdat_len.cast("int")))
+    mdat = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(b"\x00\x00\x00\x01mdat"),
+            F.unhex(F.lpad(F.hex(mdat_len + 16), 16, "0")),
+            zeros,
+        ),
+    ).otherwise(F.concat(_be4(mdat_len + 8), F.lit(b"mdat"), zeros))
+    mp4 = F.concat(
+        F.lit(ftyp),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(free)).otherwise(F.lit(b"")),
+        F.lit(moov_hdr + mvhd_hdr + mv[:16]),
+        _be4(duration),
+        F.lit(mv[20:] + trak_hdr + tkhd_hdr + tk[:20]),
+        _be4(duration),
+        F.lit(tk[24:76]),
+        _be4(width * 65536),
+        _be4(height * 65536),
+        mdat,
+    )
+    stream = d.select("doc_id", mp4.alias("mp4"))
+    return MM.mp4_stats(stream, "doc_id", "mp4").orderBy("doc_id")

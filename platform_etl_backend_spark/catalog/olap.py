@@ -897,3 +897,100 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho"),
     ).orderBy("grp")
+
+
+# --- mergeable quantile summary (per-shard order statistics) ------------------
+
+_MQ_SHARDS = 8
+_MQ_KEEP = 32
+_MQ_QS = (25, 50, 75, 90)
+
+
+@register(
+    "q_mergeable_quantiles",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey % {_MQ_SHARDS} AS shard,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    rk AS (
+      SELECT shard, v,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY v, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY shard) AS n_s
+      FROM src),
+    summ AS (
+      SELECT shard, v, rn,
+             CAST(LEAST((n_s + {_MQ_KEEP} - 1) // {_MQ_KEEP},
+                        n_s - rn + 1) AS BIGINT) AS w
+      FROM rk
+      WHERE (rn - 1) % ((n_s + {_MQ_KEEP} - 1) // {_MQ_KEEP}) = 0),
+    cum AS (
+      SELECT v,
+             CAST(SUM(w) OVER (ORDER BY v, shard, rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumw
+      FROM summ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    targets AS (SELECT UNNEST({list(_MQ_QS)}) AS q)
+    SELECT CAST(t.q AS INTEGER) AS q,
+           MIN(c.v) AS approx_value,
+           (SELECT n FROM nn) AS n
+    FROM targets t JOIN cum c
+      ON c.cumw >= (t.q * (SELECT n FROM nn) + 99) // 100
+    GROUP BY t.q ORDER BY t.q
+    """,
+    description="mergeable distributed quantile summary (the per-shard "
+    "order-statistic compaction behind GK/KLL-class sketches, made fully "
+    "deterministic): each shard keeps every m-th order statistic (m = "
+    "ceil(n_s/32)) weighted by the run it represents, summaries merge by "
+    "weighted union, and the q-quantile is the smallest value whose "
+    "cumulative weight reaches ceil(q*N/100) — rank error bounded by "
+    "max shard stride, all arithmetic integer, value a passthrough "
+    "DOUBLE. The engine-portable counterpart of the rows-only GK sketch "
+    "(q_approx_percentile). SCALE: per-shard windows partition by shard; "
+    "only shards*32 summary rows merge; the final scan is summary-sized",
+    tags=("olap", "sketch", "quantile"),
+)
+def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        (F.col("l_orderkey") % _MQ_SHARDS).alias("shard"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        "l_orderkey", "l_linenumber",
+    )
+    wsh = Window.partitionBy("shard").orderBy("v", "l_orderkey", "l_linenumber")
+    rk = src.select(
+        "shard", "v",
+        F.row_number().over(wsh).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("n_s"),
+    )
+    stride = F.expr(f"(n_s + {_MQ_KEEP} - 1) div {_MQ_KEEP}")
+    summ = rk.where((F.col("rn") - 1) % stride == 0).select(
+        "shard", "v", "rn",
+        F.least(stride, F.col("n_s") - F.col("rn") + 1).cast("bigint").alias("w"),
+    )
+    cum = summ.select(
+        "v",
+        F.sum("w")
+        .over(
+            Window.orderBy("v", "shard", "rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cumw"),
+    )
+    nn = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    targets = spark.createDataFrame([(q,) for q in _MQ_QS], "q int")
+    return (
+        F.broadcast(targets)
+        .crossJoin(F.broadcast(nn))
+        .join(cum, F.col("cumw") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q", "n")
+        .agg(F.min("v").alias("approx_value"))
+        .select("q", "approx_value", "n")
+        .orderBy("q")
+    )

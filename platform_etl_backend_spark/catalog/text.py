@@ -3505,3 +3505,234 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", F.col("pos").cast("int").alias("pos"), "doc_id", "skey")
         .orderBy("epoch", "pos")
     )
+
+
+# --- distributed top-k heavy hitters (TPUT-style, deterministic) --------------
+
+_TOPK_SHARDS = 8
+_TOPK_LOCAL = 10
+
+
+@register(
+    "q_distributed_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id % {_TOPK_SHARDS} AS shard,
+                      unnest({_T}) AS word
+               FROM documents),
+    c AS (SELECT shard, word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM t GROUP BY shard, word),
+    rk AS (SELECT shard, word, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY shard
+                                     ORDER BY cnt DESC, word) AS rn
+           FROM c),
+    kept AS (SELECT shard, word, cnt FROM rk WHERE rn <= {_TOPK_LOCAL}),
+    thr AS (SELECT shard, CAST(MIN(cnt) AS BIGINT) AS thr FROM kept
+            GROUP BY shard),
+    tot AS (SELECT CAST(SUM(thr) AS BIGINT) AS t_all FROM thr),
+    agg AS (
+      SELECT k.word,
+             CAST(SUM(k.cnt) AS BIGINT) AS lb,
+             CAST(SUM(th.thr) AS BIGINT) AS thr_seen
+      FROM kept k JOIN thr th ON k.shard = th.shard
+      GROUP BY k.word)
+    SELECT word, lb, lb + ((SELECT t_all FROM tot) - thr_seen) AS ub
+    FROM agg ORDER BY lb DESC, word LIMIT 10
+    """,
+    description="distributed top-k heavy hitters with DETERMINISTIC error "
+    "bounds (the TPUT/three-phase shape; Cao & Wang 2004): rows split "
+    "across shards (doc_id mod 8 — the row partitioning a cluster scan "
+    "has), each shard contributes its exact local top-10 plus its "
+    "threshold (10th count); a candidate's true count is bounded by "
+    "[sum of seen counts, + sum of unseen shards' thresholds] because a "
+    "word absent from a shard's top-10 counts at most that shard's "
+    "threshold there. The communication-optimal alternative to a full "
+    "global rollup when only the head matters. SCALE: per-shard rollups "
+    "aggregate map-side; only k*shards candidate rows cross the network; "
+    "thresholds are a shard-count-sized broadcast",
+    tags=("text", "sketch", "topk"),
+)
+def q_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % _TOPK_SHARDS).alias("shard"),
+        F.explode(D.ws_tokens("text")).alias("word"),
+    )
+    c = t.groupBy("shard", "word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rk = c.select(
+        "shard", "word", "cnt",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy(F.desc("cnt"), "word"))
+        .alias("rn"),
+    )
+    kept = rk.where(F.col("rn") <= _TOPK_LOCAL).drop("rn")
+    thr = kept.groupBy("shard").agg(F.min("cnt").cast("bigint").alias("thr"))
+    tot = thr.agg(F.sum("thr").cast("bigint").alias("t_all"))
+    agg = (
+        kept.join(F.broadcast(thr), "shard")
+        .groupBy("word")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("lb"),
+            F.sum("thr").cast("bigint").alias("thr_seen"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "word", "lb",
+            (F.col("lb") + F.col("t_all") - F.col("thr_seen")).alias("ub"),
+        )
+        .orderBy(F.desc("lb"), "word")
+        .limit(10)
+    )
+
+
+# --- collocation extraction (bigram t-score) -----------------------------------
+
+@register(
+    "q_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_T} AS t FROM documents),
+    bg AS (SELECT unnest([struct_pack(a := t[i], b := t[i+1])
+                          FOR i IN range(1, len(t))]) AS u
+           FROM toks),
+    pairs AS (SELECT u.a AS a, u.b AS b FROM bg),
+    fab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS f_ab
+            FROM pairs GROUP BY a, b),
+    fa AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS f_a FROM pairs GROUP BY a),
+    fb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS f_b FROM pairs GROUP BY b),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+    SELECT fab.a || ' ' || fab.b AS bigram, f_ab, f_a, f_b,
+           ROUND((CAST(f_ab AS DOUBLE)
+                  - CAST(f_a AS DOUBLE) * CAST(f_b AS DOUBLE)
+                    / CAST((SELECT n FROM nn) AS DOUBLE))
+                 / sqrt(CAST(f_ab AS DOUBLE)), 6) AS t_score
+    FROM fab JOIN fa ON fab.a = fa.a JOIN fb ON fab.b = fb.b
+    ORDER BY t_score DESC, bigram LIMIT 20
+    """,
+    description="collocation extraction by bigram t-score (Manning & "
+    "Schuetze ch.5; the frequentist sibling of the PMI and LLR "
+    "association measures already in the catalog): t = (f_ab - "
+    "f_a*f_b/B)/sqrt(f_ab) where f_a/f_b are first/second-position "
+    "marginals over the B adjacent bigrams (convention documented) — "
+    "exact integer counts into one fixed-order IEEE expression. SCALE: "
+    "map-side bigram fan-out (shifted zips), three count rollups, "
+    "marginal joins keyed on words; TakeOrdered top-20",
+    tags=("text", "collocations", "lm"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = D.ws_tokens("text")
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("u")
+    ).select(F.col("u.a").alias("a"), F.col("u.b").alias("b"))
+    fab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("f_ab"))
+    fa = pairs.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("f_a"))
+    fb = pairs.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("f_b"))
+    nn = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = (
+        fab.join(fa, "a").join(fb, "b").crossJoin(F.broadcast(nn))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"), "f_ab", "f_a", "f_b",
+            F.round(
+                (
+                    F.col("f_ab").cast("double")
+                    - F.col("f_a").cast("double") * F.col("f_b").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.sqrt(F.col("f_ab").cast("double")),
+                6,
+            ).alias("t_score"),
+        )
+    )
+    return out.orderBy(F.desc("t_score"), "bigram").limit(20)
+
+
+# --- classifier evaluation (confusion matrix + P/R/F1) --------------------------
+
+@register(
+    "q_classifier_eval",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    m AS (SELECT doc_id,
+                 CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
+                 CASE WHEN {_fh_digit(3)} < 8 THEN 1 ELSE -1 END AS sign
+          FROM tok WHERE term <> ''),
+    f AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+          FROM m GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+    l AS (SELECT doc_id,
+                 CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)
+                 + CAST(SUM(val * ({_quality_weights_sql()})[bucket + 1]) AS BIGINT)
+                     AS logit_micro
+          FROM f GROUP BY doc_id),
+    lbl AS (SELECT doc_id,
+                   CASE WHEN 2 * COUNT(DISTINCT term) >= COUNT(*)
+                        THEN 1 ELSE 0 END AS label
+            FROM tok WHERE term <> '' GROUP BY doc_id),
+    p AS (SELECT lbl.doc_id, lbl.label,
+                 CASE WHEN COALESCE(l.logit_micro,
+                                    CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)) >= 0
+                      THEN 1 ELSE 0 END AS pred
+          FROM lbl LEFT JOIN l ON lbl.doc_id = l.doc_id),
+    c AS (SELECT
+            CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM p)
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN 0
+                ELSE (2 * tp * 1000000 + (tp + fp)) // (2 * (tp + fp)) END
+             AS precision_micro,
+           CASE WHEN tp + fn = 0 THEN 0
+                ELSE (2 * tp * 1000000 + (tp + fn)) // (2 * (tp + fn)) END
+             AS recall_micro,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                ELSE (2 * (2 * tp) * 1000000 + (2 * tp + fp + fn))
+                     // (2 * (2 * tp + fp + fn)) END AS f1_micro
+    FROM c
+    """,
+    description="classifier evaluation harness (confusion matrix + "
+    "precision/recall/F1) for the trained quality filter against a fixed "
+    "lexical-diversity reference label (distinct-token ratio >= 0.5): "
+    "counts are exact BIGINTs from one doc-keyed rollup; every metric is "
+    "round-half-away integer micro arithmetic (F1 via the 2tp/(2tp+fp+fn) "
+    "identity — no float chaining). The eval loop every model-based "
+    "filter needs beside the scorer itself. SCALE: scoring plus one "
+    "doc-keyed label rollup, then a 4-integer reduction",
+    tags=("text", "quality", "ml-eval"),
+)
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = TQ.quality_classifier(d, "doc_id", "text")
+    toks = F.filter(D.ws_tokens("text"), lambda x: x != "")
+    lbl = d.select(
+        "doc_id",
+        F.when(
+            2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1
+        ).otherwise(0).alias("label"),
+    ).where(F.size(toks) > 0)
+    p = lbl.join(scored.select("doc_id", "passed"), "doc_id", "left").select(
+        "label", F.coalesce("passed", F.lit(0)).alias("pred")
+    )
+    c = p.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    return c.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE (2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp)) END AS precision_micro",
+        "CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE (2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn)) END AS recall_micro",
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT) ELSE (2 * (2 * tp) * 1000000 + (2 * tp + fp + fn)) div (2 * (2 * tp + fp + fn)) END AS f1_micro",
+    )

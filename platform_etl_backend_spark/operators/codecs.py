@@ -349,3 +349,140 @@ def mp3_frame_walk(payload: bytes) -> dict[str, int]:
         "total_samples": n_frames * MP3_SAMPLES_PER_FRAME_V1L3,
         "payload_bytes": pos - start,
     }
+
+
+# --- ISO BMFF (MP4) box structure --------------------------------------------
+
+# Public format: ISO/IEC 14496-12 box = [size:4 BE][type:4][payload],
+# size==1 -> 64-bit largesize follows the type, size==0 -> box extends to
+# the end of the enclosing container. Container boxes nest child boxes.
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta"}
+_MP4_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 4 * 3
+    + b"\x00\x01\x00\x00" + b"\x00" * 4 * 3
+    + b"\x40\x00\x00\x00"
+)
+
+
+def _mp4_box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return (
+            struct.pack(">I", 1) + btype
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_mvhd_payload(timescale: int, duration: int) -> bytes:
+    """MovieHeaderBox v0 payload (100 bytes, spec field order)."""
+    import struct
+
+    return (
+        b"\x00\x00\x00\x00"                       # version/flags
+        + struct.pack(">II", 0, 0)                 # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)            # rate 1.0
+        + struct.pack(">H", 0x0100)                # volume 1.0
+        + b"\x00" * 10                             # reserved
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                             # pre_defined
+        + struct.pack(">I", 2)                     # next_track_ID
+    )
+
+
+def mp4_tkhd_payload(duration: int, width: int, height: int) -> bytes:
+    """TrackHeaderBox v0 payload (84 bytes); width/height 16.16 fixed."""
+    import struct
+
+    return (
+        b"\x00\x00\x00\x07"                        # v0, enabled|in_movie|preview
+        + struct.pack(">II", 0, 0)                 # ctime/mtime
+        + struct.pack(">I", 1)                     # track_ID
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhH", 0, 0, 0)             # layer/alt_group/volume
+        + b"\x00" * 2
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16)
+    )
+
+
+def build_mp4(
+    duration: int,
+    timescale: int = 1000,
+    width: int = 640,
+    height: int = 360,
+    mdat_len: int = 64,
+    free: bool = False,
+    mdat_largesize: bool = False,
+) -> bytes:
+    """Synthesize a structurally-valid minimal MP4: ftyp + (free) +
+    moov(mvhd + trak(tkhd)) + mdat. Media SAMPLE decoding is out of scope
+    (codec-library-bound); the container walk is the real, testable part."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2mp41")
+    moov = _mp4_box(
+        b"moov",
+        _mp4_box(b"mvhd", mp4_mvhd_payload(timescale, duration))
+        + _mp4_box(b"trak", _mp4_box(b"tkhd", mp4_tkhd_payload(duration, width, height))),
+    )
+    parts = [ftyp]
+    if free:
+        parts.append(_mp4_box(b"free", b"\x00" * 8))
+    parts.append(moov)
+    parts.append(_mp4_box(b"mdat", b"\x00" * mdat_len, largesize=mdat_largesize))
+    return b"".join(parts)
+
+
+def mp4_box_walk(payload: bytes) -> dict:
+    """Walk the full ISO BMFF box tree: validates every size field against
+    the enclosing container, handles 64-bit largesize (size==1) and
+    to-end-of-container (size==0) boxes, recurses into container types,
+    and extracts ftyp brand, mvhd timescale/duration, tkhd pixel
+    dimensions, and mdat payload length. Raises on truncation or a size
+    smaller than its own header — garbage never parses silently."""
+    boxes: list[tuple[int, str]] = []
+    info = {
+        "brand": "", "timescale": 0, "duration": 0,
+        "width": 0, "height": 0, "mdat_bytes": 0,
+    }
+
+    def walk(buf: bytes, depth: int) -> None:
+        pos = 0
+        while pos < len(buf):
+            if len(buf) - pos < 8:
+                raise ValueError("truncated box header")
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if len(buf) - pos < 16:
+                    raise ValueError("truncated largesize")
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = len(buf) - pos
+            if size < hdr or pos + size > len(buf):
+                raise ValueError(f"bad box size {size} at {pos}")
+            boxes.append((depth, btype.decode("latin1")))
+            body = buf[pos + hdr:pos + size]
+            if btype in _MP4_CONTAINERS:
+                walk(body, depth + 1)
+            elif btype == b"ftyp":
+                info["brand"] = body[:4].decode("latin1")
+            elif btype == b"mvhd":
+                info["timescale"] = int.from_bytes(body[12:16], "big")
+                info["duration"] = int.from_bytes(body[16:20], "big")
+            elif btype == b"tkhd":
+                info["width"] = int.from_bytes(body[76:80], "big") >> 16
+                info["height"] = int.from_bytes(body[80:84], "big") >> 16
+            elif btype == b"mdat":
+                info["mdat_bytes"] = len(body)
+            pos += size
+
+    walk(payload, 0)
+    info["n_boxes"] = len(boxes)
+    info["top_types"] = "|".join(t for d, t in boxes if d == 0)
+    return info
