@@ -153,6 +153,7 @@ HEADLINE = [
     "q_modularity",
     "q_collocations",
     "q_classifier_eval",
+    "q_bootstrap_ci",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

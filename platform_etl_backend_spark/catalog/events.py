@@ -2855,3 +2855,119 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope_micro_per_day"),
         F.col("cnt").cast("bigint").alias("n_pairs"),
     )
+
+
+# --- deterministic bootstrap confidence interval --------------------------------
+
+_BOOT_B = 64  # replicates
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    idx AS (SELECT s, ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   COUNT(*) OVER () AS n
+            FROM days),
+    draws AS (
+      SELECT b.b, t.i AS pos,
+             CAST(('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                                       || CAST(t.i AS VARCHAR)), 1, 12))
+                  AS BIGINT) % (SELECT MAX(n) FROM idx) + 1 AS pick
+      FROM (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+      CROSS JOIN (SELECT i FROM idx) t),
+    means AS (
+      SELECT d.b, CAST(SUM(x.s) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM draws d JOIN idx x ON d.pick = x.i
+      GROUP BY d.b),
+    rm AS (
+      SELECT b, (2 * tot + n) // (2 * n) AS mean_micro,
+             ROW_NUMBER() OVER (ORDER BY (2 * tot + n) // (2 * n), b) AS rn
+      FROM means)
+    SELECT
+      (SELECT mean_micro FROM rm WHERE rn = 2) AS ci_lo_micro,
+      (SELECT mean_micro FROM rm WHERE rn = {_BOOT_B - 1}) AS ci_hi_micro,
+      (SELECT (2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) FROM days)
+        AS sample_mean_micro,
+      CAST({_BOOT_B} AS INTEGER) AS n_replicates
+    """,
+    description="deterministic seeded bootstrap CI for the mean daily "
+    "event value (Efron resampling with md5-derived draw indices — no "
+    "RNG state, partitioning-invariant, resumable like q_epoch_shuffle): "
+    "64 replicates resample the daily frame WITH replacement via a "
+    "content-hash pick per (replicate, position), replicate means are "
+    "exact round-half-away micro integers, and the ~95% interval is a "
+    "rank-pick (2nd / 63rd order statistic — percentile_disc convention). "
+    "SCALE: the resample join fans out B x |days| rows over the DAILY "
+    "rollup (calendar-bounded, constant in event volume), never raw "
+    "events; replicate means aggregate map-side",
+    tags=("events", "stats", "bootstrap"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    idx = days.select(
+        "s",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    ).localCheckpoint()
+    b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    draws = (
+        F.broadcast(b)
+        .crossJoin(idx.select("i", "n"))
+        .select(
+            "b",
+            (
+                F.expr(
+                    "CAST(conv(substr(md5('boot:' || CAST(b AS STRING) || ':'"
+                    " || CAST(i AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+                )
+                % F.col("n")
+                + 1
+            ).alias("pick"),
+        )
+    )
+    means = (
+        draws.join(idx.select(F.col("i").alias("pick"), "s"), "pick")
+        .groupBy("b")
+        .agg(
+            F.sum("s").cast("bigint").alias("tot"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    rm = means.select(
+        "b",
+        F.expr("(2 * tot + n) div (2 * n)").alias("mean_micro"),
+    ).select(
+        "mean_micro",
+        F.row_number().over(Window.orderBy("mean_micro", "b")).alias("rn"),
+    )
+    lo = rm.where(F.col("rn") == 2).select(F.col("mean_micro").alias("ci_lo_micro"))
+    hi = rm.where(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_micro").alias("ci_hi_micro")
+    )
+    sm = days.agg(
+        F.expr("(2 * SUM(s) + COUNT(*)) div (2 * COUNT(*))").alias("sample_mean_micro")
+    )
+    return (
+        lo.crossJoin(hi).crossJoin(sm)
+        .select(
+            "ci_lo_micro", "ci_hi_micro", "sample_mean_micro",
+            F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        )
+    )

@@ -358,3 +358,33 @@ def test_classifier_eval_reconciles(spark, sf_dir):
         assert r.f1_micro == (4 * r.tp * 10**6 + den) // (2 * den)
     # the classifier does better than all-positive on precision or is degenerate
     assert 0 <= r.f1_micro <= 10**6
+
+
+def test_bootstrap_ci_matches_python(spark, sf_dir):
+    import hashlib
+
+    rows = _events(spark, sf_dir)
+    daily: dict[int, int] = {}
+    for r in rows:
+        daily[r.ep // 86400] = daily.get(r.ep // 86400, 0) + round(
+            round(r.value, 6) * 1e6
+        )
+    s = [daily[d] for d in sorted(daily)]
+    n = len(s)
+    means = []
+    for b in range(64):
+        tot = 0
+        for i in range(1, n + 1):
+            h = int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:12], 16)
+            tot += s[h % n]
+        means.append(((2 * tot + n) // (2 * n), b))
+    means.sort()
+    got = QUERIES["q_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert got.n_replicates == 64
+    assert got.ci_lo_micro == means[1][0]
+    assert got.ci_hi_micro == means[62][0]
+    sample_mean = (2 * sum(s) + n) // (2 * n)
+    assert got.sample_mean_micro == sample_mean
+    # the interval contains the sample mean and is non-degenerate
+    assert got.ci_lo_micro <= sample_mean <= got.ci_hi_micro
+    assert got.ci_lo_micro < got.ci_hi_micro
