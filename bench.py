@@ -154,6 +154,7 @@ HEADLINE = [
     "q_collocations",
     "q_classifier_eval",
     "q_bootstrap_ci",
+    "q_mann_kendall",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -90,7 +90,7 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_paragraph_dedup, q_epoch_shuffle, q_anova_f, q_bh_fdr, q_theil_sen,
 # q_adamic_adar, q_mmr_rerank, q_mp4_box_walk, q_distributed_topk,
 # q_mergeable_quantiles, q_modularity, q_collocations, q_classifier_eval,
-# q_bootstrap_ci
+# q_bootstrap_ci, q_mann_kendall
 # (registered past position 50 —
 # slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
 # prioritization). All are replica-green at both SFs; front them in

@@ -2971,3 +2971,98 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BOOT_B).cast("int").alias("n_replicates"),
         )
     )
+
+
+# --- Mann-Kendall trend test ----------------------------------------------------
+
+@register(
+    "q_mann_kendall",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    pairs AS (
+      SELECT CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END AS sg
+      FROM days a JOIN days b ON b.day > a.day),
+    st AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY s)
+      WHERE t > 1)
+    SELECT s_stat, n,
+           ROUND(CASE
+             WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18.0)
+             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) AS z
+    FROM st CROSS JOIN nn CROSS JOIN ties
+    """,
+    description="Mann-Kendall monotonic-trend test over the daily "
+    "event-value series (the standard significance companion to the "
+    "Theil-Sen slope; Mann 1945 / Kendall 1975): S = sum of pairwise "
+    "signs as an EXACT integer, tie-corrected variance n(n-1)(2n+5)/18 - "
+    "sum t(t-1)(2t+5)/18 from exact integer tie counts, z with the "
+    "continuity correction — the only floats are the final division/sqrt "
+    "on identical exact operands. SCALE: like q_theil_sen, the O(n^2) "
+    "pair term runs on the calendar-bounded DAILY rollup (~365 rows at "
+    "any data volume); the raw scan is one map-side pre-aggregation",
+    tags=("events", "timeseries", "stats", "trend"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s")
+        )
+        .localCheckpoint()
+    )
+    a = days.select(F.col("day").alias("i"), F.col("s").alias("sa"))
+    b = days.select(F.col("day").alias("j"), F.col("s").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        F.when(F.col("sb") > F.col("sa"), 1)
+        .when(F.col("sb") < F.col("sa"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    st = pairs.agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    nn = days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        days.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("bigint").alias("tie")
+        )
+    )
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie")
+    ).cast("double") / 18.0
+    return (
+        st.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat", "n",
+            F.round(
+                F.when(
+                    F.col("s_stat") > 0,
+                    (F.col("s_stat") - 1).cast("double") / F.sqrt(var),
+                )
+                .when(
+                    F.col("s_stat") < 0,
+                    (F.col("s_stat") + 1).cast("double") / F.sqrt(var),
+                )
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+    )

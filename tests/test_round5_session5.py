@@ -388,3 +388,34 @@ def test_bootstrap_ci_matches_python(spark, sf_dir):
     # the interval contains the sample mean and is non-degenerate
     assert got.ci_lo_micro <= sample_mean <= got.ci_hi_micro
     assert got.ci_lo_micro < got.ci_hi_micro
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    daily: dict[int, int] = {}
+    for r in rows:
+        daily[r.ep // 86400] = daily.get(r.ep // 86400, 0) + round(
+            round(r.value, 6) * 1e6
+        )
+    s = [daily[d] for d in sorted(daily)]
+    n = len(s)
+    s_stat = sum(
+        (1 if s[j] > s[i] else -1 if s[j] < s[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(s).values() if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    got = QUERIES["q_mann_kendall"].fn(spark, sf_dir).collect()[0]
+    assert (got.s_stat, got.n) == (s_stat, n)
+    assert abs(got.z - round(z, 6)) <= 1e-6
