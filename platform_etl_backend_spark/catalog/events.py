@@ -1223,9 +1223,9 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY user_id, journey) AS n_j
       FROM t)
     SELECT event_type AS channel,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS first_touch,
-           SUM(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS last_touch,
-           SUM(1000000 // n_j) AS linear_micro,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+           CAST(SUM(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+           CAST(SUM(1000000 // n_j) AS BIGINT) AS linear_micro,
            COUNT(*) AS n_touches
     FROM r GROUP BY event_type ORDER BY channel
     """,
@@ -2893,7 +2893,7 @@ _BOOT_B = 64  # replicates
     SELECT
       (SELECT mean_micro FROM rm WHERE rn = 2) AS ci_lo_micro,
       (SELECT mean_micro FROM rm WHERE rn = {_BOOT_B - 1}) AS ci_hi_micro,
-      (SELECT (2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) FROM days)
+      (SELECT CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) FROM days)
         AS sample_mean_micro,
       CAST({_BOOT_B} AS INTEGER) AS n_replicates
     """,
@@ -2969,6 +2969,122 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ci_lo_micro", "ci_hi_micro", "sample_mean_micro",
             F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        )
+    )
+
+
+def _kendall_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS y
+      FROM e GROUP BY ep // 86400),
+    pairs AS (
+      SELECT (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+             * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+             AS cd
+      FROM days a JOIN days b ON b.day > a.day),
+    st AS (SELECT CAST(COALESCE(SUM(cd), 0) AS BIGINT) AS s FROM pairs),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    tx AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY x)
+      WHERE t > 1),
+    ty AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY y)
+      WHERE t > 1)
+    SELECT s AS concordant_minus_discordant, n AS n_days,
+           ROUND(CAST(s AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 6) AS tau_b
+    FROM st CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+    """
+
+
+@register(
+    "q_kendall_tau",
+    oracle=_kendall_oracle(),
+    description="Kendall tau-b rank correlation between daily event count "
+    "and daily value total (the remaining member of the rank-correlation "
+    "family beside q_spearman_corr; Kendall 1938, tau-b tie correction): "
+    "S = C - D as an EXACT integer sum of sign-products over day pairs, "
+    "tie terms n1/n2 = sum t(t-1)/2 per tied group as exact integers, "
+    "tau_b = S / sqrt((n0-n1)(n0-n2)) with the only floats being the "
+    "final division/sqrt on identical exact operands. SCALE: the O(n^2) "
+    "pair term runs on the calendar-bounded DAILY rollup (~365 rows at "
+    "any data volume — same envelope as q_theil_sen/q_mann_kendall) "
+    "after one map-side pre-aggregation of the raw scan; for an "
+    "UNBOUNDED key frame the numerator is computable in O(n log n) as "
+    "n0 - n1 - n2 + n_xy - 2*inversions(y ordered by x) via distributed "
+    "merge-sort inversion counting (sort by x, then per-partition "
+    "inversion counts + boundary merge) — documented here as the scale "
+    "path, not needed on a bounded frame",
+    tags=("events", "stats", "correlation", "trend"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint()  # days feeds 4 consumers; avoid scan re-execution
+    )
+    a = days.select(F.col("day").alias("i"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = days.select(F.col("day").alias("j"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sgx = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    sgy = (
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        (sgx * sgy).alias("cd")
+    )
+    st = pairs.agg(
+        F.coalesce(F.sum("cd"), F.lit(0)).cast("bigint").alias("s")
+    )
+    nn = days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def tie_term(col: str, alias: str) -> DataFrame:
+        return (
+            days.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .where(F.col("t") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)
+                ).cast("bigint").alias(alias)
+            )
+        )
+
+    n0 = F.expr("n * (n - 1) div 2")
+    return (
+        st.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tie_term("x", "n1")))
+        .crossJoin(F.broadcast(tie_term("y", "n2")))
+        .select(
+            F.col("s").alias("concordant_minus_discordant"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("s").cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
         )
     )
 

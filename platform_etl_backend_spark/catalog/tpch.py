@@ -302,10 +302,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) >= 30
                 THEN 'SLOW' ELSE 'FAST' END AS ship_band,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
       AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'

@@ -85,6 +85,19 @@ def rows_of_spark(df):
 def rows_of_duck(con, sql):
     res = con.sql(sql)
     cols_raw = res.columns
+    # Driver blind spot closed (VERDICT r5 #1): the driver canonicalizes via
+    # pandas, where DuckDB HUGEINT becomes float64 ("241.0" vs Spark's bigint
+    # "241") and the value hash flips even though fetchall() Python ints
+    # compare equal here. Any uncast integer SUM() in an oracle is therefore
+    # a contract violation — fail it HERE, before the driver ever sees it.
+    bad = [f"{c}:{t}" for c, t in zip(cols_raw, res.types)
+           if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+    if bad:
+        raise TypeError(
+            f"oracle result has HUGEINT column(s) {bad} — wrap the integer "
+            f"SUM() in CAST(... AS BIGINT) (DEVNOTES gotcha: DuckDB "
+            f"SUM(INTEGER/BIGINT) widens to HUGEINT, which the driver's "
+            f"pandas canonicalizer renders as float64 and the hash flips)")
     order = sorted(range(len(cols_raw)), key=lambda i: cols_raw[i])
     cols = [cols_raw[i] for i in order]
     return cols, [tuple(canon(row[i]) for i in order) for row in res.fetchall()]

@@ -80,6 +80,36 @@ def test_rows_only_queries_are_the_known_ones():
     assert rows_only == ROWS_ONLY_ALLOWED
 
 
+def test_no_hugeint_oracle_result_columns(sf_dir):
+    """No oracle SQL may emit a HUGEINT/UHUGEINT column (VERDICT r5 #1).
+
+    DuckDB widens SUM(INTEGER/BIGINT) to HUGEINT; the driver's pandas
+    canonicalizer renders HUGEINT as float64 ("241.0" vs Spark's bigint
+    "241") and the value hash flips even though rows+schema stay green —
+    the round-5 q_tpch_q12 / q_attribution driver fails. The replica
+    compares via fetchall() Python ints so it was structurally blind;
+    this scan binds every oracle's result types (no execution) and fails
+    the class before the driver ever sees it.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ).upper() in ("HUGEINT", "UHUGEINT"):
+                bad.append((name, col, str(typ)))
+    assert not bad, (
+        f"uncast integer SUM()s — wrap in CAST(... AS BIGINT): {bad}"
+    )
+
+
 def test_documented_counts_match_registry():
     """README's query counts are pinned to the registry (VERDICT r03 #7:
     documented counts drifted twice; now they cannot)."""
