@@ -3344,6 +3344,184 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Jaro-Winkler similarity (exact integer, unrolled matching) ---------------
+
+_JW_MAXLEN = 12
+
+
+def _jw_body_sql(idiv) -> str:
+    """Jaro-Winkler over a ``pairs(word_a, word_b)`` CTE as ONE generated
+    SQL text per engine (the q_wordpiece_encode convention — only the
+    integer-division operator differs, injected via ``idiv(num, den)``).
+
+    The greedy character matching (first unmatched in-window position per
+    s1 char — the classic Jaro two-pass algorithm) is statically unrolled
+    over the bounded word length: each of the 12 steps folds a matched-
+    position BITMASK plus the in-order matched-chars string of a through
+    one 12-branch CASE; afterwards m = popcount, b's matched chars
+    reassemble in position order, and transpositions count positionwise
+    mismatches. Every quantity stays an EXACT INTEGER: with t2 = raw
+    mismatch count and t = t2 div 2 (TRUNCATED — the strcmp95/rapidfuzz
+    convention), jaro = N/D for N = m*m*(l1+l2) + (m - t)*l1*l2 and
+    D = 3*l1*l2*m, the Winkler boost (prefix p <= 4, scale 0.1, applied
+    iff jaro >= 0.7 — the exact-rational equivalent of the builtin float
+    comparison at the boundary, i.e. 10N >= 7D) gives jw = (N*(10-p) + p*D) / (10*D),
+    and jw_micro is round-half-away integer arithmetic — zero floats
+    anywhere, so the two engines agree bit-for-bit by construction.
+    """
+    L = _JW_MAXLEN
+    ctes = [
+        """jw0 AS (
+      SELECT word_a AS a, word_b AS b,
+             CAST(length(word_a) AS BIGINT) AS l1,
+             CAST(length(word_b) AS BIGINT) AS l2,
+             GREATEST(CAST(FLOOR(GREATEST(length(word_a), length(word_b)) / 2.0)
+                           AS BIGINT) - 1, 0) AS w
+      FROM pairs)"""
+    ]
+    prev = "jw0"
+    mask_prev, ma_prev = "0", "''"
+    for i in range(1, L + 1):
+        branches = []
+        for j in range(1, L + 1):
+            bit = 1 << (j - 1)
+            branches.append(
+                f"WHEN {j} <= l2 AND ABS({i} - {j}) <= w "
+                f"AND substr(b, {j}, 1) = substr(a, {i}, 1) "
+                f"AND ({mask_prev} & {bit}) = 0 THEN {bit}"
+            )
+        f_expr = (
+            f"CASE WHEN {i} <= l1 THEN "
+            f"(CASE {' '.join(branches)} ELSE 0 END) ELSE 0 END"
+        )
+        ctes.append(
+            f"""jm{i} AS (
+      SELECT a, b, l1, l2, w,
+             {mask_prev} + f{i} AS mask{i},
+             {ma_prev} || CASE WHEN f{i} > 0 THEN substr(a, {i}, 1)
+                               ELSE '' END AS ma{i}
+      FROM (SELECT *, {f_expr} AS f{i} FROM {prev}))"""
+        )
+        prev, mask_prev, ma_prev = f"jm{i}", f"mask{i}", f"ma{i}"
+    pop = " + ".join(
+        f"CASE WHEN (mask{L} & {1 << (j - 1)}) > 0 THEN 1 ELSE 0 END"
+        for j in range(1, L + 1)
+    )
+    mb = " || ".join(
+        f"CASE WHEN (mask{L} & {1 << (j - 1)}) > 0 THEN substr(b, {j}, 1) "
+        f"ELSE '' END"
+        for j in range(1, L + 1)
+    )
+    ctes.append(
+        f"""jmt AS (
+      SELECT a, b, l1, l2, ma{L} AS ma,
+             CAST({pop} AS BIGINT) AS m, {mb} AS mb
+      FROM {prev})"""
+    )
+    t2 = " + ".join(
+        f"CASE WHEN {k} <= m AND substr(ma, {k}, 1) <> substr(mb, {k}, 1) "
+        f"THEN 1 ELSE 0 END"
+        for k in range(1, L + 1)
+    )
+    pl = (
+        "CASE "
+        + " ".join(
+            f"WHEN substr(a, 1, {k}) = substr(b, 1, {k}) THEN {k}"
+            for k in range(4, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    ctes.append(
+        f"""jtt AS (
+      SELECT a, b, l1, l2, m,
+             CAST({t2} AS BIGINT) AS t2,
+             CAST({pl} AS BIGINT) AS pl
+      FROM jmt)"""
+    )
+    # transpositions truncate to integer (t = t2 div 2) — the strcmp95 /
+    # rapidfuzz / DuckDB-builtin lineage; an odd mismatch count (3-cycle
+    # among matched chars) is possible and the truncation is observable
+    t_half = idiv("t2", "2")
+    ctes.append(
+        f"""jnd AS (
+      SELECT a, b, m, pl,
+             m * m * (l1 + l2) + (m - {t_half}) * l1 * l2 AS nn,
+             3 * l1 * l2 * m AS dd
+      FROM jtt)"""
+    )
+    boosted = idiv("2000000 * (nn * (10 - pl) + pl * dd) + 10 * dd", "20 * dd")
+    plain = idiv("2000000 * nn + dd", "2 * dd")
+    final = f"""SELECT a AS word_a, b AS word_b, m AS m_matches,
+           CAST(CASE WHEN m = 0 THEN 0
+                     WHEN 10 * nn >= 7 * dd THEN {boosted}
+                     ELSE {plain} END AS BIGINT) AS jw_micro
+    FROM jnd
+    ORDER BY jw_micro DESC, word_a, word_b LIMIT 20"""
+    return ",\n    ".join(ctes) + "\n    " + final
+
+
+def _jw_idiv_duck(num: str, den: str) -> str:
+    return f"(({num}) // ({den}))"
+
+
+def _jw_idiv_spark(num: str, den: str) -> str:
+    return f"(({num}) div ({den}))"
+
+
+def _jw_pairs_duck() -> str:
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT lower(w) AS word
+      FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+            FROM documents
+            UNION ALL
+            SELECT unnest(string_split_regex(trim(p_name), ' +')) AS w
+            FROM part)
+      WHERE length(w) BETWEEN 3 AND {_JW_MAXLEN}),
+    pairs AS (
+      SELECT x.word AS word_a, y.word AS word_b
+      FROM words x JOIN words y
+        ON substr(x.word, 1, 1) = substr(y.word, 1, 1) AND x.word < y.word),
+    """
+
+
+@register(
+    "q_jaro_winkler",
+    oracle=_jw_pairs_duck() + _jw_body_sql(_jw_idiv_duck),
+    description="Jaro-Winkler similarity (Winkler 1990; the standard ER "
+    "string comparator beside Levenshtein/Soundex/Fellegi-Sunter) over "
+    "first-letter-blocked word pairs from the documents+part vocabulary "
+    "— top-20 most similar distinct pairs: the greedy in-window "
+    "character matching is statically "
+    "unrolled over the bounded word length as a 12-step bitmask fold "
+    "(pure CASE arithmetic), transpositions and the <=4-char prefix "
+    "boost (threshold 0.7) follow, and jw_micro is EXACT round-half-away "
+    "integer arithmetic on the rational N/D form — zero floats, so both "
+    "engines agree bit-for-bit (same generated SQL text, only the "
+    "integer-div operator differs). SCALE: candidate pairs bounded by "
+    "the Soundex block join (sum block^2, the ER-composite guard shape), "
+    "scoring is pure map-side expression chain on the DISTINCT-WORD "
+    "frame (vocabulary-sized), top-20 via TakeOrderedAndProject",
+    tags=("text", "er", "similarity", "jaro"),
+)
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_jw")
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_jw")
+    sql = f"""
+    WITH words AS (
+      SELECT DISTINCT lower(w) AS word
+      FROM (SELECT explode(split(trim(text), ' +')) AS w FROM documents_jw
+            UNION ALL
+            SELECT explode(split(trim(p_name), ' +')) AS w FROM part_jw)
+      WHERE length(w) BETWEEN 3 AND {_JW_MAXLEN}),
+    pairs AS (
+      SELECT x.word AS word_a, y.word AS word_b
+      FROM words x JOIN words y
+        ON substr(x.word, 1, 1) = substr(y.word, 1, 1) AND x.word < y.word),
+    """ + _jw_body_sql(_jw_idiv_spark)
+    return spark.sql(sql)
+
+
 # --- C4-style paragraph dedup (chunk -> keep-first -> reassemble) ------------
 
 _PARA_W = 20  # tokens per paragraph

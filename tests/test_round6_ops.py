@@ -47,6 +47,113 @@ def test_kendall_tau_matches_python(spark, sf_dir):
     assert -1.0 <= got.tau_b <= 1.0
 
 
+def _jw_micro_py(a: str, b: str) -> tuple:
+    """Plain-Python Jaro-Winkler twin of the generated SQL (exact
+    integer arithmetic, 0.7 boost threshold, prefix <= 4, scale 0.1)."""
+    l1, l2 = len(a), len(b)
+    w = max(max(l1, l2) // 2 - 1, 0)
+    mask, ma = 0, []
+    for i in range(l1):
+        for j in range(max(0, i - w), min(l2, i + w + 1)):
+            if not (mask >> j) & 1 and b[j] == a[i]:
+                mask |= 1 << j
+                ma.append(a[i])
+                break
+    m = bin(mask).count("1")
+    if m == 0:
+        return 0, 0
+    mb = [b[j] for j in range(l2) if (mask >> j) & 1]
+    t2 = sum(1 for x, y in zip(ma, mb) if x != y)
+    nn = m * m * (l1 + l2) + (m - t2 // 2) * l1 * l2
+    dd = 3 * l1 * l2 * m
+    pl = 0
+    for k in range(min(4, l1, l2)):
+        if a[k] != b[k]:
+            break
+        pl += 1
+    if 10 * nn >= 7 * dd:
+        num, den = 2000000 * (nn * (10 - pl) + pl * dd) + 10 * dd, 20 * dd
+    else:
+        num, den = 2000000 * nn + dd, 2 * dd
+    return num // den, m
+
+
+def _jw_duck(pairs):
+    """Run the generated SQL body in DuckDB over literal pairs."""
+    import duckdb
+
+    from platform_etl_backend_spark.catalog.text import (
+        _jw_body_sql, _jw_idiv_duck,
+    )
+
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    sql = (
+        f"WITH pairs(word_a, word_b) AS (VALUES {vals}),\n    "
+        + _jw_body_sql(_jw_idiv_duck).replace("LIMIT 20", "")
+    )
+    return {
+        (r[0], r[1]): (r[3], r[2]) for r in duckdb.sql(sql).fetchall()
+    }
+
+
+def test_jaro_winkler_canonical_pairs():
+    """The unrolled SQL reproduces the literature's canonical values
+    (Winkler 1990 / the values every standard implementation agrees on)."""
+    cases = {
+        ("martha", "marhta"): 961111,
+        ("dixon", "dicksonx"): 813333,
+        ("duane", "dwayne"): 840000,
+        ("jellyfish", "smellyfish"): 896296,
+        ("stream", "sparkle"): None,  # below boost threshold, no prefix
+        ("foo", "bar"): 0,
+    }
+    got = _jw_duck(list(cases))
+    for (a, b), want in cases.items():
+        py_micro, py_m = _jw_micro_py(a, b)
+        assert got[(a, b)] == (py_micro, py_m), (a, b)
+        if want is not None:
+            assert py_micro == want, (a, b, py_micro, want)
+
+
+def test_jaro_winkler_property_vs_python_and_builtin():
+    """Random bounded words: generated SQL == python twin exactly, and
+    both within 1 micro of DuckDB's independent builtin implementation."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    alpha = "abcdef"
+    pairs = []
+    while len(pairs) < 120:
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 12)))
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    pairs = sorted(set(pairs))
+    got = _jw_duck(pairs)
+    for a, b in pairs:
+        py_micro, py_m = _jw_micro_py(a, b)
+        assert got[(a, b)] == (py_micro, py_m), (a, b)
+        builtin = duckdb.sql(
+            f"SELECT jaro_winkler_similarity('{a}', '{b}')"
+        ).fetchone()[0]
+        assert abs(py_micro - round(builtin * 1e6)) <= 1, (
+            a, b, py_micro, builtin,
+        )
+
+
+def test_jaro_winkler_query_shape(spark, sf_dir):
+    df = QUERIES["q_jaro_winkler"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    micros = [r.jw_micro for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    assert all(0 <= v <= 1_000_000 for v in micros)
+    for r in rows[:5]:
+        assert _jw_micro_py(r.word_a, r.word_b)[0] == r.jw_micro
+
+
 def test_kendall_tau_agrees_with_mergesort_inversion_model(spark, sf_dir):
     """The docstring's O(n log n) scale path is real: on a tie-free
     sub-frame, C - D == n0 - 2 * inversions(y ordered by x)."""
