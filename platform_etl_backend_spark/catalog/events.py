@@ -2857,6 +2857,362 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Kleinberg burst detection (2-state automaton, bounded Viterbi) -------------
+
+_BURST_TYPE = "purchase"
+_BURST_PAD = 40   # unroll bound; events span 30 calendar days at every SF
+_BURST_GAMMA = 3.0  # transition cost = gamma * ln(n_days)
+_BURST_LO, _BURST_HI = 11, 17  # injected hot window (day ranks, 1-based)
+
+
+def _burst_oracle() -> str:
+    from platform_etl_backend_spark.functions.portable_math import (
+        duck_portable_ln_ratio as L,
+    )
+
+    head = f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, event_type FROM events),
+    dd0 AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CASE WHEN event_type = '{_BURST_TYPE}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+             CAST(COUNT(*) AS BIGINT) AS d0
+      FROM e GROUP BY ep // 86400),
+    dd AS (
+      -- deterministic burst injection (days {_BURST_LO}..{_BURST_HI}
+      -- tripled): the synthetic rates are flat by construction, so the
+      -- untouched days exercise the detector's restraint and the
+      -- injected window exercises detection
+      SELECT day,
+             CASE WHEN rnk BETWEEN {_BURST_LO} AND {_BURST_HI}
+                  THEN 3 * r0 ELSE r0 END AS r,
+             CASE WHEN rnk BETWEEN {_BURST_LO} AND {_BURST_HI}
+                  THEN d0 + 2 * r0 ELSE d0 END AS d
+      FROM (SELECT day, r0, d0,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rnk FROM dd0)),
+    cst AS MATERIALIZED (
+      SELECT CAST(SUM(r) AS BIGINT) AS rr, CAST(SUM(d) AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dd),
+    lns AS MATERIALIZED (
+      SELECT n,
+             {L('rr', 'tt')} AS lnp0,
+             {L('tt - rr', 'tt')} AS ln1mp0,
+             {L('2 * rr', 'tt')} AS lnp1,
+             {L('tt - 2 * rr', 'tt')} AS ln1mp1,
+             {_BURST_GAMMA!r} * {L('n', '1')} AS b
+      FROM cst),
+    days AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, r, d,
+             -((CAST(r AS DOUBLE) * c.lnp0)
+               + (CAST(d - r AS DOUBLE) * c.ln1mp0)) AS e0,
+             -((CAST(r AS DOUBLE) * c.lnp1)
+               + (CAST(d - r AS DOUBLE) * c.ln1mp1)) AS e1
+      FROM dd CROSS JOIN lns c)"""
+    ctes = [head.strip()]
+    ctes.append(
+        "f1 AS MATERIALIZED (SELECT d.e0 AS f0, d.e1 + c.b AS f1v "
+        "FROM days d CROSS JOIN lns c WHERE d.i = 1)"
+    )
+    for t in range(2, _BURST_PAD + 1):
+        ctes.append(
+            f"""f{t} AS MATERIALIZED (
+      SELECT CASE WHEN d.i IS NULL THEN p.f0
+                  ELSE d.e0 + LEAST(p.f0, p.f1v) END AS f0,
+             CASE WHEN d.i IS NULL THEN p.f1v
+                  ELSE d.e1 + LEAST(p.f0 + c.b, p.f1v) END AS f1v
+      FROM f{t - 1} p CROSS JOIN lns c LEFT JOIN days d ON d.i = {t})"""
+        )
+    ctes.append(
+        f"g{_BURST_PAD} AS MATERIALIZED (SELECT 0.0 AS g0, 0.0 AS g1v)"
+    )
+    for t in range(_BURST_PAD - 1, 0, -1):
+        ctes.append(
+            f"""g{t} AS MATERIALIZED (
+      SELECT CASE WHEN d.i IS NULL THEN p.g0
+                  ELSE LEAST(p.g0 + d.e0, (p.g1v + d.e1) + c.b) END AS g0,
+             CASE WHEN d.i IS NULL THEN p.g1v
+                  ELSE LEAST(p.g0 + d.e0, p.g1v + d.e1) END AS g1v
+      FROM g{t + 1} p CROSS JOIN lns c LEFT JOIN days d ON d.i = {t + 1})"""
+        )
+    fwd = " UNION ALL ".join(
+        f"SELECT {t} AS t, f0, f1v FROM f{t}" for t in range(1, _BURST_PAD + 1)
+    )
+    bwd = " UNION ALL ".join(
+        f"SELECT {t} AS t, g0, g1v FROM g{t}" for t in range(1, _BURST_PAD + 1)
+    )
+    ctes.append(f"fwd AS ({fwd})")
+    ctes.append(f"bwd AS ({bwd})")
+    final = """SELECT d.day, d.r AS n_type, d.d AS n_total,
+           CASE WHEN (f.f1v + g.g1v) < (f.f0 + g.g0)
+                THEN 1 ELSE 0 END AS burst
+    FROM days d JOIN fwd f ON f.t = d.i JOIN bwd g ON g.t = d.i
+    ORDER BY d.day"""
+    return ",\n    ".join(ctes) + "\n    " + final
+
+
+@register(
+    "q_burst_detection",
+    oracle=_burst_oracle(),
+    description="Kleinberg burst detection (2-state infinite-automaton, "
+    "Kleinberg KDD 2002 batch variant) over the daily purchase series "
+    "with a deterministic 7-day injected hot window (the synthetic "
+    "rates are flat by construction — the untouched days pin the "
+    "detector's restraint, the injected days its detection; both "
+    "engines inject identically): "
+    "state q0 emits at the global rate p0 = R/D, q1 at 2*p0; per-day "
+    "binomial emission costs drop the state-independent C(d,r) term and "
+    "reduce to r*ln(p_i) + (d-r)*ln(1-p_i) with the four rate logs "
+    "computed ONCE via the engine-portable ratio-ln (bit-identical "
+    "doubles both engines); entering a burst costs gamma*ln(n). Optimal "
+    "per-day labels come from the forward+backward Viterbi decomposition "
+    "(label 1 iff fwd1+bwd1 < fwd0+bwd0, strict so ties prefer q0), "
+    "both passes statically unrolled to a 40-step bound with carry-"
+    "through guards (the calendar spans 30 days at every SF; DuckDB "
+    "CTEs MATERIALIZED per the k-core rule). Output is integer-only — "
+    "all float work is internal and identically ordered. SCALE: the DP "
+    "runs on the calendar-bounded DAILY frame (one map-side "
+    "pre-aggregation of the raw scan); per-step frames are one row",
+    tags=("events", "timeseries", "burst", "anomaly"),
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import (
+        portable_ln_ratio,
+    )
+
+    e = events_table(spark, sf_dir)
+    dd0 = e.groupBy(F.expr("ep div 86400").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == _BURST_TYPE, 1).otherwise(0)
+        ).cast("bigint").alias("r0"),
+        F.count(F.lit(1)).cast("bigint").alias("d0"),
+    )
+    hot = F.col("rnk").between(_BURST_LO, _BURST_HI)
+    dd = dd0.select(
+        "day", "r0", "d0",
+        F.row_number().over(Window.orderBy("day")).alias("rnk"),
+    ).select(
+        "day",
+        F.when(hot, 3 * F.col("r0")).otherwise(F.col("r0")).alias("r"),
+        F.when(hot, F.col("d0") + 2 * F.col("r0")).otherwise(F.col("d0")).alias("d"),
+    )
+    cst = dd.agg(
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum("d").cast("bigint").alias("tt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    lns = cst.select(
+        "n",
+        portable_ln_ratio(F.col("rr"), F.col("tt")).alias("lnp0"),
+        portable_ln_ratio(F.col("tt") - F.col("rr"), F.col("tt")).alias("ln1mp0"),
+        portable_ln_ratio(2 * F.col("rr"), F.col("tt")).alias("lnp1"),
+        portable_ln_ratio(F.col("tt") - 2 * F.col("rr"), F.col("tt")).alias("ln1mp1"),
+        (F.lit(_BURST_GAMMA) * portable_ln_ratio(F.col("n"), F.lit(1))).alias("b"),
+    )
+    days = dd.crossJoin(F.broadcast(lns)).select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        "day", "r", "d", "b",
+        (
+            -(
+                (F.col("r").cast("double") * F.col("lnp0"))
+                + ((F.col("d") - F.col("r")).cast("double") * F.col("ln1mp0"))
+            )
+        ).alias("e0"),
+        (
+            -(
+                (F.col("r").cast("double") * F.col("lnp1"))
+                + ((F.col("d") - F.col("r")).cast("double") * F.col("ln1mp1"))
+            )
+        ).alias("e1"),
+    )
+    # one-row frame: the whole bounded day series as a sorted struct array,
+    # then the Viterbi recurrence unrolls as chained one-row projections
+    # (each step an aliased attribute — Catalyst keeps the tree linear)
+    row = days.agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "day", "r", "d", "e0", "e1"))
+        ).alias("seq"),
+        F.max("b").alias("b"),
+    )
+    # ONE F.aggregate fold per pass instead of unrolled projections
+    # (multi-field struct state is safe in Spark's aggregate — every
+    # field reads the OLD accumulator; the DuckDB fold-mutation gotcha
+    # is why the ORACLE side stays unrolled CTEs). The oracle's 40-step
+    # pad is unnecessary here: folding exactly n steps yields identical
+    # fwd values at t <= n, and the pad rows carry g_n = (0,0) unchanged.
+    el1 = F.get("seq", 0)
+    b = F.col("b")
+
+    def pair(c0, c1):
+        return F.struct(c0.alias("c0"), c1.alias("c1"))
+
+    fwd_init = F.struct(
+        el1["e0"].alias("c0"),
+        (el1["e1"] + b).alias("c1"),
+        F.array(pair(el1["e0"], el1["e1"] + b)).alias("arr"),
+    )
+
+    def fwd_merge(acc, x):
+        nf0 = x["e0"] + F.least(acc["c0"], acc["c1"])
+        nf1 = x["e1"] + F.least(acc["c0"] + b, acc["c1"])
+        return F.struct(
+            nf0.alias("c0"),
+            nf1.alias("c1"),
+            F.concat(acc["arr"], F.array(pair(nf0, nf1))).alias("arr"),
+        )
+
+    zero = F.lit(0.0)
+    bwd_init = F.struct(
+        zero.alias("c0"),
+        zero.alias("c1"),
+        F.array(pair(zero, zero)).alias("arr"),
+    )
+
+    def bwd_merge(acc, x):
+        ng0 = F.least(acc["c0"] + x["e0"], (acc["c1"] + x["e1"]) + b)
+        ng1 = F.least(acc["c0"] + x["e0"], acc["c1"] + x["e1"])
+        return F.struct(
+            ng0.alias("c0"),
+            ng1.alias("c1"),
+            F.concat(F.array(pair(ng0, ng1)), acc["arr"]).alias("arr"),
+        )
+
+    tail = F.slice("seq", 2, F.size("seq") - 1)
+    row = row.select(
+        "seq",
+        F.aggregate(tail, fwd_init, fwd_merge)["arr"].alias("farr"),
+        F.aggregate(F.reverse(tail), bwd_init, bwd_merge)["arr"].alias("garr"),
+    )
+    labels = row.select(
+        "seq", "farr", "garr",
+        F.explode(F.sequence(F.lit(1), F.size("seq"))).alias("t"),
+    )
+    fe = F.get("farr", F.col("t") - 1)
+    ge = F.get("garr", F.col("t") - 1)
+    el = F.get("seq", F.col("t") - 1)
+    return labels.select(
+        el["day"].alias("day"),
+        el["r"].alias("n_type"),
+        el["d"].alias("n_total"),
+        F.when(
+            (fe["c1"] + ge["c1"]) < (fe["c0"] + ge["c0"]), 1
+        ).otherwise(0).alias("burst"),
+    ).orderBy("day")
+
+
+# --- isotonic regression (closed-form minimax, no PAVA iteration) ---------------
+
+@register(
+    "q_isotonic_fit",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM e GROUP BY ep // 86400),
+    idx AS (
+      SELECT day, (2 * s + c) // (2 * c) AS y,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM days),
+    pre AS (
+      SELECT day, y, i,
+             CAST(SUM(y) OVER (ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM idx),
+    iv AS (
+      SELECT a.i AS j, b.i AS k, b.day AS day_k, b.y AS y_k,
+             CAST(b.cum - a.cum + a.y AS DOUBLE)
+               / CAST(b.i - a.i + 1 AS DOUBLE) AS avg_jk
+      FROM pre a JOIN pre b ON b.i >= a.i),
+    sm AS (
+      SELECT j, k, day_k, y_k,
+             MIN(avg_jk) OVER (PARTITION BY j ORDER BY k DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sufmin
+      FROM iv)
+    SELECT day_k AS day, y_k AS y_micro, MAX(sufmin) AS fit
+    FROM sm GROUP BY day_k, y_k ORDER BY day
+    """,
+    description="isotonic (non-decreasing L2) regression of the daily mean "
+    "event value — the calibration primitive for classifier scores (pairs "
+    "with q_classifier_eval): computed by the CLOSED-FORM minimax identity "
+    "fit_i = max_{{j<=i}} min_{{k>=i}} avg(y[j..k]) (Barlow et al. 1972) "
+    "instead of iterative pool-adjacent-violators — one self-join over the "
+    "day-indexed frame builds every interval average from exact integer "
+    "prefix sums (ONE IEEE division each), a per-j descending-k running "
+    "MIN window forms the suffix minima, and a per-i MAX rollup finishes; "
+    "zero iteration, no convergence state. Daily y is the round-half-away "
+    "micro mean ((2s+c) div 2c). SCALE: the O(n^2) interval frame is "
+    "calendar-bounded (~365 days at any event volume; raw events touched "
+    "once, map-side); an unbounded-key variant would block PAVA by range "
+    "partition and merge boundary blocks — documented, not needed here",
+    tags=("events", "stats", "isotonic", "calibration"),
+)
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    idx = days.select(
+        "day",
+        F.expr("(2 * s + c) div (2 * c)").alias("y"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    pre = idx.select(
+        "day", "y", "i",
+        F.sum("y")
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    ).localCheckpoint()  # feeds both join sides; avoid scan re-execution
+    a = pre.select(
+        F.col("i").alias("j"),
+        F.col("cum").alias("cum_a"),
+        F.col("y").alias("y_a"),
+    )
+    b = pre.select(
+        F.col("i").alias("k"),
+        F.col("day").alias("day_k"),
+        F.col("y").alias("y_k"),
+        F.col("cum").alias("cum_b"),
+    )
+    iv = a.join(F.broadcast(b), F.col("k") >= F.col("j")).select(
+        "j", "k", "day_k", "y_k",
+        (
+            (F.col("cum_b") - F.col("cum_a") + F.col("y_a")).cast("double")
+            / (F.col("k") - F.col("j") + 1).cast("double")
+        ).alias("avg_jk"),
+    )
+    sm = iv.select(
+        "j", "k", "day_k", "y_k",
+        F.min("avg_jk")
+        .over(
+            Window.partitionBy("j")
+            .orderBy(F.desc("k"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sufmin"),
+    )
+    return (
+        sm.groupBy("k", "day_k", "y_k")
+        .agg(F.max("sufmin").alias("fit"))
+        .select(
+            F.col("day_k").alias("day"),
+            F.col("y_k").alias("y_micro"),
+            "fit",
+        )
+        .orderBy("day")
+    )
+
+
 # --- deterministic bootstrap confidence interval --------------------------------
 
 _BOOT_B = 64  # replicates

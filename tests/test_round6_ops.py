@@ -154,6 +154,118 @@ def test_jaro_winkler_query_shape(spark, sf_dir):
         assert _jw_micro_py(r.word_a, r.word_b)[0] == r.jw_micro
 
 
+def _pava(ys):
+    """Classic stack PAVA (unweighted, non-decreasing L2) — the iterative
+    twin of the query's closed-form minimax identity."""
+    blocks = []  # (sum, cnt)
+    for y in ys:
+        s, c = y, 1
+        while blocks and blocks[-1][0] * c > s * blocks[-1][1]:
+            ps, pc = blocks.pop()
+            s, c = s + ps, c + pc
+        blocks.append((s, c))
+    out = []
+    for s, c in blocks:
+        out.extend([s / c] * c)
+    return out
+
+
+def test_isotonic_fit_matches_pava_and_is_monotone(spark, sf_dir):
+    rows = QUERIES["q_isotonic_fit"].fn(spark, sf_dir).collect()
+    ys = [r.y_micro for r in rows]
+    fit = [r.fit for r in rows]
+    want = _pava(ys)
+    assert len(fit) == len(want)
+    for g, w in zip(fit, want):
+        assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-9), (g, w)
+    # non-decreasing (1-ulp slack: minimax picks among rounded doubles)
+    for x, y in zip(fit, fit[1:]):
+        assert y >= x - 1e-9 * max(1.0, abs(x))
+    # the input itself is NOT monotone (the fit is a real projection)
+    assert any(b < a for a, b in zip(ys, ys[1:]))
+    # block means preserve the total (PAVA projection property)
+    assert math.isclose(sum(fit), sum(ys), rel_tol=1e-12)
+
+
+def test_isotonic_fit_pava_model_random():
+    """The minimax identity == stack PAVA on random inputs (pure model
+    check, no Spark) — guards the identity the query relies on."""
+    import random
+
+    rng = random.Random(606)
+    for _ in range(25):
+        n = rng.randint(1, 24)
+        ys = [rng.randint(-50, 50) for _ in range(n)]
+        want = _pava(ys)
+        pre = [0]
+        for y in ys:
+            pre.append(pre[-1] + y)
+        got = []
+        for i in range(n):
+            best = -math.inf
+            for j in range(i + 1):
+                sufmin = min(
+                    (pre[k + 1] - pre[j]) / (k - j + 1) for k in range(i, n)
+                )
+                best = max(best, sufmin)
+            got.append(best)
+        for g, w in zip(got, want):
+            assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-12), (ys, got, want)
+
+
+def test_burst_detection_matches_python_viterbi(spark, sf_dir):
+    """Labels == a plain-Python forward/backward 2-state Viterbi with the
+    python portable-ln twin (bit-identical float path, exact label pin)."""
+    from tests.test_unigram import py_portable_ln_ratio as pln
+
+    from platform_etl_backend_spark.catalog.events import (
+        _BURST_GAMMA, _BURST_HI, _BURST_LO, _BURST_TYPE,
+    )
+
+    rows = _events(spark, sf_dir)
+    daily: dict[int, list] = {}
+    for r in rows:
+        d = daily.setdefault(r.ep // 86400, [0, 0])
+        d[0] += r.event_type == _BURST_TYPE
+        d[1] += 1
+    series = [
+        (3 * daily[d][0], daily[d][1] + 2 * daily[d][0])
+        if _BURST_LO <= rnk <= _BURST_HI
+        else tuple(daily[d])
+        for rnk, d in enumerate(sorted(daily), start=1)
+    ]
+    rr = sum(r for r, _ in series)
+    tt = sum(d for _, d in series)
+    n = len(series)
+    lnp0, ln1 = pln(rr, tt), pln(tt - rr, tt)
+    lnp1, ln2 = pln(2 * rr, tt), pln(tt - 2 * rr, tt)
+    b = _BURST_GAMMA * pln(n, 1)
+    e0 = [-((float(r) * lnp0) + (float(d - r) * ln1)) for r, d in series]
+    e1 = [-((float(r) * lnp1) + (float(d - r) * ln2)) for r, d in series]
+    f = [(e0[0], e1[0] + b)]
+    for t in range(1, n):
+        p0, p1 = f[-1]
+        f.append((e0[t] + min(p0, p1), e1[t] + min(p0 + b, p1)))
+    g = [(0.0, 0.0)]
+    for t in range(n - 2, -1, -1):
+        p0, p1 = g[0]
+        g.insert(0, (
+            min(p0 + e0[t + 1], (p1 + e1[t + 1]) + b),
+            min(p0 + e0[t + 1], p1 + e1[t + 1]),
+        ))
+    want = [
+        1 if f[t][1] + g[t][1] < f[t][0] + g[t][0] else 0 for t in range(n)
+    ]
+    got = QUERIES["q_burst_detection"].fn(spark, sf_dir).collect()
+    assert [r.burst for r in got] == want
+    assert [(r.n_type, r.n_total) for r in got] == series
+    # detection AND restraint: bursts exist, all inside the injected
+    # window, and no day outside the window is ever labeled bursty
+    burst_ranks = {i for i, r in enumerate(got, start=1) if r.burst == 1}
+    assert burst_ranks, "the injected hot window should be detected"
+    assert all(_BURST_LO <= i <= _BURST_HI for i in burst_ranks)
+
+
 def test_kendall_tau_agrees_with_mergesort_inversion_model(spark, sf_dir):
     """The docstring's O(n log n) scale path is real: on a tie-free
     sub-frame, C - D == n0 - 2 * inversions(y ordered by x)."""
