@@ -922,8 +922,14 @@ def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e1.unionAll(e2)
     # components over the real adjacency only; isolated dense cells (no
     # dense neighbor) don't appear in the edge set, so they rejoin as
-    # their own singleton cluster via the left join + coalesce
-    cc = connected_components(edges, "src", "dst")
+    # their own singleton cluster via the left join + coalesce.
+    # Rounds are capped at ceil(log2(dense cells)) + 2 (star rounds are
+    # O(log n); the count is free — ids is already eagerly checkpointed)
+    # and the fixpoint check runs every 2nd round, cutting the per-round
+    # action overhead that made this query orchestration-bound.
+    n_dense = ids.count()
+    cap = max(4, (max(n_dense, 2) - 1).bit_length() + 2)
+    cc = connected_components(edges, "src", "dst", max_iter=cap, check_every=2)
     return (
         ids.join(cc, ids.cell == cc.node, "left")
         .select(

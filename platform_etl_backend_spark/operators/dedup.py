@@ -128,7 +128,9 @@ def prefix_filtered_jaccard_pairs(
             F.col(id_col),
             F.col("n"),
             F.col("lst"),
-            F.sort_array(F.transform("lst", lambda s: s["shingle"])).alias("sh_arr"),
+            # rarest-first order is fine for array_intersect — a second
+            # sort_array here would be pure waste (order-independent op)
+            F.transform("lst", lambda s: s["shingle"]).alias("sh_arr"),
         )
         .persist()
     )
@@ -140,13 +142,23 @@ def prefix_filtered_jaccard_pairs(
     # the same safety argument as the fuzzy-join bucket hashing)
     prefix = docs.select(
         F.col(id_col),
+        F.col("n"),
         F.explode(F.slice("lst", F.lit(1), p)).alias("ps"),
-    ).select(id_col, F.xxhash64(F.col("ps.shingle")).alias("sh_h"))
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh_h")
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh_h")
+    ).select(id_col, "n", F.xxhash64(F.col("ps.shingle")).alias("sh_h"))
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"), "sh_h")
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"), "sh_h")
     cands = (
         a.join(b, "sh_h")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # AllPairs size filter (lossless): Jaccard >= t forces
+            # min(n_a, n_b) >= t * max(n_a, n_b) — prunes candidate
+            # pairs BEFORE the distinct and the array verify
+            & (
+                F.least("n_a", "n_b").cast("double")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

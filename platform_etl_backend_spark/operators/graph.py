@@ -100,7 +100,11 @@ def closure_tables(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -135,8 +139,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # check_every > 1 amortizes the fixpoint check (two exceptAll shuffles
+    # + an isEmpty action per check) across rounds: with a caller-supplied
+    # max_iter bound derived from the node count (star rounds are O(log n))
+    # the check is a safety net, not the stop condition, and paying it
+    # every round makes small iterative graphs orchestration-bound — at
+    # most check_every - 1 extra (cheap, already-converged) rounds run.
     cur = e.localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # large-star: Γ(u) from both edge directions; m = min(Γ(u) ∪ {u});
         # emit (v, m) for v ∈ Γ(u), v > u.
         sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -154,10 +164,11 @@ def connected_components(
         )
         # small-star: orient each edge large→small; m = min smaller
         # neighbor; emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
-        oriented = (
-            large.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-            .distinct()
-        )
+        # large's output is ALREADY oriented large→small (it emits (b, m)
+        # with m = min(Γ(a) ∪ {a}) <= a < b) and already distinct — the
+        # former greatest/least re-orientation + distinct here was a
+        # no-op shuffle per round.
+        oriented = large
         smins = oriented.groupBy("a").agg(F.min("b").alias("m"))
         joined = oriented.join(smins, "a")
         small = (
@@ -166,15 +177,25 @@ def connected_components(
             .unionByName(joined.select("a", F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # lineage cut; materializes
+            # inside the next action instead of one extra job per round
         )
         # fixpoint when the undirected edge set is unchanged
-        new_canon = small.select(F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y"))
-        old_canon = cur.select(F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y"))
-        changed = new_canon.exceptAll(old_canon).unionByName(old_canon.exceptAll(new_canon))
-        cur = small
-        if changed.isEmpty():
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            new_canon = small.select(
+                F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
+            )
+            old_canon = cur.select(
+                F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
+            )
+            changed = new_canon.exceptAll(old_canon).unionByName(
+                old_canon.exceptAll(new_canon)
+            )
+            cur = small
+            if changed.isEmpty():
+                break
+        else:
+            cur = small
     # At fixpoint every edge points (member → component-min root). If
     # max_iter cut the loop before the fixpoint, residual non-star edges
     # would otherwise emit multiple (node, component) rows per node — the
