@@ -3730,38 +3730,15 @@ _TOPK_LOCAL = 10
     tags=("text", "sketch", "topk"),
 )
 def q_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.stats import tput_topk
+
     d = table(spark, sf_dir, "documents")
     t = d.select(
         (F.col("doc_id") % _TOPK_SHARDS).alias("shard"),
         F.explode(D.ws_tokens("text")).alias("word"),
     )
     c = t.groupBy("shard", "word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    rk = c.select(
-        "shard", "word", "cnt",
-        F.row_number()
-        .over(Window.partitionBy("shard").orderBy(F.desc("cnt"), "word"))
-        .alias("rn"),
-    )
-    kept = rk.where(F.col("rn") <= _TOPK_LOCAL).drop("rn")
-    thr = kept.groupBy("shard").agg(F.min("cnt").cast("bigint").alias("thr"))
-    tot = thr.agg(F.sum("thr").cast("bigint").alias("t_all"))
-    agg = (
-        kept.join(F.broadcast(thr), "shard")
-        .groupBy("word")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("lb"),
-            F.sum("thr").cast("bigint").alias("thr_seen"),
-        )
-    )
-    return (
-        agg.crossJoin(F.broadcast(tot))
-        .select(
-            "word", "lb",
-            (F.col("lb") + F.col("t_all") - F.col("thr_seen")).alias("ub"),
-        )
-        .orderBy(F.desc("lb"), "word")
-        .limit(10)
-    )
+    return tput_topk(c, _TOPK_LOCAL)
 
 
 # --- collocation extraction (bigram t-score) -----------------------------------

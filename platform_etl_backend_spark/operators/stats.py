@@ -677,3 +677,45 @@ def hll_estimates_grouped(keyed: DataFrame, label_col: str = "label", key_col: s
         F.col("n_buckets").cast("bigint").alias("n_buckets"),
         est.alias("estimate"),
     )
+
+
+def tput_topk(counts: DataFrame, k: int = 10) -> DataFrame:
+    """TPUT distributed top-k bound phase (Cao & Wang, PODC 2004) over a
+    per-shard count table ``(shard, word, cnt)``: each shard contributes
+    its exact local top-k plus its threshold (k-th count); a candidate's
+    true global count lies in [lb, ub] where lb sums the shards that DID
+    report it and ub adds the unreporting shards' thresholds.
+
+    Shared by the batch q_distributed_topk query and the streaming
+    maintenance twin (``streaming/jobs.py:topk_maintenance_stream``) so
+    both compute the identical phase over their count tables. SCALE:
+    the rank window partitions by shard (the partitioning the counts
+    already have); only k*shards candidate rows plus a shard-count-sized
+    threshold broadcast cross the network.
+    """
+    rk = counts.select(
+        "shard", "word", "cnt",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy(F.desc("cnt"), "word"))
+        .alias("rn"),
+    )
+    kept = rk.where(F.col("rn") <= k).drop("rn")
+    thr = kept.groupBy("shard").agg(F.min("cnt").cast("bigint").alias("thr"))
+    tot = thr.agg(F.sum("thr").cast("bigint").alias("t_all"))
+    agg = (
+        kept.join(F.broadcast(thr), "shard")
+        .groupBy("word")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("lb"),
+            F.sum("thr").cast("bigint").alias("thr_seen"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "word", "lb",
+            (F.col("lb") + F.col("t_all") - F.col("thr_seen")).alias("ub"),
+        )
+        .orderBy(F.desc("lb"), "word")
+        .limit(k)
+    )

@@ -302,3 +302,79 @@ def sketch_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_merge_fn(base_path: str, shards: int = 8):
+    """The foreachBatch body for ``topk_maintenance_stream``, exposed so
+    the replay fence is directly testable: merges a document micro-batch's
+    per-(shard, word) counts into the parquet-backed TPUT count table.
+
+    Unlike the Bloom/HLL maintenance (bit_or / MAX — naturally
+    idempotent), the count merge is ADDITIVE, so a replayed micro-batch
+    would double-count. The standard foreachBatch transactional recipe
+    fences it: the max applied batch_id persists next to the table and
+    already-applied ids are skipped, making the merge idempotent under
+    checkpoint replay (exactly-once effect).
+    """
+    import os
+
+    from platform_etl_backend_spark.operators.dedup import ws_tokens
+
+    counts_path = f"{base_path}/topk_counts"
+    marker = f"{base_path}/applied_batch_id"
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already applied, skip
+        spark = batch.sparkSession
+        new = (
+            batch.select(
+                (F.col("doc_id") % shards).alias("shard"),
+                F.explode(ws_tokens("text")).alias("word"),
+            )
+            .groupBy("shard", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        if os.path.isdir(counts_path) and any(
+            f.endswith(".parquet") for f in os.listdir(counts_path)
+        ):
+            current = spark.read.parquet(counts_path)
+            merged = (
+                current.unionByName(new)
+                .groupBy("shard", "word")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = new
+        tmp = f"{counts_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(counts_path)
+        os.makedirs(base_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return merge
+
+
+def topk_maintenance_stream(
+    docs: DataFrame, base_path: str, checkpoint: str, shards: int = 8
+):
+    """foreachBatch INCREMENTAL TPUT TOP-K MAINTENANCE — the streaming
+    twin of q_distributed_topk: each micro-batch's per-(shard, word)
+    counts merge additively into a parquet-backed count table (replay-
+    fenced by batch id — see ``topk_merge_fn``), and at any moment
+    ``tput_topk(counts)`` equals the batch build over all documents seen
+    so far, because per-shard counts are a plain commutative-associative
+    sum and the TPUT bound phase is a pure function of them. SCALE: the
+    maintained table is vocabulary x shards sized (the same state a
+    periodic batch rebuild would scan); each micro-batch contributes a
+    map-side partial rollup, never raw rows.
+    """
+    return (
+        docs.writeStream.foreachBatch(topk_merge_fn(base_path, shards))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -287,3 +287,71 @@ def test_sketch_maintenance_stream_equals_batch_build(spark, sf_dir, events_stre
         (r["bucket"], r["mx"]) for r in spark.read.parquet(f"{base}/hll").collect()
     }
     assert got_hll == want_hll
+
+
+def test_topk_maintenance_stream_equals_batch_build(spark, sf_dir, tmp_path):
+    """The incrementally-maintained TPUT count table (and the bounds
+    derived from it) must equal the one-shot q_distributed_topk batch
+    build over the same documents, across REAL micro-batch boundaries
+    (the corpus is re-staged as 4 files, one per trigger)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.operators.stats import tput_topk
+    from platform_etl_backend_spark.streaming.jobs import topk_maintenance_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "docs_staged")
+    docs.withColumn("part", F.pmod(F.col("doc_id"), F.lit(4))).write.partitionBy(
+        "part"
+    ).parquet(staged)
+    stream = (
+        spark.readStream.schema(docs.drop("part").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staged}/part=*")
+    )
+    base = str(tmp_path / "topk")
+    q = topk_maintenance_stream(stream, base, str(tmp_path / "ckpt_topk"))
+    q.awaitTermination(180)
+
+    counts = spark.read.parquet(f"{base}/topk_counts")
+    want_counts = {
+        (r["shard"], r["word"], r["cnt"])
+        for r in docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(F.split(F.trim("text"), r" +")).alias("word"),
+        )
+        .groupBy("shard", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    got_counts = {(r["shard"], r["word"], r["cnt"]) for r in counts.collect()}
+    assert got_counts == want_counts
+
+    got = [tuple(r) for r in tput_topk(counts, 10).collect()]
+    want = [tuple(r) for r in QUERIES["q_distributed_topk"].fn(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_topk_merge_replay_fence(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id) must be a no-op — the
+    additive merge is fenced by the persisted applied-batch marker."""
+    from platform_etl_backend_spark.streaming.jobs import topk_merge_fn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    base = str(tmp_path / "topk_fence")
+    merge = topk_merge_fn(base)
+    merge(docs, 0)
+    once = {
+        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
+    }
+    merge(docs, 0)  # replay: must be skipped
+    twice = {
+        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
+    }
+    assert twice == once
+    merge(docs, 1)  # a NEW batch must still apply
+    after = {
+        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
+    }
+    assert after != once
