@@ -155,6 +155,11 @@ HEADLINE = [
     "q_classifier_eval",
     "q_bootstrap_ci",
     "q_mann_kendall",
+    # round 6
+    "q_kendall_tau",
+    "q_jaro_winkler",
+    "q_isotonic_fit",
+    "q_burst_detection",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -77,86 +77,82 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # for free. q_value_histogram's mn==mx guard is output-identical on
 # non-degenerate data (replica re-verified), so it does not need a slot.
 #
-# ROUND-6 ROTATION TODO: with CORRECTNESS_r05 green, the only queries
-# without cumulative driver evidence are q_cdc_dedup_ratio (the documented
-# deferral) and the round-5 additions q_quality_classifier,
-# q_unigram_tokenize, q_unigram_em_costs, q_mp3_frame_walk,
-# q_jpeg_progressive, q_markov_transitions, q_double_exp_smoothing,
-# q_sax_symbols, q_multi_pattern_match, q_grid_cluster, q_dsir_weights,
-# q_pca_power, q_mann_whitney, q_ks_test, q_ams_sketch, q_recursive_cte,
-# q_welch_ttest, q_acf_multilag, q_seasonal_indices, q_spearman_corr,
-# q_hits, q_readability, q_rake_keywords, q_wordpiece_encode,
-# q_phonetic_blocking, q_fellegi_sunter, q_personalized_pagerank,
-# q_paragraph_dedup, q_epoch_shuffle, q_anova_f, q_bh_fdr, q_theil_sen,
-# q_adamic_adar, q_mmr_rerank, q_mp4_box_walk, q_distributed_topk,
-# q_mergeable_quantiles, q_modularity, q_collocations, q_classifier_eval,
-# q_bootstrap_ci, q_mann_kendall
-# (registered past position 50 —
-# slots were reserved for the 50-of-51 backlog per the round-4 VERDICT #1
-# prioritization). All are replica-green at both SFs; front them in
-# the round-6 window plus any round-6 changed contracts, then pad with
-# never-twice-checked rows.
+# ROUND-6 WINDOW (this round): exactly the 43 queries without cumulative
+# driver evidence after r05 (the round-5 additions registered past
+# position 50 plus the documented q_cdc_dedup_ratio deferral — all
+# replica-green at both SFs), PLUS re-checks of the two r05 hash-fails
+# whose oracle contracts were fixed this round (q_tpch_q12 and
+# q_attribution — uncast integer SUMs returned DuckDB HUGEINT, which the
+# driver's pandas canonicalizer renders as float64; q_bootstrap_ci had
+# the same latent bug and is already in the 43), PLUS the round-6
+# additions (Kendall tau-b, Jaro-Winkler, isotonic fit, burst
+# detection). r06 green => cumulative driver evidence for the whole
+# registry as of round 6. One slot pads with a never-twice-checked row.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # the 21 TPC-H completions (highest novelty: full-suite claim)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
+    # fixed oracle contracts (r05 hash-fails; CAST ... AS BIGINT landed)
     "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # sketches / vectors (novel arithmetic)
-    "q_bloom_build",
-    "q_hll_registers",
-    "q_kmv_set_estimates",
-    "q_jl_projection",
-    "q_pq_codes",
-    "q_pq_adc_topk",
-    "q_rrf_fusion",
-    # dedup / similarity composites
-    "q_entity_resolution",
-    "q_containment_join",
-    "q_quantile_normalize",
-    "q_item_similarity",
-    "q_skyline_2d",
-    # codecs
-    "q_gif_roundtrip",
-    "q_bmp_decode",
-    # text
-    "q_html_extract",
-    "q_textrank_keywords",
-    # experimentation / time series
-    "q_cuped",
-    "q_ab_ztest",
-    "q_cusum_changepoint",
-    "q_kaplan_meier",
-    "q_rolling_zscore",
-    "q_seasonal_naive",
-    "q_moving_median",
-    "q_linear_interpolate",
-    "q_zipf_fit",
-    # events / windows / relational
     "q_attribution",
-    "q_conversion_paths",
-    "q_window_distribution",
-    "q_merge_upsert",
-    "q_dq_checks",
-    "q_rfm_segments",
-    "q_gini",
-    "q_cohort_ltv",
-    # graph
-    "q_kcore",
+    "q_bootstrap_ci",  # latent instance of the same bug, never checked
+    # round-6 additions
+    "q_kendall_tau",
+    "q_jaro_winkler",
+    "q_isotonic_fit",
+    "q_burst_detection",
+    # tokenizer family (highest novelty of the round-5 backlog)
+    "q_quality_classifier",
+    "q_unigram_tokenize",
+    "q_unigram_em_costs",
+    "q_wordpiece_encode",
+    # multimodal walks + progressive JPEG
+    "q_mp3_frame_walk",
+    "q_mp4_box_walk",
+    "q_jpeg_progressive",
+    # statistics suite
+    "q_mann_whitney",
+    "q_ks_test",
+    "q_welch_ttest",
+    "q_anova_f",
+    "q_bh_fdr",
+    "q_spearman_corr",
+    "q_theil_sen",
+    "q_mann_kendall",
+    # ER linkage
+    "q_phonetic_blocking",
+    "q_fellegi_sunter",
+    # graph analytics
+    "q_hits",
+    "q_personalized_pagerank",
+    "q_modularity",
+    "q_adamic_adar",
+    # retrieval / keywords / text
+    "q_mmr_rerank",
+    "q_rake_keywords",
+    "q_collocations",
+    "q_readability",
+    "q_classifier_eval",
+    "q_multi_pattern_match",
+    # sketches / summaries
+    "q_ams_sketch",
+    "q_distributed_topk",
+    "q_mergeable_quantiles",
+    # time series / sequences
+    "q_markov_transitions",
+    "q_double_exp_smoothing",
+    "q_sax_symbols",
+    "q_seasonal_indices",
+    "q_acf_multilag",
+    # vectors / clustering / sampling / dedup
+    "q_grid_cluster",
+    "q_pca_power",
+    "q_dsir_weights",
+    "q_paragraph_dedup",
+    "q_epoch_shuffle",
+    "q_cdc_dedup_ratio",
+    "q_recursive_cte",
+    # pad: never-twice-checked (r05 was its only check)
+    "q_hll_registers",
 )
 
 
