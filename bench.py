@@ -160,6 +160,9 @@ HEADLINE = [
     "q_jaro_winkler",
     "q_isotonic_fit",
     "q_burst_detection",
+    "q_ktruss",
+    "q_equidepth_histogram",
+    "q_holt_winters",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

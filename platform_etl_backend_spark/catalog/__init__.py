@@ -151,9 +151,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_epoch_shuffle",
     "q_cdc_dedup_ratio",
     "q_recursive_cte",
-    # pad: never-twice-checked (r05 was its only check)
-    "q_hll_registers",
+    # round-6 addition (the most intricate new contract: unrolled
+    # Holt-Winters DP, float order mirrored between an F.aggregate fold
+    # and 40 MATERIALIZED one-row CTEs)
+    "q_holt_winters",
 )
+
+# ROUND-7 ROTATION TODO: q_ktruss, q_equidepth_histogram, and any other
+# round-6 additions registered past position 50 have replica evidence at
+# both SFs but no driver slot this round — front them next round, then
+# pad with never-twice-checked rows (q_hll_registers and the round-5
+# window rows have exactly one check each).
 
 
 def _apply_driver_window() -> None:

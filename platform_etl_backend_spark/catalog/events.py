@@ -3100,6 +3100,172 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+# --- Holt-Winters triple exponential smoothing ----------------------------------
+
+_HW_PAD = 40
+_HW_M = 7        # weekly additive seasonality over the daily frame
+_HW_A = 0.5      # level
+_HW_B = 0.3      # trend
+_HW_G = 0.4      # season
+
+
+def _hw_oracle() -> str:
+    A, B, G = _HW_A, _HW_B, _HW_G
+    mA, mB, mG = 1.0 - A, 1.0 - B, 1.0 - G
+
+    def scase(sp: str, dp: str) -> str:
+        arms = " ".join(f"WHEN {j} THEN {sp}.s{j}" for j in range(_HW_M))
+        return f"(CASE {dp}.dow {arms} END)"
+
+    head = f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    dd AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS y
+      FROM e GROUP BY ep // 86400),
+    days AS MATERIALIZED (
+      SELECT day, y, CAST(y AS DOUBLE) AS yd,
+             CAST(day % {_HW_M} AS INTEGER) AS dow,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM dd)"""
+    zeros = ", ".join(f"0.0 AS s{j}" for j in range(_HW_M))
+    ctes = [head.strip()]
+    ctes.append(
+        f"h1 AS MATERIALIZED (SELECT d.yd AS l, 0.0 AS b, {zeros}, "
+        f"d.yd AS lvl, 0.0 AS trd, 0.0 AS sea, d.yd AS fit "
+        f"FROM days d WHERE d.i = 1)"
+    )
+    for t in range(2, _HW_PAD + 1):
+        s_upd = ",\n             ".join(
+            f"CASE WHEN w.di IS NULL THEN w.s{j} "
+            f"WHEN w.dow = {j} THEN {G!r} * (w.yd - w.l_new) + {mG!r} * w.s{j} "
+            f"ELSE w.s{j} END AS s{j}"
+            for j in range(_HW_M)
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+      SELECT CASE WHEN w.di IS NULL THEN w.l ELSE w.l_new END AS l,
+             CASE WHEN w.di IS NULL THEN w.b
+                  ELSE {B!r} * (w.l_new - w.l) + {mB!r} * w.b END AS b,
+             {s_upd},
+             w.l_new AS lvl,
+             CASE WHEN w.di IS NULL THEN w.b
+                  ELSE {B!r} * (w.l_new - w.l) + {mB!r} * w.b END AS trd,
+             CASE WHEN w.di IS NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE {G!r} * (w.yd - w.l_new) + {mG!r} * w.sdow END AS sea,
+             CASE WHEN w.di IS NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE (w.l + w.b) + w.sdow END AS fit
+      FROM (
+        SELECT v.*,
+               ({A!r} * (v.yd - v.sdow) + {mA!r} * (v.l + v.b)) AS l_new
+        FROM (
+          SELECT p.*, d.i AS di, d.yd, d.dow, {scase('p', 'd')} AS sdow
+          FROM h{t - 1} p LEFT JOIN days d ON d.i = {t}) v) w)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS t, lvl, trd, sea, fit FROM h{t}"
+        for t in range(1, _HW_PAD + 1)
+    )
+    ctes.append(f"u AS ({union})")
+    return (
+        ",\n    ".join(ctes)
+        + """
+    SELECT d.day, d.y AS y_micro, u.lvl AS level, u.trd AS trend,
+           u.sea AS seasonal, u.fit AS fitted
+    FROM u JOIN days d ON d.i = u.t ORDER BY d.day"""
+    )
+
+
+@register(
+    "q_holt_winters",
+    oracle=_hw_oracle(),
+    description="Holt-Winters additive triple exponential smoothing "
+    "(level + trend + weekly additive season, alpha/beta/gamma = "
+    ".5/.3/.4) over the daily event-value series — completes the "
+    "smoothing family beside q_ewma and q_double_exp_smoothing: "
+    "l_t = a(y_t - s_dow) + (1-a)(l+b), b_t = B(l_t - l) + (1-B)b, "
+    "s_dow = G(y_t - l_t) + (1-G)s_dow, init l=y_1, b=0, s=0 "
+    "(convention documented); per-day one-step-ahead fitted = "
+    "(l + b) + s_dow. The three recurrences interact, so the chained-"
+    "single-field-EWMA trick (q_double_exp_smoothing) cannot apply; "
+    "the oracle statically unrolls 40 guarded one-row MATERIALIZED "
+    "CTEs (the q_burst_detection pattern) while Spark folds the "
+    "bounded day array with ONE F.aggregate (multi-field struct state "
+    "— safe on Spark; the fold-mutation gotcha is DuckDB's). Every "
+    "float op is identically ordered on both engines, outputs are "
+    "passthrough doubles. SCALE: the DP runs on the calendar-bounded "
+    "DAILY rollup after one map-side pre-aggregation",
+    tags=("events", "timeseries", "smoothing", "forecast"),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    A, B, G = _HW_A, _HW_B, _HW_G
+    mA, mB, mG = 1.0 - A, 1.0 - B, 1.0 - G
+    e = events_table(spark, sf_dir)
+    dd = e.groupBy(F.expr("ep div 86400").alias("day")).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("y")
+    )
+    days = dd.select(
+        "day", "y",
+        F.col("y").cast("double").alias("yd"),
+        (F.col("day") % _HW_M).cast("int").alias("dow"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    row = days.agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "day", "y", "yd", "dow"))
+        ).alias("seq")
+    )
+    el1 = F.get("seq", 0)
+    zero = F.lit(0.0)
+
+    def out_row(lvl, trd, sea, fit):
+        return F.struct(
+            lvl.alias("lvl"), trd.alias("trd"), sea.alias("sea"), fit.alias("fit")
+        )
+
+    init = F.struct(
+        el1["yd"].alias("l"),
+        zero.alias("b"),
+        F.array_repeat(zero, _HW_M).alias("s"),
+        F.array(out_row(el1["yd"], zero, zero, el1["yd"])).alias("out"),
+    )
+
+    def merge(acc, x):
+        sdow = F.get(acc["s"], x["dow"])
+        l_new = F.lit(A) * (x["yd"] - sdow) + F.lit(mA) * (acc["l"] + acc["b"])
+        b_new = F.lit(B) * (l_new - acc["l"]) + F.lit(mB) * acc["b"]
+        sea = F.lit(G) * (x["yd"] - l_new) + F.lit(mG) * sdow
+        fit = (acc["l"] + acc["b"]) + sdow
+        s_new = F.transform(
+            acc["s"],
+            lambda el, i: F.when(i == x["dow"], sea).otherwise(el),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            F.concat(acc["out"], F.array(out_row(l_new, b_new, sea, fit))).alias("out"),
+        )
+
+    tail = F.slice("seq", 2, F.size("seq") - 1)
+    row = row.select("seq", F.aggregate(tail, init, merge)["out"].alias("out"))
+    lab = row.select(
+        "seq", "out",
+        F.explode(F.sequence(F.lit(1), F.size("seq"))).alias("t"),
+    )
+    el = F.get("seq", F.col("t") - 1)
+    ot = F.get("out", F.col("t") - 1)
+    return lab.select(
+        el["day"].alias("day"),
+        el["y"].alias("y_micro"),
+        ot["lvl"].alias("level"),
+        ot["trd"].alias("trend"),
+        ot["sea"].alias("seasonal"),
+        ot["fit"].alias("fitted"),
+    ).orderBy("day")
+
+
 # --- isotonic regression (closed-form minimax, no PAVA iteration) ---------------
 
 @register(

@@ -702,3 +702,72 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + 4 * m * m) div (2 * (4 * m * m)))
            END AS BIGINT) AS contrib_micro""",
     ).orderBy("community")
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled synchronous support peeling mirroring operators/graph.k_truss.
+    Every round CTE is referenced 3-4x (wedge self-join + closing + filter),
+    so AS MATERIALIZED is mandatory (the k-core exponential-re-expansion
+    gotcha)."""
+    ctes = [
+        """u0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50)"""
+    ]
+
+    def tri_sup(i: int, src: str) -> list[str]:
+        return [
+            f"""t{i} AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {src} e1 JOIN {src} e2 ON e2.a = e1.a AND e1.b < e2.b
+      JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b)""",
+            f"""s{i} AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM (SELECT x AS a, y AS b FROM t{i}
+            UNION ALL SELECT x, z FROM t{i}
+            UNION ALL SELECT y, z FROM t{i})
+      GROUP BY a, b)""",
+        ]
+
+    for i in range(1, rounds + 1):
+        ctes += tri_sup(i, f"u{i - 1}")
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM u{i - 1} e
+      JOIN s{i} s ON e.a = s.a AND e.b = s.b WHERE s.sup >= {k - 2})"""
+        )
+    ctes += tri_sup(rounds + 1, f"u{rounds}")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+    FROM u{rounds} e LEFT JOIN s{rounds + 1} s
+      ON e.a = s.a AND e.b = s.b
+    ORDER BY e.a, e.b
+    """
+
+
+@register(
+    "q_ktruss",
+    oracle=_ktruss_oracle(),
+    description="4-truss decomposition by synchronous support peeling "
+    "(Cohen 2008 — the EDGE-cohesion analogue of q_kcore's node peeling): "
+    "6 fixed BSP rounds of compute-triangle-support + drop-support-<k-2 "
+    "over the events-derived 50-node graph; each round is one wedge "
+    "self-join at the canonical-smaller endpoint + a closing semi join "
+    "(the q_triangle_count skew-bounded shape) + a 3-projection support "
+    "rollup, localCheckpoint lineage truncation; the fixed budget keeps "
+    "it CTE-unrollable and the paired pytest proves it reaches the true "
+    "fixpoint (round 7 == round 6). Output edges carry their support in "
+    "the FINAL subgraph",
+    tags=("graph", "iterative"),
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import k_truss
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
+    return k_truss(edges, k=4, rounds=6).orderBy("a", "b")

@@ -994,3 +994,56 @@ def q_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "approx_value", "n")
         .orderBy("q")
     )
+
+
+# --- equi-depth histogram ------------------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             NTILE({_EQD_BUCKETS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      FROM lineitem)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM v GROUP BY bucket ORDER BY bucket
+    """,
+    description="equi-DEPTH histogram of extended price (the optimizer-"
+    "statistics/data-profiling sibling of q_value_histogram's equi-WIDTH "
+    "bins): NTILE over a UNIQUELY tie-broken total order assigns near-"
+    "equal row counts per bucket (both engines share the SQL-standard "
+    "earlier-buckets-get-the-remainder rule), then one rollup emits "
+    "count + [lo, hi] boundary values — boundaries are passthrough "
+    "doubles (no rounding scaffolding needed). SCALE: one global sort "
+    "(the same RangePartition-sample shuffle any percentile pass costs) "
+    "+ a map-side rollup; for an approximate variant at extreme scale "
+    "the mergeable-quantile summary (q_mergeable_quantiles) provides "
+    "the bucket boundaries without the global sort",
+    tags=("olap", "histogram", "profiling"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.ntile(_EQD_BUCKETS)
+        .over(Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("bucket"),
+    )
+    return (
+        v.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )

@@ -304,3 +304,113 @@ def test_kendall_tau_agrees_with_mergesort_inversion_model(spark, sf_dir):
         for j in range(i + 1, n)
     )
     assert brute == n * (n - 1) // 2 - 2 * inv
+
+
+def _events_graph(spark, sf_dir):
+    """The catalog's events-derived 50-node canonical edge set."""
+    rows = _events(spark, sf_dir)
+    edges = set()
+    for r in rows:
+        a, b = r.user_id % 50, int(math.floor(r.value)) % 50
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def _py_ktruss(edges, k, rounds):
+    cur = set(edges)
+    for _ in range(rounds):
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {}
+        for a, b in cur:
+            common = adj[a] & adj[b]
+            sup[(a, b)] = len(common)
+        cur = {e for e in cur if sup[e] >= k - 2}
+    return cur
+
+
+def test_ktruss_matches_python_and_reaches_fixpoint(spark, sf_dir):
+    edges = _events_graph(spark, sf_dir)
+    want6 = _py_ktruss(edges, 4, 6)
+    want7 = _py_ktruss(edges, 4, 7)
+    assert want6 == want7, "fixed round budget must reach the fixpoint"
+    got = QUERIES["q_ktruss"].fn(spark, sf_dir).collect()
+    assert {(r.a, r.b) for r in got} == want6
+    # support values: every truss edge closes >= k-2 triangles INSIDE
+    # the truss, and the reported support matches the python count
+    adj = {}
+    for a, b in want6:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in got:
+        assert r.support == len(adj[r.a] & adj[r.b])
+        assert r.support >= 2
+    # the truss is a SUBgraph of the 3-core-ish edge set (sanity)
+    assert want6 <= edges and want6, "nonempty strict refinement expected"
+
+
+def test_holt_winters_matches_python(spark, sf_dir):
+    """Per-day level/trend/seasonal/fitted == a plain-Python additive
+    Holt-Winters with the identical float operation order (exact pin)."""
+    from platform_etl_backend_spark.catalog.events import (
+        _HW_A, _HW_B, _HW_G, _HW_M,
+    )
+
+    rows = _events(spark, sf_dir)
+    daily: dict[int, int] = {}
+    for r in rows:
+        daily[r.ep // 86400] = daily.get(r.ep // 86400, 0) + round(
+            round(r.value, 6) * 1e6
+        )
+    series = [(d, float(daily[d]), d % _HW_M) for d in sorted(daily)]
+    l, b = series[0][1], 0.0
+    s = [0.0] * _HW_M
+    want = [(series[0][0], l, 0.0, 0.0, l)]
+    for day, yd, dow in series[1:]:
+        sdow = s[dow]
+        fit = (l + b) + sdow
+        l_new = _HW_A * (yd - sdow) + (1.0 - _HW_A) * (l + b)
+        b = _HW_B * (l_new - l) + (1.0 - _HW_B) * b
+        sea = _HW_G * (yd - l_new) + (1.0 - _HW_G) * sdow
+        s[dow] = sea
+        l = l_new
+        want.append((day, l, b, sea, fit))
+    got = QUERIES["q_holt_winters"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.day, g.level, g.trend, g.seasonal, g.fitted) == w, (g, w)
+    # discriminative sanity on a SYNTHETIC trending+seasonal signal (the
+    # real daily series is white noise, where chasing it is correct
+    # behavior but uninformative): the same recurrence must beat the
+    # global-mean predictor once a real signal exists
+    ys2 = [100.0 + 5.0 * t + 30.0 * (t % _HW_M == 2) for t in range(42)]
+    l2, b2 = ys2[0], 0.0
+    s2 = [0.0] * _HW_M
+    fits = []
+    for t, yd in enumerate(ys2[1:], start=1):
+        dow = t % _HW_M
+        sdow = s2[dow]
+        fits.append((l2 + b2) + sdow)
+        l_new = _HW_A * (yd - sdow) + (1.0 - _HW_A) * (l2 + b2)
+        b2 = _HW_B * (l_new - l2) + (1.0 - _HW_B) * b2
+        s2[dow] = _HW_G * (yd - l_new) + (1.0 - _HW_G) * sdow
+        l2 = l_new
+    mean2 = sum(ys2) / len(ys2)
+    tail_f = fits[14:]
+    tail_y = ys2[15:]
+    mae_fit = sum(abs(f - y) for f, y in zip(tail_f, tail_y)) / len(tail_y)
+    mae_mean = sum(abs(mean2 - y) for y in tail_y) / len(tail_y)
+    assert mae_fit < mae_mean
+
+
+def test_equidepth_histogram_properties(spark, sf_dir):
+    got = QUERIES["q_equidepth_histogram"].fn(spark, sf_dir).collect()
+    assert [r.bucket for r in got] == list(range(1, 9))
+    counts = [r.n for r in got]
+    assert max(counts) - min(counts) <= 1  # equi-depth within remainder
+    # buckets tile the value range in order (boundaries non-decreasing)
+    for a, b in zip(got, got[1:]):
+        assert a.lo <= a.hi <= b.lo <= b.hi
