@@ -163,6 +163,10 @@ HEADLINE = [
     "q_ktruss",
     "q_equidepth_histogram",
     "q_holt_winters",
+    "q_roc_auc",
+    "q_calibration_bins",
+    "q_target_encoding",
+    "q_rendezvous_sharding",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

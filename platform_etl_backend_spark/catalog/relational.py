@@ -2475,3 +2475,80 @@ _RECURSIVE_SPARK = """
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_RECURSIVE_SPARK)
+
+
+# --- out-of-fold smoothed target encoding ---------------------------------------
+
+_TE_FOLDS = 5
+_TE_M = 10  # smoothing pseudo-count toward the global prior
+
+
+@register(
+    "q_target_encoding",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS cat, o_orderkey % {_TE_FOLDS} AS fold,
+             CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS y
+      FROM orders),
+    cf AS (SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+                  CAST(SUM(y) AS BIGINT) AS s_cf
+           FROM o GROUP BY cat, fold),
+    c AS (SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+                 CAST(SUM(s_cf) AS BIGINT) AS s_c
+          FROM cf GROUP BY cat),
+    g AS (SELECT CAST(SUM(n_cf) AS BIGINT) AS n_g,
+                 CAST(SUM(s_cf) AS BIGINT) AS s_g
+          FROM cf)
+    SELECT cf.cat AS category, CAST(cf.fold AS BIGINT) AS fold,
+           CAST(c.n_c - cf.n_cf AS BIGINT) AS n_oof,
+           CAST((2 * 1000000 * ((c.s_c - cf.s_cf) * g.n_g + {_TE_M} * g.s_g)
+                 + (((c.n_c - cf.n_cf) + {_TE_M}) * g.n_g))
+                // (2 * (((c.n_c - cf.n_cf) + {_TE_M}) * g.n_g))
+                AS BIGINT) AS enc_micro
+    FROM cf JOIN c ON cf.cat = c.cat CROSS JOIN g
+    ORDER BY category, fold
+    """,
+    description="out-of-fold smoothed target (mean) encoding — the "
+    "leak-free categorical feature every tabular training pipeline "
+    "needs: per (category, fold), encode from the OTHER folds' label "
+    "statistics only (enc = (s_oof + M*prior) / (n_oof + M), M=10 "
+    "pseudo-counts toward the global prior; prior kept as the exact "
+    "rational s_g/n_g so the whole encoding is ONE round-half-away "
+    "integer micro division — zero floats). Deterministic fold "
+    "assignment by key modulus. SCALE: two tiny rollups ((cat, fold) "
+    "then cat) + a broadcast-sized join back — the raw table is "
+    "touched once map-side; at 100 TB the (cat, fold) frame is "
+    "cardinality-bounded, never row-bounded",
+    tags=("relational", "ml-prep", "encoding"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("y"),
+    )
+    cf = o.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        F.sum("y").cast("bigint").alias("s_cf"),
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+    )
+    g = cf.agg(
+        F.sum("n_cf").cast("bigint").alias("n_g"),
+        F.sum("s_cf").cast("bigint").alias("s_g"),
+    )
+    return (
+        cf.join(F.broadcast(c), "cat")
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "cat AS category",
+            "CAST(fold AS BIGINT) AS fold",
+            "CAST(n_c - n_cf AS BIGINT) AS n_oof",
+            f"CAST((2 * 1000000 * ((s_c - s_cf) * n_g + {_TE_M} * s_g)"
+            f" + (((n_c - n_cf) + {_TE_M}) * n_g))"
+            f" div (2 * (((n_c - n_cf) + {_TE_M}) * n_g)) AS BIGINT) AS enc_micro",
+        )
+        .orderBy("category", "fold")
+    )

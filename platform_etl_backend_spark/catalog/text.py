@@ -3891,3 +3891,245 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE (2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn)) END AS recall_micro",
         "CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT) ELSE (2 * (2 * tp) * 1000000 + (2 * tp + fp + fn)) div (2 * (2 * tp + fp + fn)) END AS f1_micro",
     )
+
+
+# --- classifier ranking metrics: ROC-AUC + calibration ---------------------------
+
+def _qc_scored_ctes() -> str:
+    """Shared oracle CTE chain ending in p(doc_id, label, score): the
+    committed-weight quality-classifier logit (micro integers) against
+    the lexical-diversity reference label — the q_classifier_eval frame
+    with the CONTINUOUS score kept instead of the thresholded decision."""
+    return f"""tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+    m AS (SELECT doc_id,
+                 CAST((({_fh_digit(1)} * 16 + {_fh_digit(2)}) % 64) AS INTEGER) AS bucket,
+                 CASE WHEN {_fh_digit(3)} < 8 THEN 1 ELSE -1 END AS sign
+          FROM tok WHERE term <> ''),
+    f AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+          FROM m GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+    l AS (SELECT doc_id,
+                 CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)
+                 + CAST(SUM(val * ({_quality_weights_sql()})[bucket + 1]) AS BIGINT)
+                     AS logit_micro
+          FROM f GROUP BY doc_id),
+    lbl AS (SELECT doc_id,
+                   CASE WHEN 2 * COUNT(DISTINCT term) >= COUNT(*)
+                        THEN 1 ELSE 0 END AS label
+            FROM tok WHERE term <> '' GROUP BY doc_id),
+    p AS (SELECT lbl.doc_id, lbl.label,
+                 COALESCE(l.logit_micro,
+                          CAST({TQ.QUALITY_BIAS_MICRO} AS BIGINT)) AS score
+          FROM lbl LEFT JOIN l ON lbl.doc_id = l.doc_id)"""
+
+
+def _qc_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _qc_scored_ctes: (doc_id, label, score)."""
+    d = table(spark, sf_dir, "documents")
+    scored = TQ.quality_classifier(d, "doc_id", "text")
+    toks = F.filter(D.ws_tokens("text"), lambda x: x != "")
+    lbl = d.select(
+        "doc_id",
+        F.when(
+            2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1
+        ).otherwise(0).alias("label"),
+    ).where(F.size(toks) > 0)
+    return lbl.join(scored.select("doc_id", "logit_micro"), "doc_id", "left").select(
+        "doc_id", "label",
+        F.coalesce("logit_micro", F.lit(int(TQ.QUALITY_BIAS_MICRO)).cast("bigint"))
+        .alias("score"),
+    )
+
+
+@register(
+    "q_roc_auc",
+    oracle=f"""
+    WITH {_qc_scored_ctes()},
+    r AS (SELECT label,
+                 2 * RANK() OVER (ORDER BY score)
+                   + COUNT(*) OVER (PARTITION BY score) - 1 AS r2
+          FROM p),
+    s AS (SELECT CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS spr2,
+                 CAST(SUM(label) AS BIGINT) AS n1,
+                 CAST(SUM(1 - label) AS BIGINT) AS n0
+          FROM r)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST((2 * 1000000 * (spr2 - n1 * (n1 + 1)) + 2 * n1 * n0)
+                // (2 * (2 * n1 * n0)) AS BIGINT) AS auc_micro
+    FROM s
+    """,
+    description="ROC-AUC of the quality classifier's continuous score "
+    "against the lexical-diversity reference label, via the exact rank "
+    "statistic (AUC == Mann-Whitney U / n1*n0; Hanley & McNeil 1982) — "
+    "completes the eval harness beside q_classifier_eval's thresholded "
+    "confusion matrix: tie-aware 2x-midranks as exact integers (the "
+    "q_mann_whitney convention), AUC = (sum_pos_midranks - n1(n1+1)/2) "
+    "/ (n1*n0) emitted as round-half-away micro — zero floats. SCALE: "
+    "one global rank (the standard sort shuffle) + a 3-integer "
+    "reduction; no pairwise comparisons despite the pairwise definition",
+    tags=("text", "quality", "ml-eval", "auc"),
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _qc_scored_spark(spark, sf_dir)
+    r = p.select(
+        "label",
+        (
+            2 * F.rank().over(Window.orderBy("score"))
+            + F.count(F.lit(1)).over(Window.partitionBy("score"))
+            - 1
+        ).cast("bigint").alias("r2"),
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0))
+        .cast("bigint").alias("spr2"),
+        F.sum("label").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n0"),
+    )
+    return s.selectExpr(
+        "n1 AS n_pos",
+        "n0 AS n_neg",
+        "CAST((2 * 1000000 * (spr2 - n1 * (n1 + 1)) + 2 * n1 * n0) "
+        "div (2 * (2 * n1 * n0)) AS BIGINT) AS auc_micro",
+    )
+
+
+@register(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH {_qc_scored_ctes()},
+    b AS (SELECT label, score,
+                 NTILE(10) OVER (ORDER BY score, doc_id) AS bin
+          FROM p)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((2 * SUM(label) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS pos_rate_micro,
+           CAST(MIN(score) AS BIGINT) AS score_lo,
+           CAST(MAX(score) AS BIGINT) AS score_hi
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    description="calibration (reliability) bins for the quality "
+    "classifier: score deciles by NTILE over a uniquely tie-broken order "
+    "(the q_equidepth_histogram rule), per-bin positive rate as round-"
+    "half-away integer micro plus the score range — the empirical curve "
+    "an isotonic calibration (q_isotonic_fit) would be fit to; completes "
+    "the eval family (confusion matrix / AUC / calibration). SCALE: one "
+    "global sort + a 10-group rollup",
+    tags=("text", "quality", "ml-eval", "calibration"),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _qc_scored_spark(spark, sf_dir)
+    b = p.select(
+        "label", "score",
+        F.ntile(10).over(Window.orderBy("score", "doc_id")).alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST((2 * SUM(label) * 1000000 + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+            ).alias("pos_rate_micro"),
+            F.min("score").cast("bigint").alias("score_lo"),
+            F.max("score").cast("bigint").alias("score_hi"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n", "pos_rate_micro",
+                "score_lo", "score_hi")
+        .orderBy("bin")
+    )
+
+
+# --- rendezvous (HRW) sharding ---------------------------------------------------
+
+_HRW_BASE = 8  # shard count before scale-out; the query also scores +1
+
+
+@register(
+    "q_rendezvous_sharding",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, u.s AS shard,
+             md5('hrw:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(u.s AS VARCHAR)) AS hv
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {_HRW_BASE + 1})) AS s) u),
+    a8 AS (
+      SELECT doc_id, shard AS s8 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hv DESC, shard) AS rn
+        FROM h WHERE shard < {_HRW_BASE})
+      WHERE rn = 1),
+    a9 AS (
+      SELECT doc_id, shard AS s9 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hv DESC, shard) AS rn
+        FROM h)
+      WHERE rn = 1),
+    j AS (SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id)
+    SELECT CAST(s AS BIGINT) AS shard,
+           CAST(SUM(CASE WHEN s8 = s THEN 1 ELSE 0 END) AS BIGINT) AS n_at8,
+           CAST(SUM(CASE WHEN s9 = s THEN 1 ELSE 0 END) AS BIGINT) AS n_at9,
+           CAST(SUM(CASE WHEN s9 = s AND s8 <> s9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_in
+    FROM j CROSS JOIN (SELECT unnest(range(0, {_HRW_BASE + 1})) AS s) t
+    GROUP BY s ORDER BY shard
+    """,
+    description="rendezvous (highest-random-weight) sharding (Thaler & "
+    "Ravishankar 1998 — the stable shard-assignment primitive for "
+    "pipeline scale-out): each doc goes to argmax_s md5(doc||s), scored "
+    "at 8 shards AND at 9; HRW's minimal-disruption property means a "
+    "doc moves ONLY to the new shard (n_moved_in is nonzero solely for "
+    "shard 8, ~1/9 of docs — test-pinned), unlike modulus sharding "
+    "where nearly everything reshuffles. SCALE: pure map-side hashing "
+    "(shards x docs rows, shard count is a small constant), one doc-"
+    "keyed argmax window, one tiny rollup; no coordination state at all",
+    tags=("text", "sharding", "pipeline"),
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_HRW_BASE))).alias("shard"),
+    ).select(
+        "doc_id", "shard",
+        F.md5(
+            F.concat(
+                F.lit("hrw:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hv"), "shard")
+    a9 = (
+        h.select("doc_id", "shard", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("s9"))
+    )
+    a8 = (
+        h.where(F.col("shard") < _HRW_BASE)
+        .select("doc_id", "shard", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("s8"))
+    )
+    j = a8.join(a9, "doc_id")
+    shards = spark.range(_HRW_BASE + 1).select(F.col("id").alias("s"))
+    return (
+        j.crossJoin(F.broadcast(shards))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("s8") == F.col("s"), 1).otherwise(0))
+            .cast("bigint").alias("n_at8"),
+            F.sum(F.when(F.col("s9") == F.col("s"), 1).otherwise(0))
+            .cast("bigint").alias("n_at9"),
+            F.sum(
+                F.when(
+                    (F.col("s9") == F.col("s")) & (F.col("s8") != F.col("s9")), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_moved_in"),
+        )
+        .select(F.col("s").cast("bigint").alias("shard"), "n_at8", "n_at9", "n_moved_in")
+        .orderBy("shard")
+    )

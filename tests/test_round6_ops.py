@@ -414,3 +414,87 @@ def test_equidepth_histogram_properties(spark, sf_dir):
     # buckets tile the value range in order (boundaries non-decreasing)
     for a, b in zip(got, got[1:]):
         assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def _qc_labeled_scores(spark, sf_dir):
+    from platform_etl_backend_spark.catalog.text import _qc_scored_spark
+
+    return [(r.label, r.score) for r in _qc_scored_spark(spark, sf_dir).collect()]
+
+
+def test_roc_auc_matches_python(spark, sf_dir):
+    pairs = _qc_labeled_scores(spark, sf_dir)
+    pos = [s for l, s in pairs if l == 1]
+    neg = [s for l, s in pairs if l == 0]
+    # exact pairwise AUC (the definition the rank statistic must equal)
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    auc = wins / (len(pos) * len(neg))
+    got = QUERIES["q_roc_auc"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    # rank statistic == pairwise definition, to the micro rounding
+    assert abs(got.auc_micro - auc * 1e6) <= 1
+    assert 500_000 < got.auc_micro < 1_000_000  # classifier beats chance
+
+
+def test_calibration_bins_coherent(spark, sf_dir):
+    rows = QUERIES["q_calibration_bins"].fn(spark, sf_dir).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    n = [r.n for r in rows]
+    assert max(n) - min(n) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_lo <= a.score_hi <= b.score_lo <= b.score_hi
+    # calibration direction: the top decile is more positive than the bottom
+    assert rows[-1].pos_rate_micro > rows[0].pos_rate_micro
+
+
+def test_target_encoding_is_leak_free(spark, sf_dir):
+    from platform_etl_backend_spark.catalog.relational import _TE_FOLDS, _TE_M
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    rows = {}
+    for r in orders:
+        key = (r.o_orderpriority, r.o_orderkey % _TE_FOLDS)
+        c = rows.setdefault(key, [0, 0])
+        c[0] += 1
+        c[1] += r.o_totalprice >= 150000
+    n_g = sum(c[0] for c in rows.values())
+    s_g = sum(c[1] for c in rows.values())
+    got = QUERIES["q_target_encoding"].fn(spark, sf_dir).collect()
+    for r in got:
+        n_cf, s_cf = rows[(r.category, r.fold)]
+        n_c = sum(c[0] for (cat, _), c in rows.items() if cat == r.category)
+        s_c = sum(c[1] for (cat, _), c in rows.items() if cat == r.category)
+        num = 2 * 1000000 * ((s_c - s_cf) * n_g + _TE_M * s_g) + (
+            ((n_c - n_cf) + _TE_M) * n_g
+        )
+        den = 2 * (((n_c - n_cf) + _TE_M) * n_g)
+        assert r.enc_micro == num // den
+        assert r.n_oof == n_c - n_cf
+        # leak-freedom: the fold's own rows do not move its encoding —
+        # recomputing WITH them gives a different value whenever the
+        # fold's rate differs from its complement's
+        if n_cf and s_cf * (n_c - n_cf) != (s_c - s_cf) * n_cf:
+            num_leaky = 2 * 1000000 * (s_c * n_g + _TE_M * s_g) + (
+                (n_c + _TE_M) * n_g
+            )
+            den_leaky = 2 * ((n_c + _TE_M) * n_g)
+            assert r.enc_micro != num_leaky // den_leaky
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    rows = QUERIES["q_rendezvous_sharding"].fn(spark, sf_dir).collect()
+    assert [r.shard for r in rows] == list(range(9))
+    total = sum(r.n_at8 for r in rows)
+    assert sum(r.n_at9 for r in rows) == total
+    assert rows[8].n_at8 == 0  # shard 8 does not exist at width 8
+    # HRW: adding a shard moves keys ONLY to the new shard
+    for r in rows[:8]:
+        assert r.n_moved_in == 0
+    moved = rows[8].n_moved_in
+    assert moved == rows[8].n_at9
+    # expected fraction ~ 1/9 of keys (binomial, generous envelope)
+    assert 0.03 < moved / total < 0.25
