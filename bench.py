@@ -167,6 +167,8 @@ HEADLINE = [
     "q_calibration_bins",
     "q_target_encoding",
     "q_rendezvous_sharding",
+    "q_shapley_attribution",
+    "q_seasonal_decompose",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -3100,6 +3100,302 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+# --- robust seasonal decomposition (trend + dow season + residual anomalies) ----
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS y
+      FROM e GROUP BY ep // 86400),
+    tr AS (
+      SELECT day, y,
+             CAST(SUM(y) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM days
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT day, y, CAST((2 * s7 + c7) // (2 * c7) AS BIGINT) AS trend,
+             y - (2 * s7 + c7) // (2 * c7) AS d,
+             CAST(day % 7 AS INTEGER) AS dow
+      FROM tr WHERE c7 = 7),
+    sea AS (
+      SELECT dow, d AS seasonal FROM (
+        SELECT dow, d,
+               ROW_NUMBER() OVER (PARTITION BY dow ORDER BY d, day) AS rn,
+               COUNT(*) OVER (PARTITION BY dow) AS cnt
+        FROM det)
+      WHERE rn = (cnt + 1) // 2),
+    res AS (
+      SELECT det.day, det.y, det.trend, sea.seasonal,
+             det.d - sea.seasonal AS resid
+      FROM det JOIN sea ON det.dow = sea.dow),
+    med AS (
+      SELECT resid AS m FROM (
+        SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM res) WHERE rn = (cnt + 1) // 2),
+    mad AS (
+      SELECT av AS mad FROM (
+        SELECT ABS(resid - (SELECT m FROM med)) AS av,
+               ROW_NUMBER() OVER (ORDER BY ABS(resid - (SELECT m FROM med)),
+                                  day) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM res) WHERE rn = (cnt + 1) // 2)
+    SELECT day, y AS y_micro, trend AS trend_micro,
+           seasonal AS seasonal_micro, resid AS resid_micro,
+           CASE WHEN 6745 * ABS(resid - (SELECT m FROM med))
+                     > 35000 * (SELECT mad FROM mad)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM res ORDER BY day
+    """,
+    description="robust seasonal decomposition of the daily value series "
+    "(the STL-shaped additive split every TS anomaly pipeline starts "
+    "from, beside CUSUM and rolling z-scores): trend = centered 7-day "
+    "moving average (full windows only, round-half-away micro), "
+    "seasonal = per-day-of-week RANK-PICK median of the detrended "
+    "values, residual = y - trend - seasonal, anomaly flag = the "
+    "Iglewicz-Hoaglin modified z-score (0.6745*|resid - med| > 3.5*MAD, "
+    "as the exact integer comparison 6745*|r-med| > 35000*MAD) — every "
+    "statistic an exact "
+    "integer rank-pick with unique tiebreaks, ZERO divisions beyond "
+    "the one trend mean, no float anywhere. SCALE: the raw scan "
+    "pre-aggregates map-side to the calendar-bounded daily frame; all "
+    "windows run on ~365 rows; at unbounded key cardinality each "
+    "per-key series partitions independently",
+    tags=("events", "timeseries", "decomposition", "anomaly"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = e.groupBy(F.expr("ep div 86400").alias("day")).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = days.select(
+        "day", "y",
+        F.sum("y").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("c7"),
+    )
+    det = (
+        tr.where(F.col("c7") == 7)
+        .selectExpr(
+            "day", "y",
+            "CAST((2 * s7 + c7) div (2 * c7) AS BIGINT) AS trend",
+            "y - (2 * s7 + c7) div (2 * c7) AS d",
+            "CAST(day % 7 AS INT) AS dow",
+        )
+        .localCheckpoint()  # feeds sea + res
+    )
+    wd = Window.partitionBy("dow").orderBy("d", "day")
+    sea = (
+        det.select(
+            "dow", "d",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("dow", F.col("d").alias("seasonal"))
+    )
+    res = det.join(F.broadcast(sea), "dow").select(
+        "day", "y", "trend", "seasonal",
+        (F.col("d") - F.col("seasonal")).alias("resid"),
+    ).localCheckpoint()  # feeds med + mad + final
+    wg = Window.orderBy("resid", "day")
+    med = (
+        res.select(
+            "resid",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("resid").alias("m"))
+    )
+    withm = res.crossJoin(F.broadcast(med))
+    wa = Window.orderBy(F.abs(F.col("resid") - F.col("m")), "day")
+    mad = (
+        withm.select(
+            F.abs(F.col("resid") - F.col("m")).alias("av"),
+            F.row_number().over(wa).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("av").alias("mad"))
+    )
+    return (
+        withm.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("y").alias("y_micro"),
+            F.col("trend").alias("trend_micro"),
+            F.col("seasonal").alias("seasonal_micro"),
+            F.col("resid").alias("resid_micro"),
+            F.when(
+                6745 * F.abs(F.col("resid") - F.col("m"))
+                > 35000 * F.col("mad"),
+                1,
+            ).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- Shapley-value multi-touch attribution ---------------------------------------
+
+# n=3 channels: 3! * w(|S|) = |S|!(n-1-|S|)! = [2, 1, 1, 2][popcount(S)]
+_SHAP_COEF = "CASE WHEN {s} = 0 THEN 2 WHEN {s} IN (3, 5, 6) THEN 2 ELSE 1 END"
+
+
+@register(
+    "q_shapley_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    j AS (
+      SELECT user_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS journey
+      FROM e),
+    js AS (
+      SELECT user_id, journey,
+             CAST(COALESCE(bit_or(CASE event_type
+                    WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'signup' THEN 4 ELSE 0 END), 0) AS INTEGER) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM j GROUP BY user_id, journey),
+    st AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(conv) AS BIGINT) AS c_s
+      FROM js GROUP BY mask),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4))
+           AS t(channel, bit)),
+    terms AS (
+      SELECT ch.channel, u.s AS sub,
+             CAST({_SHAP_COEF.format(s='u.s')} AS BIGINT) AS f,
+             COALESCE(w.c_s, 0) AS c1, COALESCE(w.n_s, 1) AS n1,
+             COALESCE(o.c_s, 0) AS c2, COALESCE(o.n_s, 1) AS n2
+      FROM ch CROSS JOIN (SELECT unnest(range(0, 8)) AS s) u
+      LEFT JOIN st w ON w.mask = (u.s | ch.bit)
+      LEFT JOIN st o ON o.mask = u.s
+      WHERE (u.s & ch.bit) = 0),
+    tm AS (
+      SELECT channel,
+             f * (c1 * n2 - c2 * n1) AS num, 6 * n1 * n2 AS den
+      FROM terms)
+    SELECT channel,
+           CAST(SUM(CASE WHEN num >= 0
+                 THEN (2 * 1000000 * num + den) // (2 * den)
+                 ELSE -((2 * 1000000 * (-num) + den) // (2 * den))
+                 END) AS BIGINT) AS shapley_micro
+    FROM tm GROUP BY channel ORDER BY channel
+    """,
+    description="Shapley-value multi-touch attribution (the game-theoretic "
+    "data-driven model beside q_attribution's positional ones; Shapley "
+    "1953 applied to conversion credit): journeys segmented exactly like "
+    "q_attribution, each journey's coalition = the SET of channels "
+    "touched (3 channels -> 8 coalitions), v(S) = observed conversion "
+    "rate of journeys with that exact touch set (missing sets count 0), "
+    "and each channel's credit is the exact Shapley sum over the 4 "
+    "subsets of the other two channels with |S|!(2-|S|)!/3! weights — "
+    "every marginal is an exact rational, each term emitted as SIGNED "
+    "round-half-away micro before the exact integer sum (the decimal-"
+    "contribution convention). SCALE: one user-keyed journey window + "
+    "one 8-row coalition rollup; the Shapley combinatorics run on a "
+    "12-row literal frame, constant in data volume (n channels bounds "
+    "the game, not the data)",
+    tags=("events", "attribution", "shapley", "game-theory"),
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = e.select(
+        "user_id", "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    chan_bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(0)
+    )
+    js = j.groupBy("user_id", "journey").agg(
+        F.coalesce(F.expr(
+            "bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+            "WHEN 'signup' THEN 4 ELSE 0 END)"
+        ), F.lit(0)).cast("int").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    st = js.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("conv").cast("bigint").alias("c_s"),
+    )
+    ch = spark.sql(
+        "SELECT * FROM VALUES ('click', 1), ('view', 2), ('signup', 4) "
+        "AS t(channel, bit)"
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    wst = st.select(
+        F.col("mask").alias("w_mask"),
+        F.col("n_s").alias("n1"),
+        F.col("c_s").alias("c1"),
+    )
+    ost = st.select(
+        F.col("mask").alias("o_mask"),
+        F.col("n_s").alias("n2"),
+        F.col("c_s").alias("c2"),
+    )
+    terms = (
+        ch.crossJoin(subs)
+        .where(F.expr("(s & bit) = 0"))
+        .join(F.broadcast(wst), F.expr("w_mask = (s | bit)"), "left")
+        .join(F.broadcast(ost), F.expr("o_mask = s"), "left")
+        .select(
+            "channel",
+            F.expr(_SHAP_COEF.format(s="s")).cast("bigint").alias("f"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("n1", F.lit(1)).alias("n1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("n2", F.lit(1)).alias("n2"),
+        )
+        .selectExpr(
+            "channel",
+            "f * (c1 * n2 - c2 * n1) AS num",
+            "6 * n1 * n2 AS den",
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN num >= 0 "
+                "THEN (2 * 1000000 * num + den) div (2 * den) "
+                "ELSE -((2 * 1000000 * (-num) + den) div (2 * den)) "
+                "END) AS BIGINT)"
+            ).alias("shapley_micro")
+        )
+        .orderBy("channel")
+    )
+
+
 # --- Holt-Winters triple exponential smoothing ----------------------------------
 
 _HW_PAD = 40

@@ -498,3 +498,94 @@ def test_rendezvous_minimal_disruption(spark, sf_dir):
     assert moved == rows[8].n_at9
     # expected fraction ~ 1/9 of keys (binomial, generous envelope)
     assert 0.03 < moved / total < 0.25
+
+
+def test_shapley_attribution_matches_python(spark, sf_dir):
+    """Channel credits == a plain-Python exact-rational Shapley game over
+    the journey coalitions; efficiency-style sanity checks included."""
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    rows = sorted(
+        events_table(spark, sf_dir)
+        .select("user_id", "ep", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ep, r.event_id),
+    )
+    # journey segmentation: running count of prior purchases per user
+    js: dict[tuple, list] = {}
+    prior: dict[int, int] = {}
+    for r in rows:
+        j = prior.get(r.user_id, 0)
+        st = js.setdefault((r.user_id, j), [0, 0])  # mask, conv
+        bit = {"click": 1, "view": 2, "signup": 4}.get(r.event_type, 0)
+        st[0] |= bit
+        if r.event_type == "purchase":
+            st[1] = 1
+            prior[r.user_id] = j + 1
+    stats: dict[int, list] = {}
+    for mask, conv in js.values():
+        c = stats.setdefault(mask, [0, 0])
+        c[0] += 1
+        c[1] += conv
+    def rha(num, den):
+        if num >= 0:
+            return (2 * 1000000 * num + den) // (2 * den)
+        return -((2 * 1000000 * (-num) + den) // (2 * den))
+
+    want = {}
+    for name, bit in (("click", 1), ("view", 2), ("signup", 4)):
+        tot = 0
+        for s in range(8):
+            if s & bit:
+                continue
+            n1, c1 = stats.get(s | bit, [1, 0])
+            n2, c2 = stats.get(s, [1, 0])
+            f = 2 if bin(s).count("1") in (0, 2) else 1
+            tot += rha(f * (c1 * n2 - c2 * n1), 6 * n1 * n2)
+        want[name] = tot
+    got = {
+        r.channel: r.shapley_micro
+        for r in QUERIES["q_shapley_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # at least one channel earns nonzero credit on this data
+    assert any(v != 0 for v in got.values())
+
+
+def test_seasonal_decompose_coherent(spark, sf_dir):
+    got = QUERIES["q_seasonal_decompose"].fn(spark, sf_dir).collect()
+    # 30 consecutive days minus 3 edge days each side with partial windows
+    assert len(got) == 24
+    days = [r.day for r in got]
+    assert days == sorted(days)
+    # additive identity: y == trend + seasonal + resid, exactly
+    for r in got:
+        assert r.y_micro == r.trend_micro + r.seasonal_micro + r.resid_micro
+    # seasonal component is a pure function of day-of-week
+    by_dow = {}
+    for r in got:
+        by_dow.setdefault(r.day % 7, set()).add(r.seasonal_micro)
+    assert all(len(v) == 1 for v in by_dow.values())
+    # the anomaly flag is EXACTLY the Iglewicz-Hoaglin rule recomputed
+    # in python (median/MAD by the same rank-pick convention); no
+    # distributional assumption — 24 points with 7 fitted dow medians
+    # legitimately produce many flags on white noise
+    resids = sorted((r.resid_micro, r.day) for r in got)
+    med = resids[(len(resids) + 1) // 2 - 1][0]
+    avs = sorted((abs(r.resid_micro - med), r.day) for r in got)
+    mad = avs[(len(avs) + 1) // 2 - 1][0]
+    for r in got:
+        assert r.is_anomaly == (1 if 6745 * abs(r.resid_micro - med) > 35000 * mad else 0)
+    assert 0 < sum(r.is_anomaly for r in got) < len(got)
+    # python twin of trend: centered 7-day mean over the daily series
+    rows = _events(spark, sf_dir)
+    daily = {}
+    for r in rows:
+        daily[r.ep // 86400] = daily.get(r.ep // 86400, 0) + round(
+            round(r.value, 6) * 1e6
+        )
+    ds = sorted(daily)
+    for idx, r in enumerate(got, start=3):
+        window = [daily[d] for d in ds[idx - 3: idx + 4]]
+        s7 = sum(window)
+        assert r.trend_micro == (2 * s7 + 7) // 14
