@@ -169,6 +169,8 @@ HEADLINE = [
     "q_rendezvous_sharding",
     "q_shapley_attribution",
     "q_seasonal_decompose",
+    "q_k_anonymity",
+    "q_dp_noisy_counts",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -4000,3 +4000,72 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+# --- deterministic DP-style noisy counts ------------------------------------------
+
+_DP_B = 2.0  # Laplace scale = sensitivity/epsilon = 1/0.5
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n,
+             CAST(('0x' || substr(md5('dp:' || event_type), 1, 12)) AS BIGINT)
+               - 140737488355328 AS ctr
+      FROM c)
+    SELECT event_type, n AS true_count,
+           CAST(n AS DOUBLE)
+             + (CASE WHEN ctr > 0 THEN -{_DP_B!r} WHEN ctr < 0 THEN {_DP_B!r}
+                     ELSE 0.0 END)
+               * (((2.0 * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (1.0 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.2 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.06666666666666667 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.058823529411764705 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.05263157894736842 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * (0.047619047619047616 + (((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0)) * ((((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) - 1.0) / (((CAST(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT) AS DOUBLE) / CAST(CAST(140737488355328 AS BIGINT) AS DOUBLE)) * (CASE WHEN CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) >= 0 THEN CAST((CAST(1 AS BIGINT) << CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT)) AS DOUBLE) ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT))) AS DOUBLE) END)) + 1.0))) * 0.043478260869565216)))))))))))) - CAST(CAST(((length(bin(CAST(140737488355328 AS BIGINT))) - 1) - (length(bin(CAST(GREATEST(140737488355328 - ABS(ctr), 1) AS BIGINT))) - 1)) AS INT) AS DOUBLE) * 0.6931471805599453) AS noisy_count
+    FROM u ORDER BY event_type
+    """,
+    description="deterministic Laplace-mechanism noisy counts per event "
+    "type (the differential-privacy release shape, epsilon=0.5, "
+    "sensitivity 1 -> scale b=2; Dwork 2006): the uniform draw is an "
+    "md5-derived 48-bit integer (seeded, partitioning-invariant — the "
+    "q_bootstrap_ci no-RNG convention, so the pipeline is replayable "
+    "and the oracle exact), inverse-CDF x = -b*sgn(u-.5)*ln(1-2|u-.5|) "
+    "with the ln over an EXACT integer ratio via the engine-portable "
+    "ratio-ln; the noisy count is a passthrough double (bit-identical "
+    "both engines, no rounding at all). Deterministic seeding trades "
+    "away the formal DP guarantee for replayability — documented; swap "
+    "the seed source for true randomness in a real release. SCALE: one "
+    "map-side rollup + per-group constant arithmetic",
+    tags=("events", "privacy", "dp"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import (
+        portable_ln_ratio,
+    )
+
+    e = events_table(spark, sf_dir)
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    half = 1 << 47
+    u = c.select(
+        "event_type", "n",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 12), 16, 10)
+            .cast("bigint")
+            - F.lit(half)
+        ).alias("ctr"),
+    )
+    ln = portable_ln_ratio(
+        F.greatest(F.lit(half) - F.abs(F.col("ctr")), F.lit(1)), F.lit(half)
+    )
+    return u.select(
+        "event_type",
+        F.col("n").alias("true_count"),
+        (
+            F.col("n").cast("double")
+            + F.when(F.col("ctr") > 0, F.lit(-_DP_B))
+            .when(F.col("ctr") < 0, F.lit(_DP_B))
+            .otherwise(F.lit(0.0))
+            * ln
+        ).alias("noisy_count"),
+    ).orderBy("event_type")

@@ -2552,3 +2552,70 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+# --- k-anonymity / l-diversity audit ----------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 2
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nat, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer),
+    g AS (
+      SELECT nat, bal_band, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
+      FROM q GROUP BY nat, bal_band)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS k_violating_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS k_violating_rows,
+           CAST((2 * 1000000 * SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+                 + SUM(n)) // (2 * SUM(n)) AS BIGINT) AS risk_pct_micro,
+           CAST(SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_violating_groups
+    FROM g
+    """,
+    description="k-anonymity / l-diversity privacy audit (Sweeney 2002; "
+    "Machanavajjhala 2007) over the customer table: quasi-identifier = "
+    "(nation, account-balance band), sensitive attribute = market "
+    "segment; reports the groups (and row share, round-half-away micro) "
+    "smaller than k=5 — the re-identification risk surface a training-"
+    "data release review needs — plus groups whose sensitive attribute "
+    "has fewer than l=2 distinct values (homogeneity attack exposure). "
+    "SCALE: one QI-keyed rollup (count + count-distinct) then a "
+    "7-integer reduction; the QI frame is cardinality-bounded",
+    tags=("relational", "privacy", "audit"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    g = q.groupBy("nat", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("sensitive").cast("bigint").alias("l_div"),
+    )
+    return g.selectExpr(
+        "CAST(SUM(n) AS BIGINT) AS n_rows",
+        "CAST(COUNT(*) AS BIGINT) AS n_groups",
+        "CAST(MIN(n) AS BIGINT) AS min_group_size",
+        f"CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS k_violating_groups",
+        f"CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)"
+        " AS k_violating_rows",
+        f"CAST((2 * 1000000 * SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)"
+        f" + SUM(n)) div (2 * SUM(n)) AS BIGINT) AS risk_pct_micro",
+        f"CAST(SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS l_violating_groups",
+    )

@@ -589,3 +589,48 @@ def test_seasonal_decompose_coherent(spark, sf_dir):
         window = [daily[d] for d in ds[idx - 3: idx + 4]]
         s7 = sum(window)
         assert r.trend_micro == (2 * s7 + 7) // 14
+
+
+def test_k_anonymity_matches_python(spark, sf_dir):
+    import math as _m
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    groups: dict[tuple, list] = {}
+    for r in cust:
+        key = (r.c_nationkey, _m.floor(r.c_acctbal / 1000))
+        g = groups.setdefault(key, [0, set()])
+        g[0] += 1
+        g[1].add(r.c_mktsegment)
+    n_rows = sum(g[0] for g in groups.values())
+    kv_rows = sum(g[0] for g in groups.values() if g[0] < 5)
+    got = QUERIES["q_k_anonymity"].fn(spark, sf_dir).collect()[0]
+    assert got.n_rows == n_rows
+    assert got.n_groups == len(groups)
+    assert got.min_group_size == min(g[0] for g in groups.values())
+    assert got.k_violating_groups == sum(1 for g in groups.values() if g[0] < 5)
+    assert got.k_violating_rows == kv_rows
+    assert got.risk_pct_micro == (2 * 1000000 * kv_rows + n_rows) // (2 * n_rows)
+    assert got.l_violating_groups == sum(
+        1 for g in groups.values() if len(g[1]) < 2
+    )
+
+
+def test_dp_noisy_counts_properties(spark, sf_dir):
+    from tests.test_unigram import py_portable_ln_ratio as pln
+
+    got = QUERIES["q_dp_noisy_counts"].fn(spark, sf_dir).collect()
+    assert len(got) == 5  # the five event types
+    import hashlib
+
+    half = 1 << 47
+    for r in got:
+        # python twin of the seeded Laplace draw
+        ctr = int(hashlib.md5(f"dp:{r.event_type}".encode()).hexdigest()[:12], 16) - half
+        ln = pln(max(half - abs(ctr), 1), half)
+        sgn = -2.0 if ctr > 0 else (2.0 if ctr < 0 else 0.0)
+        assert r.noisy_count == float(r.true_count) + sgn * ln
+        # Laplace(b=2) noise: overwhelmingly within ~30 absolute
+        assert abs(r.noisy_count - r.true_count) < 40
+        assert r.noisy_count != r.true_count  # noise actually applied
