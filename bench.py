@@ -171,6 +171,7 @@ HEADLINE = [
     "q_seasonal_decompose",
     "q_k_anonymity",
     "q_dp_noisy_counts",
+    "q_length_buckets",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

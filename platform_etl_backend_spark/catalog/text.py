@@ -4133,3 +4133,65 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").cast("bigint").alias("shard"), "n_at8", "n_at9", "n_moved_in")
         .orderBy("shard")
     )
+
+
+# --- length-bucketed batching stats ------------------------------------------------
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tok FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(CASE WHEN n_tok <= 16 THEN 16
+                       WHEN n_tok <= 32 THEN 32
+                       WHEN n_tok <= 64 THEN 64
+                       ELSE 128 END AS BIGINT) AS cap
+      FROM t)
+    SELECT cap AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(cap - n_tok) AS BIGINT) AS n_pad,
+           CAST((2 * 1000000 * SUM(cap - n_tok) + SUM(cap) * 1)
+                // (2 * (SUM(cap) * 1)) AS BIGINT) AS pad_waste_micro
+    FROM b GROUP BY cap ORDER BY bucket_cap
+    """,
+    description="length-bucketed batching statistics (the padding-"
+    "efficiency accounting behind bucketed training batches, the "
+    "practical alternative to q_pack_sequences' concat-and-split): docs "
+    "binned to power-of-two token-length caps (16/32/64/128), per "
+    "bucket the doc count, real tokens, padding tokens, and padding "
+    "waste share as round-half-away integer micro — the number that "
+    "decides whether bucketing or packing feeds the trainer. SCALE: one "
+    "map-side length projection + a 4-group rollup; no shuffle beyond "
+    "the tiny aggregation",
+    tags=("text", "ml-prep", "batching"),
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(D.ws_tokens("text")).cast("bigint").alias("n_tok")
+    )
+    b = t.select(
+        "n_tok",
+        F.when(F.col("n_tok") <= 16, 16)
+        .when(F.col("n_tok") <= 32, 32)
+        .when(F.col("n_tok") <= 64, 64)
+        .otherwise(128)
+        .cast("bigint")
+        .alias("cap"),
+    )
+    return (
+        b.groupBy(F.col("cap").alias("bucket_cap"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cap") - F.col("n_tok")).cast("bigint").alias("n_pad"),
+            F.expr(
+                "CAST((2 * 1000000 * SUM(cap - n_tok) + SUM(cap) * 1)"
+                " div (2 * (SUM(cap) * 1)) AS BIGINT)"
+            ).alias("pad_waste_micro"),
+        )
+        .orderBy("bucket_cap")
+    )

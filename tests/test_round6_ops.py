@@ -634,3 +634,22 @@ def test_dp_noisy_counts_properties(spark, sf_dir):
         # Laplace(b=2) noise: overwhelmingly within ~30 absolute
         assert abs(r.noisy_count - r.true_count) < 40
         assert r.noisy_count != r.true_count  # noise actually applied
+
+
+def test_length_buckets_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    buckets: dict[int, list] = {}
+    for r in docs:
+        n = len([w for w in r.text.strip().split() if w])
+        cap = 16 if n <= 16 else 32 if n <= 32 else 64 if n <= 64 else 128
+        b = buckets.setdefault(cap, [0, 0])
+        b[0] += 1
+        b[1] += n
+    got = QUERIES["q_length_buckets"].fn(spark, sf_dir).collect()
+    for r in got:
+        nd, nt = buckets[r.bucket_cap]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert r.n_pad == r.bucket_cap * nd - nt
+        den = 2 * r.bucket_cap * nd
+        assert r.pad_waste_micro == (2 * 1000000 * r.n_pad + r.bucket_cap * nd) // den
+        assert 0 <= r.pad_waste_micro < 1_000_000
