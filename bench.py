@@ -173,6 +173,7 @@ HEADLINE = [
     "q_dp_noisy_counts",
     "q_length_buckets",
     "q_sequential_patterns",
+    "q_minhash_recall",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -4195,3 +4195,120 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+# --- MinHash-LSH recall/precision eval ---------------------------------------------
+
+def _minhash_recall_oracle(
+    k: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    r = num_hashes // bands
+    hash_cols = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * r + rr}' for rr in range(r))})) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
+    keyed AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id),
+    cinter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cands c JOIN sh a ON a.doc_id = c.id_a
+                   JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    ver AS (
+      SELECT id_a, id_b FROM cinter
+      JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= {threshold}),
+    tinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b),
+    truth AS (
+      SELECT id_a, id_b FROM tinter
+      JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= {threshold}),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+             CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified)
+    SELECT n_truth, n_candidates, n_verified,
+           CAST(CASE WHEN n_truth = 0 THEN 0
+                ELSE (2 * 1000000 * n_verified + n_truth) // (2 * n_truth) END
+                AS BIGINT) AS recall_micro,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                ELSE (2 * 1000000 * n_verified + n_candidates)
+                     // (2 * n_candidates) END
+                AS BIGINT) AS cand_precision_micro
+    FROM s
+    """
+
+
+@register(
+    "q_minhash_recall",
+    oracle=_minhash_recall_oracle(),
+    description="MinHash-LSH approximation-quality eval: the verified LSH "
+    "pair set measured against the EXACT Jaccard>=0.5 ground truth "
+    "(brute-force shared-shingle baseline) — recall = verified/truth "
+    "(verification is exact, so LSH pairs are a subset of truth) and "
+    "candidate precision = verified/candidates, both round-half-away "
+    "integer micro. The number that justifies (or indicts) the banding "
+    "parameters before a 100 TB dedup run — beside the pytest-level "
+    "recall envelopes, this one is oracle-checked end to end. SCALE: "
+    "the truth side is the quadratic baseline (eval runs on a SAMPLE at "
+    "scale — documented); the LSH side is the production path",
+    tags=("dedup", "text", "lsh", "ml-eval"),
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.dedup import (
+        _banded_keys, _min_hash, ngram_jaccard_pairs, shingle_docs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    docs = shingle_docs(d, "doc_id", "text", 3).persist()
+    sig = docs.select(
+        "doc_id", *[_min_hash(F.col("shingles"), i).alias(f"h{i}") for i in range(8)]
+    )
+    keyed = _banded_keys(sig, "doc_id", 8, 4)
+    ka = keyed.select(F.col("doc_id").alias("id_a"), "band", "key")
+    kb = keyed.select(F.col("doc_id").alias("id_b"), "band", "key")
+    cands = (
+        ka.join(kb, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()  # feeds the count AND the verify join
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    ver = (
+        cands.join(da, "id_a").join(db, "id_b")
+        .where(F.round(inter / union, 6) >= 0.5)
+    )
+    n_truth = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    return (
+        n_truth.crossJoin(n_cands).crossJoin(n_ver)
+        .selectExpr(
+            "n_truth", "n_candidates", "n_verified",
+            "CAST(CASE WHEN n_truth = 0 THEN 0"
+            " ELSE (2 * 1000000 * n_verified + n_truth) div (2 * n_truth) END"
+            " AS BIGINT) AS recall_micro",
+            "CAST(CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE (2 * 1000000 * n_verified + n_candidates)"
+            " div (2 * n_candidates) END AS BIGINT) AS cand_precision_micro",
+        )
+    )

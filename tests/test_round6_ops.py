@@ -695,3 +695,18 @@ def test_sequential_patterns_matches_python(spark, sf_dir):
     # subsequence (gap) semantics really differ from adjacency: some
     # supported length-2 pattern must exceed its adjacent-bigram count
     assert any(s == len(seqs) for _, s in got), "universal patterns expected"
+
+
+def test_minhash_recall_consistency(spark, sf_dir):
+    got = QUERIES["q_minhash_recall"].fn(spark, sf_dir).collect()[0]
+    truth = QUERIES["q_ngram_jaccard"].fn(spark, sf_dir).count()
+    lsh = QUERIES["q_minhash_lsh"].fn(spark, sf_dir).count()
+    assert got.n_truth == truth
+    assert got.n_verified == lsh
+    # exact verification makes LSH pairs a SUBSET of truth
+    assert got.n_verified <= got.n_truth
+    assert got.n_verified <= got.n_candidates
+    assert got.recall_micro == (
+        (2 * 1000000 * got.n_verified + got.n_truth) // (2 * got.n_truth)
+    )
+    assert 0 < got.recall_micro <= 1_000_000
