@@ -174,6 +174,7 @@ HEADLINE = [
     "q_length_buckets",
     "q_sequential_patterns",
     "q_minhash_recall",
+    "q_scc",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -771,3 +771,60 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.floor(F.col("value")).cast("bigint") % 50
     edges = ev.where(a != b).select(a.alias("src"), b.alias("dst"))
     return k_truss(edges, k=4, rounds=6).orderBy("a", "b")
+
+
+@register(
+    "q_scc",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT user_id % 50 AS s, CAST(FLOOR(value) AS BIGINT) % 50 AS d
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    nodes AS (SELECT s AS n FROM e UNION SELECT d FROM e),
+    r(a, d) AS (
+      SELECT s, d FROM e
+      UNION
+      SELECT r.a, e.d FROM r JOIN e ON e.s = r.d),
+    reach AS (
+      SELECT a, d FROM r UNION SELECT n, n FROM nodes),
+    mutual AS (
+      SELECT x.a, x.d FROM reach x JOIN reach y ON x.a = y.d AND x.d = y.a)
+    SELECT CAST(a AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS scc
+    FROM mutual GROUP BY a ORDER BY node
+    """,
+    description="strongly connected components of the events-derived "
+    "DIRECTED 50-node graph (the directed sibling of the undirected "
+    "large-star/small-star components): scc(i) = min node mutually "
+    "reachable with i, computed from the existing iterative hop-join "
+    "transitive closure run once (reflexive-closed), self-joined for "
+    "mutuality, min-rolled per node — no recursion-within-recursion. "
+    "SCALE: reachability PAIRS are quadratic in component size, so this "
+    "exact formulation fits bounded/contracted graphs (here 50 nodes by "
+    "construction); the web-scale route is FW-BW pivot coloring over "
+    "the same closure primitive, trading rounds for pair volume — "
+    "documented, same operator family",
+    tags=("graph", "iterative"),
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst")).distinct()
+    clo = transitive_closure(edges, "src", "dst", broadcast_edges=True)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    reach = (
+        clo.select(F.col("ancestor").alias("a"), F.col("descendant").alias("d"))
+        .unionByName(nodes.select(F.col("n").alias("a"), F.col("n").alias("d")))
+        .distinct()
+        .localCheckpoint()  # feeds both sides of the mutuality join
+    )
+    back = reach.select(F.col("d").alias("a"), F.col("a").alias("d"))
+    mutual = reach.join(back, ["a", "d"], "left_semi")
+    return (
+        mutual.groupBy(F.col("a").cast("bigint").alias("node"))
+        .agg(F.min("d").cast("bigint").alias("scc"))
+        .orderBy("node")
+    )

@@ -710,3 +710,42 @@ def test_minhash_recall_consistency(spark, sf_dir):
         (2 * 1000000 * got.n_verified + got.n_truth) // (2 * got.n_truth)
     )
     assert 0 < got.recall_micro <= 1_000_000
+
+
+def test_scc_matches_python(spark, sf_dir):
+    """SCC labels == Tarjan-free python model (mutual reachability by
+    Floyd-Warshall boolean closure on the 50-node graph)."""
+    rows = _events(spark, sf_dir)
+    edges = set()
+    nodes = set()
+    for r in rows:
+        a, b = r.user_id % 50, int(math.floor(r.value)) % 50
+        if a != b:
+            edges.add((a, b))
+            nodes.update((a, b))
+    idx = sorted(nodes)
+    pos = {n: i for i, n in enumerate(idx)}
+    n = len(idx)
+    reach = [[False] * n for _ in range(n)]
+    for i in range(n):
+        reach[i][i] = True
+    for a, b in edges:
+        reach[pos[a]][pos[b]] = True
+    for k in range(n):
+        rk = reach[k]
+        for i in range(n):
+            if reach[i][k]:
+                ri = reach[i]
+                for j in range(n):
+                    if rk[j]:
+                        ri[j] = True
+    want = {}
+    for i, node in enumerate(idx):
+        want[node] = min(
+            idx[j] for j in range(n) if reach[i][j] and reach[j][i]
+        )
+    got = {r.node: r.scc for r in QUERIES["q_scc"].fn(spark, sf_dir).collect()}
+    assert got == want
+    # members of one SCC share the label, and the label is a member
+    for node, scc in got.items():
+        assert got[scc] == scc
