@@ -175,6 +175,7 @@ HEADLINE = [
     "q_sequential_patterns",
     "q_minhash_recall",
     "q_scc",
+    "q_quantile_rank_error",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

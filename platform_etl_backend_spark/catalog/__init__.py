@@ -157,11 +157,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_holt_winters",
 )
 
-# ROUND-7 ROTATION TODO: q_ktruss, q_equidepth_histogram, and any other
-# round-6 additions registered past position 50 have replica evidence at
-# both SFs but no driver slot this round — front them next round, then
-# pad with never-twice-checked rows (q_hll_registers and the round-5
-# window rows have exactly one check each).
+# ROUND-7 ROTATION TODO: the round-6 additions registered past position
+# 50 have replica evidence at both SFs but no driver slot this round —
+# q_ktruss, q_equidepth_histogram, q_roc_auc, q_calibration_bins,
+# q_target_encoding, q_rendezvous_sharding, q_shapley_attribution,
+# q_seasonal_decompose, q_k_anonymity, q_dp_noisy_counts,
+# q_length_buckets, q_sequential_patterns, q_minhash_recall, q_scc,
+# q_quantile_rank_error. Front them next round, then pad with
+# never-twice-checked rows (q_hll_registers and the round-5 window rows
+# have exactly one check each).
 
 
 def _apply_driver_window() -> None:

