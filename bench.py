@@ -176,6 +176,7 @@ HEADLINE = [
     "q_minhash_recall",
     "q_scc",
     "q_quantile_rank_error",
+    "q_stratified_ate",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

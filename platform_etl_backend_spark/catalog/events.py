@@ -4169,3 +4169,106 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "pattern")
         .limit(25)
     )
+
+
+# --- stratified average treatment effect -------------------------------------------
+
+_ATE_STRATA = 4
+
+
+@register(
+    "q_stratified_ate",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CASE WHEN SUM(CASE WHEN event_type = 'signup'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS t,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT user_id, t, y,
+             NTILE({_ATE_STRATA}) OVER (ORDER BY n_events, user_id) AS d
+      FROM u),
+    g AS (
+      SELECT d,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(t) AS BIGINT) AS c_t,
+             CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(SUM(1 - t) AS BIGINT) AS c_c,
+             CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s_c
+      FROM s GROUP BY d),
+    kept AS (SELECT * FROM g WHERE c_t > 0 AND c_c > 0),
+    nn AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM kept),
+    terms AS (
+      SELECT n_d * (s_t * c_c - s_c * c_t) AS num,
+             (SELECT n FROM nn) * c_t * c_c AS den
+      FROM kept)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_strata_used,
+           CAST(SUM(CASE WHEN num >= 0
+                 THEN (2 * 1000000 * num + den) // (2 * den)
+                 ELSE -((2 * 1000000 * (-num) + den) // (2 * den)) END)
+                AS BIGINT) AS ate_micro
+    FROM terms
+    """,
+    description="stratified average treatment effect (the classic "
+    "observational causal estimator — subclassification on an activity "
+    "propensity proxy; Cochran 1968): "
+    "(treatment = above-average signup count, >= 14 — every user signs "
+    "up at least once in this data, so ever-signed-up cannot split), "
+    "outcome = purchase count, strata = activity quartiles (NTILE over "
+    "a uniquely tie-broken order); ATE = sum_d (n_d/N) * (mean_t(d) - "
+    "mean_c(d)) over strata with BOTH arms present (positivity — "
+    "dropped strata reported via n_strata_used), every per-stratum "
+    "term an exact rational emitted as SIGNED round-half-away micro "
+    "before the exact sum (the q_shapley_attribution convention). "
+    "SCALE: one user rollup, one stratum rollup (4 rows), constant "
+    "final arithmetic",
+    tags=("events", "causal", "experimentation"),
+)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ) >= 14,
+            1,
+        ).otherwise(0).alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+    s = u.select(
+        "t", "y",
+        F.ntile(_ATE_STRATA).over(Window.orderBy("n_events", "user_id")).alias("d"),
+    )
+    g = s.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("t").cast("bigint").alias("c_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("s_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("c_c"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("s_c"),
+    )
+    kept = g.where((F.col("c_t") > 0) & (F.col("c_c") > 0)).localCheckpoint()
+    nn = kept.agg(F.sum("n_d").cast("bigint").alias("n"))
+    nu = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    nk = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_strata_used"))
+    terms = kept.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_d * (s_t * c_c - s_c * c_t) AS num",
+        "n * c_t * c_c AS den",
+    )
+    ate = terms.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN num >= 0 "
+            "THEN (2 * 1000000 * num + den) div (2 * den) "
+            "ELSE -((2 * 1000000 * (-num) + den) div (2 * den)) END) AS BIGINT)"
+        ).alias("ate_micro")
+    )
+    return nu.crossJoin(F.broadcast(nk)).crossJoin(F.broadcast(ate))

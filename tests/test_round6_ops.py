@@ -764,3 +764,49 @@ def test_quantile_rank_error_within_bound(spark, sf_dir):
     # estimates are monotone in q
     av = [r.approx_value for r in rows]
     assert av == sorted(av)
+
+
+def test_stratified_ate_matches_python(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    users: dict[int, list] = {}
+    for r in rows:
+        st = users.setdefault(r.user_id, [0, 0, 0])  # n_events, t, y
+        st[0] += 1
+        st[1] += r.event_type == "signup"
+        st[2] += r.event_type == "purchase"
+    order = sorted(users, key=lambda uid: (users[uid][0], uid))
+    n = len(order)
+    # NTILE semantics: earlier buckets get the remainder
+    base, rem = divmod(n, 4)
+    strata: dict[int, list] = {}
+    i = 0
+    for d in range(1, 5):
+        size = base + (1 if d <= rem else 0)
+        for uid in order[i: i + size]:
+            _, sc, y = users[uid]
+            t = 1 if sc >= 14 else 0
+            g = strata.setdefault(d, [0, 0, 0, 0, 0])
+            g[0] += 1
+            if t:
+                g[1] += 1
+                g[2] += y
+            else:
+                g[3] += 1
+                g[4] += y
+        i += size
+    kept = {d: g for d, g in strata.items() if g[1] > 0 and g[3] > 0}
+    nk = sum(g[0] for g in kept.values())
+
+    def rha(num, den):
+        if num >= 0:
+            return (2 * 1000000 * num + den) // (2 * den)
+        return -((2 * 1000000 * (-num) + den) // (2 * den))
+
+    ate = sum(
+        rha(g[0] * (g[2] * g[3] - g[4] * g[1]), nk * g[1] * g[3])
+        for g in kept.values()
+    )
+    got = QUERIES["q_stratified_ate"].fn(spark, sf_dir).collect()[0]
+    assert got.n_users == n
+    assert got.n_strata_used == len(kept)
+    assert got.ate_micro == ate
