@@ -177,6 +177,7 @@ HEADLINE = [
     "q_scc",
     "q_quantile_rank_error",
     "q_stratified_ate",
+    "q_wasserstein_1d",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -1,5 +1,10 @@
-"""Round-6 operators: Kendall tau-b, Jaro-Winkler, isotonic regression
-(PAVA), Kleinberg burst detection — pinned against plain-Python models."""
+"""Round-6 operators, each pinned against a plain-Python model:
+Kendall tau-b, Jaro-Winkler, isotonic regression (minimax/PAVA),
+Kleinberg burst detection, k-truss, equi-depth histogram, Holt-Winters,
+ROC-AUC, calibration bins, OOF target encoding, rendezvous sharding,
+Shapley attribution, seasonal decomposition, k-anonymity, DP noisy
+counts, length buckets, sequential patterns, MinHash recall, SCC,
+quantile rank error, stratified ATE."""
 
 from __future__ import annotations
 
@@ -810,3 +815,29 @@ def test_stratified_ate_matches_python(spark, sf_dir):
     assert got.n_users == n
     assert got.n_strata_used == len(kept)
     assert got.ate_micro == ate
+
+
+def test_wasserstein_1d_matches_python(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    a = sorted(round(r.value, 6) for r in rows if r.event_type == "purchase")
+    b = sorted(round(r.value, 6) for r in rows if r.event_type == "click")
+    # reference: scipy-free exact empirical W1 over the merged support
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    w1 = 0.0
+    for v, v_next in zip(support, support[1:]):
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        w1 += round(
+            abs(ca * len(b) - cb * len(a)) * (v_next - v) / (len(a) * len(b)), 9
+        )
+    got = QUERIES["q_wasserstein_1d"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert abs(got.w1_distance - round(w1, 6)) <= 2e-6
+    assert got.w1_distance >= 0
+    # identity sanity: W1(a, a) == 0 by the same formula
+    assert sum(
+        abs(bisect.bisect_right(a, v) * len(a) - bisect.bisect_right(a, v) * len(a))
+        for v in support
+    ) == 0
