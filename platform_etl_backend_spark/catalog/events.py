@@ -4120,52 +4120,59 @@ _SEQ_MINSUP = 3
     tags=("events", "sequence", "mining"),
 )
 def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy-subsequence formulation: a user supports e1>e2(>e3) iff the
+    # greedy left-to-right match succeeds (p1 = first e1; p2 = first e2
+    # after p1; any e3 after p2) — a classical equivalence for
+    # subsequence EXISTENCE, so this computes the same support as the
+    # oracle's positional self-joins WITHOUT the per-user cubic pair
+    # fan-out (the first implementation measured 22 s at sf0.1; this one
+    # is one user-keyed rollup + a 150-row broadcast pattern frame,
+    # map-side from there).
     e = events_table(spark, sf_dir)
     r = e.select(
         "user_id", "event_type",
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ep", "event_id"))
         .alias("pos"),
-    ).localCheckpoint()  # feeds three join sides
-    a = r.select(
-        F.col("user_id").alias("u"), F.col("event_type").alias("e1"),
-        F.col("pos").alias("pa"),
     )
-    b = r.select(
-        F.col("user_id").alias("u"), F.col("event_type").alias("e2"),
-        F.col("pos").alias("pb"),
+    per_type = r.groupBy("user_id", "event_type").agg(
+        F.sort_array(F.collect_list("pos")).alias("poss")
     )
-    c = r.select(
-        F.col("user_id").alias("u"), F.col("event_type").alias("e3"),
-        F.col("pos").alias("pc"),
+    users = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "poss"))
+        ).alias("m")
     )
-    p2 = (
-        a.join(b, "u")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("e1", "e2")
-        .agg(F.countDistinct("u").cast("bigint").alias("support"))
-        .select(
-            F.concat_ws(">", "e1", "e2").alias("pattern"),
-            F.lit(2).cast("int").alias("len"),
-            "support",
-        )
+    t1 = e.select(F.col("event_type").alias("e1")).distinct()
+    t2 = e.select(F.col("event_type").alias("e2")).distinct()
+    t3 = e.select(F.col("event_type").alias("e3")).distinct()
+    pat2 = t1.crossJoin(t2).select(
+        F.concat_ws(">", "e1", "e2").alias("pattern"),
+        F.lit(2).alias("len"), "e1", "e2",
+        F.lit(None).cast("string").alias("e3"),
     )
-    p3 = (
-        a.join(b, "u")
-        .where(F.col("pa") < F.col("pb"))
-        .join(c, "u")
-        .where(F.col("pb") < F.col("pc"))
-        .groupBy("e1", "e2", "e3")
-        .agg(F.countDistinct("u").cast("bigint").alias("support"))
-        .select(
-            F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
-            F.lit(3).cast("int").alias("len"),
-            "support",
-        )
+    pat3 = t1.crossJoin(t2).crossJoin(t3).select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+        F.lit(3).alias("len"), "e1", "e2", "e3",
     )
+    pat_df = pat2.unionByName(pat3)  # alphabet^2 + alphabet^3 rows
+    j = users.crossJoin(F.broadcast(pat_df))
+    p1 = F.get(F.element_at("m", F.col("e1")), 0)
+    after1 = F.filter(
+        F.coalesce(F.element_at("m", F.col("e2")), F.array().cast("array<int>")),
+        lambda x: x > p1,
+    )
+    p2 = F.get(after1, 0)
+    tail3 = F.coalesce(F.element_at("m", F.col("e3")), F.array().cast("array<int>"))
+    sup2 = p1.isNotNull() & p2.isNotNull()
+    sup3 = sup2 & (F.array_max(tail3) > p2)
+    supported = F.when(F.col("len") == 2, sup2).otherwise(sup3)
     return (
-        p2.unionByName(p3)
+        j.where(supported)
+        .groupBy("pattern", "len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= _SEQ_MINSUP)
+        .select("pattern", F.col("len").cast("int").alias("len"), "support")
         .orderBy(F.desc("support"), "pattern")
         .limit(25)
     )
