@@ -1021,7 +1021,7 @@ _EQD_BUCKETS = 8
     "earlier-buckets-get-the-remainder rule), then one rollup emits "
     "count + [lo, hi] boundary values — boundaries are passthrough "
     "doubles (no rounding scaffolding needed). SCALE: one global sort "
-    "(the same RangePartition-sample shuffle any percentile pass costs) "
+    "(a single-partition window at catalog scale — the documented W2 class; two-pass distributed rank at cluster scale) "
     "+ a map-side rollup; for an approximate variant at extreme scale "
     "the mergeable-quantile summary (q_mergeable_quantiles) provides "
     "the bucket boundaries without the global sort",

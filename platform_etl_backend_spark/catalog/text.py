@@ -3964,8 +3964,11 @@ def _qc_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "confusion matrix: tie-aware 2x-midranks as exact integers (the "
     "q_mann_whitney convention), AUC = (sum_pos_midranks - n1(n1+1)/2) "
     "/ (n1*n0) emitted as round-half-away micro — zero floats. SCALE: "
-    "one global rank (the standard sort shuffle) + a 3-integer "
-    "reduction; no pairwise comparisons despite the pairwise definition",
+    "the global rank is a SINGLE-PARTITION window at catalog scale (the "
+    "documented W2 class); the cluster path is the two-pass distributed "
+    "rank (per-range counts + offsets) over the same exact arithmetic; "
+    "then a 3-integer reduction — no pairwise comparisons despite the "
+    "pairwise definition",
     tags=("text", "quality", "ml-eval", "auc"),
 )
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4012,8 +4015,9 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the q_equidepth_histogram rule), per-bin positive rate as round-"
     "half-away integer micro plus the score range — the empirical curve "
     "an isotonic calibration (q_isotonic_fit) would be fit to; completes "
-    "the eval family (confusion matrix / AUC / calibration). SCALE: one "
-    "global sort + a 10-group rollup",
+    "the eval family (confusion matrix / AUC / calibration). SCALE: the "
+    "NTILE is a single-partition window at catalog scale (W2 class; "
+    "two-pass distributed rank at cluster scale) + a 10-group rollup",
     tags=("text", "quality", "ml-eval", "calibration"),
 )
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
