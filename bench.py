@@ -178,6 +178,7 @@ HEADLINE = [
     "q_quantile_rank_error",
     "q_stratified_ate",
     "q_wasserstein_1d",
+    "q_gini_split",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

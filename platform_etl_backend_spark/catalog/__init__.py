@@ -163,7 +163,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # q_target_encoding, q_rendezvous_sharding, q_shapley_attribution,
 # q_seasonal_decompose, q_k_anonymity, q_dp_noisy_counts,
 # q_length_buckets, q_sequential_patterns, q_minhash_recall, q_scc,
-# q_quantile_rank_error, q_stratified_ate, q_wasserstein_1d. Front them next round, then pad with
+# q_quantile_rank_error, q_stratified_ate, q_wasserstein_1d, q_gini_split. Front them next round, then pad with
 # never-twice-checked rows (q_hll_registers and the round-5 window rows
 # have exactly one check each).
 

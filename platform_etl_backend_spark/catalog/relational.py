@@ -2619,3 +2619,100 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)"
         " AS l_violating_groups",
     )
+
+
+# --- decision-tree split search (Gini impurity) -------------------------------------
+
+@register(
+    "q_gini_split",
+    oracle="""
+    WITH o AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders),
+    pts AS (
+      SELECT x, CAST(SUM(y) AS BIGINT) AS p, CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+      FROM o GROUP BY x),
+    cum AS (
+      SELECT x,
+             CAST(SUM(p) OVER w AS BIGINT) AS cp,
+             CAST(SUM(q) OVER w AS BIGINT) AS cq,
+             CAST(SUM(p) OVER () AS BIGINT) AS tp,
+             CAST(SUM(q) OVER () AS BIGINT) AS tq
+      FROM pts
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    cand AS (
+      SELECT x AS threshold, cp, cq, tp, tq,
+             cp + cq AS nl, (tp + tq) - (cp + cq) AS nr,
+             (CAST(cp + cq AS DOUBLE)
+              - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))
+             + (CAST((tp + tq) - (cp + cq) AS DOUBLE)
+                - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq) AS DOUBLE)
+                  / CAST((tp + tq) - (cp + cq) AS DOUBLE)) AS score
+      FROM cum WHERE (tp + tq) - (cp + cq) > 0)
+    SELECT threshold, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(cp AS BIGINT) AS pos_left, CAST(tp - cp AS BIGINT) AS pos_right,
+           score AS weighted_gini_x_n
+    FROM cand ORDER BY score, threshold LIMIT 1
+    """,
+    description="decision-tree best-split search (CART's core primitive, "
+    "Breiman 1984): the numeric split of order price that minimizes "
+    "weighted Gini impurity against the urgent-priority label — every "
+    "candidate threshold evaluated from ONE sorted prefix-sum pass "
+    "(cumulative pos/neg counts per distinct value), impurity as one "
+    "fixed-order IEEE expression of exact integers (n_s - (pos^2 + "
+    "neg^2)/n_s summed over sides — the n*Gini form, monotone in Gini, "
+    "division-minimal), argmin by (score, threshold) unique order. "
+    "SCALE: one value rollup + one global prefix window (single-"
+    "partition at catalog scale, W2 class; two-pass distributed rank "
+    "at cluster scale) + TakeOrdered(1) — the same shape per feature "
+    "when looping a forest's split search",
+    tags=("relational", "ml-prep", "tree"),
+)
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    pts = o.groupBy("x").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("q"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = pts.select(
+        "x",
+        F.sum("p").over(w).cast("bigint").alias("cp"),
+        F.sum("q").over(w).cast("bigint").alias("cq"),
+        F.sum("p").over(wall).cast("bigint").alias("tp"),
+        F.sum("q").over(wall).cast("bigint").alias("tq"),
+    )
+    cand = cum.where(
+        (F.col("tp") + F.col("tq")) - (F.col("cp") + F.col("cq")) > 0
+    ).selectExpr(
+        "x AS threshold",
+        "cp + cq AS nl",
+        "(tp + tq) - (cp + cq) AS nr",
+        "cp", "tp", "cq", "tq",
+        "(CAST(cp + cq AS DOUBLE)"
+        " - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))"
+        " + (CAST((tp + tq) - (cp + cq) AS DOUBLE)"
+        "    - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq) AS DOUBLE)"
+        "      / CAST((tp + tq) - (cp + cq) AS DOUBLE)) AS score",
+    )
+    return (
+        cand.orderBy("score", "threshold")
+        .limit(1)
+        .selectExpr(
+            "threshold",
+            "CAST(nl AS BIGINT) AS n_left",
+            "CAST(nr AS BIGINT) AS n_right",
+            "CAST(cp AS BIGINT) AS pos_left",
+            "CAST(tp - cp AS BIGINT) AS pos_right",
+            "score AS weighted_gini_x_n",
+        )
+    )

@@ -841,3 +841,38 @@ def test_wasserstein_1d_matches_python(spark, sf_dir):
         abs(bisect.bisect_right(a, v) * len(a) - bisect.bisect_right(a, v) * len(a))
         for v in support
     ) == 0
+
+
+def test_gini_split_matches_python(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    pts: dict[float, list] = {}
+    for r in orders:
+        y = r.o_orderpriority in ("1-URGENT", "2-HIGH")
+        c = pts.setdefault(r.o_totalprice, [0, 0])
+        c[y] += 1  # c[1]=pos, c[0]=neg
+    xs = sorted(pts)
+    tp = sum(pts[x][1] for x in xs)
+    tq = sum(pts[x][0] for x in xs)
+    best = None
+    cp = cq = 0
+    for x in xs:
+        cp += pts[x][1]
+        cq += pts[x][0]
+        nl, nr = cp + cq, (tp + tq) - (cp + cq)
+        if nr == 0:
+            continue
+        score = (nl - (cp * cp + cq * cq) / nl) + (
+            nr - ((tp - cp) ** 2 + (tq - cq) ** 2) / nr
+        )
+        if best is None or (score, x) < best:
+            best = (score, x, nl, nr, cp, tp - cp)
+    got = QUERIES["q_gini_split"].fn(spark, sf_dir).collect()[0]
+    assert got.threshold == best[1]
+    assert (got.n_left, got.n_right) == (best[2], best[3])
+    assert (got.pos_left, got.pos_right) == (best[4], best[5])
+    assert got.weighted_gini_x_n == best[0]
+    # the chosen split genuinely separates: left and right positive
+    # rates differ (otherwise any threshold would score equally)
+    assert got.pos_left * got.n_right != got.pos_right * got.n_left
