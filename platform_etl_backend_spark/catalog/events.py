@@ -4325,12 +4325,17 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|ca*nb - cb*na| an EXACT integer, the per-segment product one "
     "fixed-order IEEE expression rounded to a DECIMAL(28,9) "
     "contribution (the pagerank convention) so the distributed sum is "
-    "order-free. SCALE: one value rollup + one global sort window "
-    "(the exact-percentile class); at extreme scale pre-bin the "
-    "support — the estimate degrades gracefully with bin width",
+    "order-free. SCALE: one value rollup + the two-pass distributed "
+    "CDF (operators/ranking.py two_pass_cdf: range exchange + "
+    "broadcast per-partition offsets; the LEAD borrows the next "
+    "partition's first support point from the same tiny frame — no "
+    "single-partition sort); at extreme scale pre-bin the support — "
+    "the estimate degrades gracefully with bin width",
     tags=("events", "stats", "drift", "wasserstein"),
 )
 def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_cdf
+
     e = events_table(spark, sf_dir).where(
         F.col("event_type").isin("purchase", "click")
     ).select("event_type", F.round("value", 6).alias("v"))
@@ -4340,20 +4345,16 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint").alias("db"),
     )
-    nn = pts.agg(
-        F.sum("da").cast("bigint").alias("na"),
-        F.sum("db").cast("bigint").alias("nb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = pts.select(
+    cdf = two_pass_cdf(pts, ["v"], ["da", "db"], "v", "v_next").select(
         "v",
-        F.sum("da").over(w).cast("bigint").alias("ca"),
-        F.sum("db").over(w).cast("bigint").alias("cb"),
-        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+        F.col("cum_da").alias("ca"),
+        F.col("cum_db").alias("cb"),
+        F.col("tot_da").alias("na"),
+        F.col("tot_db").alias("nb"),
+        "v_next",
     )
     terms = (
         cdf.where(F.col("v_next").isNotNull())
-        .crossJoin(F.broadcast(nn))
         .select(
             F.round(
                 F.abs(

@@ -1020,23 +1020,25 @@ _EQD_BUCKETS = 8
     "equal row counts per bucket (both engines share the SQL-standard "
     "earlier-buckets-get-the-remainder rule), then one rollup emits "
     "count + [lo, hi] boundary values — boundaries are passthrough "
-    "doubles (no rounding scaffolding needed). SCALE: one global sort "
-    "(a single-partition window at catalog scale — the documented W2 class; two-pass distributed rank at cluster scale) "
-    "+ a map-side rollup; for an approximate variant at extreme scale "
-    "the mergeable-quantile summary (q_mergeable_quantiles) provides "
-    "the bucket boundaries without the global sort",
+    "doubles (no rounding scaffolding needed). SCALE: the NTILE is the "
+    "two-pass distributed rank (operators/ranking.py: range exchange + "
+    "broadcast per-partition offsets + the SQL-standard remainder rule "
+    "as arithmetic — no single-partition sort) + a map-side rollup; for "
+    "an approximate variant at extreme scale the mergeable-quantile "
+    "summary (q_mergeable_quantiles) provides the bucket boundaries "
+    "without any rank at all",
     tags=("olap", "histogram", "profiling"),
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from platform_etl_backend_spark.operators.ranking import two_pass_ntile
 
     li = table(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_extendedprice").cast("double").alias("v"),
-        F.ntile(_EQD_BUCKETS)
-        .over(Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-        .alias("bucket"),
-    )
+    v = two_pass_ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        _EQD_BUCKETS,
+        bucket_col="bucket",
+    ).select(F.col("l_extendedprice").cast("double").alias("v"), "bucket")
     return (
         v.groupBy("bucket")
         .agg(

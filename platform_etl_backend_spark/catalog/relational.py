@@ -2665,13 +2665,16 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-order IEEE expression of exact integers (n_s - (pos^2 + "
     "neg^2)/n_s summed over sides — the n*Gini form, monotone in Gini, "
     "division-minimal), argmin by (score, threshold) unique order. "
-    "SCALE: one value rollup + one global prefix window (single-"
-    "partition at catalog scale, W2 class; two-pass distributed rank "
-    "at cluster scale) + TakeOrdered(1) — the same shape per feature "
-    "when looping a forest's split search",
+    "SCALE: one value rollup + the two-pass distributed prefix sum "
+    "(operators/ranking.py: range exchange + broadcast per-partition "
+    "offsets, grand totals riding the same tiny frame — no single-"
+    "partition sort, no O(n) SUM OVER () window) + TakeOrdered(1) — "
+    "the same shape per feature when looping a forest's split search",
     tags=("relational", "ml-prep", "tree"),
 )
 def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_cumsum
+
     o = table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         F.when(
@@ -2682,14 +2685,14 @@ def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("p"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("q"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = pts.select(
+    cum = two_pass_cumsum(
+        pts, ["x"], ["p", "q"], total_prefix="tot_"
+    ).select(
         "x",
-        F.sum("p").over(w).cast("bigint").alias("cp"),
-        F.sum("q").over(w).cast("bigint").alias("cq"),
-        F.sum("p").over(wall).cast("bigint").alias("tp"),
-        F.sum("q").over(wall).cast("bigint").alias("tq"),
+        F.col("cum_p").alias("cp"),
+        F.col("cum_q").alias("cq"),
+        F.col("tot_p").alias("tp"),
+        F.col("tot_q").alias("tq"),
     )
     cand = cum.where(
         (F.col("tp") + F.col("tq")) - (F.col("cp") + F.col("cq")) > 0

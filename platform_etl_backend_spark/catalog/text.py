@@ -3964,28 +3964,32 @@ def _qc_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "confusion matrix: tie-aware 2x-midranks as exact integers (the "
     "q_mann_whitney convention), AUC = (sum_pos_midranks - n1(n1+1)/2) "
     "/ (n1*n0) emitted as round-half-away micro — zero floats. SCALE: "
-    "the global rank is a SINGLE-PARTITION window at catalog scale (the "
-    "documented W2 class); the cluster path is the two-pass distributed "
-    "rank (per-range counts + offsets) over the same exact arithmetic; "
-    "then a 3-integer reduction — no pairwise comparisons despite the "
-    "pairwise definition",
+    "distinct-score pre-aggregation (count + positives per score) THEN "
+    "the two-pass distributed cumsum (operators/ranking.py: range "
+    "exchange + per-partition offsets, no single-partition sort) over "
+    "the distinct-score frame; midranks derive from cumulative counts "
+    "(2x-midrank == 2*cum_count - count + 1), then a 3-integer "
+    "reduction — no pairwise comparisons despite the pairwise "
+    "definition, and no O(n) global window anywhere in the plan",
     tags=("text", "quality", "ml-eval", "auc"),
 )
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_cumsum
+
     p = _qc_scored_spark(spark, sf_dir)
-    r = p.select(
-        "label",
-        (
-            2 * F.rank().over(Window.orderBy("score"))
-            + F.count(F.lit(1)).over(Window.partitionBy("score"))
-            - 1
-        ).cast("bigint").alias("r2"),
+    pts = p.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("label").cast("bigint").alias("pl"),
     )
-    s = r.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0))
+    cum = two_pass_cumsum(pts, ["score"], ["c"])
+    # 2x-midrank of every row at score s: 2*rank + count - 1
+    #                                   = 2*(cum_c - c + 1) + c - 1
+    #                                   = 2*cum_c - c + 1
+    s = cum.agg(
+        F.sum(F.col("pl") * (2 * F.col("cum_c") - F.col("c") + 1))
         .cast("bigint").alias("spr2"),
-        F.sum("label").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("label")).cast("bigint").alias("n0"),
+        F.sum("pl").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("pl")).cast("bigint").alias("n0"),
     )
     return s.selectExpr(
         "n1 AS n_pos",
@@ -4016,15 +4020,19 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "half-away integer micro plus the score range — the empirical curve "
     "an isotonic calibration (q_isotonic_fit) would be fit to; completes "
     "the eval family (confusion matrix / AUC / calibration). SCALE: the "
-    "NTILE is a single-partition window at catalog scale (W2 class; "
-    "two-pass distributed rank at cluster scale) + a 10-group rollup",
+    "NTILE is the two-pass distributed rank (operators/ranking.py: "
+    "range exchange + broadcast per-partition offsets + the SQL-standard "
+    "remainder rule as arithmetic — no single-partition sort) + a "
+    "10-group rollup",
     tags=("text", "quality", "ml-eval", "calibration"),
 )
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_ntile
+
     p = _qc_scored_spark(spark, sf_dir)
-    b = p.select(
-        "label", "score",
-        F.ntile(10).over(Window.orderBy("score", "doc_id")).alias("bin"),
+    b = two_pass_ntile(
+        p.select("label", "score", "doc_id"), ["score", "doc_id"], 10,
+        bucket_col="bin",
     )
     return (
         b.groupBy("bin")
