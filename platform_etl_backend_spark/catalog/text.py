@@ -3499,7 +3499,7 @@ def _jw_pairs_duck() -> str:
     "integer arithmetic on the rational N/D form — zero floats, so both "
     "engines agree bit-for-bit (same generated SQL text, only the "
     "integer-div operator differs). SCALE: candidate pairs bounded by "
-    "the Soundex block join (sum block^2, the ER-composite guard shape), "
+    "the first-letter block join (sum block^2, the ER-composite guard shape), "
     "scoring is pure map-side expression chain on the DISTINCT-WORD "
     "frame (vocabulary-sized), top-20 via TakeOrderedAndProject",
     tags=("text", "er", "similarity", "jaro"),

@@ -923,13 +923,18 @@ def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components over the real adjacency only; isolated dense cells (no
     # dense neighbor) don't appear in the edge set, so they rejoin as
     # their own singleton cluster via the left join + coalesce.
-    # Rounds are capped at ceil(log2(dense cells)) + 2 (star rounds are
-    # O(log n); the count is free — ids is already eagerly checkpointed)
+    # Rounds are capped at 2*ceil(log2(dense cells)) + 4 (alternating
+    # large/small-star is PROVEN O(log^2 n), empirically O(log n) — the
+    # ADVICE r6 slack; the count is free, ids is eagerly checkpointed)
     # and the fixpoint check runs every 2nd round, cutting the per-round
-    # action overhead that made this query orchestration-bound.
+    # action overhead that made this query orchestration-bound. If the
+    # cap still under-runs, on_exhausted="raise" surfaces it instead of
+    # letting unconverged labels silently diverge from the oracle.
     n_dense = ids.count()
-    cap = max(4, (max(n_dense, 2) - 1).bit_length() + 2)
-    cc = connected_components(edges, "src", "dst", max_iter=cap, check_every=2)
+    cap = max(6, 2 * (max(n_dense, 2) - 1).bit_length() + 4)
+    cc = connected_components(
+        edges, "src", "dst", max_iter=cap, check_every=2, on_exhausted="raise"
+    )
     return (
         ids.join(cc, ids.cell == cc.node, "left")
         .select(

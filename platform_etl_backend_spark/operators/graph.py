@@ -105,10 +105,20 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     check_every: int = 1,
+    on_exhausted: str = "warn",
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     ACM SoCC 2014 — public algorithm).
+
+    ``on_exhausted`` — what to do when ``max_iter`` rounds run WITHOUT
+    reaching the star fixpoint ("warn" | "raise" | "ignore"): Kiveris et
+    al. prove O(log² n) rounds for the alternating variant (the O(log n)
+    behavior callers usually budget for is empirical), so a tight caller
+    cap can genuinely under-run; the final round's ``changed`` frame is
+    already computed, making the detection free. On exhaustion the
+    returned labels may be unconverged (the documented min-agg
+    degradation) — "raise" turns that silent divergence into an error.
 
     The Spark-native dedup-clustering primitive: near-duplicate PAIRS
     (from MinHash/Jaccard/embedding operators) become duplicate GROUPS.
@@ -146,6 +156,7 @@ def connected_components(
     # every round makes small iterative graphs orchestration-bound — at
     # most check_every - 1 extra (cheap, already-converged) rounds run.
     cur = e.localCheckpoint()
+    converged = False
     for it in range(max_iter):
         # large-star: Γ(u) from both edge directions; m = min(Γ(u) ∪ {u});
         # emit (v, m) for v ∈ Γ(u), v > u.
@@ -193,9 +204,22 @@ def connected_components(
             )
             cur = small
             if changed.isEmpty():
+                converged = True
                 break
         else:
             cur = small
+    if not converged and on_exhausted != "ignore":
+        msg = (
+            f"connected_components: {max_iter} rounds exhausted without "
+            "reaching the star fixpoint — returned labels may be "
+            "unconverged (alternating large/small-star is proven "
+            "O(log^2 n) rounds, not O(log n); raise the caller's cap)"
+        )
+        if on_exhausted == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # At fixpoint every edge points (member → component-min root). If
     # max_iter cut the loop before the fixpoint, residual non-star edges
     # would otherwise emit multiple (node, component) rows per node — the
@@ -791,6 +815,21 @@ def k_truss(
             .select("a", "b")
             .localCheckpoint()
         )
+    # Invariant guard (ADVICE r6): every returned edge must satisfy the
+    # k-truss bound support >= k-2. A fixed round budget that under-runs
+    # the true fixpoint on new data would otherwise emit non-truss edges
+    # SILENTLY — and the unrolled oracle mirrors the same budget, so the
+    # correctness gate could not see it either. raise_error inside the
+    # final projection costs zero extra jobs and fires only on violation.
+    sup = F.coalesce("support", F.lit(0)).cast("bigint")
+    guarded = F.when(sup >= k - 2, sup).otherwise(
+        F.raise_error(
+            F.lit(
+                f"k_truss: round budget ({rounds}) under-ran the fixpoint — "
+                f"edge with support < {k - 2} in the output; raise `rounds`"
+            )
+        ).cast("bigint")
+    )
     return cur.join(support(cur), ["a", "b"], "left").select(
-        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+        "a", "b", guarded.alias("support")
     )

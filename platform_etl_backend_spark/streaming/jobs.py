@@ -304,6 +304,28 @@ def sketch_maintenance_stream(
     )
 
 
+def _topk_pointer(base_path: str) -> tuple[int, str] | None:
+    """Read the atomic commit pointer: (applied_batch_id, data_dir) or None."""
+    import os
+
+    marker = f"{base_path}/applied_batch_id"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        lines = fh.read().strip().splitlines()
+    return int(lines[0]), f"{base_path}/{lines[1]}"
+
+
+def current_topk_counts(spark, base_path: str) -> DataFrame:
+    """The committed TPUT count table — resolves the atomic pointer file
+    written by :func:`topk_merge_fn` (never reads a staging/uncommitted
+    version directory)."""
+    ptr = _topk_pointer(base_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed topk table under {base_path}")
+    return spark.read.parquet(ptr[1])
+
+
 def topk_merge_fn(base_path: str, shards: int = 8):
     """The foreachBatch body for ``topk_maintenance_stream``, exposed so
     the replay fence is directly testable: merges a document micro-batch's
@@ -311,23 +333,36 @@ def topk_merge_fn(base_path: str, shards: int = 8):
 
     Unlike the Bloom/HLL maintenance (bit_or / MAX — naturally
     idempotent), the count merge is ADDITIVE, so a replayed micro-batch
-    would double-count. The standard foreachBatch transactional recipe
-    fences it: the max applied batch_id persists next to the table and
-    already-applied ids are skipped, making the merge idempotent under
-    checkpoint replay (exactly-once effect).
+    would double-count. The transactional recipe here is versioned
+    directories + ONE atomic pointer commit:
+
+    - each merge writes a NEW directory ``topk_counts_v{batch_id}``
+      (never overwrites the committed table);
+    - data location AND applied batch id commit together in a single
+      ``os.replace`` of the pointer file — atomic on POSIX, so a crash at
+      ANY point leaves the previous (data, batch_id) pair intact and the
+      replayed micro-batch re-merges from the still-committed table;
+    - already-committed batch ids are skipped (idempotent under
+      checkpoint replay — exactly-once effect);
+    - version dirs older than the committed one's predecessor are
+      garbage-collected after the commit (the predecessor survives one
+      extra round for in-flight readers).
+
+    On object stores without atomic rename the pointer write is the one
+    primitive to swap (e.g. a conditional PUT); the versioned-data shape
+    itself needs no rename at all.
     """
     import os
+    import shutil
 
     from platform_etl_backend_spark.operators.dedup import ws_tokens
 
-    counts_path = f"{base_path}/topk_counts"
     marker = f"{base_path}/applied_batch_id"
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch: already applied, skip
+        ptr = _topk_pointer(base_path)
+        if ptr is not None and batch_id <= ptr[0]:
+            return  # replayed batch: already committed, skip
         spark = batch.sparkSession
         new = (
             batch.select(
@@ -337,10 +372,8 @@ def topk_merge_fn(base_path: str, shards: int = 8):
             .groupBy("shard", "word")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
-        if os.path.isdir(counts_path) and any(
-            f.endswith(".parquet") for f in os.listdir(counts_path)
-        ):
-            current = spark.read.parquet(counts_path)
+        if ptr is not None:
+            current = spark.read.parquet(ptr[1])
             merged = (
                 current.unionByName(new)
                 .groupBy("shard", "word")
@@ -348,12 +381,17 @@ def topk_merge_fn(base_path: str, shards: int = 8):
             )
         else:
             merged = new
-        tmp = f"{counts_path}__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(counts_path)
+        version = f"topk_counts_v{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{base_path}/{version}")
         os.makedirs(base_path, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{version}")
+        os.replace(tmp, marker)  # the single atomic commit point
+        keep = {version, os.path.basename(ptr[1])} if ptr else {version}
+        for d in os.listdir(base_path):
+            if d.startswith("topk_counts_v") and d not in keep:
+                shutil.rmtree(f"{base_path}/{d}", ignore_errors=True)
 
     return merge
 

@@ -314,7 +314,9 @@ def test_topk_maintenance_stream_equals_batch_build(spark, sf_dir, tmp_path):
     q = topk_maintenance_stream(stream, base, str(tmp_path / "ckpt_topk"))
     q.awaitTermination(180)
 
-    counts = spark.read.parquet(f"{base}/topk_counts")
+    from platform_etl_backend_spark.streaming.jobs import current_topk_counts
+
+    counts = current_topk_counts(spark, base)
     want_counts = {
         (r["shard"], r["word"], r["cnt"])
         for r in docs.select(
@@ -336,22 +338,58 @@ def test_topk_maintenance_stream_equals_batch_build(spark, sf_dir, tmp_path):
 def test_topk_merge_replay_fence(spark, sf_dir, tmp_path):
     """A replayed micro-batch (same batch_id) must be a no-op — the
     additive merge is fenced by the persisted applied-batch marker."""
-    from platform_etl_backend_spark.streaming.jobs import topk_merge_fn
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_topk_counts,
+        topk_merge_fn,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     base = str(tmp_path / "topk_fence")
     merge = topk_merge_fn(base)
     merge(docs, 0)
-    once = {
-        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
-    }
+    once = {tuple(r) for r in current_topk_counts(spark, base).collect()}
     merge(docs, 0)  # replay: must be skipped
-    twice = {
-        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
-    }
+    twice = {tuple(r) for r in current_topk_counts(spark, base).collect()}
     assert twice == once
     merge(docs, 1)  # a NEW batch must still apply
-    after = {
-        tuple(r) for r in spark.read.parquet(f"{base}/topk_counts").collect()
-    }
+    after = {tuple(r) for r in current_topk_counts(spark, base).collect()}
     assert after != once
+
+
+def test_topk_merge_crash_before_commit_is_replay_safe(spark, sf_dir, tmp_path):
+    """A crash AFTER the versioned data write but BEFORE the atomic
+    pointer commit must leave the committed table untouched, and the
+    replayed micro-batch must re-apply to the correct final state (the
+    ADVICE r6 scenario: the old overwrite-then-marker scheme double-counted
+    or lost the table here)."""
+    import os
+
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_topk_counts,
+        topk_merge_fn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    b0, b1 = docs.limit(20), docs.subtract(docs.limit(20))
+    base = str(tmp_path / "topk_crash")
+    merge = topk_merge_fn(base)
+    merge(b0, 0)
+    committed = {tuple(r) for r in current_topk_counts(spark, base).collect()}
+
+    # simulate the crash: batch 1's data dir exists, pointer still at 0
+    orphan = f"{base}/topk_counts_v1"
+    b1.limit(1).selectExpr(
+        "CAST(0 AS BIGINT) AS shard", "'garbage' AS word",
+        "CAST(999 AS BIGINT) AS cnt"
+    ).write.mode("overwrite").parquet(orphan)
+    assert {tuple(r) for r in current_topk_counts(spark, base).collect()} == committed
+
+    merge(b1, 1)  # the replay: must re-merge from the COMMITTED table
+    got = {tuple(r) for r in current_topk_counts(spark, base).collect()}
+    clean_base = str(tmp_path / "topk_clean")
+    clean = topk_merge_fn(clean_base)
+    clean(b0, 0)
+    clean(b1, 1)
+    want = {tuple(r) for r in current_topk_counts(spark, clean_base).collect()}
+    assert got == want
+    assert not any("garbage" in t for t in got)
