@@ -828,3 +828,48 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").cast("bigint").alias("scc"))
         .orderBy("node")
     )
+
+
+@register(
+    "q_scc_fwbw",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT user_id % 50 AS s, CAST(FLOOR(value) AS BIGINT) % 50 AS d
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    nodes AS (SELECT s AS n FROM e UNION SELECT d FROM e),
+    r(a, d) AS (
+      SELECT s, d FROM e
+      UNION
+      SELECT r.a, e.d FROM r JOIN e ON e.s = r.d),
+    reach AS (
+      SELECT a, d FROM r UNION SELECT n, n FROM nodes),
+    mutual AS (
+      SELECT x.a, x.d FROM reach x JOIN reach y ON x.a = y.d AND x.d = y.a)
+    SELECT CAST(a AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS scc
+    FROM mutual GROUP BY a ORDER BY node
+    """,
+    description="strongly connected components AGAIN, by FW-BW pivot "
+    "coloring with trimming (operators/graph.fwbw_scc; Fleischer et al. "
+    "2000, Hong et al. 2013) — the UNBOUNDED-graph path q_scc documents: "
+    "same directed 50-node events graph, same min-member labels, same "
+    "recursive-CTE oracle, but state stays O(V) rows and every join is "
+    "keyed on (part, node) — the closure's quadratic reachability-pair "
+    "blowup never materializes. Trim peels degree-deficient singleton "
+    "SCCs each round; remainder splits into 3 independent subproblems "
+    "(FW-only/BW-only/neither) advancing in parallel. SCALE: O(E) pair "
+    "volume per round, O(log V) expected pivot rounds (divide-and-"
+    "conquer depth); both round budgets RAISE on exhaustion rather than "
+    "emit partial labels",
+    tags=("graph", "iterative", "scc"),
+)
+def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import fwbw_scc
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    edges = ev.where(a != b).select(a.alias("src"), b.alias("dst")).distinct()
+    return fwbw_scc(edges, "src", "dst").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("scc").cast("bigint").alias("scc"),
+    ).orderBy("node")

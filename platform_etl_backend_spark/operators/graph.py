@@ -833,3 +833,164 @@ def k_truss(
     return cur.join(support(cur), ["a", "b"], "left").select(
         "a", "b", guarded.alias("support")
     )
+
+
+def fwbw_scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    bfs_max: int = 32,
+    trim_max: int = 64,
+    check_every: int = 2,
+) -> DataFrame:
+    """Strongly connected components by FW-BW pivot coloring with
+    trimming (Fleischer/Hendrickson/Pinar 2000; the Hong et al. 2013
+    trim extension) — the UNBOUNDED-graph SCC path the exact
+    mutual-reachability formulation (``q_scc``) documents.
+
+    Per outer round, every open subproblem ("part") advances in parallel:
+
+    1. **Trim**: a node with no in-edge or no out-edge inside its part is
+       its own singleton SCC — peeled iteratively to fixpoint (each peel
+       exposes the next layer; disposes of entire DAG regions without
+       burning pivot rounds on trivial SCCs).
+    2. **Pivot** = min node id per part (deterministic).
+    3. **FW/BW reachability** from the pivot inside the part — frontier
+       BFS keyed on (part, node), every part simultaneously; rounds
+       bounded by ``bfs_max`` with amortized fixpoint checks.
+    4. **SCC = FW ∩ BW**, labeled with its MIN member (matching the
+       exact formulation's labels). Remainder splits into FW-only /
+       BW-only / neither — three independent subproblems encoded as
+       ``part*4 + 2·inFW + inBW`` (no SCC edge crosses these splits).
+
+    SCALE: state is O(V) rows and every join is keyed on (part, node) —
+    pair volume per round is O(E), never the closure's O(sum comp²)
+    reachability pairs; expected rounds are O(log V) on real graphs
+    (Fleischer et al.'s divide-and-conquer depth). Both budgets raise on
+    exhaustion rather than return partial labels (the k_truss/
+    connected_components convention). Part ids grow 2 bits per round —
+    max_rounds ≤ 30 keeps them in BIGINT.
+
+    Returns (node, scc) — scc = min node id of the component.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    active = nodes.select("node", F.lit(0).cast("bigint").alias("part")).localCheckpoint()
+    done: list[DataFrame] = []
+
+    def _bfs(seed: DataFrame, pe: DataFrame, fwd: bool) -> DataFrame:
+        """Reachable (part, node) set from seed inside each part."""
+        step_src, step_dst = ("s", "d") if fwd else ("d", "s")
+        # name-based USING joins: checkpointed frames share attribute ids
+        # with their ancestors, so expr-id column refs trip the ambiguous-
+        # self-join check — rename once, join by name.
+        step = pe.select(
+            "part",
+            F.col(step_src).alias("node"),
+            F.col(step_dst).alias("__to"),
+        )
+        visited = seed.localCheckpoint()
+        for it in range(bfs_max):
+            grown = (
+                visited.join(step, ["part", "node"])
+                .select("part", F.col("__to").alias("node"))
+                .unionByName(visited)
+                .distinct()
+                .localCheckpoint()
+            )
+            if (it + 1) % check_every == 0 or it == bfs_max - 1:
+                if grown.exceptAll(visited).isEmpty():
+                    return grown
+            visited = grown
+        raise RuntimeError(
+            f"fwbw_scc: BFS budget ({bfs_max}) exhausted before the "
+            "reachability fixpoint — raise bfs_max"
+        )
+
+    def _part_edges(act: DataFrame) -> DataFrame:
+        """Edge set restricted to endpoints active in the SAME part."""
+        al = act.select(F.col("node").alias("s"), F.col("part"))
+        ar = act.select(F.col("node").alias("d"), F.col("part").alias("__pd"))
+        return (
+            e0.join(al, "s")
+            .join(ar, "d")
+            .where(F.col("part") == F.col("__pd"))
+            .select("part", "s", "d")
+            .localCheckpoint()
+        )
+
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        # iterative TRIM to fixpoint: each peel of degree-deficient nodes
+        # (no in-edge or no out-edge inside the part → singleton SCC)
+        # exposes the next layer; O(peel depth) cheap keyed rounds — this
+        # is Hong et al.'s trim loop, and it disposes of entire DAGs
+        # without spending a single pivot BFS.
+        pe = _part_edges(active)
+        for _t in range(trim_max):
+            has_out = pe.select("part", F.col("s").alias("node")).distinct()
+            has_in = pe.select("part", F.col("d").alias("node")).distinct()
+            keep = active.join(has_out, ["part", "node"], "left_semi").join(
+                has_in, ["part", "node"], "left_semi"
+            )
+            trimmed = active.join(
+                keep.select("part", "node"), ["part", "node"], "left_anti"
+            ).localCheckpoint()
+            if trimmed.isEmpty():
+                break
+            done.append(trimmed.select("node", F.col("node").alias("scc")))
+            active = keep.localCheckpoint()
+            if active.isEmpty():
+                break
+            pe = _part_edges(active)
+        else:
+            raise RuntimeError(
+                f"fwbw_scc: trim budget ({trim_max}) exhausted — raise trim_max"
+            )
+        if active.isEmpty():
+            break
+        piv = active.groupBy("part").agg(F.min("node").alias("node")).select(
+            "part", "node"
+        )
+        fw = _bfs(piv, pe, fwd=True)
+        bw = _bfs(piv, pe, fwd=False)
+        scc_members = fw.join(bw, ["part", "node"], "left_semi").localCheckpoint()
+        labels = scc_members.groupBy("part").agg(F.min("node").alias("scc"))
+        done.append(scc_members.join(labels, "part").select("node", "scc"))
+        rem = active.join(scc_members, ["part", "node"], "left_anti")
+        fflag = fw.select("part", "node", F.lit(1).alias("__f"))
+        bflag = bw.select("part", "node", F.lit(2).alias("__b"))
+        active = (
+            rem.join(fflag, ["part", "node"], "left")
+            .join(bflag, ["part", "node"], "left")
+            .select(
+                "node",
+                (
+                    F.col("part") * 4
+                    + F.coalesce(F.col("__f"), F.lit(0))
+                    + F.coalesce(F.col("__b"), F.lit(0))
+                ).cast("bigint").alias("part"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"fwbw_scc: {max_rounds} pivot rounds exhausted with nodes "
+                "still unassigned — raise max_rounds"
+            )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
