@@ -4324,3 +4324,226 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_candidates) END AS BIGINT) AS cand_precision_micro",
         )
     )
+
+
+# --- weighted MinHash (integer-weight consistent sampling) -----------------------
+
+
+def _duck_weighted_shingles(k: int) -> str:
+    """Non-distinct k-gram list (tf weights live in the multiplicities)."""
+    return (
+        f"CASE WHEN len(t) >= {k} THEN "
+        f"[array_to_string(t[i:i+{k - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(t)-{k - 1}, 0)+1)] "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+_WMH_CTES = f"""
+toks AS (SELECT doc_id, {_T} AS t FROM documents),
+wshl AS (SELECT doc_id, unnest({_duck_weighted_shingles(3)}) AS g FROM toks),
+wtf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS w
+        FROM wshl GROUP BY doc_id, g),
+wsz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM wtf GROUP BY doc_id)
+"""
+
+
+def _wmh_sig_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    hash_cols = ", ".join(
+        f"MIN(md5('{i}:' || g || ':' || CAST(i2 AS VARCHAR))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * r + rr}' for rr in range(r))})) AS key"
+        " FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+rep AS (SELECT doc_id, g, unnest(range(1, CAST(w + 1 AS BIGINT))) AS i2 FROM wtf),
+sig AS (SELECT doc_id, {hash_cols} FROM rep GROUP BY doc_id),
+keyed AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "q_weighted_minhash",
+    oracle=f"""
+    WITH {_WMH_CTES}, {_wmh_sig_ctes()},
+    m AS (SELECT c.id_a, c.id_b, CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS m
+          FROM cands c JOIN wtf a ON a.doc_id = c.id_a
+                       JOIN wtf b ON b.doc_id = c.id_b AND b.g = a.g
+          GROUP BY c.id_a, c.id_b),
+    v AS (SELECT id_a, id_b, m, za.s + zb.s - m AS u
+          FROM m JOIN wsz za ON id_a = za.doc_id
+                 JOIN wsz zb ON id_b = zb.doc_id
+          WHERE 3 * m >= za.s + zb.s)
+    SELECT id_a, id_b, m AS w_inter, CAST(u AS BIGINT) AS w_union,
+           CAST((2 * 1000000 * m + u) // (2 * u) AS BIGINT) AS jw_micro
+    FROM v ORDER BY id_a, id_b
+    """,
+    description="WEIGHTED MinHash-LSH dedup over tf-weighted 3-shingles "
+    "(the r6 VERDICT ask): for INTEGER tf weights, weighted Jaccard over "
+    "(gram, w) multisets equals plain Jaccard over replica sets "
+    "{(gram, 1..w)}, so min-hashing the replicas is an EXACT weighted "
+    "MinHash (collision prob = weighted Jaccard) with zero "
+    "transcendentals — the portable alternative to Ioffe's ICWS (which "
+    "needs Gamma samples + exp/ln; real weights would require them, "
+    "integer tf does not). Signatures are pure array transforms "
+    "(map-side, no shuffle); banding and within-bucket joins reuse the "
+    "unweighted LSH machinery; verification is the exact integer "
+    "Sum-min / (Sa+Sb-Sum-min) with the >=0.5 threshold as the "
+    "float-free 3m >= Sa+Sb comparison. SCALE: replica fan-out is "
+    "Sum(w) = doc gram count (the cost of reading the doc), bucket "
+    "joins bounded by band-key collisions — the production dedup shape",
+    tags=("dedup", "text", "lsh", "weighted"),
+)
+def q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.dedup import (
+        _banded_keys, _w_min_hash, weighted_shingle_tf,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    docs = weighted_shingle_tf(d, "doc_id", "text", 3).persist()
+    sig = docs.select(
+        "doc_id",
+        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(8)],
+    )
+    keyed = _banded_keys(sig, "doc_id", 8, 4)
+    ka = keyed.select(F.col("doc_id").alias("id_a"), "band", "key")
+    kb = keyed.select(F.col("doc_id").alias("id_b"), "band", "key")
+    cands = (
+        ka.join(kb, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wtf = docs.select("doc_id", F.explode("wsh").alias("p")).select(
+        "doc_id", F.col("p.g").alias("g"), F.col("p.w").alias("w")
+    )
+    sizes = wtf.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("s"))
+    wa = wtf.select(F.col("doc_id").alias("id_a"), "g", F.col("w").alias("w_a"))
+    wb = wtf.select(F.col("doc_id").alias("id_b"), "g", F.col("w").alias("w_b"))
+    m = (
+        cands.join(wa, "id_a")
+        .join(wb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("w_a", "w_b")).cast("bigint").alias("m"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        m.join(za, "id_a").join(zb, "id_b")
+        .where(3 * F.col("m") >= F.col("s_a") + F.col("s_b"))
+        .selectExpr(
+            "id_a", "id_b", "m AS w_inter",
+            "CAST(s_a + s_b - m AS BIGINT) AS w_union",
+            "CAST((2 * 1000000 * m + (s_a + s_b - m))"
+            " div (2 * (s_a + s_b - m)) AS BIGINT) AS jw_micro",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_weighted_minhash_recall",
+    oracle=f"""
+    WITH {_WMH_CTES}, {_wmh_sig_ctes()},
+    cm AS (SELECT c.id_a, c.id_b, CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS m
+           FROM cands c JOIN wtf a ON a.doc_id = c.id_a
+                        JOIN wtf b ON b.doc_id = c.id_b AND b.g = a.g
+           GROUP BY c.id_a, c.id_b),
+    ver AS (SELECT id_a, id_b FROM cm
+            JOIN wsz za ON id_a = za.doc_id JOIN wsz zb ON id_b = zb.doc_id
+            WHERE 3 * m >= za.s + zb.s),
+    tm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS m
+           FROM wtf a JOIN wtf b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY id_a, id_b),
+    truth AS (SELECT id_a, id_b FROM tm
+              JOIN wsz za ON id_a = za.doc_id JOIN wsz zb ON id_b = zb.doc_id
+              WHERE 3 * m >= za.s + zb.s),
+    s AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+                 CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+                 CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified)
+    SELECT n_truth, n_candidates, n_verified,
+           CAST(CASE WHEN n_truth = 0 THEN 0
+                ELSE (2 * 1000000 * n_verified + n_truth) // (2 * n_truth) END
+                AS BIGINT) AS recall_micro,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                ELSE (2 * 1000000 * n_verified + n_candidates)
+                     // (2 * n_candidates) END AS BIGINT) AS cand_precision_micro
+    FROM s
+    """,
+    description="weighted-MinHash approximation-quality eval — the "
+    "q_minhash_recall audit extended to the weighted family (r6 VERDICT "
+    "ask): verified weighted-LSH pairs vs the EXACT weighted-Jaccard "
+    ">=0.5 ground truth (all-pairs shared-shingle sum-min baseline), "
+    "recall + candidate precision as round-half-away integer micro. "
+    "SCALE: truth side is the quadratic eval baseline (sampled at "
+    "scale, documented); the LSH side is the production path",
+    tags=("dedup", "text", "lsh", "weighted", "ml-eval"),
+)
+def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.dedup import (
+        _banded_keys, _w_min_hash, weighted_shingle_tf,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    docs = weighted_shingle_tf(d, "doc_id", "text", 3).persist()
+    sig = docs.select(
+        "doc_id",
+        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(8)],
+    )
+    keyed = _banded_keys(sig, "doc_id", 8, 4)
+    ka = keyed.select(F.col("doc_id").alias("id_a"), "band", "key")
+    kb = keyed.select(F.col("doc_id").alias("id_b"), "band", "key")
+    cands = (
+        ka.join(kb, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()  # feeds the count AND the verify join
+    )
+    wtf = docs.select("doc_id", F.explode("wsh").alias("p")).select(
+        "doc_id", F.col("p.g").alias("g"), F.col("p.w").alias("w")
+    ).localCheckpoint()  # feeds verify AND the all-pairs truth join
+    sizes = wtf.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("s"))
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    wa = wtf.select(F.col("doc_id").alias("id_a"), "g", F.col("w").alias("w_a"))
+    wb = wtf.select(F.col("doc_id").alias("id_b"), "g", F.col("w").alias("w_b"))
+
+    def _pass(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("w_a", "w_b")).cast("bigint").alias("m"))
+            .join(za, "id_a").join(zb, "id_b")
+            .where(3 * F.col("m") >= F.col("s_a") + F.col("s_b"))
+            .select("id_a", "id_b")
+        )
+
+    ver = _pass(cands.join(wa, "id_a").join(wb, ["id_b", "g"]))
+    truth = _pass(
+        wa.join(wb, "g").where(F.col("id_a") < F.col("id_b"))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    return (
+        n_truth.crossJoin(n_cands).crossJoin(n_ver)
+        .selectExpr(
+            "n_truth", "n_candidates", "n_verified",
+            "CAST(CASE WHEN n_truth = 0 THEN 0"
+            " ELSE (2 * 1000000 * n_verified + n_truth) div (2 * n_truth) END"
+            " AS BIGINT) AS recall_micro",
+            "CAST(CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE (2 * 1000000 * n_verified + n_candidates)"
+            " div (2 * n_candidates) END AS BIGINT) AS cand_precision_micro",
+        )
+    )

@@ -864,3 +864,70 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "inter", "containment")
     )
+
+
+def weighted_shingle_tf(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, wsh: array<struct<g,w>>) — tf-WEIGHTED k-shingles per doc,
+    computed entirely map-side (distinct grams + an in-array occurrence
+    count; O(D·L) per doc, D = distinct grams, L = gram count). For very
+    long documents the explode→groupBy tf rollup (the wordcount shape)
+    bounds per-row cost instead — same output, one keyed shuffle."""
+    toks = ws_tokens(text_col)
+    whole = F.array(F.concat_ws(" ", toks))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(whole)
+    pairs = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            g.alias("g"),
+            F.size(F.filter(grams, lambda x: x == g)).cast("bigint").alias("w"),
+        ),
+    )
+    return spread(df, id_col).select(F.col(id_col), pairs.alias("wsh"))
+
+
+def _w_min_hash(wsh: Column, seed: int) -> Column:
+    """min over md5(seed:gram:i), i = 1..w — the integer-weight replica
+    expansion of consistent weighted sampling: for INTEGER weights,
+    weighted Jaccard over (gram, w) multisets EQUALS plain Jaccard over
+    the replica sets {(gram, 1..w)}, so min-hashing the replicas is an
+    EXACT weighted MinHash (collision probability = weighted Jaccard) —
+    no Gamma sampling / exp / ln, hence engine-portable by construction
+    (the ICWS real-weight generalization needs transcendentals; integer
+    tf weights don't)."""
+    return F.array_min(
+        F.flatten(
+            F.transform(
+                wsh,
+                lambda p: F.transform(
+                    F.sequence(F.lit(1), p["w"]),
+                    lambda i: F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), p["g"], F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                ),
+            )
+        )
+    )
+
+
+def weighted_minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """H exact weighted min-hashes per doc over tf-weighted k-shingles,
+    map-side (array transforms only — the signature stage stays
+    embarrassingly parallel, the minhash_signatures scale contract)."""
+    docs = weighted_shingle_tf(df, id_col, text_col, k)
+    return docs.select(
+        id_col,
+        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(num_hashes)],
+    )

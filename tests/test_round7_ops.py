@@ -59,3 +59,85 @@ def test_fwbw_scc_raises_on_exhausted_budget(spark):
     df = spark.createDataFrame(cyc, ["src", "dst"])
     with pytest.raises(RuntimeError, match="BFS budget"):
         fwbw_scc(df, bfs_max=1).collect()
+
+
+# --- weighted MinHash --------------------------------------------------------
+
+
+def _py_wshingles(text: str, k: int = 3) -> dict[str, int]:
+    toks = text.strip().split()
+    grams = (
+        [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k else [" ".join(toks)]
+    )
+    tf: dict[str, int] = {}
+    for g in grams:
+        tf[g] = tf.get(g, 0) + 1
+    return tf
+
+
+def _py_wminhash(tf: dict[str, int], seed: int) -> str:
+    import hashlib
+
+    return min(
+        hashlib.md5(f"{seed}:{g}:{i}".encode()).hexdigest()
+        for g, w in tf.items()
+        for i in range(1, w + 1)
+    )
+
+
+def test_weighted_shingle_tf_matches_python(spark):
+    from platform_etl_backend_spark.operators.dedup import weighted_shingle_tf
+
+    rows = [(1, "a b c a b c a b"), (2, "x y"), (3, "p q r s p q r")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: {p["g"]: p["w"] for p in r["wsh"]}
+        for r in weighted_shingle_tf(df, "doc_id", "text", 3).collect()
+    }
+    want = {i: _py_wshingles(t) for i, t in rows}
+    assert got == want
+
+
+def test_weighted_minhash_signature_matches_python_replica_min(spark):
+    """The Spark signature must equal the md5-min over the python replica
+    expansion — the EXACT integer-weight consistent-sampling identity."""
+    from platform_etl_backend_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    rows = [(1, "a b c a b c a b"), (2, "a b c d e f a b c"), (3, "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["h0"], r["h1"], r["h2"])
+        for r in weighted_minhash_signatures(df, "doc_id", "text", 3, 3).collect()
+    }
+    want = {
+        i: tuple(_py_wminhash(_py_wshingles(t), s) for s in range(3))
+        for i, t in rows
+    }
+    assert got == want
+
+
+def test_weighted_minhash_collision_rate_tracks_weighted_jaccard(spark):
+    """Collision probability == weighted Jaccard (the CWS contract):
+    over 64 independent hashes the match fraction must track Jw."""
+    from platform_etl_backend_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    a = "the cat sat on the mat " * 4
+    b = "the cat sat on the mat " * 2 + "a dog ran in the park " * 2
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    H = 64
+    sig = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(H)]
+        for r in weighted_minhash_signatures(df, "doc_id", "text", 3, H).collect()
+    }
+    rate = sum(x == y for x, y in zip(sig[1], sig[2])) / H
+    ta, tb = _py_wshingles(a), _py_wshingles(b)
+    keys = set(ta) | set(tb)
+    m = sum(min(ta.get(g, 0), tb.get(g, 0)) for g in keys)
+    u = sum(max(ta.get(g, 0), tb.get(g, 0)) for g in keys)
+    jw = m / u
+    assert abs(rate - jw) < 0.2  # 64 Bernoulli trials; ±3σ ≈ 0.19
