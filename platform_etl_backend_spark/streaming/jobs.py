@@ -416,3 +416,148 @@ def topk_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming mergeable-quantile maintenance ------------------------------------
+
+
+def _summary_pointer(base_path: str) -> tuple[int, str] | None:
+    """(applied_batch_id, data_dir) from the quantile pointer, or None."""
+    import os
+
+    marker = f"{base_path}/applied_batch_id"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        lines = fh.read().strip().splitlines()
+    return int(lines[0]), f"{base_path}/{lines[1]}"
+
+
+def current_quantile_summary(spark, base_path: str) -> DataFrame:
+    """The committed merged summary (batch_id, v, rn, w, stride) —
+    resolves the atomic pointer file written by :func:`quantile_merge_fn`."""
+    ptr = _summary_pointer(base_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed quantile summary under {base_path}")
+    return spark.read.parquet(ptr[1])
+
+
+def quantile_merge_fn(base_path: str, value_col: str = "v", keep: int = 32):
+    """foreachBatch body for ``quantile_maintenance_stream``: each
+    micro-batch contributes a bounded SUMMARY (every stride-th value of
+    the batch's sorted order, weighted; stride = ceil(n_b / keep)) which
+    appends into the merged summary table — the mergeable-quantile model
+    (Greenwald-Khanna/Agarwal et al. mergeability), where each batch
+    plays the role of one shard of the batch build (q_mergeable_quantiles).
+
+    The per-batch rank uses the two-pass distributed row_number
+    (operators/ranking.py) — a micro-batch never sorts in one partition
+    either. Commit is the versioned-dir + atomic-pointer recipe of
+    ``topk_merge_fn`` (append-only state is NOT idempotent under
+    checkpoint replay, so the same fence applies).
+
+    The maintained invariant (asserted by the twin test): for every
+    estimate taken from the merged summary, |true_rank - target_rank|
+    <= sum over applied batches of (stride_b - 1) — the corrected
+    merged-summary bound q_quantile_rank_error pinned (SUM of per-shard
+    stride slack, not max).
+    """
+    import os
+    import shutil
+
+    from platform_etl_backend_spark.operators.ranking import two_pass_row_number
+
+    marker = f"{base_path}/applied_batch_id"
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        ptr = _summary_pointer(base_path)
+        if ptr is not None and batch_id <= ptr[0]:
+            return  # replayed batch: already committed
+        spark = batch.sparkSession
+        vals = batch.select(F.col(value_col).cast("double").alias("v"))
+        rk = two_pass_row_number(
+            vals, ["v"], rn_col="rn", total_col="n_b"
+        )
+        stride = F.expr(f"(n_b + {keep} - 1) div {keep}")
+        summ = rk.where((F.col("rn") - 1) % stride == 0).select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "v",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.least(stride, F.col("n_b") - F.col("rn") + 1)
+            .cast("bigint").alias("w"),
+            stride.cast("bigint").alias("stride"),
+        )
+        merged = (
+            spark.read.parquet(ptr[1]).unionByName(summ)
+            if ptr is not None else summ
+        )
+        version = f"summary_v{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{base_path}/{version}")
+        os.makedirs(base_path, exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{version}")
+        os.replace(tmp, marker)  # single atomic commit point
+        keep_dirs = {version, os.path.basename(ptr[1])} if ptr else {version}
+        for d in os.listdir(base_path):
+            if d.startswith("summary_v") and d not in keep_dirs:
+                shutil.rmtree(f"{base_path}/{d}", ignore_errors=True)
+
+    return merge
+
+
+def quantile_estimates_from_summary(summary: DataFrame, qs: tuple[int, ...]) -> DataFrame:
+    """(q, approx_value, n, err_bound) from a merged summary: estimate =
+    min v whose cumulative weight reaches ceil(q·n/100); err_bound =
+    Σ_batches (stride_b − 1), the mergeable-summary rank-error bound."""
+    from pyspark.sql import Window
+
+    spark = summary.sparkSession
+    cum = summary.select(
+        "v",
+        F.sum("w")
+        .over(
+            Window.orderBy("v", "batch_id", "rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cumw"),
+    )
+    nn = summary.agg(F.sum("w").cast("bigint").alias("n"))
+    eb = (
+        summary.groupBy("batch_id").agg(F.max("stride").alias("st"))
+        .agg(F.sum(F.col("st") - 1).cast("bigint").alias("err_bound"))
+    )
+    targets = spark.createDataFrame([(q,) for q in qs], "q int")
+    return (
+        F.broadcast(targets)
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(eb))
+        .join(cum, F.col("cumw") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q", "n", "err_bound")
+        .agg(F.min("v").alias("approx_value"))
+        .select("q", "approx_value", "n", "err_bound")
+        .orderBy("q")
+    )
+
+
+def quantile_maintenance_stream(
+    values: DataFrame, base_path: str, checkpoint: str,
+    value_col: str = "v", keep: int = 32,
+):
+    """foreachBatch INCREMENTAL QUANTILE-SUMMARY MAINTENANCE — the
+    streaming twin of q_mergeable_quantiles, with the WEAKER twin
+    contract (rank-error bound, not equality): summaries are mergeable,
+    but batch boundaries differ from shard boundaries, so the streamed
+    estimate matches the batch build only up to the summed stride slack
+    — exactly the bound the twin test asserts against true ranks.
+    SCALE: state is O(keep · batches) summary rows; each micro-batch
+    contributes a two-pass-ranked bounded sample, never raw rows."""
+    return (
+        values.writeStream.foreachBatch(
+            quantile_merge_fn(base_path, value_col, keep)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

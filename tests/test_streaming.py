@@ -393,3 +393,74 @@ def test_topk_merge_crash_before_commit_is_replay_safe(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in current_topk_counts(spark, clean_base).collect()}
     assert got == want
     assert not any("garbage" in t for t in got)
+
+
+def test_quantile_maintenance_stream_rank_error_bound(spark, sf_dir, tmp_path):
+    """The streamed merged-summary estimates must satisfy the mergeable
+    rank-error bound against TRUE ranks over all data seen — the weaker
+    twin contract (batch boundaries differ from the batch build's shard
+    boundaries, so equality is not expected; the bound is)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_quantile_summary,
+        quantile_estimates_from_summary,
+        quantile_maintenance_stream,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.pmod(F.col("l_orderkey"), F.lit(4)).alias("part"),
+    )
+    staged = str(tmp_path / "vals_staged")
+    li.write.partitionBy("part").parquet(staged)
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staged}/part=*")
+    )
+    base = str(tmp_path / "quant")
+    q = quantile_maintenance_stream(stream, base, str(tmp_path / "ckpt_quant"))
+    q.awaitTermination(180)
+
+    summary = current_quantile_summary(spark, base)
+    qs = (25, 50, 75, 90)
+    est = {
+        r["q"]: (r["approx_value"], r["n"], r["err_bound"])
+        for r in quantile_estimates_from_summary(summary, qs).collect()
+    }
+    vals = sorted(r["v"] for r in li.select("v").collect())
+    n = len(vals)
+    assert est[50][1] == n  # summary weights must sum to the exact count
+    import bisect
+
+    for qq in qs:
+        approx, _, bound = est[qq]
+        target = -(-qq * n // 100)  # ceil
+        # true rank range of the approx value among all values
+        lo = bisect.bisect_left(vals, approx) + 1
+        hi = bisect.bisect_right(vals, approx)
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= bound, (qq, approx, target, lo, hi, bound)
+
+
+def test_quantile_merge_replay_fence_and_crash_safety(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_quantile_summary,
+        quantile_merge_fn,
+    )
+
+    vals = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    ).limit(200)
+    base = str(tmp_path / "quant_fence")
+    merge = quantile_merge_fn(base)
+    merge(vals, 0)
+    once = {tuple(r) for r in current_quantile_summary(spark, base).collect()}
+    merge(vals, 0)  # replay must be a no-op
+    assert {tuple(r) for r in current_quantile_summary(spark, base).collect()} == once
+    merge(vals, 1)  # a new batch must apply (weights double)
+    after = current_quantile_summary(spark, base)
+    assert after.agg(F.sum("w")).collect()[0][0] == 400
