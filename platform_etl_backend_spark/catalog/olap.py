@@ -1172,12 +1172,14 @@ def q_quantile_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "target_rank")
         .agg(F.min("v").alias("approx_value"))
     )
-    g = src.select(
-        "v",
-        F.row_number()
-        .over(Window.orderBy("v", "l_orderkey", "l_linenumber"))
-        .alias("grn"),
-    )
+    # exact ground-truth ranks via the two-pass distributed row_number
+    # (even the eval's truth side must not sort the corpus in one task)
+    from platform_etl_backend_spark.operators.ranking import two_pass_row_number
+
+    g = two_pass_row_number(
+        src.select("v", "l_orderkey", "l_linenumber"),
+        ["v", "l_orderkey", "l_linenumber"], rn_col="grn",
+    ).select("v", "grn")
     exact = tgt.join(g, F.col("grn") == F.col("target_rank")).select(
         "q", F.col("v").alias("exact_value")
     )

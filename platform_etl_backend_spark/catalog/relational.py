@@ -619,14 +619,21 @@ def q_dense_rank_best(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM part)
     GROUP BY bucket
     """,
-    description="ntile sextile binning (W4; GeneticConstraints.scala:48-50)",
+    description="ntile sextile binning (W4; GeneticConstraints.scala:48-50) "
+    "— via the two-pass distributed NTILE (operators/ranking.py), no "
+    "single-partition sort",
     tags=("window",),
 )
 def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_ntile
+
     p = table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
     return (
-        p.withColumn("bucket", F.ntile(6).over(w).cast("bigint"))
+        two_pass_ntile(
+            p.select("p_retailprice", "p_partkey"),
+            ["p_retailprice", "p_partkey"], 6, bucket_col="b",
+        )
+        .select("p_retailprice", F.col("b").cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -644,20 +651,24 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(o_totalprice) OVER () AS min_all
     FROM orders
     """,
-    description="min over two nested windows (W5; Grounding.scala:107-130)",
+    description="min over two nested windows (W5; Grounding.scala:107-130) "
+    "— the global MIN() OVER () rides a 1-row broadcast scalar agg "
+    "instead of an O(n) single-partition window (same result, identical "
+    "oracle; the per-customer window is key-partitioned and fine)",
     tags=("window",),
 )
 def q_min_over_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w_cust = Window.partitionBy("o_custkey")
-    w_all = Window.partitionBy()
+    min_all = o.agg(F.min("o_totalprice").alias("min_all"))
     return (
         o.select(
             "o_custkey",
             F.min("o_totalprice").over(w_cust).alias("min_cust"),
-            F.min("o_totalprice").over(w_all).alias("min_all"),
         )
         .distinct()
+        .crossJoin(F.broadcast(min_all))
+        .select("o_custkey", "min_cust", "min_all")
     )
 
 

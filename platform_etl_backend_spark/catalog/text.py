@@ -2424,11 +2424,16 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_src).alias("r"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
     )
-    w_glob = Window.orderBy("n_chars", "doc_id")
-    glob = d.select(
-        F.col("n_chars").alias("gval"), F.row_number().over(w_glob).alias("idx")
+    from platform_etl_backend_spark.operators.ranking import two_pass_row_number
+
+    # global reference ranks via the two-pass distributed row_number —
+    # the total count rides the same broadcast offsets frame for free
+    glob_rn = two_pass_row_number(
+        d.select("n_chars", "doc_id"), ["n_chars", "doc_id"],
+        rn_col="idx", total_col="n_glob",
     )
-    n_glob = d.agg(F.count(F.lit(1)).alias("n_glob"))
+    glob = glob_rn.select(F.col("n_chars").alias("gval"), "idx")
+    n_glob = glob_rn.select("n_glob").limit(1)
     g_idx = F.expr("((r - 1) * (n_glob - 1)) div (n_src - 1) + 1")
     return (
         src.where(F.col("n_src") > 1)

@@ -54,3 +54,85 @@ def assert_wholestage_codegen(df: DataFrame, at_least: int = 1) -> None:
     plan = explain_str(df, "codegen")
     n = len(re.findall(r"WholeStageCodegen subtree", plan))
     assert n >= at_least, f"expected >= {at_least} codegen stages, saw {n}:\n{plan[:3000]}"
+
+
+def _tree_indent(line: str) -> int:
+    """Column where the operator name starts in a simple-plan tree line."""
+    import re
+
+    m = re.match(r"^[\s:+|-]*(?:\*\(\d+\)\s*)?", line)
+    return m.end()
+
+
+def classify_single_partitions(plan: str) -> list[dict]:
+    """Classify every ``Exchange SinglePartition`` in a simple physical
+    plan by the cardinality class of the frame flowing through it (the
+    round-6 VERDICT ask: the bare "single-partition exchange" note mixed
+    benign 1-row scalar frames with real O(n) sorts).
+
+    Classes:
+    - ``scalar``  — feeds a global aggregate / limit / take-ordered:
+      result is one row (or k rows); benign at any scale.
+    - ``bounded`` — feeds a Sort/Window but the subtree BELOW the
+      exchange contains a grouping aggregate, so the frame is the
+      aggregate's key cardinality, not the corpus (per-partition offsets,
+      calendar/alphabet rollups, distinct-value frames — the audit notes
+      name the keys so a human can judge the bound).
+    - ``raw``     — feeds a Sort/Window straight off scans/joins with NO
+      reducing aggregate below: the W2 class, an O(n) one-partition sort.
+      The plan-guard pytest fails on any of these.
+    """
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        ind = _tree_indent(line)
+        # nearest ancestors: lines above with strictly smaller indent
+        ancestors = []
+        cur = ind
+        for j in range(i - 1, -1, -1):
+            aj = _tree_indent(lines[j])
+            if aj < cur:
+                ancestors.append(lines[j])
+                cur = aj
+            if len(ancestors) >= 4:
+                break
+        # subtree: following lines with strictly larger indent
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if _tree_indent(lines[j]) <= ind:
+                break
+            subtree.append(lines[j])
+        anc_txt = " ".join(ancestors)
+        is_window = "Window" in anc_txt or "Sort" in ancestors[0] if ancestors else False
+        scalarish = (
+            re.search(r"Aggregate\(keys=\[\]", anc_txt)
+            or "CollectLimit" in anc_txt
+            or "GlobalLimit" in anc_txt
+            or "TakeOrderedAndProject" in anc_txt
+        )
+        if not is_window and scalarish:
+            out.append({"class": "scalar", "detail": "global agg/limit"})
+            continue
+        # window/sort consumer: bounded iff a grouping aggregate reduces
+        # the frame below the exchange
+        m = None
+        for sl in subtree:
+            m = re.search(r"Aggregate\(keys=\[([^\]]+)\]", sl)
+            if m:
+                break
+        if m:
+            keys = re.sub(r"#\d+L?", "", m.group(1))
+            keys = ", ".join(k.strip() for k in keys.split(","))[:60]
+            out.append({"class": "bounded", "detail": f"agg[{keys}]"})
+        elif not subtree:
+            # exchange is a leaf here (reused/cached subtree elided)
+            out.append({"class": "scalar", "detail": "elided reused subtree"})
+        elif is_window or "Window" in anc_txt or (ancestors and "Sort" in ancestors[0]):
+            out.append({"class": "raw", "detail": "window/sort over unaggregated frame"})
+        else:
+            out.append({"class": "scalar", "detail": "non-window consumer"})
+    return out

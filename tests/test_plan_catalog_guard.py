@@ -40,3 +40,46 @@ def test_plan_audit_covers_every_registered_query():
     stale = sorted(audited - set(QUERIES))
     assert not missing, f"queries without a PLAN_AUDIT row: {missing}"
     assert not stale, f"PLAN_AUDIT rows for unregistered queries: {stale}"
+
+
+def test_no_catalog_query_has_raw_single_partition_window(spark, sf_dir):
+    """The W2 guard made machine-checkable (round-6 VERDICT ask): no
+    catalog query may sort an UNAGGREGATED frame in a single partition
+    (`Exchange SinglePartition` feeding a Window/Sort with no reducing
+    grouping aggregate below). Benign classes — scalar frames and
+    aggregate-bounded frames (per-partition offsets, calendar/alphabet
+    rollups) — stay allowed; new O(n) global sorts fail here instead of
+    shipping as docstring caveats."""
+    from platform_etl_backend_spark.plans.inspect import classify_single_partitions
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        try:
+            plan = explain_str(spec.fn(spark, sf_dir), "simple")
+        except Exception:
+            continue  # plan failures are the cartesian test's concern
+        raw = [c for c in classify_single_partitions(plan) if c["class"] == "raw"]
+        if raw:
+            offenders[name] = raw
+    # Documented exceptions — frames bounded BY CONSTRUCTION where the
+    # classifier cannot see the bound (filter- or checkpoint-shaped, not
+    # aggregate-shaped), plus the one reference-parity W2 site:
+    allowed = {
+        # mirrors Search.scala:600-606 exactly (W2 by reference parity,
+        # single-partition sort confined to a pre-filtered subset)
+        "q_global_rank_multiplier",
+        # final merge runs on SURVIVORS of per-band local skylines (the
+        # global skyline is a subset of local skylines; survivor set is
+        # filter-shaped so the classifier sees no aggregate)
+        "q_skyline_2d",
+        # summary frame <= shards*(keep+1) rows by the stride filter —
+        # bounded by sketch parameters, not data
+        "q_mergeable_quantiles",
+        "q_quantile_rank_error",
+        # calendar-bounded day rollup behind localCheckpoint (the
+        # aggregate is hidden from the classifier by the RDD scan)
+        "q_seasonal_decompose",
+    }
+    for name in allowed:
+        offenders.pop(name, None)
+    assert not offenders, offenders
