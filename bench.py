@@ -179,6 +179,11 @@ HEADLINE = [
     "q_stratified_ate",
     "q_wasserstein_1d",
     "q_gini_split",
+    # round 7
+    "q_scc_fwbw",
+    "q_weighted_minhash",
+    "q_weighted_minhash_recall",
+    "q_transformer_rerank",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under
@@ -279,6 +284,27 @@ def main() -> None:
     timings = {name: time_min(name) for name in HEADLINE}
     tracked = {name: time_min(name) for name in TRACKED}
 
+    # "tracked_quiet" (round-6 VERDICT ask): the four load-sensitive
+    # heavies get EXTRA passes at the end of the run and report the min
+    # over ALL passes — more samples push the min toward the true quiet
+    # cost, so round-over-round comparisons stop relitigating ambient-load
+    # artifacts (this VM's run-to-run noise is ±15%+; the min over 6
+    # passes is far more stable than over 3).
+    QUIET = ["q_prefix_jaccard", "q_semantic_dedup",
+             "q_entity_resolution", "q_grid_cluster"]
+    quiet_passes = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_PASSES", "3"))
+    tracked_quiet = {}
+    for name in QUIET:
+        prior = timings.get(name, tracked.get(name))
+        fn = QUERIES[name].fn
+        best = prior
+        for _ in range(quiet_passes):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+        tracked_quiet[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # stop the context before printing so the JSON is the last thing WE
     # write — and, because the forked JVM's stdout is forwarded
@@ -293,6 +319,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "tracked": tracked,
+        "tracked_quiet": tracked_quiet,
         "sf": sf,
         "passes": passes,
         "agg": "min",

@@ -77,95 +77,79 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # for free. q_value_histogram's mn==mx guard is output-identical on
 # non-degenerate data (replica re-verified), so it does not need a slot.
 #
-# ROUND-6 WINDOW (this round): exactly the 43 queries without cumulative
-# driver evidence after r05 (the round-5 additions registered past
-# position 50 plus the documented q_cdc_dedup_ratio deferral — all
-# replica-green at both SFs), PLUS re-checks of the two r05 hash-fails
-# whose oracle contracts were fixed this round (q_tpch_q12 and
-# q_attribution — uncast integer SUMs returned DuckDB HUGEINT, which the
-# driver's pandas canonicalizer renders as float64; q_bootstrap_ci had
-# the same latent bug and is already in the 43), PLUS the round-6
-# additions (Kendall tau-b, Jaro-Winkler, isotonic fit, burst
-# detection). r06 green => cumulative driver evidence for the whole
-# registry as of round 6. One slot pads with a never-twice-checked row.
+# ROUND-7 WINDOW (this round): computed by diffing the r01-r06
+# CORRECTNESS key sets against the registry (the same computation the
+# VERDICT runs) —
+# - the 22 queries with NO driver evidence: the 18 round-6 additions
+#   registered past position 50 (all replica-green at both SFs since
+#   round 6; the 5 W2-class queries among them were REWIRED onto the
+#   two-pass distributed rank this round and re-verified) plus the 4
+#   round-7 additions (q_scc_fwbw, q_weighted_minhash,
+#   q_weighted_minhash_recall, q_transformer_rerank — rows-only);
+# - 3 changed-contract re-checks: q_ntile_buckets and
+#   q_min_over_windows (rewired off their O(n) single-partition windows
+#   this round) and q_quantile_normalize (reference ranks now two-pass);
+#   output values are oracle-identical, but a changed plan earns a
+#   fresh driver slot per the round-4 protocol;
+# - 25 pad slots: the oldest never-twice-checked rows (round-1-checked,
+#   alphabetical — deterministic).
+# r07 green => every query registered before round 7 has cumulative
+# driver evidence and the oldest single-check rows start their second
+# pass.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # fixed oracle contracts (r05 hash-fails; CAST ... AS BIGINT landed)
-    "q_tpch_q12",
-    "q_attribution",
-    "q_bootstrap_ci",  # latent instance of the same bug, never checked
-    # round-6 additions
-    "q_kendall_tau",
-    "q_jaro_winkler",
-    "q_isotonic_fit",
-    "q_burst_detection",
-    # tokenizer family (highest novelty of the round-5 backlog)
-    "q_quality_classifier",
-    "q_unigram_tokenize",
-    "q_unigram_em_costs",
-    "q_wordpiece_encode",
-    # multimodal walks + progressive JPEG
-    "q_mp3_frame_walk",
-    "q_mp4_box_walk",
-    "q_jpeg_progressive",
-    # statistics suite
-    "q_mann_whitney",
-    "q_ks_test",
-    "q_welch_ttest",
-    "q_anova_f",
-    "q_bh_fdr",
-    "q_spearman_corr",
-    "q_theil_sen",
-    "q_mann_kendall",
-    # ER linkage
-    "q_phonetic_blocking",
-    "q_fellegi_sunter",
-    # graph analytics
-    "q_hits",
-    "q_personalized_pagerank",
-    "q_modularity",
-    "q_adamic_adar",
-    # retrieval / keywords / text
-    "q_mmr_rerank",
-    "q_rake_keywords",
-    "q_collocations",
-    "q_readability",
-    "q_classifier_eval",
-    "q_multi_pattern_match",
-    # sketches / summaries
-    "q_ams_sketch",
-    "q_distributed_topk",
-    "q_mergeable_quantiles",
-    # time series / sequences
-    "q_markov_transitions",
-    "q_double_exp_smoothing",
-    "q_sax_symbols",
-    "q_seasonal_indices",
-    "q_acf_multilag",
-    # vectors / clustering / sampling / dedup
-    "q_grid_cluster",
-    "q_pca_power",
-    "q_dsir_weights",
-    "q_paragraph_dedup",
-    "q_epoch_shuffle",
-    "q_cdc_dedup_ratio",
-    "q_recursive_cte",
-    # round-6 addition (the most intricate new contract: unrolled
-    # Holt-Winters DP, float order mirrored between an F.aggregate fold
-    # and 40 MATERIALIZED one-row CTEs)
-    "q_holt_winters",
+    "q_target_encoding",
+    "q_k_anonymity",
+    "q_gini_split",
+    "q_seasonal_decompose",
+    "q_shapley_attribution",
+    "q_dp_noisy_counts",
+    "q_sequential_patterns",
+    "q_stratified_ate",
+    "q_wasserstein_1d",
+    "q_ktruss",
+    "q_scc",
+    "q_scc_fwbw",
+    "q_equidepth_histogram",
+    "q_quantile_rank_error",
+    "q_transformer_rerank",
+    "q_roc_auc",
+    "q_calibration_bins",
+    "q_rendezvous_sharding",
+    "q_length_buckets",
+    "q_minhash_recall",
+    "q_weighted_minhash",
+    "q_weighted_minhash_recall",
+    "q_ntile_buckets",
+    "q_min_over_windows",
+    "q_quantile_normalize",
+    "q_anti_join",
+    "q_approx_distinct",
+    "q_case_when",
+    "q_date_parts",
+    "q_dense_rank_best",
+    "q_distinct",
+    "q_except_nations",
+    "q_explode_words",
+    "q_expr_join",
+    "q_file_provenance",
+    "q_full_outer",
+    "q_global_agg",
+    "q_global_rank_multiplier",
+    "q_harmonic_scores",
+    "q_hash_sample",
+    "q_intersect_nations",
+    "q_join_lut_broadcast",
+    "q_join_multi",
+    "q_json_extract",
+    "q_latest_order_per_customer",
+    "q_lead_lag",
+    "q_left_join_fill",
+    "q_math_funcs",
+    "q_melt_metrics",
+    "q_nullsafe_join",
 )
-
-# ROUND-7 ROTATION TODO: the round-6 additions registered past position
-# 50 have replica evidence at both SFs but no driver slot this round —
-# q_ktruss, q_equidepth_histogram, q_roc_auc, q_calibration_bins,
-# q_target_encoding, q_rendezvous_sharding, q_shapley_attribution,
-# q_seasonal_decompose, q_k_anonymity, q_dp_noisy_counts,
-# q_length_buckets, q_sequential_patterns, q_minhash_recall, q_scc,
-# q_quantile_rank_error, q_stratified_ate, q_wasserstein_1d, q_gini_split. Front them next round, then pad with
-# never-twice-checked rows (q_hll_registers and the round-5 window rows
-# have exactly one check each).
 
 
 def _apply_driver_window() -> None:
