@@ -26,6 +26,7 @@ ROWS_ONLY_ALLOWED = {
     "q_approx_distinct",       # HLL sketch values are engine-specific
     "q_montecarlo_critical",   # seeded simulation, not SQL-expressible
     "q_approx_percentile",     # GK quantile sketch values are engine-specific
+    "q_transformer_rerank",    # a transformer forward pass is not SQL-expressible
 }
 
 FORBIDDEN_TYPES = {"array", "map", "struct"}

@@ -8,19 +8,33 @@ shipping. Plans are built, not executed, so the sweep stays cheap.
 
 from __future__ import annotations
 
+import pytest
+
 from platform_etl_backend_spark.catalog import QUERIES
 from platform_etl_backend_spark.plans import explain_str
 
 
-def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
-    offenders = {}
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    """ONE catalog-wide plan sweep shared by every guard in this module
+    (building ~300 plans costs minutes; doing it once keeps the suite
+    inside its chunk budget). Values are either the simple-plan string or
+    an Exception instance when planning itself failed."""
+    plans = {}
     for name, spec in QUERIES.items():
         try:
-            plan = explain_str(spec.fn(spark, sf_dir), "simple")
-        except Exception as e:  # planning itself must not fail either
-            offenders[name] = f"plan error: {type(e).__name__}: {e}"
-            continue
-        if "CartesianProduct" in plan:
+            plans[name] = explain_str(spec.fn(spark, sf_dir), "simple")
+        except Exception as e:
+            plans[name] = e
+    return plans
+
+
+def test_no_catalog_query_plans_a_cartesian_product(all_plans):
+    offenders = {}
+    for name, plan in all_plans.items():
+        if isinstance(plan, Exception):
+            offenders[name] = f"plan error: {type(plan).__name__}: {plan}"
+        elif "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
 
@@ -42,7 +56,7 @@ def test_plan_audit_covers_every_registered_query():
     assert not stale, f"PLAN_AUDIT rows for unregistered queries: {stale}"
 
 
-def test_no_catalog_query_has_raw_single_partition_window(spark, sf_dir):
+def test_no_catalog_query_has_raw_single_partition_window(all_plans):
     """The W2 guard made machine-checkable (round-6 VERDICT ask): no
     catalog query may sort an UNAGGREGATED frame in a single partition
     (`Exchange SinglePartition` feeding a Window/Sort with no reducing
@@ -53,10 +67,8 @@ def test_no_catalog_query_has_raw_single_partition_window(spark, sf_dir):
     from platform_etl_backend_spark.plans.inspect import classify_single_partitions
 
     offenders = {}
-    for name, spec in QUERIES.items():
-        try:
-            plan = explain_str(spec.fn(spark, sf_dir), "simple")
-        except Exception:
+    for name, plan in all_plans.items():
+        if isinstance(plan, Exception):
             continue  # plan failures are the cartesian test's concern
         raw = [c for c in classify_single_partitions(plan) if c["class"] == "raw"]
         if raw:
