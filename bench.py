@@ -184,6 +184,11 @@ HEADLINE = [
     "q_weighted_minhash",
     "q_weighted_minhash_recall",
     "q_transformer_rerank",
+    # round-7 session-2
+    "q_logreg_gd",
+    "q_negative_sampling",
+    "q_cohens_kappa",
+    "q_conformal_interval",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -145,10 +145,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_json_extract",
     "q_latest_order_per_customer",
     "q_lead_lag",
-    "q_left_join_fill",
-    "q_math_funcs",
-    "q_melt_metrics",
-    "q_nullsafe_join",
+    # round-7 session-2 additions (zero driver evidence — they outrank
+    # the remaining once-checked pads)
+    "q_logreg_gd",
+    "q_negative_sampling",
+    "q_cohens_kappa",
+    "q_conformal_interval",
 )
 
 

@@ -2730,3 +2730,231 @@ def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score AS weighted_gini_x_n",
         )
     )
+
+
+# --- distributed logistic-regression gradient descent ---------------------------
+
+_LR_STEPS = 3
+_LR_RATE = "2.0"
+
+
+def _logreg_oracle(steps: int = _LR_STEPS) -> str:
+    pts = """
+    pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) / 10000000.0 AS x1,
+             CAST(MONTH(o_orderdate) AS BIGINT) / 12.0 AS x2,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"""
+    ctes = [pts]
+    for i in range(steps):
+        ctes.append(f"""
+    z{i} AS (
+      SELECT y, x1, x2,
+             (0.5 + 0.5 * (a + b * x1 + c * x2)
+                    / (1 + abs(a + b * x1 + c * x2))) AS sig
+      FROM pts, w{i}),
+    s{i} AS (
+      SELECT SUM(CAST(ROUND(sig - y, 9) AS DECIMAL(28,9))) AS g0,
+             SUM(CAST(ROUND((sig - y) * x1, 9) AS DECIMAL(28,9))) AS g1,
+             SUM(CAST(ROUND((sig - y) * x2, 9) AS DECIMAL(28,9))) AS g2
+      FROM z{i}),
+    w{i + 1} AS (
+      SELECT a - {_LR_RATE} * (CAST(g0 AS DOUBLE) / n) AS a,
+             b - {_LR_RATE} * (CAST(g1 AS DOUBLE) / n) AS b,
+             c - {_LR_RATE} * (CAST(g2 AS DOUBLE) / n) AS c
+      FROM w{i}, s{i}, nn)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT a AS w_bias, b AS w_price, c AS w_month,
+           (SELECT CAST(SUM(CASE WHEN (a + b * x1 + c * x2 > 0)
+                                      = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+            FROM pts) AS n_correct,
+           (SELECT n FROM nn) AS n
+    FROM w{steps}
+    """
+
+
+@register(
+    "q_logreg_gd",
+    oracle=_logreg_oracle(),
+    description="DISTRIBUTED logistic-regression training: 3 full-batch "
+    "gradient-descent steps over the orders table (features: scaled "
+    "price + month, bias; label: totalprice > 150k — learnably "
+    "separable, accuracy beats the majority class after 3 steps). Each "
+    "step is ONE map-side pass + a 3-term decimal-sum reduction; the "
+    "weight vector rides as a 1-row broadcast frame between steps — no "
+    "collect, no driver loop, the exact shape a billion-row GLM step "
+    "takes on a cluster. Engine-portability: the activation is the "
+    "Elliott sigmoid 0.5 + 0.5·z/(1+|z|) — division/abs are IEEE-exact, "
+    "unlike libm exp whose last ulp diverges across engines (the "
+    "portable-ln lesson applied to training); per-row gradient terms "
+    "round to 9 d.p. and sum as DECIMAL(28,9) so the distributed sum is "
+    "order-free; weight updates are IEEE-exact chains. The oracle "
+    "unrolls all 3 steps as CTEs (the Holt-Winters recipe). SCALE: "
+    "steps·(one scan + one scalar agg) — embarrassingly parallel; at "
+    "100 TB you would mini-batch by partition pruning, same plan shape",
+    tags=("relational", "ml-train", "glm"),
+)
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") / 10000000.0).alias("x1"),
+        (F.month("o_orderdate").cast("bigint") / 12.0).alias("x2"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    ).persist()
+    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = spark.sql("SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c")
+    lr = float(_LR_RATE)
+    for _ in range(_LR_STEPS):
+        z = pts.crossJoin(F.broadcast(w)).select(
+            "y", "x1", "x2",
+            (
+                0.5
+                + 0.5 * (F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2"))
+                / (1 + F.abs(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")))
+            ).alias("sig"),
+        )
+        s = z.agg(
+            F.sum(F.round(F.col("sig") - F.col("y"), 9).cast("decimal(28,9)")).alias("g0"),
+            F.sum(F.round((F.col("sig") - F.col("y")) * F.col("x1"), 9).cast("decimal(28,9)")).alias("g1"),
+            F.sum(F.round((F.col("sig") - F.col("y")) * F.col("x2"), 9).cast("decimal(28,9)")).alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                (F.col("a") - lr * (F.col("g0").cast("double") / F.col("n"))).alias("a"),
+                (F.col("b") - lr * (F.col("g1").cast("double") / F.col("n"))).alias("b"),
+                (F.col("c") - lr * (F.col("g2").cast("double") / F.col("n"))).alias("c"),
+            )
+        )
+    acc = pts.crossJoin(F.broadcast(w)).agg(
+        F.sum(
+            F.when(
+                (F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2") > 0)
+                == (F.col("y") == 1),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return w.crossJoin(F.broadcast(acc)).select(
+        F.col("a").alias("w_bias"),
+        F.col("b").alias("w_price"),
+        F.col("c").alias("w_month"),
+        "n_correct",
+        "n",
+    )
+
+
+# --- split-conformal prediction intervals ----------------------------------------
+
+
+@register(
+    "q_conformal_interval",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 AS split
+      FROM orders),
+    j AS (SELECT o.*, c.c_mktsegment AS seg
+          FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+    pred AS (
+      SELECT seg,
+             CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS pred_cents
+      FROM j WHERE split = 0 GROUP BY seg),
+    cal AS (
+      SELECT ABS(j.cents - p.pred_cents) AS resid, j.o_orderkey
+      FROM j JOIN pred p ON j.seg = p.seg WHERE j.split = 0),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    rk AS (SELECT resid,
+                  ROW_NUMBER() OVER (ORDER BY resid, o_orderkey) AS rn
+           FROM cal),
+    qhat AS (
+      SELECT CAST(resid AS BIGINT) AS qhat_cents FROM rk
+      WHERE rn = ((SELECT n_cal FROM ncal) + 1) * 9 // 10
+              + CASE WHEN ((SELECT n_cal FROM ncal) + 1) * 9 % 10 > 0
+                     THEN 1 ELSE 0 END),
+    test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(j.cents - p.pred_cents)
+                                <= (SELECT qhat_cents FROM qhat)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM j JOIN pred p ON j.seg = p.seg WHERE j.split = 1)
+    SELECT (SELECT n_cal FROM ncal) AS n_cal, n_test,
+           (SELECT qhat_cents FROM qhat) AS qhat_cents, n_covered,
+           CAST((2 * 1000000 * n_covered + n_test) // (2 * n_test) AS BIGINT)
+             AS coverage_micro
+    FROM test
+    """,
+    description="split-conformal prediction interval (Vovk; the "
+    "distribution-free uncertainty wrapper any model in the repo can "
+    "wear): a per-segment mean price predictor is fit on the even-key "
+    "CALIBRATION split, the conformal radius is the exact "
+    "ceil((n+1)(1-alpha))-th smallest calibration residual (alpha=0.1) "
+    "picked by RANK — via the two-pass distributed row_number, no "
+    "single-partition sort — and marginal coverage is audited on the "
+    "held-out odd-key split; >= 90% in expectation by exchangeability. "
+    "ENTIRELY integer arithmetic: predictions are round-half-away cent "
+    "means, residuals integer cents, coverage a micro ratio. SCALE: one "
+    "broadcast dim join + a grouped mean + one two-pass rank pick + a "
+    "map-side coverage rollup",
+    tags=("relational", "ml-eval", "conformal", "uncertainty"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_row_number
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("split"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(F.broadcast(c), "o_custkey").persist()
+    pred = (
+        j.where(F.col("split") == 0)
+        .groupBy("seg")
+        .agg(F.expr("CAST((2 * SUM(cents) + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)")
+             .alias("pred_cents"))
+    )
+    cal = (
+        j.where(F.col("split") == 0)
+        .join(F.broadcast(pred), "seg")
+        .select(F.abs(F.col("cents") - F.col("pred_cents")).alias("resid"),
+                "o_orderkey")
+    )
+    rk = two_pass_row_number(
+        cal, ["resid", "o_orderkey"], rn_col="rn", total_col="n_cal"
+    )
+    qhat = rk.where(
+        F.expr("rn = (n_cal + 1) * 9 div 10"
+               " + CASE WHEN (n_cal + 1) * 9 % 10 > 0 THEN 1 ELSE 0 END")
+    ).select(F.col("resid").cast("bigint").alias("qhat_cents"),
+             F.col("n_cal").cast("bigint").alias("n_cal"))
+    test = (
+        j.where(F.col("split") == 1)
+        .join(F.broadcast(pred), "seg")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("qhat_cents"), 1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+            F.first("n_cal").alias("n_cal"),
+            F.first("qhat_cents").alias("qhat_cents"),
+        )
+    )
+    return test.selectExpr(
+        "n_cal", "n_test", "qhat_cents", "n_covered",
+        "CAST((2 * 1000000 * n_covered + n_test) div (2 * n_test) AS BIGINT)"
+        " AS coverage_micro",
+    )

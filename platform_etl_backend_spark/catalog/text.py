@@ -4552,3 +4552,175 @@ def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_candidates) END AS BIGINT) AS cand_precision_micro",
         )
     )
+
+
+# --- word2vec negative-sampling table ---------------------------------------------
+
+_NEG_K = 16
+_NEG_CNT_CAP = 208_000  # cnt^3 stays exactly representable in DOUBLE (< 2^53)
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_T}) AS token FROM documents),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY token),
+    wv AS (SELECT token, cnt,
+                  CAST(FLOOR(sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt))
+                             * 1000000) AS BIGINT) AS w
+           FROM vocab),
+    cum AS (SELECT token, cnt, w,
+                   CAST(SUM(w) OVER (ORDER BY token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumw
+            FROM wv),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wv),
+    draws AS (SELECT unnest(range(0, {_NEG_K})) AS i),
+    targets AS (
+      SELECT CAST(i AS INTEGER) AS i,
+             CAST(('0x' || substr(md5('neg:' || CAST(i AS VARCHAR)), 1, 12))
+                  AS BIGINT) % (SELECT tw FROM tot) AS target
+      FROM draws),
+    hit AS (SELECT t.i, t.target, MIN(c.token) AS token
+            FROM targets t JOIN cum c ON c.cumw > t.target
+            GROUP BY t.i, t.target)
+    SELECT h.i, h.token, v.cnt, v.w AS weight_micro
+    FROM hit h JOIN wv v ON v.token = h.token
+    ORDER BY h.i
+    """,
+    description="word2vec-style NEGATIVE-SAMPLING table: vocabulary "
+    "weights proportional to count^0.75 (Mikolov et al. 2013's unigram "
+    "damping) computed WITHOUT transcendentals — c^0.75 == "
+    "sqrt(sqrt(c^3)), and IEEE-754 sqrt is correctly rounded, so the "
+    "weight is bit-identical on every engine while libm pow(c, 0.75) is "
+    "not (the portable-ln lesson applied to pow; exactness of c^3 in "
+    "DOUBLE bounds counts at 208k — guarded). Weights floor to integer "
+    "micro; the cumulative table rides the two-pass distributed cumsum "
+    "(no single-partition sort over the vocabulary); 16 seeded md5 "
+    "draws (48-bit, partitioning-invariant, replayable) bucket into the "
+    "cumulative ranges via a broadcast 16-row range join. SCALE: "
+    "wordcount shuffle + two-pass cumsum + O(k) broadcast probes — the "
+    "exact shape a billion-token skip-gram pipeline samples negatives "
+    "with",
+    tags=("text", "sampling", "embedding", "ml-train"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.dedup import ws_tokens
+    from platform_etl_backend_spark.operators.ranking import two_pass_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(ws_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    c = F.col("cnt")
+    guarded = F.when(c <= _NEG_CNT_CAP, c.cast("double")).otherwise(
+        F.raise_error(
+            F.lit(f"q_negative_sampling: count exceeds {_NEG_CNT_CAP}; "
+                  "c^3 would lose exactness in DOUBLE — rescale weights")
+        ).cast("double")
+    )
+    wv = vocab.select(
+        "token", "cnt",
+        F.floor(F.sqrt(F.sqrt(guarded * c * c)) * 1000000)
+        .cast("bigint").alias("w"),
+    ).persist()
+    cum = two_pass_cumsum(wv, ["token"], ["w"], total_prefix="tot_")
+    tot = wv.agg(F.sum("w").cast("bigint").alias("tw"))
+    draws = spark.range(_NEG_K).select(F.col("id").cast("int").alias("i"))
+    targets = draws.crossJoin(F.broadcast(tot)).select(
+        "i",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("neg:"), F.col("i").cast("string"))), 1, 12), 16, 10)
+            .cast("bigint") % F.col("tw")
+        ).alias("target"),
+    )
+    hit = (
+        cum.join(F.broadcast(targets), F.col("cum_w") > F.col("target"))
+        .groupBy("i", "target")
+        .agg(F.min("token").alias("token"))
+    )
+    return (
+        hit.join(wv, "token")
+        .select("i", "token", "cnt", F.col("w").alias("weight_micro"))
+        .orderBy("i")
+    )
+
+
+# --- inter-rater agreement (Cohen's kappa) -----------------------------------------
+
+
+@register(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH {_qc_scored_ctes()},
+    r AS (SELECT CASE WHEN score > 0 THEN 1 ELSE 0 END AS a, label AS b
+          FROM p),
+    cm AS (SELECT
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM r),
+    k AS (SELECT n00, n01, n10, n11, n,
+                 n * (n00 + n11)
+                   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                   AS num,
+                 n * n
+                   - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                   AS den
+          FROM cm)
+    SELECT n, n00, n01, n10, n11,
+           CAST((2 * 1000000 * (n00 + n11) + n) // (2 * n) AS BIGINT)
+             AS po_micro,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((2 * 1000000 * ABS(num) + den) // (2 * den))
+                AS BIGINT) AS kappa_micro
+    FROM k
+    """,
+    description="Cohen's kappa inter-rater agreement between the trained "
+    "quality classifier's decision (score > 0) and the lexical-diversity "
+    "reference label — the labeling-pipeline QA statistic (chance-"
+    "corrected agreement; kappa = (po - pe)/(1 - pe)) expressed ENTIRELY "
+    "in exact integers: po and pe share the n-scaled contingency "
+    "identity kappa = (n(n00+n11) - SUM marginal products) / (n^2 - SUM "
+    "marginal products), one signed round-half-away micro division at "
+    "the end (abs-first — signed integer division floors vs truncates "
+    "across engines, the q_shapley_attribution lesson). SCALE: one "
+    "map-side confusion rollup — a scalar frame",
+    tags=("text", "quality", "ml-eval", "agreement"),
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _qc_scored_spark(spark, sf_dir)
+    r = p.select(
+        F.when(F.col("score") > 0, 1).otherwise(0).alias("a"),
+        F.col("label").alias("b"),
+    )
+    cm = r.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    k = cm.selectExpr(
+        "n", "n00", "n01", "n10", "n11",
+        "n * (n00 + n11)"
+        " - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) AS num",
+        "n * n"
+        " - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) AS den",
+    )
+    return k.selectExpr(
+        "n", "n00", "n01", "n10", "n11",
+        "CAST((2 * 1000000 * (n00 + n11) + n) div (2 * n) AS BIGINT) AS po_micro",
+        "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * 1000000 * ABS(num) + den) div (2 * den)) AS BIGINT)"
+        " AS kappa_micro",
+    )

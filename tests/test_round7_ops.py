@@ -268,3 +268,149 @@ def test_transformer_rerank_spark_topk(spark, sf_dir):
         assert len(lst) <= 3
         scores = [s for _, s, _ in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- distributed logistic-regression GD --------------------------------------
+
+
+def test_logreg_gd_matches_python_model(spark, sf_dir):
+    """3-step Elliott-sigmoid full-batch GD pinned against a plain-python
+    model over the same rows (same 9 d.p. gradient rounding, same update
+    order), and the learned classifier must beat the majority class."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_logreg_gd"].fn(spark, sf_dir).collect()[0]
+    rows = [
+        (r["x1"], r["x2"], r["y"])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " / CAST(10000000.0 AS DOUBLE) AS x1",
+            "CAST(MONTH(o_orderdate) AS BIGINT) / CAST(12.0 AS DOUBLE) AS x2",
+            "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y",
+        ).collect()
+    ]
+    n = len(rows)
+    w = [0.0, 0.0, 0.0]
+    for _ in range(3):
+        sums = [0.0, 0.0, 0.0]
+        for x1, x2, y in rows:
+            z = w[0] + w[1] * x1 + w[2] * x2
+            sig = 0.5 + 0.5 * z / (1 + abs(z))
+            sums[0] += round(sig - y, 9)
+            sums[1] += round((sig - y) * x1, 9)
+            sums[2] += round((sig - y) * x2, 9)
+        w = [w[j] - 2.0 * (sums[j] / n) for j in range(3)]
+    assert abs(got["w_bias"] - w[0]) < 1e-12
+    assert abs(got["w_price"] - w[1]) < 1e-12
+    assert abs(got["w_month"] - w[2]) < 1e-12
+    correct = sum(
+        1 for x1, x2, y in rows
+        if ((w[0] + w[1] * x1 + w[2] * x2) > 0) == (y == 1)
+    )
+    assert got["n_correct"] == correct and got["n"] == n
+    majority = max(sum(y for *_, y in rows), n - sum(y for *_, y in rows))
+    assert correct > majority  # it actually learned
+
+
+# --- negative sampling / kappa / conformal ------------------------------------
+
+
+def test_negative_sampling_matches_python_model(spark, sf_dir):
+    """Unigram^0.75 table pinned against plain python: identical weights
+    (sqrt∘sqrt∘cube — IEEE-exact), identical seeded draws, identical
+    bucket assignment."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = [
+        (r["i"], r["token"], r["cnt"], r["weight_micro"])
+        for r in QUERIES["q_negative_sampling"].fn(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt = Counter(t for r in docs for t in r["text"].strip().split())
+    vocab = sorted(cnt)
+    w = {t: int(math.floor(math.sqrt(math.sqrt(float(c * c * c))) * 1000000))
+         for t, c in cnt.items()}
+    cum, acc = [], 0
+    for t in vocab:
+        acc += w[t]
+        cum.append((t, acc))
+    total = acc
+    want = []
+    for i in range(16):
+        r = int(hashlib.md5(f"neg:{i}".encode()).hexdigest()[:12], 16) % total
+        tok = next(t for t, cw in cum if cw > r)
+        want.append((i, tok, cnt[tok], w[tok]))
+    assert got == want
+
+
+def test_negative_sampling_favors_frequent_tokens(spark, sf_dir):
+    """The damped-unigram distribution must still favor frequent tokens:
+    the mean count of sampled tokens exceeds the vocabulary mean."""
+    from collections import Counter
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    rows = QUERIES["q_negative_sampling"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt = Counter(t for r in docs for t in r["text"].strip().split())
+    vocab_mean = sum(cnt.values()) / len(cnt)
+    sample_mean = sum(r["cnt"] for r in rows) / len(rows)
+    assert sample_mean > vocab_mean
+
+
+def test_cohens_kappa_matches_python_model(spark, sf_dir):
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_cohens_kappa"].fn(spark, sf_dir).collect()[0]
+    n = got["n00"] + got["n01"] + got["n10"] + got["n11"]
+    assert got["n"] == n
+    po = (got["n00"] + got["n11"]) / n
+    a0, a1 = got["n00"] + got["n01"], got["n10"] + got["n11"]
+    b0, b1 = got["n00"] + got["n10"], got["n01"] + got["n11"]
+    pe = (a0 * b0 + a1 * b1) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    # micro round-half-away of the float model must match within 1 micro
+    assert abs(got["kappa_micro"] - round(kappa * 1e6)) <= 1
+    assert abs(got["po_micro"] - round(po * 1e6)) <= 1
+    # the trained classifier must agree with the reference beyond chance
+    assert got["kappa_micro"] > 200000  # kappa > 0.2
+
+
+def test_conformal_interval_coverage_and_quantile(spark, sf_dir):
+    """qhat must be the exact ceil((n+1)·0.9)-th smallest calibration
+    residual (python rank-pick), and held-out coverage ≥ 85% (the 90%
+    marginal guarantee minus finite-sample slack)."""
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_conformal_interval"].fn(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    cal = defaultdict(list)
+    rows = []
+    for r in orders:
+        cents = round(float(r["o_totalprice"]) * 100)
+        seg = cust[r["o_custkey"]]
+        rows.append((r["o_orderkey"], seg, cents, r["o_orderkey"] % 2))
+        if r["o_orderkey"] % 2 == 0:
+            cal[seg].append(cents)
+    pred = {s: (2 * sum(v) + len(v)) // (2 * len(v)) for s, v in cal.items()}
+    resid = sorted(
+        (abs(c - pred[s]), k) for k, s, c, sp in rows if sp == 0
+    )
+    n_cal = len(resid)
+    k_idx = -(-(n_cal + 1) * 9 // 10)  # ceil
+    qhat = resid[k_idx - 1][0]
+    assert got["n_cal"] == n_cal and got["qhat_cents"] == qhat
+    test = [(abs(c - pred[s]) <= qhat) for k, s, c, sp in rows if sp == 1]
+    assert got["n_test"] == len(test)
+    assert got["n_covered"] == sum(test)
+    assert got["coverage_micro"] >= 850000
