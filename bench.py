@@ -189,6 +189,10 @@ HEADLINE = [
     "q_negative_sampling",
     "q_cohens_kappa",
     "q_conformal_interval",
+    "q_psi_drift",
+    "q_js_divergence",
+    "q_logrank_test",
+    "q_boosted_stumps",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

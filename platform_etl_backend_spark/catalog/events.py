@@ -4374,3 +4374,303 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "w1_distance"
     )
+
+
+# --- drift metrics: PSI + Jensen-Shannon -------------------------------------------
+
+_PSI_LN = duck_portable_ln_ratio("(ca + 1) * (nb + nbins)", "(cb + 1) * (na + nbins)")
+_JS_LN_A = duck_portable_ln_ratio("2 * ca * nb", "ca * nb + cb * na")
+_JS_LN_B = duck_portable_ln_ratio("2 * cb * na", "ca * nb + cb * na")
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    b AS (SELECT bin,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM e GROUP BY bin),
+    g AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS nbins
+          FROM b),
+    terms AS (
+      SELECT CAST(ROUND({_PSI_LN}
+                        * ((CAST(ca + 1 AS DOUBLE) / (na + nbins))
+                           - (CAST(cb + 1 AS DOUBLE) / (nb + nbins))), 9)
+                  AS DECIMAL(18,9)) AS t
+      FROM b, g)
+    SELECT (SELECT na FROM g) AS n_a, (SELECT nb FROM g) AS n_b,
+           (SELECT nbins FROM g) AS n_bins,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+    description="population stability index between the purchase and "
+    "click value distributions (the model-monitoring drift gate: "
+    "PSI < 0.1 stable / > 0.25 action): width-10 bins, Laplace +1 "
+    "smoothing so empty-side bins stay finite (the standard PSI fix, "
+    "exact by construction: counts+1 over totals+n_bins keeps every "
+    "ratio integral), each term (pa - pb)·ln(pa/pb) with the log of the "
+    "exact integer ratio riding the engine-portable ln and contributions "
+    "rounded then decimal-summed (order-free). SCALE: one bin rollup + a "
+    "broadcast scalar frame — map-side everything",
+    tags=("events", "stats", "drift", "psi"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    e = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")
+    )
+    b = e.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("cb"),
+    )
+    g = b.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nbins"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("nbins"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("nbins"))
+    contrib = F.round(
+        portable_ln_ratio(
+            (F.col("ca") + 1) * (F.col("nb") + F.col("nbins")),
+            (F.col("cb") + 1) * (F.col("na") + F.col("nbins")),
+        )
+        * (pa - pb),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        b.crossJoin(F.broadcast(g))
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.first("nbins").alias("n_bins"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("psi"),
+        )
+    )
+
+
+@register(
+    "q_js_divergence",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    b AS (SELECT bin,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM e GROUP BY bin),
+    g AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+          FROM b),
+    ta AS (
+      SELECT CAST(ROUND({_JS_LN_A}
+                        * (CAST(ca AS DOUBLE) / na), 9) AS DECIMAL(18,9)) AS t
+      FROM b, g WHERE ca > 0),
+    tb AS (
+      SELECT CAST(ROUND({_JS_LN_B}
+                        * (CAST(cb AS DOUBLE) / nb), 9) AS DECIMAL(18,9)) AS t
+      FROM b, g WHERE cb > 0)
+    SELECT (SELECT na FROM g) AS n_a, (SELECT nb FROM g) AS n_b,
+           ROUND(0.5 * CAST((SELECT SUM(t) FROM ta) AS DOUBLE)
+                 + 0.5 * CAST((SELECT SUM(t) FROM tb) AS DOUBLE), 6) AS js_nats
+    FROM g
+    """,
+    description="Jensen-Shannon divergence between the purchase and "
+    "click value distributions — the SYMMETRIC, bounded (<= ln 2) drift "
+    "metric completing the family (KL directional, W1 metric, PSI "
+    "industry gate): JS = 0.5·Σ pa·ln(2pa/(pa+pb)) + 0.5·Σ pb·ln(...), "
+    "each log an exact integer ratio 2·ca·nb/(ca·nb + cb·na) on the "
+    "engine-portable ln; 0·ln0 terms drop exactly via the c > 0 filter; "
+    "contributions rounded then decimal-summed. SCALE: one bin rollup + "
+    "broadcast scalar totals",
+    tags=("events", "stats", "drift", "jensen-shannon"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    e = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")
+    )
+    b = e.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("cb"),
+    )
+    g = b.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    bb = b.crossJoin(F.broadcast(g)).localCheckpoint()  # feeds both term sums
+    mix = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    ta = bb.where(F.col("ca") > 0).agg(
+        F.sum(
+            F.round(
+                portable_ln_ratio(2 * F.col("ca") * F.col("nb"), mix)
+                * (F.col("ca").cast("double") / F.col("na")),
+                9,
+            ).cast("decimal(18,9)")
+        ).alias("sa")
+    )
+    tb = bb.where(F.col("cb") > 0).agg(
+        F.sum(
+            F.round(
+                portable_ln_ratio(2 * F.col("cb") * F.col("na"), mix)
+                * (F.col("cb").cast("double") / F.col("nb")),
+                9,
+            ).cast("decimal(18,9)")
+        ).alias("sb")
+    )
+    return (
+        g.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(
+                0.5 * F.col("sa").cast("double") + 0.5 * F.col("sb").cast("double"),
+                6,
+            ).alias("js_nats"),
+        )
+    )
+
+
+# --- log-rank test (two-group survival comparison) ---------------------------------
+
+
+@register(
+    "q_logrank_test",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(ep) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' AND value >= 190.0 THEN ep END) AS t_conv,
+             MAX(ep) AS t_last
+      FROM e GROUP BY user_id),
+    subjects AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN t_conv IS NOT NULL THEN t_conv - t0 ELSE t_last - t0 END AS dur,
+             CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user),
+    times AS (
+      SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1
+      FROM subjects GROUP BY dur HAVING SUM(ev) > 0),
+    risk AS (
+      SELECT t, d, d1,
+             CAST((SELECT COUNT(*) FROM subjects s WHERE s.dur >= times.t)
+                  AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM subjects s
+                   WHERE s.dur >= times.t AND s.grp = 1) AS BIGINT) AS n1
+      FROM times),
+    terms AS (
+      SELECT d1,
+             CAST(ROUND(CAST(d AS DOUBLE) * n1 / n, 9) AS DECIMAL(18,9)) AS e1,
+             CAST(ROUND(((CAST(d AS DOUBLE) * n1) * (n - n1) * (n - d))
+                        / ((CAST(n AS DOUBLE) * n) * (n - 1)), 9)
+                  AS DECIMAL(18,9)) AS v
+      FROM risk WHERE n > 1),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             ROUND(CAST(SUM(e1) AS DOUBLE), 6) AS e1,
+             ROUND(CAST(SUM(v) AS DOUBLE), 6) AS var1
+      FROM terms)
+    SELECT o1, e1, var1,
+           ROUND((o1 - e1) * (o1 - e1) / var1, 6) AS chi2
+    FROM s
+    """,
+    description="log-rank test (Mantel-Cox) comparing "
+    "time-to-first-high-value-purchase between the two user-parity "
+    "cohorts — the hypothesis test completing the survival family beside "
+    "q_kaplan_meier's curve: at each event time the group-1 event count "
+    "is compared to its hypergeometric expectation d·n1/n with variance "
+    "d·n1·n0·(n-d)/(n²(n-1)); per-time terms are fixed-order IEEE "
+    "expressions of exact integer at-risk/event counts, rounded then "
+    "decimal-summed (order-free), chi2 = (O-E)²/V one final IEEE "
+    "division. SCALE: per-user rollup + a broadcast event-time risk-set "
+    "range join (event-time table is tiny) — the q_kaplan_meier shape "
+    "with one more group dimension",
+    tags=("events", "timeseries", "survival", "stats"),
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min("ep").alias("t0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 190.0),
+                F.col("ep"),
+            )
+        ).alias("t_conv"),
+        F.max("ep").alias("t_last"),
+    )
+    subjects = per_user.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.col("t_conv").isNotNull(), F.col("t_conv") - F.col("t0"))
+        .otherwise(F.col("t_last") - F.col("t0"))
+        .alias("dur"),
+        F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).localCheckpoint()  # feeds event times AND both risk-set counts
+    times = (
+        subjects.groupBy(F.col("dur").alias("t"))
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+            .cast("bigint").alias("d1"),
+        )
+        .where(F.col("d") > 0)
+    )
+    risk = (
+        subjects.join(F.broadcast(times), F.col("dur") >= F.col("t"))
+        .groupBy("t", "d", "d1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+        )
+    )
+    terms = risk.where(F.col("n") > 1).select(
+        "d1",
+        F.round(
+            F.col("d").cast("double") * F.col("n1") / F.col("n"), 9
+        ).cast("decimal(18,9)").alias("e1"),
+        F.round(
+            (
+                (F.col("d").cast("double") * F.col("n1"))
+                * (F.col("n") - F.col("n1"))
+                * (F.col("n") - F.col("d"))
+            )
+            / (
+                (F.col("n").cast("double") * F.col("n"))
+                * (F.col("n") - 1)
+            ),
+            9,
+        ).cast("decimal(18,9)").alias("v"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("e1"),
+        F.round(F.sum("v").cast("double"), 6).alias("var1"),
+    )
+    return s.select(
+        "o1", "e1", "var1",
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("var1"),
+            6,
+        ).alias("chi2"),
+    )

@@ -2958,3 +2958,132 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * 1000000 * n_covered + n_test) div (2 * n_test) AS BIGINT)"
         " AS coverage_micro",
     )
+
+
+# --- gradient-boosted stumps (squared loss, 2 rounds) ----------------------------
+
+
+def _stump_sql(src: str, xcol: str, ycol: str, out: str) -> str:
+    """CTE chain fitting one regression stump on (xcol -> ycol) over src:
+    emits {out}(thr, ml, mr) — threshold + signed round-half-away left/
+    right means. Prefix sums over the distinct-x rollup; score =
+    S_L^2/n_L + S_R^2/n_R maximized (equivalently SSE minimized), argmax
+    by (score DESC, thr) unique order."""
+    return f"""
+    {out}_pts AS (
+      SELECT {xcol} AS x, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({ycol}) AS BIGINT) AS s
+      FROM {src} GROUP BY {xcol}),
+    {out}_cum AS (
+      SELECT x,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(s) OVER w AS BIGINT) AS sl,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(s) OVER () AS BIGINT) AS st
+      FROM {out}_pts
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    {out}_sc AS (
+      SELECT x AS thr, nl, sl, nt, st,
+             (CAST(sl AS DOUBLE) * sl / nl)
+               + (CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)) AS score
+      FROM {out}_cum WHERE nt - nl > 0),
+    {out} AS (
+      SELECT thr,
+             CAST((CASE WHEN sl < 0 THEN -1 ELSE 1 END)
+                  * ((2 * ABS(sl) + nl) // (2 * nl)) AS BIGINT) AS ml,
+             CAST((CASE WHEN st - sl < 0 THEN -1 ELSE 1 END)
+                  * ((2 * ABS(st - sl) + (nt - nl)) // (2 * (nt - nl)))
+                  AS BIGINT) AS mr
+      FROM {out}_sc ORDER BY score DESC, thr LIMIT 1)"""
+
+
+@register(
+    "q_boosted_stumps",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    {_stump_sql('base', 'q', 'y', 'st1')},
+    resid AS (
+      SELECT b.disc,
+             b.y - (CASE WHEN b.q <= s.thr THEN s.ml ELSE s.mr END) AS r
+      FROM base b, st1 s),
+    {_stump_sql('resid', 'disc', 'r', 'st2')}
+    SELECT s1.thr AS thr1, s1.ml AS mean_l1, s1.mr AS mean_r1,
+           s2.thr AS thr2, s2.ml AS mean_l2, s2.mr AS mean_r2
+    FROM st1 s1, st2 s2
+    """,
+    description="gradient-boosted regression stumps (Friedman 2001, "
+    "squared loss, 2 rounds): round 1 fits the best quantity split for "
+    "extended price by SSE (score S_L²/n_L + S_R²/n_R maximized from ONE "
+    "prefix-sum pass over the distinct-value rollup — the q_gini_split "
+    "machinery with sums instead of class counts, prefix sums via the "
+    "two-pass distributed cumsum); round 2 fits a discount stump on the "
+    "INTEGER-CENT residuals (boosting's additive structure, exact by "
+    "construction: predictions are signed round-half-away cent means, "
+    "abs-first — the signed-division lesson). All comparisons and "
+    "residuals exact integers; the only doubles are the fixed-order "
+    "score expressions. SCALE: per round one value rollup + two-pass "
+    "cumsum + TakeOrdered(1) + a broadcast 1-row stump join — the "
+    "per-feature, per-round shape of a distributed GBDT fit",
+    tags=("relational", "ml-train", "tree", "boosting"),
+)
+def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_cumsum
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    ).persist()
+
+    def stump(src: DataFrame, xcol: str, ycol: str) -> DataFrame:
+        pts = src.groupBy(F.col(xcol).alias("x")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(ycol).cast("bigint").alias("s"),
+        )
+        cum = two_pass_cumsum(
+            pts, ["x"], ["n", "s"], total_prefix="tot_"
+        ).select(
+            "x",
+            F.col("cum_n").alias("nl"), F.col("cum_s").alias("sl"),
+            F.col("tot_n").alias("nt"), F.col("tot_s").alias("st"),
+        )
+        sc = cum.where(F.col("nt") - F.col("nl") > 0).selectExpr(
+            "x AS thr", "nl", "sl", "nt", "st",
+            "(CAST(sl AS DOUBLE) * sl / nl)"
+            " + (CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)) AS score",
+        )
+        return (
+            sc.orderBy(F.desc("score"), F.asc("thr")).limit(1)
+            .selectExpr(
+                "thr",
+                "CAST((CASE WHEN sl < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * ABS(sl) + nl) div (2 * nl)) AS BIGINT) AS ml",
+                "CAST((CASE WHEN st - sl < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * ABS(st - sl) + (nt - nl)) div (2 * (nt - nl)))"
+                " AS BIGINT) AS mr",
+            )
+        )
+
+    st1 = stump(base, "q", "y")
+    resid = base.crossJoin(F.broadcast(st1)).select(
+        "disc",
+        (
+            F.col("y")
+            - F.when(F.col("q") <= F.col("thr"), F.col("ml")).otherwise(F.col("mr"))
+        ).alias("r"),
+    )
+    st2 = stump(resid, "disc", "r")
+    return (
+        st1.selectExpr("thr AS thr1", "ml AS mean_l1", "mr AS mean_r1")
+        .crossJoin(
+            F.broadcast(
+                st2.selectExpr("thr AS thr2", "ml AS mean_l2", "mr AS mean_r2")
+            )
+        )
+    )

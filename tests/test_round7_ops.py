@@ -414,3 +414,156 @@ def test_conformal_interval_coverage_and_quantile(spark, sf_dir):
     assert got["n_test"] == len(test)
     assert got["n_covered"] == sum(test)
     assert got["coverage_micro"] >= 850000
+
+
+# --- drift / survival / boosting -----------------------------------------------
+
+
+def _event_bins(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    ).where("event_type IN ('purchase', 'click')").collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = math.floor(r["value"] / 10)
+        bins[b][0 if r["event_type"] == "purchase" else 1] += 1
+    return bins
+
+
+def test_psi_drift_matches_python_model(spark, sf_dir):
+    import math
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_psi_drift"].fn(spark, sf_dir).collect()[0]
+    bins = _event_bins(spark, sf_dir)
+    na = sum(v[0] for v in bins.values())
+    nb = sum(v[1] for v in bins.values())
+    k = len(bins)
+    psi = sum(
+        ((ca + 1) / (na + k) - (cb + 1) / (nb + k))
+        * math.log(((ca + 1) * (nb + k)) / ((cb + 1) * (na + k)))
+        for ca, cb in bins.values()
+    )
+    assert got["n_a"] == na and got["n_b"] == nb and got["n_bins"] == k
+    assert abs(got["psi"] - psi) < 1e-5
+    assert got["psi"] >= 0
+
+
+def test_js_divergence_matches_python_model_and_is_bounded(spark, sf_dir):
+    import math
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_js_divergence"].fn(spark, sf_dir).collect()[0]
+    bins = _event_bins(spark, sf_dir)
+    na = sum(v[0] for v in bins.values())
+    nb = sum(v[1] for v in bins.values())
+    js = 0.5 * sum(
+        (ca / na) * math.log((2 * ca * nb) / (ca * nb + cb * na))
+        for ca, cb in bins.values() if ca > 0
+    ) + 0.5 * sum(
+        (cb / nb) * math.log((2 * cb * na) / (ca * nb + cb * na))
+        for ca, cb in bins.values() if cb > 0
+    )
+    assert abs(got["js_nats"] - js) < 1e-5
+    assert 0 <= got["js_nats"] <= math.log(2) + 1e-9
+
+
+def test_logrank_matches_python_model(spark, sf_dir):
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    got = QUERIES["q_logrank_test"].fn(spark, sf_dir).collect()[0]
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ep"
+    ).collect()
+    per = defaultdict(lambda: [None, None, None])  # t0, t_conv, t_last
+    for r in ev:
+        p = per[r["user_id"]]
+        p[0] = r["ep"] if p[0] is None else min(p[0], r["ep"])
+        p[2] = r["ep"] if p[2] is None else max(p[2], r["ep"])
+        if r["event_type"] == "purchase" and r["value"] >= 190.0:
+            p[1] = r["ep"] if p[1] is None else min(p[1], r["ep"])
+    subjects = [
+        (uid % 2, (p[1] - p[0]) if p[1] is not None else (p[2] - p[0]),
+         1 if p[1] is not None else 0)
+        for uid, p in per.items()
+    ]
+    times = sorted({d for _, d, e in subjects if e})
+    o1 = e1 = var = 0.0
+    for t in times:
+        at = [(g, d, e) for g, d, e in subjects if d >= t]
+        n = len(at)
+        if n <= 1:
+            continue
+        n1 = sum(1 for g, *_ in at if g == 1)
+        d_t = sum(e for g, d, e in at if d == t)
+        d1 = sum(e for g, d, e in at if d == t and g == 1)
+        o1 += d1
+        e1 += round(d_t * n1 / n, 9)
+        var += round(((d_t * n1) * (n - n1) * (n - d_t)) / ((n * n) * (n - 1)), 9)
+    assert got["o1"] == o1
+    assert abs(got["e1"] - e1) < 1e-5
+    assert abs(got["var1"] - var) < 1e-5
+    assert abs(got["chi2"] - (o1 - got["e1"]) ** 2 / got["var1"]) < 1e-5
+
+
+def test_boosted_stumps_matches_python_and_reduces_sse(spark, sf_dir):
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_boosted_stumps"].fn(spark, sf_dir).collect()[0]
+    rows = [
+        (int(r["q"]), int(r["disc"]), int(r["y"]))
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS disc",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+        ).collect()
+    ]
+
+    def fit(pairs):
+        agg = defaultdict(lambda: [0, 0])
+        for x, y in pairs:
+            agg[x][0] += 1
+            agg[x][1] += y
+        xs = sorted(agg)
+        nt = sum(v[0] for v in agg.values())
+        st = sum(v[1] for v in agg.values())
+        best = None
+        nl = sl = 0
+        for x in xs:
+            nl += agg[x][0]
+            sl += agg[x][1]
+            if nt - nl == 0:
+                continue
+            score = (sl * sl) / nl + ((st - sl) * (st - sl)) / (nt - nl)
+            if best is None or score > best[0]:
+                best = (score, x, nl, sl)
+        _, thr, nl, sl = best
+
+        def rha(s, n):
+            sign = -1 if s < 0 else 1
+            return sign * ((2 * abs(s) + n) // (2 * n))
+
+        return thr, rha(sl, nl), rha(st - sl, nt - nl)
+
+    t1, ml1, mr1 = fit([(q, y) for q, d, y in rows])
+    assert (got["thr1"], got["mean_l1"], got["mean_r1"]) == (t1, ml1, mr1)
+    resid = [(d, y - (ml1 if q <= t1 else mr1)) for q, d, y in rows]
+    t2, ml2, mr2 = fit(resid)
+    assert (got["thr2"], got["mean_l2"], got["mean_r2"]) == (t2, ml2, mr2)
+    # boosting must actually reduce SSE round over round
+    mean_all = round(sum(y for *_, y in rows) / len(rows))
+    sse_const = sum((y - mean_all) ** 2 for *_, y in rows)
+    sse_1 = sum(r * r for _, r in resid)
+    pred2 = [(r - (ml2 if d <= t2 else mr2)) for d, r in resid]
+    sse_2 = sum(v * v for v in pred2)
+    assert sse_1 < sse_const and sse_2 < sse_1
