@@ -193,6 +193,8 @@ HEADLINE = [
     "q_js_divergence",
     "q_logrank_test",
     "q_boosted_stumps",
+    "q_mutual_information",
+    "q_brier_decomposition",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -3087,3 +3087,89 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- mutual-information feature ranking -------------------------------------------
+
+
+def _mi_sql(xexpr: str, fname: str) -> str:
+    from platform_etl_backend_spark.functions.portable_math import (
+        duck_portable_ln_ratio,
+    )
+
+    ln = duck_portable_ln_ratio("cxy * nn", "cx * cy")
+    return f"""
+    SELECT '{fname}' AS feature,
+           ROUND(CAST(SUM(CAST(ROUND({ln} * (CAST(cxy AS DOUBLE) / nn), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6) AS mi_nats
+    FROM (
+      SELECT c.cxy, x.cx, y.cy, g.nn
+      FROM (SELECT {xexpr} AS x,
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END AS y,
+                   CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM orders GROUP BY 1, 2) c
+      JOIN (SELECT {xexpr} AS x, CAST(COUNT(*) AS BIGINT) AS cx
+            FROM orders GROUP BY 1) x ON c.x = x.x
+      JOIN (SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END AS y,
+                   CAST(COUNT(*) AS BIGINT) AS cy
+            FROM orders GROUP BY 1) y ON c.y = y.y
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM orders) g)
+    """
+
+
+@register(
+    "q_mutual_information",
+    oracle=f"""
+    {_mi_sql("CAST(FLOOR(o_totalprice / 50000) AS BIGINT)", "price_bin")}
+    UNION ALL
+    {_mi_sql("CAST(MONTH(o_orderdate) AS BIGINT)", "order_month")}
+    ORDER BY feature
+    """,
+    description="mutual-information feature ranking against the urgent-"
+    "priority label (the filter-method feature selector beside "
+    "q_gini_split's embedded split and q_target_encoding's encoding): "
+    "MI(X;Y) = Σ (c_xy/N)·ln(c_xy·N / (c_x·c_y)) per feature — every log "
+    "an exact integer ratio on the engine-portable ln, contributions "
+    "rounded then decimal-summed (order-free); binned price vs order "
+    "month, one row per feature. SCALE: per feature one (x,y) rollup + "
+    "two broadcast marginal joins — map-side after the rollups; the "
+    "per-feature loop is the embarrassingly parallel axis of a "
+    "1000-feature selection pass",
+    tags=("relational", "ml-prep", "feature-selection"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    o = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_bin"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    ).persist()
+
+    def mi(xcol: str) -> DataFrame:
+        c = o.groupBy(F.col(xcol).alias("x"), "y").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cxy")
+        )
+        mx = o.groupBy(F.col(xcol).alias("x")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cx")
+        )
+        my = o.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cy"))
+        g = o.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+        contrib = F.round(
+            portable_ln_ratio(F.col("cxy") * F.col("nn"), F.col("cx") * F.col("cy"))
+            * (F.col("cxy").cast("double") / F.col("nn")),
+            9,
+        ).cast("decimal(18,9)")
+        return (
+            c.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(g))
+            .agg(F.round(F.sum(contrib).cast("double"), 6).alias("mi_nats"))
+            .select(F.lit(xcol).alias("feature"), "mi_nats")
+        )
+
+    return mi("price_bin").unionByName(mi("order_month")).orderBy("feature")

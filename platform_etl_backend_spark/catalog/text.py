@@ -4724,3 +4724,117 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * ((2 * 1000000 * ABS(num) + den) div (2 * den)) AS BIGINT)"
         " AS kappa_micro",
     )
+
+
+# --- Brier score decomposition -----------------------------------------------------
+
+
+@register(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH {_qc_scored_ctes()},
+    pr AS (SELECT doc_id, label,
+                  (0.5 + 0.5 * (CAST(score AS DOUBLE) / 1000000)
+                         / (1 + abs(CAST(score AS DOUBLE) / 1000000))) AS prob,
+                  NTILE(10) OVER (ORDER BY score, doc_id) AS bin
+           FROM p),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS npos
+          FROM pr),
+    bs AS (SELECT SUM(CAST(ROUND((prob - label) * (prob - label), 9)
+                           AS DECIMAL(18,9))) AS sq
+           FROM pr),
+    pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                  SUM(CAST(ROUND(prob, 9) AS DECIMAL(18,9))) AS confsum,
+                  CAST(SUM(label) AS BIGINT) AS accsum
+           FROM pr GROUP BY bin),
+    terms AS (
+      SELECT CAST(ROUND(nb * ((CAST(confsum AS DOUBLE) / nb)
+                              - (CAST(accsum AS DOUBLE) / nb))
+                           * ((CAST(confsum AS DOUBLE) / nb)
+                              - (CAST(accsum AS DOUBLE) / nb)), 9)
+                  AS DECIMAL(18,9)) AS rel_t,
+             CAST(ROUND(nb * ((CAST(accsum AS DOUBLE) / nb)
+                              - (CAST((SELECT npos FROM g) AS DOUBLE)
+                                 / (SELECT n FROM g)))
+                           * ((CAST(accsum AS DOUBLE) / nb)
+                              - (CAST((SELECT npos FROM g) AS DOUBLE)
+                                 / (SELECT n FROM g))), 9)
+                  AS DECIMAL(18,9)) AS res_t
+      FROM pb)
+    SELECT (SELECT n FROM g) AS n,
+           ROUND(CAST((SELECT sq FROM bs) AS DOUBLE) / (SELECT n FROM g), 6)
+             AS brier,
+           ROUND(CAST(SUM(rel_t) AS DOUBLE) / (SELECT n FROM g), 6)
+             AS reliability,
+           ROUND(CAST(SUM(res_t) AS DOUBLE) / (SELECT n FROM g), 6)
+             AS resolution,
+           ROUND((CAST((SELECT npos FROM g) AS DOUBLE) / (SELECT n FROM g))
+                 * (1 - CAST((SELECT npos FROM g) AS DOUBLE)
+                        / (SELECT n FROM g)), 6) AS uncertainty
+    FROM terms
+    """,
+    description="Brier score + Murphy (1973) decomposition for the "
+    "quality classifier: probabilities from the integer micro logit via "
+    "the Elliott sigmoid (IEEE-exact — the q_logreg_gd activation, no "
+    "libm exp), score-decile bins by the SAME tie-broken NTILE as "
+    "q_calibration_bins (two-pass distributed rank on the Spark side), "
+    "Brier = REL - RES + UNC with reliability/resolution/uncertainty "
+    "each a rounded-then-decimal-summed fixed-order expression — the "
+    "pytest asserts the decomposition identity numerically. SCALE: one "
+    "two-pass ntile + a 10-bin rollup + scalar frames",
+    tags=("text", "quality", "ml-eval", "calibration"),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_ntile
+
+    p = _qc_scored_spark(spark, sf_dir)
+    z = F.col("score").cast("double") / 1000000
+    binned = two_pass_ntile(
+        p.select("doc_id", "label", "score"), ["score", "doc_id"], 10,
+        bucket_col="bin",
+    ).select(
+        "label", "bin",
+        (0.5 + 0.5 * (F.col("score").cast("double") / 1000000)
+         / (1 + F.abs(F.col("score").cast("double") / 1000000))).alias("prob"),
+    ).localCheckpoint()  # feeds the global frame, the brier sum, and bins
+    g = binned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("npos"),
+    )
+    bs = binned.agg(
+        F.sum(
+            F.round((F.col("prob") - F.col("label"))
+                    * (F.col("prob") - F.col("label")), 9).cast("decimal(18,9)")
+        ).alias("sq")
+    )
+    pb = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.round("prob", 9).cast("decimal(18,9)")).alias("confsum"),
+        F.sum("label").cast("bigint").alias("accsum"),
+    )
+    ybar = F.col("npos").cast("double") / F.col("n")
+    conf_b = F.col("confsum").cast("double") / F.col("nb")
+    acc_b = F.col("accsum").cast("double") / F.col("nb")
+    terms = pb.crossJoin(F.broadcast(g)).select(
+        F.round(F.col("nb") * (conf_b - acc_b) * (conf_b - acc_b), 9)
+        .cast("decimal(18,9)").alias("rel_t"),
+        F.round(F.col("nb") * (acc_b - ybar) * (acc_b - ybar), 9)
+        .cast("decimal(18,9)").alias("res_t"),
+    )
+    return (
+        terms.agg(
+            F.sum("rel_t").alias("rel_s"), F.sum("res_t").alias("res_s")
+        )
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "n",
+            F.round(F.col("sq").cast("double") / F.col("n"), 6).alias("brier"),
+            F.round(F.col("rel_s").cast("double") / F.col("n"), 6)
+            .alias("reliability"),
+            F.round(F.col("res_s").cast("double") / F.col("n"), 6)
+            .alias("resolution"),
+            F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+        )
+    )

@@ -567,3 +567,52 @@ def test_boosted_stumps_matches_python_and_reduces_sse(spark, sf_dir):
     pred2 = [(r - (ml2 if d <= t2 else mr2)) for d, r in resid]
     sse_2 = sum(v * v for v in pred2)
     assert sse_1 < sse_const and sse_2 < sse_1
+
+
+def test_mutual_information_matches_python_model(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {r["feature"]: r["mi_nats"]
+           for r in QUERIES["q_mutual_information"].fn(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bin",
+        "CAST(MONTH(o_orderdate) AS BIGINT) AS order_month",
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y",
+    ).collect()
+    n = len(rows)
+    for feat in ("price_bin", "order_month"):
+        cxy = Counter((r[feat], r["y"]) for r in rows)
+        cx = Counter(r[feat] for r in rows)
+        cy = Counter(r["y"] for r in rows)
+        mi = sum(
+            (c / n) * math.log((c * n) / (cx[x] * cy[y]))
+            for (x, y), c in cxy.items()
+        )
+        assert abs(got[feat] - mi) < 1e-5, feat
+        assert got[feat] >= 0
+    # price actually predicts urgency-by-price-threshold better than month?
+    # (no assertion on ordering — priorities are uniform in TPC-H data; the
+    # pin is the exact MI values themselves)
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy: Brier == REL - RES + UNC (up to the documented 9dp term
+    rounding and 10-bin within-bin variance, which the decomposition
+    absorbs into REL/RES exactly when acc/conf are bin means)."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_brier_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= got["brier"] <= 1
+    assert got["reliability"] >= 0 and got["resolution"] >= 0
+    assert 0 <= got["uncertainty"] <= 0.25 + 1e-9
+    # identity holds only up to within-bin variance of prob (conf is a
+    # bin MEAN) — allow that slack but require the right ballpark
+    lhs = got["brier"]
+    rhs = got["reliability"] - got["resolution"] + got["uncertainty"]
+    assert abs(lhs - rhs) < 0.05, (lhs, rhs)
+    # and the classifier must be better than climatology: RES > REL means
+    # skill; at minimum brier below uncertainty (some skill)
+    assert got["brier"] < got["uncertainty"] + 0.05
