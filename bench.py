@@ -195,6 +195,8 @@ HEADLINE = [
     "q_boosted_stumps",
     "q_mutual_information",
     "q_brier_decomposition",
+    "q_tree_depth2",
+    "q_ngram_novelty",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -91,11 +91,13 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   this round) and q_quantile_normalize (reference ranks now two-pass);
 #   output values are oracle-identical, but a changed plan earns a
 #   fresh driver slot per the round-4 protocol;
-# - 25 pad slots: the oldest never-twice-checked rows (round-1-checked,
-#   alphabetical — deterministic).
-# r07 green => every query registered before round 7 has cumulative
-# driver evidence and the oldest single-check rows start their second
-# pass.
+# - the 12 round-7 session-2/3 additions (zero driver evidence — they
+#   outrank once-checked pads);
+# - 13 pad slots: the oldest never-twice-checked rows (round-1-checked,
+#   alphabetical — deterministic; the rest of that cohort returns in
+#   round 8).
+# r07 green => EVERY registered query has cumulative driver evidence
+# and the oldest single-check rows start their second pass.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -137,20 +139,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_full_outer",
     "q_global_agg",
     "q_global_rank_multiplier",
-    "q_harmonic_scores",
-    "q_hash_sample",
-    "q_intersect_nations",
-    "q_join_lut_broadcast",
-    "q_join_multi",
-    "q_json_extract",
-    "q_latest_order_per_customer",
-    "q_lead_lag",
-    # round-7 session-2 additions (zero driver evidence — they outrank
-    # the remaining once-checked pads)
+    # round-7 session-2/3 additions (zero driver evidence — they outrank
+    # the remaining once-checked pads, which return in round 8)
     "q_logreg_gd",
     "q_negative_sampling",
     "q_cohens_kappa",
     "q_conformal_interval",
+    "q_psi_drift",
+    "q_js_divergence",
+    "q_logrank_test",
+    "q_boosted_stumps",
+    "q_mutual_information",
+    "q_brier_decomposition",
+    "q_tree_depth2",
+    "q_ngram_novelty",
 )
 
 

@@ -3173,3 +3173,158 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return mi("price_bin").unionByName(mi("order_month")).orderBy("feature")
+
+
+# --- depth-2 CART tree -------------------------------------------------------------
+
+
+@register(
+    "q_tree_depth2",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice AS x1, CAST(MONTH(o_orderdate) AS BIGINT) AS x2,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders),
+    pts AS (SELECT x1 AS x, CAST(SUM(y) AS BIGINT) AS p,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+            FROM base GROUP BY x1),
+    cum AS (SELECT x, CAST(SUM(p) OVER w AS BIGINT) AS cp,
+                   CAST(SUM(q) OVER w AS BIGINT) AS cq,
+                   CAST(SUM(p) OVER () AS BIGINT) AS tp,
+                   CAST(SUM(q) OVER () AS BIGINT) AS tq
+            FROM pts WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)),
+    root AS (
+      SELECT x AS thr FROM (
+        SELECT x, cp, cq, tp, tq,
+               (CAST(cp + cq AS DOUBLE)
+                - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))
+               + (CAST((tp + tq) - (cp + cq) AS DOUBLE)
+                  - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq)
+                         AS DOUBLE) / CAST((tp + tq) - (cp + cq) AS DOUBLE))
+                 AS score
+        FROM cum WHERE (tp + tq) - (cp + cq) > 0)
+      ORDER BY score, thr LIMIT 1),
+    sided AS (
+      SELECT CASE WHEN b.x1 <= r.thr THEN 0 ELSE 1 END AS side, b.x2, b.y
+      FROM base b, root r),
+    pts2 AS (SELECT side, x2 AS x, CAST(SUM(y) AS BIGINT) AS p,
+                    CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+             FROM sided GROUP BY side, x2),
+    cum2 AS (SELECT side, x,
+                    CAST(SUM(p) OVER w AS BIGINT) AS cp,
+                    CAST(SUM(q) OVER w AS BIGINT) AS cq,
+                    CAST(SUM(p) OVER (PARTITION BY side) AS BIGINT) AS tp,
+                    CAST(SUM(q) OVER (PARTITION BY side) AS BIGINT) AS tq
+             FROM pts2 WINDOW w AS (PARTITION BY side ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)),
+    sc2 AS (
+      SELECT side, x AS thr2, cp + cq AS nl, (tp + tq) - (cp + cq) AS nr,
+             cp AS pos_left, tp - cp AS pos_right,
+             (CAST(cp + cq AS DOUBLE)
+              - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))
+             + (CAST((tp + tq) - (cp + cq) AS DOUBLE)
+                - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq)
+                       AS DOUBLE) / CAST((tp + tq) - (cp + cq) AS DOUBLE))
+               AS score,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY
+               (CAST(cp + cq AS DOUBLE)
+                - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))
+               + (CAST((tp + tq) - (cp + cq) AS DOUBLE)
+                  - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq)
+                         AS DOUBLE) / CAST((tp + tq) - (cp + cq) AS DOUBLE)),
+               x) AS rn
+      FROM cum2 WHERE (tp + tq) - (cp + cq) > 0)
+    SELECT CAST(s.side AS INTEGER) AS side, r.thr AS root_threshold,
+           CAST(s.thr2 AS BIGINT) AS month_threshold,
+           CAST(s.nl AS BIGINT) AS n_left, CAST(s.nr AS BIGINT) AS n_right,
+           CAST(s.pos_left AS BIGINT) AS pos_left,
+           CAST(s.pos_right AS BIGINT) AS pos_right,
+           s.score AS weighted_gini_x_n
+    FROM sc2 s, root r WHERE s.rn = 1 ORDER BY side
+    """,
+    description="depth-2 CART tree fit: the q_gini_split root search on "
+    "order price, then the best month split WITHIN EACH SIDE — the "
+    "per-node axis of a distributed tree fit made explicit: level-2 "
+    "windows are PARTITIONED BY side (key-parallel; frame bounded by "
+    "the 12-month calendar per side), root threshold rides a 1-row "
+    "broadcast, per-side argmin by (score, threshold) row_number. Same "
+    "exact integer prefix-sum Gini machinery as the root (root's "
+    "distinct-price prefix sums via the two-pass distributed cumsum). "
+    "SCALE: one rollup + cumsum per LEVEL (not per node) — level-"
+    "synchronous tree building, the classic distributed CART shape",
+    tags=("relational", "ml-train", "tree"),
+)
+def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_cumsum
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    ).persist()
+    pts = o.groupBy(F.col("x1").alias("x")).agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("q"),
+    )
+    cum = two_pass_cumsum(pts, ["x"], ["p", "q"], total_prefix="tot_").select(
+        "x", F.col("cum_p").alias("cp"), F.col("cum_q").alias("cq"),
+        F.col("tot_p").alias("tp"), F.col("tot_q").alias("tq"),
+    )
+    gini = (
+        "(CAST(cp + cq AS DOUBLE)"
+        " - CAST(cp * cp + cq * cq AS DOUBLE) / CAST(cp + cq AS DOUBLE))"
+        " + (CAST((tp + tq) - (cp + cq) AS DOUBLE)"
+        "    - CAST((tp - cp) * (tp - cp) + (tq - cq) * (tq - cq) AS DOUBLE)"
+        "      / CAST((tp + tq) - (cp + cq) AS DOUBLE))"
+    )
+    root = (
+        cum.where((F.col("tp") + F.col("tq")) - (F.col("cp") + F.col("cq")) > 0)
+        .selectExpr("x AS thr", f"{gini} AS score")
+        .orderBy("score", "thr").limit(1).select("thr")
+    )
+    sided = o.crossJoin(F.broadcast(root)).select(
+        F.when(F.col("x1") <= F.col("thr"), 0).otherwise(1).alias("side"),
+        "x2", "y",
+    )
+    pts2 = sided.groupBy("side", F.col("x2").alias("x")).agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("side").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("side")
+    cum2 = pts2.select(
+        "side", "x",
+        F.sum("p").over(w).cast("bigint").alias("cp"),
+        F.sum("q").over(w).cast("bigint").alias("cq"),
+        F.sum("p").over(wt).cast("bigint").alias("tp"),
+        F.sum("q").over(wt).cast("bigint").alias("tq"),
+    )
+    sc2 = cum2.where(
+        (F.col("tp") + F.col("tq")) - (F.col("cp") + F.col("cq")) > 0
+    ).selectExpr(
+        "side", "x AS thr2", "cp + cq AS nl", "(tp + tq) - (cp + cq) AS nr",
+        "cp AS pos_left", "tp - cp AS pos_right", f"{gini} AS score",
+    )
+    wr = Window.partitionBy("side").orderBy("score", "thr2")
+    return (
+        sc2.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .crossJoin(F.broadcast(root))
+        .selectExpr(
+            "CAST(side AS INTEGER) AS side",
+            "thr AS root_threshold",
+            "CAST(thr2 AS BIGINT) AS month_threshold",
+            "CAST(nl AS BIGINT) AS n_left", "CAST(nr AS BIGINT) AS n_right",
+            "CAST(pos_left AS BIGINT) AS pos_left",
+            "CAST(pos_right AS BIGINT) AS pos_right",
+            "score AS weighted_gini_x_n",
+        )
+        .orderBy("side")
+    )

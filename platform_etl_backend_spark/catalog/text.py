@@ -4838,3 +4838,58 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
         )
     )
+
+
+# --- n-gram novelty ----------------------------------------------------------------
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    per AS (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f ON s.shingle = f.shingle
+      GROUP BY s.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_types, n_novel,
+           CAST((2 * 1000000 * n_novel + n_types) // (2 * n_types)
+                AS BIGINT) AS novelty_micro
+    FROM per ORDER BY doc_id
+    """,
+    description="per-document n-gram novelty: the share of a doc's "
+    "distinct word trigrams whose corpus-wide FIRST occurrence (min "
+    "doc_id — the ingestion-order convention) is this document. The "
+    "training-curriculum diversity signal: a stream of near-zero-novelty "
+    "docs is a crawl loop; high novelty marks content worth keeping "
+    "(complements q_dup_spans' memorization view). Micro share is "
+    "round-half-away integer arithmetic (the q_stupid_backoff rule). "
+    "SCALE: shingle-keyed min rollup + one shingle-keyed join back + a "
+    "doc-keyed rollup — all content-hash shuffles, no global order, no "
+    "window; the firsts frame is bounded by distinct-shingle count",
+    tags=("text", "dedup", "quality"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_types",
+        "n_novel",
+        F.expr(
+            "CAST((2 * 1000000 * n_novel + n_types) div (2 * n_types) AS BIGINT)"
+        ).alias("novelty_micro"),
+    ).orderBy("doc_id")

@@ -616,3 +616,99 @@ def test_brier_decomposition_identity(spark, sf_dir):
     # and the classifier must be better than climatology: RES > REL means
     # skill; at minimum brier below uncertainty (some skill)
     assert got["brier"] < got["uncertainty"] + 0.05
+
+
+def test_tree_depth2_matches_python_cart(spark, sf_dir):
+    """Depth-2 level-synchronous CART vs a plain-python exhaustive fit:
+    same root threshold, same per-side month thresholds and counts."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {r["side"]: r for r in QUERIES["q_tree_depth2"].fn(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_totalprice AS x1",
+        "CAST(MONTH(o_orderdate) AS BIGINT) AS x2",
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y",
+    ).collect()
+
+    def best_split(pts):
+        # pts: list of (x, y); returns (thr, score) minimizing
+        # n_l*gini_l + n_r*gini_r over thresholds x <= thr; ties -> min thr
+        from collections import Counter
+
+        agg = Counter()
+        for x, y in pts:
+            agg[x] += 0  # ensure key
+        per = {}
+        for x, y in pts:
+            p, q = per.get(x, (0, 0))
+            per[x] = (p + y, q + 1 - y)
+        xs = sorted(per)
+        tp = sum(p for p, _ in per.values())
+        tq = sum(q for _, q in per.values())
+        cp = cq = 0
+        best = None
+        for x in xs:
+            p, q = per[x]
+            cp += p
+            cq += q
+            nl, nr = cp + cq, (tp + tq) - (cp + cq)
+            if nr == 0:
+                continue
+            score = (nl - (cp * cp + cq * cq) / nl) + (
+                nr - ((tp - cp) ** 2 + (tq - cq) ** 2) / nr
+            )
+            if best is None or score < best[1] - 1e-12 or (
+                abs(score - best[1]) <= 1e-12 and x < best[0]
+            ):
+                best = (x, score)
+        return best
+
+    root_thr, _ = best_split([(r["x1"], r["y"]) for r in rows])
+    assert got[0]["root_threshold"] == pytest.approx(root_thr)
+    for side in (0, 1):
+        pts = [
+            (r["x2"], r["y"])
+            for r in rows
+            if (r["x1"] <= root_thr) == (side == 0)
+        ]
+        thr2, score2 = best_split(pts)
+        assert got[side]["month_threshold"] == thr2
+        assert got[side]["weighted_gini_x_n"] == pytest.approx(score2)
+        nl = sum(1 for x, _ in pts if x <= thr2)
+        assert got[side]["n_left"] == nl
+        assert got[side]["n_right"] == len(pts) - nl
+        assert got[side]["pos_left"] == sum(y for x, y in pts if x <= thr2)
+        assert got[side]["pos_right"] == sum(y for x, y in pts if x > thr2)
+
+
+def test_ngram_novelty_matches_python_model(spark, sf_dir):
+    """First-occurrence trigram novelty vs a plain-python model (same
+    whole-doc-when-short rule, round-half-away micro)."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {
+        r["doc_id"]: (r["n_types"], r["n_novel"], r["novelty_micro"])
+        for r in QUERIES["q_ngram_novelty"].fn(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def shingles(text, k=3):
+        toks = text.strip().split()
+        toks = [t for t in toks if t]
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    per = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    first = {}
+    for d in sorted(per):
+        for s in per[d]:
+            first.setdefault(s, d)
+    for d, sh in per.items():
+        n_types = len(sh)
+        n_novel = sum(1 for s in sh if first[s] == d)
+        micro = (2 * 1000000 * n_novel + n_types) // (2 * n_types)
+        assert got[d] == (n_types, n_novel, micro), d
+    assert len(got) == len(per)
