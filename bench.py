@@ -197,6 +197,24 @@ HEADLINE = [
     "q_brier_decomposition",
     "q_tree_depth2",
     "q_ngram_novelty",
+    "q_lorenz_gini",
+    "q_herfindahl",
+    "q_cramers_v",
+    "q_hill_tail_index",
+    "q_heaps_law",
+    "q_naive_bayes",
+    "q_retrieval_eval",
+    "q_pacf",
+    "q_harmonic_centrality",
+    "q_lift_curve",
+    "q_cvm_test",
+    "q_token_fertility",
+    "q_degree_assortativity",
+    "q_distance_distribution",
+    "q_betweenness",
+    "q_ridge_regression",
+    "q_nb_crossval",
+    "q_periodogram",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -4674,3 +4674,313 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# --- partial autocorrelation (PACF, Durbin-Levinson) -------------------------
+
+_PACF_LAGS = 5
+
+
+def _pacf_exprs(lags: int) -> dict[int, str]:
+    """Durbin-Levinson recursion UNROLLED as one generated SQL text per
+    phi_{k,k} over columns rho1..rho{lags} — the same string runs on both
+    engines, so every +,*,/ happens in the identical order (IEEE-exact on
+    identical operands; the q_jaro_winkler generated-text rule). Expression
+    size grows ~3^k — fine for the bounded lag budget, never for unbounded
+    k (document, don't generalize)."""
+    phi: dict[tuple[int, int], str] = {(1, 1): "rho1"}
+    for k in range(2, lags + 1):
+        num = " - ".join(
+            [f"rho{k}"]
+            + [f"(({phi[(k - 1, j)]}) * rho{k - j})" for j in range(1, k)]
+        )
+        den = " - ".join(
+            ["1.0"] + [f"(({phi[(k - 1, j)]}) * rho{j})" for j in range(1, k)]
+        )
+        phi[(k, k)] = f"(({num}) / ({den}))"
+        for j in range(1, k):
+            phi[(k, j)] = (
+                f"(({phi[(k - 1, j)]}) - ({phi[(k, k)]}) * ({phi[(k - 1, k - j)]}))"
+            )
+    return {k: phi[(k, k)] for k in range(1, lags + 1)}
+
+
+_PACF_PHI = _pacf_exprs(_PACF_LAGS)
+
+
+@register(
+    "q_pacf",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ssum
+           FROM days),
+    r AS (
+      SELECT day, CAST((SELECT n FROM st) * s - (SELECT ssum FROM st)
+                       AS DECIMAL(38,0)) AS r
+      FROM days),
+    ld AS (
+      SELECT r,
+             {", ".join(f"LEAD(r, {k}) OVER (ORDER BY day) AS r{k}" for k in range(1, _PACF_LAGS + 1))}
+      FROM r),
+    agg AS (
+      SELECT CAST(SUM(r * r) AS DECIMAL(38,0)) AS den,
+             {", ".join(f"CAST(SUM(r * r{k}) AS DECIMAL(38,0)) AS num{k}" for k in range(1, _PACF_LAGS + 1))}
+      FROM ld),
+    rho AS (
+      SELECT {", ".join(f"CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE) AS rho{k}" for k in range(1, _PACF_LAGS + 1))}
+      FROM agg)
+    {" UNION ALL ".join(f"SELECT CAST({k} AS INTEGER) AS lag, ROUND({_PACF_PHI[k]}, 6) AS pacf FROM rho" for k in range(1, _PACF_LAGS + 1))}
+    ORDER BY lag
+    """,
+    description="partial autocorrelation function (lags 1..5) of the daily "
+    "event-value series — the AR-order identification twin of "
+    "q_acf_multilag (same exact-integer residual pipeline): Durbin-"
+    "Levinson unrolled as ONE generated SQL text per phi_kk over the "
+    "rho_k columns, so both engines run the identical fixed-order IEEE "
+    "expression (the q_jaro_winkler shared-text rule — zero divergence "
+    "surface). SCALE: everything after the map-side daily rollup is a "
+    "1-row scalar frame; expression size is 3^k in the FIXED lag budget",
+    tags=("events", "timeseries", "stats"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = e.groupBy(F.expr("ep div 86400").alias("day")).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("s")
+    )
+    st = days.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("ssum"),
+    )
+    r = days.crossJoin(F.broadcast(st)).select(
+        "day",
+        (F.col("n") * F.col("s") - F.col("ssum")).cast("decimal(38,0)").alias("r"),
+    )
+    w = Window.orderBy("day")
+    ld = r.select(
+        "r",
+        *[F.lead("r", k).over(w).alias(f"r{k}") for k in range(1, _PACF_LAGS + 1)],
+    )
+    agg = ld.agg(
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("den"),
+        *[
+            F.sum(F.col("r") * F.col(f"r{k}")).cast("decimal(38,0)").alias(f"num{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ],
+    )
+    rho = agg.selectExpr(
+        *[
+            f"CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE) AS rho{k}"
+            for k in range(1, _PACF_LAGS + 1)
+        ]
+    )
+    return rho.selectExpr(
+        "stack({n}, {pairs}) AS (lag, pacf)".format(
+            n=_PACF_LAGS,
+            pairs=", ".join(
+                f"CAST({k} AS INT), ROUND({_PACF_PHI[k]}, 6)"
+                for k in range(1, _PACF_LAGS + 1)
+            ),
+        )
+    ).orderBy("lag")
+
+
+# --- Cramer-von Mises two-sample test -----------------------------------------------
+
+
+@register(
+    "q_cvm_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM base GROUP BY event_type, value),
+    r AS (
+      SELECT event_type, cnt,
+             CAST(SUM(cnt_a) OVER wc AS BIGINT) AS cum_a,
+             CAST(SUM(cnt) OVER wc AS BIGINT) AS cum,
+             CAST(SUM(cnt_a) OVER wf AS BIGINT) AS n_a,
+             CAST(SUM(cnt) OVER wf AS BIGINT) AS n
+      FROM g
+      WINDOW wc AS (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type)),
+    d AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             SUM(cnt * (cum_a * (n - n_a) - (cum - cum_a) * n_a)
+                     * (cum_a * (n - n_a) - (cum - cum_a) * n_a)) AS s
+      FROM r GROUP BY event_type, n_a, n - n_a)
+    SELECT event_type, n_a, n_b,
+           ROUND(CAST(s AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST((n_a + n_b) * (n_a + n_b) AS DOUBLE)), 6) AS t_stat
+    FROM d ORDER BY event_type
+    """,
+    description="two-sample Cramer-von Mises test per event type (cohort "
+    "A = even user_id) — the whole-curve companion of q_ks_test (KS sees "
+    "only the max ECDF gap; CvM integrates the squared gap, catching "
+    "distributed small shifts KS misses): T = nm/(n+m)^2 * Sum over all "
+    "pooled points of (F_a - F_b)^2, carried as EXACT integer cross-"
+    "products cnt*(cumA*nB - cumB*nA)^2 (HUGEINT oracle sums / "
+    "DECIMAL(38,0) Spark-side), one final IEEE division chain. SCALE: "
+    "identical shape to q_ks_test — cumulative windows over the "
+    "distinct-value frame after map-side pre-aggregation, shuffle is "
+    "|distinct values|, key-parallel per event type",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type", "cnt",
+        F.sum("cnt_a").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt_a").over(wf).cast("bigint").alias("n_a"),
+        F.sum("cnt").over(wf).cast("bigint").alias("n"),
+    )
+    d = (
+        r.select(
+            "event_type", "n_a", (F.col("n") - F.col("n_a")).alias("n_b"),
+            (
+                F.col("cnt").cast("decimal(19,0)")
+                * (
+                    F.col("cum_a") * (F.col("n") - F.col("n_a"))
+                    - (F.col("cum") - F.col("cum_a")) * F.col("n_a")
+                ).cast("decimal(19,0)")
+                * (
+                    F.col("cum_a") * (F.col("n") - F.col("n_a"))
+                    - (F.col("cum") - F.col("cum_a")) * F.col("n_a")
+                ).cast("decimal(19,0)")
+            ).alias("term"),
+        )
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(F.sum("term").alias("s"))
+    )
+    return d.selectExpr(
+        "event_type", "n_a", "n_b",
+        "ROUND(CAST(s AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        "    * CAST((n_a + n_b) * (n_a + n_b) AS DOUBLE)), 6) AS t_stat",
+    ).orderBy("event_type")
+
+
+# --- fixed-period periodogram -------------------------------------------------------
+
+_PG_PERIODS = (2, 3, 7, 14)
+
+
+def _pg_trig_literals() -> dict[int, tuple[str, str]]:
+    """Per-period cos/sin lookup tables keyed by (day mod p), emitted as
+    shared 12-dp decimal literals (the Benford/NDCG shared-literal rule —
+    a decimal literal parses to the identical double in both engines, so
+    NO engine ever evaluates a transcendental). Returns {p: (cos_case,
+    sin_case)} with CASE expressions over `day % p`."""
+    import math
+
+    out = {}
+    for p in _PG_PERIODS:
+        cos_arms = " ".join(
+            f"WHEN {t} THEN {round(math.cos(2 * math.pi * t / p), 12)!r}"
+            for t in range(p)
+        )
+        sin_arms = " ".join(
+            f"WHEN {t} THEN {round(math.sin(2 * math.pi * t / p), 12)!r}"
+            for t in range(p)
+        )
+        out[p] = (
+            f"(CASE day % {p} {cos_arms} END)",
+            f"(CASE day % {p} {sin_arms} END)",
+        )
+    return out
+
+
+_PG_TRIG = _pg_trig_literals()
+
+
+@register(
+    "q_periodogram",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, value FROM events),
+    days AS (
+      SELECT ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ssum
+           FROM days),
+    r AS (
+      SELECT day, CAST((SELECT n FROM st) * s - (SELECT ssum FROM st)
+                       AS DOUBLE) AS r
+      FROM days),
+    proj AS (
+      {" UNION ALL ".join(
+        f'''SELECT {p} AS period,
+             CAST(round(r * {_PG_TRIG[p][0]}, 3) AS DECIMAL(38,3)) AS c,
+             CAST(round(r * {_PG_TRIG[p][1]}, 3) AS DECIMAL(38,3)) AS sn
+      FROM r''' for p in _PG_PERIODS)}),
+    agg AS (
+      SELECT period, CAST(SUM(c) AS DOUBLE) AS sc, CAST(SUM(sn) AS DOUBLE) AS ss
+      FROM proj GROUP BY period)
+    SELECT CAST(period AS BIGINT) AS period,
+           ROUND(sc * sc + ss * ss, 3) AS power
+    FROM agg ORDER BY period
+    """,
+    description="fixed-period periodogram of the daily event-value series "
+    "(spectral power at candidate cycles 2/3/7/14 days — the cycle "
+    "detector that says WHICH seasonality q_seasonal_indices should "
+    "model): cos/sin ride as per-(day mod p) 12-dp literal lookup "
+    "tables (no engine evaluates a transcendental), residuals use the "
+    "exact-integer scaled identity r_t = n*s_t - S, projections are "
+    "DECIMAL(38,3) contributions (order-free sums), power = c^2 + s^2 "
+    "in one fixed-order IEEE expression. SCALE: map-side daily rollup, "
+    "then a |periods| x |days| bounded frame — no window, no iteration",
+    tags=("events", "timeseries", "stats"),
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = e.groupBy(F.expr("ep div 86400").alias("day")).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("s")
+    )
+    st = days.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("ssum"),
+    )
+    r = days.crossJoin(F.broadcast(st)).select(
+        "day", (F.col("n") * F.col("s") - F.col("ssum")).cast("double").alias("r")
+    )
+    proj = None
+    for p in _PG_PERIODS:
+        cs, sn = _PG_TRIG[p]
+        part = r.selectExpr(
+            f"{p} AS period",
+            f"CAST(round(r * {cs}, 3) AS DECIMAL(38,3)) AS c",
+            f"CAST(round(r * {sn}, 3) AS DECIMAL(38,3)) AS sn",
+        )
+        proj = part if proj is None else proj.unionByName(part)
+    agg = proj.groupBy("period").agg(
+        F.sum("c").cast("double").alias("sc"),
+        F.sum("sn").cast("double").alias("ss"),
+    )
+    return agg.selectExpr(
+        "CAST(period AS BIGINT) AS period",
+        "ROUND(sc * sc + ss * ss, 3) AS power",
+    ).orderBy("period")

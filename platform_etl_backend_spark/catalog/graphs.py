@@ -873,3 +873,336 @@ def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("scc").cast("bigint").alias("scc"),
     ).orderBy("node")
+
+
+# --- harmonic closeness centrality --------------------------------------------------
+
+
+@register(
+    "q_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(s, node, dist) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT w.s, sym.v, w.dist + 1
+      FROM walk w JOIN sym ON sym.u = w.node WHERE w.dist < 8),
+    firsts AS (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS d
+      FROM walk WHERE s <> node GROUP BY s, node)
+    SELECT s AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(MAX(d) AS BIGINT) AS ecc,
+           CAST(SUM((2 * 1000000 + d) // (2 * d)) AS BIGINT) AS harmonic_micro
+    FROM firsts GROUP BY s ORDER BY node
+    """,
+    description="harmonic closeness centrality + eccentricity per node of "
+    "the events co-occurrence graph (the disconnection-robust closeness: "
+    "sum of 1/d over reached nodes, unreachable pairs contribute exactly "
+    "0 instead of poisoning a mean): all-pairs hop distances via the "
+    "(source, node)-keyed multi-BFS BSP (operators/graph.py "
+    "pairwise_hop_distances — one shuffle per round for ALL sources "
+    "together, never per-source jobs), each 1/d term committed as "
+    "round-half-away integer micro so the centrality sum is exact BIGINT "
+    "arithmetic. The oracle walks the same graph with a UNION-distinct "
+    "recursive CTE (path dedup per level — no path-enumeration blowup on "
+    "the dense graph). SCALE: pair frame is O(n * reached) — bounded "
+    "projection graphs or landmark subsets; the max-8-hop budget matches "
+    "both sides",
+    tags=("graph", "iterative", "centrality"),
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import pairwise_hop_distances
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    d = pairwise_hop_distances(sym, max_hops=8)
+    return (
+        d.select("source", F.col("dist").cast("bigint").alias("d"))
+        .groupBy(F.col("source").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.max("d").cast("bigint").alias("ecc"),
+            F.sum(F.expr("(2 * 1000000 + d) div (2 * d)"))
+            .cast("bigint")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("node")
+    )
+
+
+# --- degree assortativity -----------------------------------------------------------
+
+
+@register(
+    "q_degree_assortativity",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(dx) AS sx, SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx
+      FROM pairs)
+    SELECT n AS n_directed_edges,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM m
+    """,
+    description="degree assortativity coefficient of the events "
+    "co-occurrence graph (Newman 2002: the Pearson correlation of "
+    "endpoint degrees over the directed-edge list — positive = hubs link "
+    "hubs, negative = hub-and-spoke; the mixing-structure number that "
+    "predicts how the graph fragments under node loss): both moments "
+    "carried as EXACT integer sums (symmetrized edges make Sx = Sy and "
+    "Sxx = Syy, so the full Pearson collapses to one integer rational), "
+    "one final IEEE division. SCALE: a degree rollup + two degree joins "
+    "+ a scalar agg — no window, no iteration",
+    tags=("graph", "stats"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+        und.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = (
+        sym.join(F.broadcast(deg.selectExpr("node AS u", "d AS dx")), "u")
+        .join(F.broadcast(deg.selectExpr("node AS v", "d AS dy")), "v")
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+    )
+    # a degree-REGULAR graph (the dense sf0.1 projection is complete) has
+    # zero degree variance — assortativity is undefined there, not a crash
+    return m.selectExpr(
+        "n AS n_directed_edges",
+        "CASE WHEN n * sxx - sx * sx <> 0"
+        " THEN ROUND(CAST(n * sxy - sx * sx AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity",
+    )
+
+
+@register(
+    "q_distance_distribution",
+    oracle="""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(s, node, dist) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT w.s, sym.v, w.dist + 1
+      FROM walk w JOIN sym ON sym.u = w.node WHERE w.dist < 8),
+    firsts AS (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS d
+      FROM walk WHERE s <> node GROUP BY s, node),
+    hist AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM firsts GROUP BY d),
+    cum AS (
+      SELECT d, n_pairs,
+             CAST(SUM(n_pairs) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pairs,
+             CAST(SUM(n_pairs) OVER () AS BIGINT) AS tot
+      FROM hist),
+    eff AS (SELECT CAST(MIN(d) AS BIGINT) AS eff_diameter
+            FROM cum WHERE 10 * cum_pairs >= 9 * tot)
+    SELECT d, n_pairs, cum_pairs,
+           CAST((2 * 1000000 * cum_pairs + tot) // (2 * tot) AS BIGINT)
+             AS cum_share_micro,
+           (SELECT eff_diameter FROM eff) AS eff_diameter
+    FROM cum ORDER BY d
+    """,
+    description="pairwise hop-distance distribution + 90th-percentile "
+    "effective diameter of the events co-occurrence graph (the ANF/"
+    "small-world audit — the number that says whether 2 BFS rounds or 6 "
+    "reach the whole graph): reuses the (source, node)-keyed multi-BFS "
+    "frame (operators/graph.pairwise_hop_distances), then a hop-keyed "
+    "rollup; cumulative shares as round-half-away integer micro; the "
+    "hop histogram is diameter-bounded so its cumulative window is a "
+    "bounded frame. SCALE: same as q_harmonic_centrality — pair frame "
+    "O(n * reached), bounded projection graphs / landmark sampling",
+    tags=("graph", "stats", "iterative"),
+)
+def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from platform_etl_backend_spark.operators.graph import pairwise_hop_distances
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    hist = (
+        pairwise_hop_distances(sym, max_hops=8)
+        .groupBy(F.col("dist").cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "d", "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("cum_pairs"),
+        F.sum("n_pairs").over(wt).cast("bigint").alias("tot"),
+    )
+    eff = cum.where(10 * F.col("cum_pairs") >= 9 * F.col("tot")).agg(
+        F.min("d").cast("bigint").alias("eff_diameter")
+    )
+    return (
+        cum.crossJoin(F.broadcast(eff))
+        .selectExpr(
+            "d", "n_pairs", "cum_pairs",
+            "CAST((2 * 1000000 * cum_pairs + tot) div (2 * tot) AS BIGINT)"
+            " AS cum_share_micro",
+            "eff_diameter",
+        )
+        .orderBy("d")
+    )
+
+
+# --- betweenness centrality (Brandes) -----------------------------------------------
+
+_BC_LEVELS = 6
+
+
+def _betweenness_oracle(levels: int = _BC_LEVELS) -> str:
+    """Unrolled Brandes sweeps as MATERIALIZED CTEs (each sig/delta level
+    is referenced 2-3x — plain CTEs would re-expand exponentially, the
+    k-core/EMFILE rule). Mirrors operators/graph.betweenness_centrality
+    term-for-term: BIGINT sigma, ROUND(...,9) DECIMAL(28,9) dependency
+    contributions, one final /2 halving + ROUND 6."""
+    ctes = [
+        """und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50)""",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)",
+        "sig0 AS MATERIALIZED (SELECT node AS s, node AS v,"
+        " CAST(1 AS BIGINT) AS sig FROM nodes)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM sig0)",
+    ]
+    for l in range(1, levels + 1):
+        ctes.append(
+            f"""sig{l} AS MATERIALIZED (
+      SELECT p.s, e.v, CAST(SUM(p.sig) AS BIGINT) AS sig
+      FROM sig{l - 1} p JOIN sym e ON e.u = p.v
+      WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} x
+                        WHERE x.s = p.s AND x.v = e.v)
+      GROUP BY p.s, e.v)"""
+        )
+        ctes.append(
+            f"vis{l} AS MATERIALIZED (SELECT s, v FROM vis{l - 1}"
+            f" UNION ALL SELECT s, v FROM sig{l})"
+        )
+    ctes.append(
+        f"delta{levels} AS MATERIALIZED (SELECT s, v,"
+        f" CAST(0 AS DECIMAL(28,9)) AS dlt FROM sig{levels})"
+    )
+    for l in range(levels - 1, 0, -1):
+        ctes.append(
+            f"""delta{l} AS MATERIALIZED (
+      SELECT pu.s, pu.v,
+             CAST(SUM(CAST(round(CAST(pu.sig AS DOUBLE) / CAST(pv.sig AS DOUBLE)
+                   * (1.0 + CAST(COALESCE(dn.dlt, 0) AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS dlt
+      FROM sig{l} pu JOIN sym e ON e.u = pu.v
+      JOIN sig{l + 1} pv ON pv.s = pu.s AND pv.v = e.v
+      LEFT JOIN delta{l + 1} dn ON dn.s = pv.s AND dn.v = pv.v
+      GROUP BY pu.s, pu.v)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, dlt FROM delta{l}" for l in range(1, levels)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    alldlt AS ({union}),
+    bc AS (SELECT v AS node, SUM(dlt) AS bc FROM alldlt GROUP BY v)
+    SELECT n.node, ROUND(CAST(COALESCE(bc.bc, 0) AS DOUBLE) / 2, 6) AS bc
+    FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node"""
+    )
+
+
+@register(
+    "q_betweenness",
+    oracle=_betweenness_oracle(),
+    description="exact betweenness centrality (Brandes 2001) of the "
+    "events co-occurrence graph — the broker-node ranking (which nodes "
+    "sit on shortest paths; the classic centrality the PageRank/HITS/"
+    "harmonic family was missing): level-synchronous forward sweep "
+    "counts BIGINT shortest-path sigmas per (source, node), backward "
+    "sweep accumulates dependencies with each sigma-ratio term rounded "
+    "to DECIMAL(28,9) BEFORE summing (order-free at any parallelism), "
+    "bc = sum/2 for the undirected halving. Oracle unrolls both sweeps "
+    "as MATERIALIZED CTEs (multi-referenced levels — the EMFILE rule). "
+    "SCALE: exact betweenness is inherently O(n*m) with O(n*reached) "
+    "pair frames — bounded projection graphs, or Brandes-Pich source "
+    "sampling (same plan with a source predicate); the operator RAISES "
+    "on level-budget under-run instead of truncating",
+    tags=("graph", "iterative", "centrality"),
+)
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import betweenness_centrality
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    bc = betweenness_centrality(sym, max_levels=_BC_LEVELS)
+    return bc.select(
+        "node", F.round(F.col("bc").cast("double") / 2, 6).alias("bc")
+    ).orderBy("node")

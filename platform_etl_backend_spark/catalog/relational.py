@@ -3286,6 +3286,10 @@ def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.where((F.col("tp") + F.col("tq")) - (F.col("cp") + F.col("cq")) > 0)
         .selectExpr("x AS thr", f"{gini} AS score")
         .orderBy("score", "thr").limit(1).select("thr")
+        # the 1-row root feeds BOTH the level-2 split and the final output —
+        # cut the lineage or the whole two-pass cumsum chain re-executes
+        # (the q_hits double-consumer rule)
+        .localCheckpoint()
     )
     sided = o.crossJoin(F.broadcast(root)).select(
         F.when(F.col("x1") <= F.col("thr"), 0).otherwise(1).alias("side"),
@@ -3328,3 +3332,373 @@ def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+
+# --- inequality / concentration metrics ---------------------------------------------
+
+
+@register(
+    "q_lorenz_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                                AS BIGINT), 0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS i
+      FROM spend),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS sx, SUM(i * cents) AS sixi
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST((2 * 1000000 * (2 * sixi - (n + 1) * sx) + n * sx)
+                // (2 * n * sx) AS BIGINT) AS gini_micro
+    FROM agg
+    """,
+    description="Gini coefficient of customer spend (the inequality / "
+    "data-skew audit number — the same arithmetic grades label or token "
+    "imbalance in a training corpus): per-customer lifetime spend in exact "
+    "DECIMAL cents (zero-order customers included at 0), global spend rank "
+    "via the TWO-PASS distributed row_number (operators/ranking.py — no "
+    "O(n) single-partition sort anywhere), Gini = (2*Sum(i*x) - (n+1)*"
+    "Sum(x)) / (n*Sum(x)) on exact integer accumulators (DECIMAL(38,0) "
+    "products on the Spark side; the oracle rides DuckDB's HUGEINT), "
+    "emitted as round-half-away integer micro. SCALE: one join-rollup + "
+    "the two-pass rank's two bounded shuffles + a scalar agg",
+    tags=("relational", "stats", "skew"),
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_row_number
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                (F.sum(dec2("o_totalprice")) * 100).cast("bigint"), F.lit(0)
+            ).alias("cents")
+        )
+    )
+    ranked = two_pass_row_number(spend, ["cents", "c_custkey"], rn_col="i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(19,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("sixi"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        "CAST(sx AS BIGINT) AS total_cents",
+        "CAST((2 * 1000000 * (2 * sixi - (n + 1) * sx) + n * sx)"
+        " div (2 * n * sx) AS BIGINT) AS gini_micro",
+    )
+
+
+@register(
+    "q_herfindahl",
+    oracle="""
+    WITH spend AS (
+      SELECT n.n_name, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey),
+    agg AS (
+      SELECT n_name, COUNT(*) AS n_customers,
+             SUM(cents) AS s, SUM(cents * cents) AS s2
+      FROM spend GROUP BY n_name)
+    SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST((2 * 1000000 * s2 + s * s) // (2 * s * s) AS BIGINT)
+             AS hhi_micro
+    FROM agg ORDER BY n_name
+    """,
+    description="Herfindahl-Hirschman concentration index of customer "
+    "spend within each nation (the source-concentration audit: the same "
+    "number flags a training mixture dominated by one domain): per-"
+    "(nation, customer) exact DECIMAL cents, HHI = Sum(share^2) computed "
+    "as Sum(c^2)/S^2 on exact integer accumulators (DECIMAL(38,0) "
+    "squares Spark-side, HUGEINT in the oracle), round-half-away integer "
+    "micro. SCALE: two key-rollups, no window, no global order",
+    tags=("relational", "stats", "skew"),
+)
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    agg = spend.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(19,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    return agg.selectExpr(
+        "n_name",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST((2 * 1000000 * s2 + s * s) div (2 * s * s) AS BIGINT) AS hhi_micro",
+    ).orderBy("n_name")
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS r, CAST(MONTH(o_orderdate) AS BIGINT) AS c,
+             COUNT(*) AS obs
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY c),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM o),
+    grid AS (
+      SELECT rt.r, rt.rn, ct.c, ct.cn, COALESCE(o.obs, 0) AS obs
+      FROM rt CROSS JOIN ct
+      LEFT JOIN o ON o.r = rt.r AND o.c = ct.c),
+    terms AS (
+      SELECT CAST(round(
+               CAST(obs AS DOUBLE) * CAST(obs AS DOUBLE)
+               / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS t
+      FROM grid),
+    dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr,
+                    (SELECT COUNT(*) FROM ct) AS nc)
+    SELECT CAST(nn AS BIGINT) AS n,
+           ROUND(CAST(nn AS DOUBLE) * (CAST(SUM(t) AS DOUBLE) - 1.0), 6)
+             AS chi2,
+           ROUND(sqrt(CAST(nn AS DOUBLE) * (CAST(SUM(t) AS DOUBLE) - 1.0)
+                      / (CAST(nn AS DOUBLE)
+                         * ((SELECT LEAST(nr, nc) FROM dims) - 1))), 6)
+             AS cramers_v
+    FROM terms, n GROUP BY nn, (SELECT LEAST(nr, nc) FROM dims)
+    """,
+    description="Cramer's V association strength between order priority "
+    "and order month (the categorical-feature redundancy screen beside "
+    "q_mutual_information): chi-square via the identity chi2 = "
+    "n*(Sum obs^2/(r*c) - 1) — zero cells contribute exactly 0 to the "
+    "sum, so the margin cross-grid needs no imputation — per-cell terms "
+    "as fixed-order IEEE doubles rounded to DECIMAL(28,9) contributions "
+    "(order-free sum), V = sqrt(chi2/(n*(min(r,c)-1))) with the "
+    "correctly-rounded IEEE sqrt. SCALE: one rollup + two tiny margin "
+    "frames broadcast back onto the bounded cell grid",
+    tags=("relational", "stats", "ml-eval"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("r"),
+            F.month("o_orderdate").cast("bigint").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = o.groupBy("r").agg(F.sum("obs").cast("bigint").alias("rn"))
+    ct = o.groupBy("c").agg(F.sum("obs").cast("bigint").alias("cn"))
+    nn = o.agg(F.sum("obs").cast("bigint").alias("nn"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["r", "c"], "left")
+        .select("rn", "cn", F.coalesce(F.col("obs"), F.lit(0)).alias("obs"))
+    )
+    terms = grid.select(
+        F.round(
+            F.col("obs").cast("double") * F.col("obs").cast("double")
+            / (F.col("rn").cast("double") * F.col("cn").cast("double")),
+            9,
+        ).cast("decimal(28,9)").alias("t")
+    )
+    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("nc"))
+    ).select(F.least("nr", "nc").alias("k"))
+    return (
+        terms.agg(F.sum("t").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "CAST(nn AS BIGINT) AS n",
+            "ROUND(CAST(nn AS DOUBLE) * (CAST(s AS DOUBLE) - 1.0), 6) AS chi2",
+            "ROUND(sqrt(CAST(nn AS DOUBLE) * (CAST(s AS DOUBLE) - 1.0)"
+            " / (CAST(nn AS DOUBLE) * (k - 1))), 6) AS cramers_v",
+        )
+    )
+
+
+from platform_etl_backend_spark.functions.portable_math import (  # noqa: E402
+    duck_portable_ln_ratio as _duck_ln,
+)
+
+_HILL_LN = _duck_ln("cents", "m")
+
+
+@register(
+    "q_hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders ORDER BY cents DESC, o_orderkey LIMIT 64),
+    xk AS (SELECT MIN(cents) AS m FROM topk),
+    terms AS (
+      SELECT CAST(round({_HILL_LN}, 9) AS DECIMAL(28,9)) AS t
+      FROM topk, xk)
+    SELECT (SELECT CAST(m AS BIGINT) FROM xk) AS xk_cents,
+           ROUND(CAST(SUM(t) AS DOUBLE) / 63, 6) AS hill_gamma,
+           CASE WHEN SUM(t) > 0
+                THEN ROUND(63 / CAST(SUM(t) AS DOUBLE), 6) END AS hill_alpha
+    FROM terms
+    """,
+    description="Hill estimator of the heavy-tail index of the order-value "
+    "distribution (the extreme-value audit: is the value column "
+    "power-law-tailed, and how fat — the number that decides whether "
+    "mean-based stats are even defined): top-64 order statistics via "
+    "TakeOrderedAndProject (per-partition top-k + driver merge, never a "
+    "global sort), gamma = mean ln(x_i/x_k) over the 63 upper stats on "
+    "the ENGINE-PORTABLE ratio ln (exact integer cents in, "
+    "DECIMAL(28,9) contributions), alpha = 1/gamma. SCALE: k is a "
+    "constant; one bounded top-k + a 64-row fold",
+    tags=("relational", "stats", "tail"),
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    o = table(spark, sf_dir, "orders").select(
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"), "o_orderkey"
+    )
+    topk = o.orderBy(F.desc("cents"), "o_orderkey").limit(64).select("cents")
+    xk = topk.agg(F.min("cents").alias("m"))
+    terms = topk.crossJoin(F.broadcast(xk)).select(
+        "m",
+        F.round(portable_ln_ratio(F.col("cents"), F.col("m")), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+    )
+    return terms.groupBy("m").agg(F.sum("t").alias("s")).selectExpr(
+        "CAST(m AS BIGINT) AS xk_cents",
+        "ROUND(CAST(s AS DOUBLE) / 63, 6) AS hill_gamma",
+        "CASE WHEN s > 0 THEN ROUND(63 / CAST(s AS DOUBLE), 6) END AS hill_alpha",
+    )
+
+
+# --- closed-form ridge regression ---------------------------------------------------
+
+_RIDGE_LAMBDA = 1000
+
+
+def _det3(m: list[list[str]]) -> str:
+    """3x3 determinant as ONE generated fixed-order text over moment
+    columns (the q_jaro_winkler shared-text rule — both engines run the
+    identical IEEE expression)."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+def _ridge_selects() -> str:
+    """Shared final projection: Cramer's rule on the penalized normal
+    equations (intercept unpenalized — the standard ridge convention)."""
+    lam = f"CAST({_RIDGE_LAMBDA} AS DOUBLE)"
+    cols = {
+        "n": "CAST(n AS DOUBLE)", "sx1": "CAST(sx1 AS DOUBLE)",
+        "sx2": "CAST(sx2 AS DOUBLE)", "sy": "CAST(sy AS DOUBLE)",
+        "s11": f"(CAST(s11 AS DOUBLE) + {lam})",
+        "s22": f"(CAST(s22 AS DOUBLE) + {lam})",
+        "s12": "CAST(s12 AS DOUBLE)",
+        "s1y": "CAST(s1y AS DOUBLE)", "s2y": "CAST(s2y AS DOUBLE)",
+    }
+    m = [
+        [cols["n"], cols["sx1"], cols["sx2"]],
+        [cols["sx1"], cols["s11"], cols["s12"]],
+        [cols["sx2"], cols["s12"], cols["s22"]],
+    ]
+    rhs = [cols["sy"], cols["s1y"], cols["s2y"]]
+    det = _det3(m)
+    outs = []
+    for j, name in enumerate(("beta0", "beta1", "beta2")):
+        mj = [row[:] for row in m]
+        for r in range(3):
+            mj[r][j] = rhs[r]
+        outs.append(f"ROUND({_det3(mj)} / {det}, 6) AS {name}")
+    return (
+        "SELECT CAST(n AS BIGINT) AS n, "
+        + f"CAST({_RIDGE_LAMBDA} AS BIGINT) AS lambda, "
+        + ", ".join(outs)
+    )
+
+
+@register(
+    "q_ridge_regression",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+             SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM base)
+    {_ridge_selects()}
+    FROM mom
+    """,
+    description="closed-form ridge regression (price-cents ~ quantity + "
+    "discount-pct, lambda = 1000, intercept unpenalized): all nine "
+    "moments are EXACT integer sums off one map-side pass (HUGEINT "
+    "oracle / DECIMAL(38,0)-class Spark headroom), the penalized 3x3 "
+    "normal equations solved by Cramer's rule as ONE generated fixed-"
+    "order IEEE text shared verbatim by both engines — the distributed-"
+    "training shape where the NETWORK sees only d^2 numbers however "
+    "large the data (the same moment-sketch contract as q_ols_by_group/"
+    "q_embedding_covariance). SCALE: one scan, one scalar agg, zero "
+    "windows/joins",
+    tags=("relational", "ml-train", "regression"),
+)
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (dec2("l_discount") * 100).cast("bigint").alias("x2"),
+        (dec2("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x1").cast("decimal(19,0)")).alias("sx1"),
+        F.sum(F.col("x2").cast("decimal(19,0)")).alias("sx2"),
+        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"),
+        F.sum(F.col("x1").cast("decimal(19,0)") * F.col("x1").cast("decimal(19,0)")).alias("s11"),
+        F.sum(F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)")).alias("s22"),
+        F.sum(F.col("x1").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)")).alias("s12"),
+        F.sum(F.col("x1").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("s2y"),
+    )
+    return mom.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"CAST({_RIDGE_LAMBDA} AS BIGINT) AS lambda",
+        *_ridge_outs(),
+    )
+
+
+def _ridge_outs() -> list[str]:
+    """The three beta projections from _ridge_selects, as a list."""
+    sel = _ridge_selects()
+    body = sel.split("AS lambda, ", 1)[1]
+    # split on ', ROUND' boundaries, re-prefixing
+    parts = body.split(", ROUND(")
+    return [parts[0]] + ["ROUND(" + p for p in parts[1:]]

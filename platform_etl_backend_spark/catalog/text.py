@@ -3078,10 +3078,14 @@ _WP_STEPS = 8
 _WP_MAXLEN = 6
 
 
-def _wordpiece_sql(source_cte: str, contains: str) -> str:
+def _wordpiece_sql(
+    source_cte: str, contains: str, final: str | None = None
+) -> str:
     """Shared unrolled greedy-match SQL (runs verbatim on Spark SQL and
     DuckDB; only the vocabulary-membership syntax differs). ``contains``
-    is a format string with one ``{piece}`` hole."""
+    is a format string with one ``{piece}`` hole. ``final`` overrides the
+    closing SELECT (the _lpa_oracle pattern — q_token_fertility scores the
+    SAME unrolled segmentation); it may reference s{_WP_STEPS}."""
     ctes = [
         source_cte,
         "w1 AS (SELECT word, CAST(1 AS INTEGER) AS pos0, '' AS out0 FROM w0)",
@@ -3116,12 +3120,13 @@ def _wordpiece_sql(source_cte: str, contains: str) -> str:
       FROM m{k})"""
         )
         prev = f"s{k}"
-    final = (
-        f"SELECT word, substr(out{_WP_STEPS}, 2) AS pieces,\n"
-        f"           CAST(length(out{_WP_STEPS})"
-        f" - length(replace(out{_WP_STEPS}, '|', '')) AS INTEGER) AS n_pieces\n"
-        f"    FROM {prev} ORDER BY word"
-    )
+    if final is None:
+        final = (
+            f"SELECT word, substr(out{_WP_STEPS}, 2) AS pieces,\n"
+            f"           CAST(length(out{_WP_STEPS})"
+            f" - length(replace(out{_WP_STEPS}, '|', '')) AS INTEGER) AS n_pieces\n"
+            f"    FROM {prev} ORDER BY word"
+        )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + final
 
 
@@ -4893,3 +4898,786 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 1000000 * n_novel + n_types) div (2 * n_types) AS BIGINT)"
         ).alias("novelty_micro"),
     ).orderBy("doc_id")
+
+
+# --- Heaps' law vocabulary growth ---------------------------------------------------
+
+_HEAPS_LN_N = duck_portable_ln_ratio("n_tokens", "1")
+_HEAPS_LN_V = duck_portable_ln_ratio("n_types", "1")
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_T} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle FROM toks),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM lens),
+    cp AS (SELECT j, (j * (SELECT m FROM mx)) // 4 AS thr
+           FROM (SELECT unnest([1, 2, 3, 4]) AS j)),
+    pts AS (
+      SELECT cp.j, cp.thr,
+             (SELECT CAST(SUM(n_tok) AS BIGINT) FROM lens
+              WHERE doc_id < cp.thr) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+              WHERE first_doc < cp.thr) AS n_types
+      FROM cp),
+    logs AS (
+      SELECT j, thr, n_tokens, n_types,
+             CAST(round({_HEAPS_LN_N}, 9) AS DECIMAL(28,9)) AS u,
+             CAST(round({_HEAPS_LN_V}, 9) AS DECIMAL(28,9)) AS v
+      FROM pts),
+    prods AS (
+      SELECT j, thr, n_tokens, n_types, u, v,
+             CAST(round(CAST(u AS DOUBLE) * CAST(v AS DOUBLE), 9)
+                  AS DECIMAL(28,9)) AS uv,
+             CAST(round(CAST(u AS DOUBLE) * CAST(u AS DOUBLE), 9)
+                  AS DECIMAL(28,9)) AS uu
+      FROM logs),
+    ols AS (
+      SELECT ROUND((4 * CAST(SUM(uv) AS DOUBLE)
+                    - CAST(SUM(u) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+                   / (4 * CAST(SUM(uu) AS DOUBLE)
+                      - CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE)), 6)
+               AS beta
+      FROM prods)
+    SELECT CAST(j AS BIGINT) AS checkpoint, CAST(thr AS BIGINT) AS thr_doc,
+           n_tokens, n_types, (SELECT beta FROM ols) AS heaps_beta
+    FROM prods ORDER BY checkpoint
+    """,
+    description="Heaps'-law vocabulary-growth fit over the trigram type "
+    "space (V = K*N^beta — the corpus-health curve: beta collapsing "
+    "toward 0 means the crawl is re-reading itself, the aggregate twin "
+    "of q_ngram_novelty): 4 prefix checkpoints over the doc-id space, "
+    "V(j) counted from the shingle FIRST-OCCURRENCE frame (one min-"
+    "rollup reused across checkpoints — never 4 repeated DISTINCTs), "
+    "N(j) from per-doc token counts, beta by closed-form OLS on the "
+    "portable-ln log-log points (DECIMAL(28,9) contributions). SCALE: "
+    "one shingle min-rollup + one doc-length rollup + a 4-row fit",
+    tags=("text", "quality", "corpus-stats"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(D.ws_tokens("text")).cast("bigint").alias("n_tok")
+    )
+    firsts = (
+        D.exploded_shingles(d, "doc_id", "text", 3)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = lens.agg((F.max("doc_id") + 1).alias("m"))
+    cp = (
+        spark.range(1, 5)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(mx))
+        .select("j", F.expr("(j * m) div 4").alias("thr"))
+    )
+    n_tok = (
+        lens.crossJoin(F.broadcast(cp))
+        .where(F.col("doc_id") < F.col("thr"))
+        .groupBy("j", "thr")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    n_typ = (
+        firsts.crossJoin(F.broadcast(cp))
+        .where(F.col("first_doc") < F.col("thr"))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    pts = n_tok.join(n_typ, "j")
+    logs = pts.select(
+        "j", "thr", "n_tokens", "n_types",
+        F.round(portable_ln_ratio(F.col("n_tokens"), F.lit(1)), 9)
+        .cast("decimal(28,9)").alias("u"),
+        F.round(portable_ln_ratio(F.col("n_types"), F.lit(1)), 9)
+        .cast("decimal(28,9)").alias("v"),
+    )
+    prods = logs.select(
+        "*",
+        F.round(F.col("u").cast("double") * F.col("v").cast("double"), 9)
+        .cast("decimal(28,9)").alias("uv"),
+        F.round(F.col("u").cast("double") * F.col("u").cast("double"), 9)
+        .cast("decimal(28,9)").alias("uu"),
+    )
+    ols = prods.agg(
+        F.expr(
+            "ROUND((4 * CAST(SUM(uv) AS DOUBLE)"
+            " - CAST(SUM(u) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))"
+            " / (4 * CAST(SUM(uu) AS DOUBLE)"
+            " - CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE)), 6)"
+        ).alias("heaps_beta")
+    )
+    return (
+        prods.select(
+            F.col("j").cast("bigint").alias("checkpoint"),
+            F.col("thr").cast("bigint").alias("thr_doc"),
+            "n_tokens", "n_types",
+        )
+        .crossJoin(F.broadcast(ols))
+        .orderBy("checkpoint")
+    )
+
+
+# --- multinomial naive Bayes --------------------------------------------------------
+
+_NB_COST_LN = duck_portable_ln_ratio("c_ws + 1", "tot_s + vocab_n")
+_NB_PRIOR_LN = duck_portable_ln_ratio("n_s", "n_docs")
+# corpus contract: the source label space (testdata generates src0..src19 at
+# every SF). The ORACLE derives classes from the data; the Spark plan uses
+# this literal list only to pivot class scores into columns — a missing
+# class would hash-mismatch at the oracle gate, never pass silently.
+_NB_CLASSES = tuple(f"src{i}" for i in range(20))
+
+
+@register(
+    "q_naive_bayes",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, unnest({_T}) AS w FROM documents),
+    tf AS (SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, source, w),
+    vocab AS (SELECT DISTINCT w FROM tf),
+    vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_n FROM vocab),
+    cls AS (SELECT source AS s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_s,
+                   CAST(SUM(tf) AS BIGINT) AS tot_s
+            FROM tf GROUP BY source),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    cw AS (SELECT source AS s, w, CAST(SUM(tf) AS BIGINT) AS c_ws
+           FROM tf GROUP BY source, w),
+    grid AS (
+      SELECT cls.s, v.w, cls.tot_s, COALESCE(cw.c_ws, 0) AS c_ws
+      FROM cls CROSS JOIN vocab v
+      LEFT JOIN cw ON cw.s = cls.s AND cw.w = v.w),
+    cost AS (
+      SELECT s, w,
+             CAST(round({_NB_COST_LN} * 1000000) AS BIGINT) AS cost_micro
+      FROM grid, vn),
+    prior AS (
+      SELECT s, CAST(round({_NB_PRIOR_LN} * 1000000) AS BIGINT) AS prior_micro
+      FROM cls, nd),
+    scores AS (
+      SELECT tf.doc_id, tf.source AS actual, cost.s,
+             CAST(SUM(tf.tf * cost.cost_micro) AS BIGINT)
+               + MIN(prior.prior_micro) AS score
+      FROM tf JOIN cost ON tf.w = cost.w
+      JOIN prior ON prior.s = cost.s
+      GROUP BY tf.doc_id, tf.source, cost.s),
+    pred AS (
+      SELECT doc_id, actual, s AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, s) AS rn
+      FROM scores)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+    description="multinomial naive Bayes source classifier (resubstitution "
+    "confusion matrix — the content-provenance screen: can the token "
+    "mixture identify the source at all, and which sources collapse into "
+    "each other): Laplace-smoothed per-class word log-costs on the "
+    "engine-portable ratio ln, committed at integer micro-nats; scoring "
+    "is pure BIGINT tf*cost sums + class prior; argmax by (score desc, "
+    "class) argmax. SCALE: the cost table pivots to ONE broadcast row "
+    "per word with a literal class column each (hash features per "
+    "q_feature_hashing past ~1e6 cells); per-class scores fold map-side "
+    "in a single doc-keyed rollup — no |tf| x |classes| shuffle fan-out "
+    "— then one greatest() argmax and the bounded confusion rollup",
+    tags=("text", "ml-train", "classification"),
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(D.ws_tokens("text")).alias("w")
+    )
+    # toks deliberately NOT persisted: re-scanning + re-exploding the
+    # columnar scan is cheaper than materializing 3.8M exploded rows
+    # (measured 4.9 s vs 6.1 s quiet at sf0.1)
+    # Every doc contributes >= 1 token (split of a trimmed string is never
+    # an empty list on either engine), so the oracle's COUNT(DISTINCT
+    # doc_id) frames collapse to plain doc counts — computed from the
+    # 1-row-per-doc table, never by shuffling the token frame.
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # class-conditional counts aggregate MAP-SIDE to |classes| x |vocab|
+    # rows straight off the token scan — no pass over the tf frame
+    cw = toks.groupBy(F.col("source").alias("s"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ws")
+    ).persist()
+    vocab = cw.select("w").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_n"))
+    cls = cw.groupBy("s").agg(F.sum("c_ws").cast("bigint").alias("tot_s")).join(
+        d.groupBy(F.col("source").alias("s")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s")
+        ),
+        "s",
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    grid = (
+        cls.crossJoin(vocab)
+        .join(cw, ["s", "w"], "left")
+        .select(
+            "s", "w", "tot_s", F.coalesce(F.col("c_ws"), F.lit(0)).alias("c_ws")
+        )
+    )
+    cost = grid.crossJoin(F.broadcast(vn)).select(
+        "s", "w",
+        F.round(
+            portable_ln_ratio(
+                F.col("c_ws") + 1, F.col("tot_s") + F.col("vocab_n")
+            ) * 1000000,
+            0,
+        ).cast("bigint").alias("cost_micro"),
+    )
+    prior = cls.crossJoin(F.broadcast(nd)).select(
+        "s",
+        F.round(
+            portable_ln_ratio(F.col("n_s"), F.col("n_docs")) * 1000000, 0
+        ).cast("bigint").alias("prior_micro"),
+    )
+    # Scoring plan: pivot the cost table to ONE broadcast row per word with
+    # a literal class-column per source (_NB_CLASSES is a corpus contract,
+    # like _RAG_QUERIES/_HRW_BASE) — the per-class sums then fold map-side
+    # in a single doc-keyed rollup of |tf| skinny rows, instead of
+    # exploding a |tf| x |classes| fan-out through the shuffle (first
+    # formulation measured 6.5 s quiet at sf0.1; this shape is 4 jobs and
+    # 2 data shuffles). Argmax over the literal columns is one greatest()
+    # of (score, -idx, name) structs — classes sorted ascending so the
+    # (score DESC, s ASC) oracle tie-break is reproduced exactly.
+    classes = sorted(_NB_CLASSES)
+    costp = (
+        cost.groupBy("w")
+        .pivot("s", classes)
+        .agg(F.first("cost_micro"))
+        .select("w", *[F.col(s).alias(f"c_{s}") for s in classes])
+    )
+    priorp = prior.groupBy().pivot("s", classes).agg(F.first("prior_micro")).select(
+        *[F.col(s).alias(f"p_{s}") for s in classes]
+    )
+    per_doc = (
+        tf.join(F.broadcast(costp), "w")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"c_{s}")).cast("bigint").alias(f"s_{s}")
+                for s in classes
+            ]
+        )
+        .join(d.select("doc_id", F.col("source").alias("actual")), "doc_id")
+        .crossJoin(F.broadcast(priorp))
+    )
+    best = F.greatest(
+        *[
+            F.struct(
+                (F.col(f"s_{s}") + F.col(f"p_{s}")).alias("score"),
+                F.lit(-i).alias("ni"),
+                F.lit(s).alias("s"),
+            )
+            for i, s in enumerate(classes)
+        ]
+    )
+    return (
+        per_doc.select("actual", best.getField("s").alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+# --- retrieval-quality eval (NDCG / MRR / precision@k) ------------------------------
+
+_REVAL_TERMS = (
+    "spark", "join", "window", "hash", "stream", "vector", "filter", "merge",
+)
+_REVAL_K1, _REVAL_B, _REVAL_TOPK = 1.2, 0.75, 10
+# 1/log2(rank+1) gain discounts as shared 12-dp literals (the Benford
+# shared-literal rule: a decimal literal parses to the same double in both
+# engines, so no engine ever evaluates a transcendental here)
+import math as _math  # noqa: E402
+
+_REVAL_W = tuple(round(1.0 / _math.log2(i + 1), 12) for i in range(1, _REVAL_TOPK + 1))
+_REVAL_W_SQL = ", ".join(f"({i + 1}, {w!r})" for i, w in enumerate(_REVAL_W))
+_REVAL_IDF = duck_portable_ln_ratio("2 * n_docs + 2", "2 * df + 1")
+
+
+@register(
+    "q_retrieval_eval",
+    oracle=f"""
+    WITH q(term) AS (SELECT unnest({list(_REVAL_TERMS)!r})),
+    toks AS (SELECT doc_id, unnest({_T}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    scored AS (
+      SELECT q.term, tf.doc_id, tf.tf,
+             CASE WHEN tf.tf >= 4 THEN 3 WHEN tf.tf >= 2 THEN 1 ELSE 0 END AS rel,
+             ROUND({_REVAL_IDF}
+                   * (tf.tf * ({_REVAL_K1} + 1))
+                   / (tf.tf + {_REVAL_K1} * (1 - {_REVAL_B}
+                      + {_REVAL_B} * dl.dl / avgdl)), 6) AS score
+      FROM q JOIN tf ON q.term = tf.w
+      JOIN dfreq ON dfreq.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id, g),
+    ranked AS (
+      SELECT term, doc_id, rel, score,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS r
+      FROM scored),
+    ideal AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id) AS r
+      FROM scored),
+    wts(r, wt) AS (VALUES {_REVAL_W_SQL}),
+    dcg AS (
+      SELECT term,
+             CAST(SUM(CAST(round(rel * wt, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dcg,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             MIN(CASE WHEN rel > 0 THEN r END) AS first_rel
+      FROM ranked JOIN wts USING (r) WHERE r <= {_REVAL_TOPK}
+      GROUP BY term),
+    idcg AS (
+      SELECT term,
+             CAST(SUM(CAST(round(rel * wt, 9) AS DECIMAL(28,9))) AS DOUBLE) AS idcg
+      FROM ideal JOIN wts USING (r) WHERE r <= {_REVAL_TOPK}
+      GROUP BY term)
+    SELECT dcg.term, dcg.n_rel AS n_rel_at10,
+           CAST(COALESCE((2 * 1000000 + first_rel) // (2 * first_rel), 0)
+                AS BIGINT) AS mrr_micro,
+           CASE WHEN idcg.idcg > 0 THEN ROUND(dcg.dcg / idcg.idcg, 6) END
+             AS ndcg_at10
+    FROM dcg JOIN idcg USING (term) ORDER BY term
+    """,
+    description="retrieval-quality eval harness for the BM25 ranking "
+    "family (the judge for q_bm25/q_rag: NDCG@10, MRR, precision-count"
+    "@10 per query against graded tf-derived relevance): BM25 scores on "
+    "the portable integer-ratio idf; gain discounts 1/log2(rank+1) ride "
+    "as shared 12-dp decimal literals so NO engine evaluates a "
+    "transcendental; DCG/IDCG as DECIMAL(28,9) contributions; MRR as "
+    "round-half-away integer micro. SCALE: per-term windows are "
+    "key-parallel (8 query terms x bounded top-k); the doc-frequency "
+    "and length frames are corpus rollups shared across terms",
+    tags=("text", "retrieval", "ml-eval"),
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(D.ws_tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = spark.createDataFrame([(t,) for t in _REVAL_TERMS], "term string")
+    idf = portable_ln_ratio(2 * F.col("n_docs") + 2, 2 * F.col("df") + 1)
+    sat = (F.col("tf") * (_REVAL_K1 + 1)) / (
+        F.col("tf")
+        + _REVAL_K1 * (1 - _REVAL_B + _REVAL_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q).join(tf, q.term == tf.w)
+        .join(F.broadcast(dfreq), "w")  # vocab-bounded — safe at any scale
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "term", "doc_id",
+            F.when(F.col("tf") >= 4, 3)
+            .when(F.col("tf") >= 2, 1)
+            .otherwise(0).alias("rel"),
+            F.round(idf * sat, 6).alias("score"),
+        )
+    ).persist()
+    wts = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_REVAL_W)], "r bigint, wt double"
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.desc("rel"), "doc_id")
+    ranked = scored.withColumn("r", F.row_number().over(w_rank).cast("bigint"))
+    ideal = scored.withColumn("r", F.row_number().over(w_ideal).cast("bigint"))
+    dcg = (
+        ranked.where(F.col("r") <= _REVAL_TOPK)
+        .join(F.broadcast(wts), "r")
+        .groupBy("term")
+        .agg(
+            F.sum(F.round(F.col("rel") * F.col("wt"), 9).cast("decimal(28,9)"))
+            .cast("double").alias("dcg"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_rel_at10"),
+            F.min(F.when(F.col("rel") > 0, F.col("r"))).alias("first_rel"),
+        )
+    )
+    idcg = (
+        ideal.where(F.col("r") <= _REVAL_TOPK)
+        .join(F.broadcast(wts), "r")
+        .groupBy("term")
+        .agg(
+            F.sum(F.round(F.col("rel") * F.col("wt"), 9).cast("decimal(28,9)"))
+            .cast("double").alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "term")
+        .selectExpr(
+            "term", "n_rel_at10",
+            "CAST(COALESCE((2 * 1000000 + first_rel) div (2 * first_rel), 0)"
+            " AS BIGINT) AS mrr_micro",
+            "CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg_at10",
+        )
+        .orderBy("term")
+    )
+
+
+# --- cumulative gains / lift curve --------------------------------------------------
+
+
+@register(
+    "q_lift_curve",
+    oracle=f"""
+    WITH {_qc_scored_ctes()},
+    d AS (
+      SELECT label, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM p),
+    per AS (
+      SELECT decile, COUNT(*) AS n, SUM(label) AS n_pos
+      FROM d GROUP BY decile),
+    cum AS (
+      SELECT decile, n, n_pos,
+             SUM(n) OVER w AS cum_n, SUM(n_pos) OVER w AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_pos
+      FROM per WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW))
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST((2 * 1000000 * cum_pos * tot_n + cum_n * tot_pos)
+                // (2 * cum_n * tot_pos) AS BIGINT) AS lift_micro,
+           CAST((2 * 1000000 * cum_pos + tot_pos)
+                // (2 * tot_pos) AS BIGINT) AS gain_micro
+    FROM cum ORDER BY decile
+    """,
+    description="cumulative gains + lift curve of the quality classifier "
+    "(the targeting-efficiency eval beside ROC-AUC/calibration: how many "
+    "positives the top-k score deciles capture vs chance): deciles via "
+    "the TWO-PASS distributed NTILE over (score desc, doc_id) — no O(n) "
+    "single-partition sort — cumulative lift = (cum_pos/cum_n)/"
+    "(tot_pos/tot_n) and recall-gain as round-half-away integer micro on "
+    "exact integer cross-products (HUGEINT in the oracle, DECIMAL(38,0)-"
+    "class headroom documented for cluster scale). SCALE: the cumulative "
+    "window runs on the 10-row decile frame only",
+    tags=("text", "ml-eval", "classification"),
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.ranking import two_pass_ntile
+
+    p = _qc_scored_spark(spark, sf_dir).select(
+        "label", "score", "doc_id", (-F.col("score")).alias("nscore")
+    )
+    d = two_pass_ntile(p, ["nscore", "doc_id"], 10, bucket_col="decile")
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(w).cast("decimal(19,0)").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("decimal(19,0)").alias("cum_pos"),
+        F.sum("n").over(wt).cast("decimal(19,0)").alias("tot_n"),
+        F.sum("n_pos").over(wt).cast("decimal(19,0)").alias("tot_pos"),
+    )
+    return cum.selectExpr(
+        "CAST(decile AS INTEGER) AS decile",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(cum_pos AS BIGINT) AS cum_pos",
+        "CAST((2 * 1000000 * cum_pos * tot_n + cum_n * tot_pos)"
+        " div (2 * cum_n * tot_pos) AS BIGINT) AS lift_micro",
+        "CAST((2 * 1000000 * cum_pos + tot_pos)"
+        " div (2 * tot_pos) AS BIGINT) AS gain_micro",
+    ).orderBy("decile")
+
+
+# --- tokenizer fertility eval -------------------------------------------------------
+
+_FERT_FINAL = f"""SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * np) AS BIGINT) AS n_pieces,
+           CAST((2 * 1000000 * SUM(tf * np) + SUM(tf)) // (2 * SUM(tf))
+                AS BIGINT) AS fertility_micro,
+           CAST((2 * 1000000 * SUM(tf * (np - 1)) + SUM(tf * np))
+                // (2 * SUM(tf * np)) AS BIGINT) AS continuation_micro
+    FROM tf JOIN seg ON tf.word = seg.word
+    GROUP BY source ORDER BY source"""
+
+
+def _fertility_sql(tok_cte: str, contains: str, idiv: str) -> str:
+    final = (
+        f""", seg AS (
+      SELECT word, CAST(length(out{_WP_STEPS})
+             - length(replace(out{_WP_STEPS}, '|', '')) AS BIGINT) AS np
+      FROM s{_WP_STEPS}),
+    tf AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY source, word)
+    """
+        + _FERT_FINAL.replace("//", idiv)
+    )
+    return _wordpiece_sql(tok_cte, contains, final=final)
+
+
+@register(
+    "q_token_fertility",
+    oracle=_fertility_sql(
+        "tok AS (SELECT source, unnest(string_split_regex(trim(text), ' +'))"
+        " AS word FROM documents),\n"
+        "    w0 AS (SELECT DISTINCT word FROM tok)",
+        _WP_DUCK_CONTAINS,
+        "//",
+    ),
+    description="tokenizer fertility per source (pieces per word + "
+    "continuation-piece share under the committed WordPiece vocabulary — "
+    "the tokenizer-efficiency eval that decides vocab size and flags "
+    "sources the tokenizer fragments, i.e. the compute cost of keeping "
+    "them in the mixture): the unrolled greedy segmentation runs ONCE on "
+    "the DISTINCT-WORD frame (the _wordpiece_sql final-override pattern), "
+    "re-attached to the corpus by one vocabulary join; ratios are "
+    "round-half-away integer micro. SCALE: segmentation cost is "
+    "vocabulary-sized; the corpus side is one (source, word) rollup",
+    tags=("text", "tokenizer", "ml-eval"),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_fert")
+    return spark.sql(
+        _fertility_sql(
+            "tok AS (SELECT source, explode(split(trim(text), ' +'))"
+            " AS word FROM documents_fert),\n"
+            "    w0 AS (SELECT DISTINCT word FROM tok)",
+            _WP_SPARK_CONTAINS,
+            "div",
+        )
+    )
+
+
+# --- k-fold cross-validated naive Bayes ---------------------------------------------
+
+_NBCV_FOLDS = 4
+_NBCV_COST_LN = duck_portable_ln_ratio("c_ws + 1", "tot_s + vocab_n")
+# priors are Laplace-smoothed too: a small class can land entirely in
+# one fold, and ln(0) is garbage BOTH engines would agree on (the
+# python twin caught it — the oracle gate cannot see shared nonsense)
+_NBCV_PRIOR_LN = duck_portable_ln_ratio(
+    "st.n_tot - COALESCE(dc.nd, 0) + 1", "n_docs - ft.nf + n_classes"
+)
+
+
+@register(
+    "q_nb_crossval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, doc_id % {_NBCV_FOLDS} AS fold, source,
+                         unnest({_T}) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, fold, source, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, fold, source, w),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_n FROM vocab),
+    cwf AS (SELECT fold, source AS s, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY fold, source, w),
+    cwt AS (SELECT s, w, CAST(SUM(c) AS BIGINT) AS c FROM cwf GROUP BY s, w),
+    folds AS (SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold),
+    grid AS (
+      SELECT f.fold, cls.s, v.w,
+             CAST(cwt.c - COALESCE(cf.c, 0) AS BIGINT) AS c_ws
+      FROM folds f
+      CROSS JOIN (SELECT DISTINCT s FROM cwt) cls
+      CROSS JOIN vocab v
+      LEFT JOIN cwt ON cwt.s = cls.s AND cwt.w = v.w
+      LEFT JOIN cwf cf ON cf.fold = f.fold AND cf.s = cls.s AND cf.w = v.w),
+    tot AS (SELECT fold, s, CAST(SUM(c_ws) AS BIGINT) AS tot_s
+            FROM grid GROUP BY fold, s),
+    cost AS (
+      SELECT g.fold, g.s, g.w,
+             CAST(round({_NBCV_COST_LN} * 1000000) AS BIGINT) AS cost_micro
+      FROM (SELECT fold, s, w, COALESCE(c_ws, 0) AS c_ws FROM grid) g
+      JOIN tot ON tot.fold = g.fold AND tot.s = g.s, vn),
+    dc AS (SELECT doc_id % {_NBCV_FOLDS} AS fold, source, COUNT(*) AS nd
+           FROM documents GROUP BY 1, 2),
+    fold_tot AS (SELECT fold, CAST(SUM(nd) AS BIGINT) AS nf FROM dc GROUP BY fold),
+    all_tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n_docs FROM dc),
+    src_tot AS (SELECT source, CAST(SUM(nd) AS BIGINT) AS n_tot
+                FROM dc GROUP BY source),
+    ncls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes FROM src_tot),
+    prior AS (
+      SELECT f.fold, st.source AS s,
+             CAST(round({_NBCV_PRIOR_LN} * 1000000) AS BIGINT) AS prior_micro
+      FROM folds f
+      CROSS JOIN src_tot st
+      LEFT JOIN dc ON dc.fold = f.fold AND dc.source = st.source
+      JOIN fold_tot ft ON ft.fold = f.fold
+      CROSS JOIN all_tot CROSS JOIN ncls),
+    scores AS (
+      SELECT tf.doc_id, tf.fold, tf.source AS actual, cost.s,
+             CAST(SUM(tf.tf * cost.cost_micro) AS BIGINT)
+               + MIN(prior.prior_micro) AS score
+      FROM tf JOIN cost ON cost.fold = tf.fold AND cost.w = tf.w
+      JOIN prior ON prior.fold = tf.fold AND prior.s = cost.s
+      GROUP BY tf.doc_id, tf.fold, tf.source, cost.s),
+    pred AS (
+      SELECT fold, actual, s AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, s) AS rn
+      FROM scores)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2 * 1000000 * SUM(CASE WHEN actual = predicted
+                                        THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS accuracy_micro
+    FROM pred WHERE rn = 1
+    GROUP BY fold ORDER BY fold
+    """,
+    description="4-fold cross-validated naive Bayes (the LEAK-FREE twin "
+    "of q_naive_bayes's resubstitution matrix — the honest accuracy "
+    "number): per-fold training counts come from the COMPLEMENT trick "
+    "(global rollup minus the fold's own rollup — one pass over the "
+    "corpus trains ALL folds simultaneously, never k re-scans), Laplace "
+    "smoothing over the global vocabulary, scoring per doc against its "
+    "own fold's held-out model. SCALE: the per-fold cost table is "
+    "O(folds x classes x vocab) broadcast; scoring reuses the "
+    "q_naive_bayes pivot shape keyed (fold, word); accuracy is one "
+    "bounded rollup",
+    tags=("text", "ml-train", "ml-eval", "classification"),
+)
+def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % _NBCV_FOLDS).alias("fold"), "source", "text"
+    )
+    toks = d.select(
+        "doc_id", "fold", "source", F.explode(D.ws_tokens("text")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "fold", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    cwf = toks.groupBy("fold", F.col("source").alias("s"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    cwt = cwf.groupBy("s", "w").agg(F.sum("c").cast("bigint").alias("c"))
+    vocab = cwt.select("w").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_n"))
+    folds = spark.range(_NBCV_FOLDS).select(F.col("id").alias("fold"))
+    grid = (
+        folds.crossJoin(cwt.select("s").distinct())
+        .crossJoin(vocab)
+        .join(cwt, ["s", "w"], "left")
+        .join(
+            cwf.selectExpr("fold", "s", "w", "c AS cf"), ["fold", "s", "w"], "left"
+        )
+        .select(
+            "fold", "s", "w",
+            (F.coalesce(F.col("c"), F.lit(0))
+             - F.coalesce(F.col("cf"), F.lit(0))).cast("bigint").alias("c_ws"),
+        )
+    )
+    tot = grid.groupBy("fold", "s").agg(
+        F.sum("c_ws").cast("bigint").alias("tot_s")
+    )
+    cost = (
+        grid.join(tot, ["fold", "s"])
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "fold", "s", "w",
+            F.round(
+                portable_ln_ratio(
+                    F.col("c_ws") + 1, F.col("tot_s") + F.col("vocab_n")
+                ) * 1000000,
+                0,
+            ).cast("bigint").alias("cost_micro"),
+        )
+    )
+    dc = d.groupBy("fold", "source").agg(F.count(F.lit(1)).alias("nd"))
+    dtot = dc.groupBy("source").agg(F.sum("nd").cast("bigint").alias("n_tot"))
+    ftot = dc.groupBy("fold").agg(F.sum("nd").cast("bigint").alias("nf"))
+    nall = dc.agg(F.sum("nd").cast("bigint").alias("n_docs"))
+    ncls = dtot.agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"))
+    prior = (
+        folds.crossJoin(dtot)
+        .join(dc.selectExpr("fold", "source", "nd"), ["fold", "source"], "left")
+        .join(ftot, "fold")
+        .crossJoin(F.broadcast(nall))
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            "fold", F.col("source").alias("s"),
+            F.round(
+                portable_ln_ratio(
+                    F.col("n_tot") - F.coalesce(F.col("nd"), F.lit(0)) + 1,
+                    F.col("n_docs") - F.col("nf") + F.col("n_classes"),
+                ) * 1000000,
+                0,
+            ).cast("bigint").alias("prior_micro"),
+        )
+    )
+    classes = sorted(_NB_CLASSES)
+    costp = (
+        cost.groupBy("fold", "w")
+        .pivot("s", classes)
+        .agg(F.first("cost_micro"))
+        .select("fold", "w", *[F.col(s).alias(f"c_{s}") for s in classes])
+    )
+    priorp = (
+        prior.groupBy("fold")
+        .pivot("s", classes)
+        .agg(F.first("prior_micro"))
+        .select("fold", *[F.col(s).alias(f"p_{s}") for s in classes])
+    )
+    per_doc = (
+        tf.join(F.broadcast(costp), ["fold", "w"])
+        .groupBy("doc_id", "fold")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"c_{s}")).cast("bigint").alias(f"s_{s}")
+                for s in classes
+            ]
+        )
+        .join(d.select("doc_id", F.col("source").alias("actual")), "doc_id")
+        .join(F.broadcast(priorp), "fold")
+    )
+    best = F.greatest(
+        *[
+            F.struct(
+                (F.col(f"s_{s}") + F.col(f"p_{s}")).alias("score"),
+                F.lit(-i).alias("ni"),
+                F.lit(s).alias("s"),
+            )
+            for i, s in enumerate(classes)
+        ]
+    )
+    return (
+        per_doc.select("fold", "actual", best.getField("s").alias("predicted"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST((2 * 1000000 * SUM(CASE WHEN actual = predicted THEN 1"
+                " ELSE 0 END) + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+            ).alias("accuracy_micro"),
+        )
+        .select(F.col("fold").cast("bigint").alias("fold"), "n_docs",
+                "n_correct", "accuracy_micro")
+        .orderBy("fold")
+    )

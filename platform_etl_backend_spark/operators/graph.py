@@ -994,3 +994,159 @@ def fwbw_scc(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def pairwise_hop_distances(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+) -> DataFrame:
+    """All-pairs hop distances by per-source frontier BSP — the frontier is
+    keyed on (source, node), so one round still costs one shuffle however
+    many sources run concurrently (the relational multi-BFS plan; Brandes-
+    style centrality preprocessing).
+
+    SCALE: the pair frame is O(n * reachable-set) — meant for BOUNDED node
+    sets (the catalog's 50-node projection graphs, landmark subsets at
+    cluster scale: pick k landmark sources and the same plan is k-BFS).
+    Per round: one frontier-keyed join + a first-visit anti-join, both on
+    the (source, node) composite key; early exit on an empty frontier.
+
+    Returns (source, node, dist) with dist >= 1 for every reached pair
+    (self-distances excluded).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("source"), "node", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select("source", F.col("d").alias("node"),
+                    F.lit(hop).cast("int").alias("dist"))
+            .distinct()
+        )
+        new = nxt.join(visited, ["source", "node"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return visited.where(F.col("dist") > 0)
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_levels: int = 6,
+) -> DataFrame:
+    """Exact betweenness centrality (Brandes 2001) as level-synchronous
+    relational BSP over an UNDIRECTED graph given as a symmetrized edge
+    list — forward sweep counts shortest paths per (source, node) pair,
+    backward sweep accumulates dependencies level by level:
+
+        sigma(s, v)  = sum over BFS-tree predecessors u of sigma(s, u)
+        delta(s, u)  = sum over successors v of
+                         sigma(s,u)/sigma(s,v) * (1 + delta(s,v))
+        bc(v)        = sum over s != v of delta(s, v) / 2   (undirected)
+
+    Each dependency term is rounded to DECIMAL(28,9) BEFORE the sum, so
+    every aggregation is order-free and the result is bit-stable at any
+    parallelism (the repo's decimal-contribution rule; sigma ratios are
+    single IEEE divisions of exact BIGINT path counts).
+
+    SCALE: pair frames are O(n * reached) like pairwise_hop_distances —
+    exact betweenness IS quadratic in reachable pairs (textbook bound);
+    run on bounded projection graphs, or sample sources (the
+    Brandes-Pich estimator: the same plan with a source predicate).
+    ``max_levels`` bounds both sweeps; levels past the true eccentricity
+    are empty joins (no-ops). Raises if the deepest level is non-empty
+    (an under-run would silently truncate dependencies — the k-truss
+    invariant-guard rule).
+
+    Returns (node, bc) with bc as DECIMAL(38,9) exact pre-halving sums;
+    callers round/halve at the output boundary.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    # forward: per-level shortest-path counts
+    sig = [
+        nodes.select(
+            F.col("node").alias("s"), F.col("node").alias("v"),
+            F.lit(1).cast("bigint").alias("sig"),
+        ).localCheckpoint()
+    ]
+    visited = sig[0].select("s", "v").localCheckpoint()
+    for _ in range(1, max_levels + 1):
+        prev = sig[-1]
+        nxt = (
+            prev.join(e, prev["v"] == e["u"])
+            .select("s", e["v"].alias("w"), "sig")
+            .join(
+                visited.selectExpr("s", "v AS w"), ["s", "w"], "left_anti"
+            )
+            .groupBy("s", F.col("w").alias("v"))
+            .agg(F.sum("sig").cast("bigint").alias("sig"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            sig.append(nxt)
+            break
+        sig.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint()
+    else:
+        if not sig[-1].isEmpty():
+            raise RuntimeError(
+                f"betweenness level budget {max_levels} exhausted with a "
+                "non-empty frontier — dependencies would be silently "
+                "truncated; raise max_levels"
+            )
+    # backward: dependency accumulation, deepest level first
+    depth = len(sig) - 1
+    delta = sig[depth].select(
+        "s", "v", F.lit(0).cast("decimal(28,9)").alias("dlt")
+    )
+    acc = None
+    for lvl in range(depth - 1, 0, -1):
+        cur, nxt_sig = sig[lvl], sig[lvl + 1]
+        term = F.round(
+            F.col("sig_u").cast("double") / F.col("sig_v").cast("double")
+            * (F.lit(1.0) + F.coalesce(F.col("dlt"), F.lit(0)).cast("double")),
+            9,
+        ).cast("decimal(28,9)")
+        delta = (
+            cur.selectExpr("s", "v AS u", "sig AS sig_u")
+            .join(e, "u")
+            .join(
+                nxt_sig.selectExpr("s", "v", "sig AS sig_v"), ["s", "v"]
+            )
+            .join(delta, ["s", "v"], "left")
+            .select("s", F.col("u").alias("v"), term.alias("t"))
+            .groupBy("s", "v")
+            .agg(F.sum("t").alias("dlt"))
+            .localCheckpoint()
+        )
+        acc = delta if acc is None else acc.unionByName(delta)
+    if acc is None:  # degenerate: no interior levels
+        return nodes.select("node", F.lit(0).cast("decimal(38,9)").alias("bc"))
+    bc = acc.groupBy(F.col("v").alias("node")).agg(F.sum("dlt").alias("bc"))
+    return nodes.join(bc, "node", "left").select(
+        "node", F.coalesce(F.col("bc"), F.lit(0)).cast("decimal(38,9)").alias("bc")
+    )

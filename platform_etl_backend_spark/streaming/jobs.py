@@ -146,20 +146,69 @@ def stream_stream_join(
     return l.join(r, cond, "inner").select("user_id", "l_id", "r_id", "l_ts", "r_ts")
 
 
+def _upsert_pointer(base_path: str) -> tuple[int, str] | None:
+    """Read the upsert sink's atomic commit pointer (same contract as
+    :func:`_topk_pointer`): (applied_batch_id, data_dir) or None."""
+    import os
+
+    marker = f"{base_path}/applied_batch_id"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        lines = fh.read().strip().splitlines()
+    return int(lines[0]), f"{base_path}/{lines[1]}"
+
+
+def current_upsert_table(spark, base_path: str) -> DataFrame:
+    """The committed upsert table — resolves the pointer written by
+    :func:`upsert_to_parquet` (never reads staging/uncommitted dirs)."""
+    ptr = _upsert_pointer(base_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed upsert table under {base_path}")
+    return spark.read.parquet(ptr[1])
+
+
 def upsert_to_parquet(
     events: DataFrame, key_cols: list[str], path: str, checkpoint: str
 ):
-    """foreachBatch idempotent upsert sink: each micro-batch's rows replace
-    same-key rows in a parquet-backed table (last-write-wins inside a batch
-    by highest event_ts). Demonstrates the escape hatch for sinks without
-    native streaming support; the merge is an anti-join + union, both
-    batch-planned per micro-batch. Checkpointing makes retries idempotent:
-    a replayed batch overwrites to the same result."""
+    """foreachBatch SCD1-upsert sink: each micro-batch's rows replace
+    same-key rows in a parquet-backed table (last-write-wins inside a
+    batch by highest event_ts) — streaming MERGE INTO for sinks without
+    native support; the merge is an anti-join + union, batch-planned per
+    micro-batch.
+
+    Commit protocol: the versioned-directory + atomic-pointer recipe of
+    :func:`topk_merge_fn` (each merge writes a NEW ``upsert_v{batch_id}``
+    dir; data dir and applied batch id commit together in one
+    ``os.replace``). The merge itself is idempotent under replay, but the
+    previous shape (double mode('overwrite') rewrite of the live dir) had
+    a crash window that could destroy the committed table mid-overwrite —
+    the same at-least-once hole the round-6 review flagged on the TPUT
+    sink. Read the result via :func:`current_upsert_table`; already-
+    committed batch ids are skipped (exactly-once effect)."""
+    return (
+        events.writeStream.foreachBatch(upsert_merge_fn(path, key_cols))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_merge_fn(path: str, key_cols: list[str]):
+    """The foreachBatch body for :func:`upsert_to_parquet`, exposed so the
+    replay fence and crash-safety are directly testable (the topk_merge_fn
+    convention)."""
     import os
+    import shutil
 
     from pyspark.sql import Window
 
+    marker = f"{path}/applied_batch_id"
+
     def merge(batch: DataFrame, batch_id: int) -> None:
+        ptr = _upsert_pointer(path)
+        if ptr is not None and batch_id <= ptr[0]:
+            return  # replayed batch: already committed, skip
         spark = batch.sparkSession
         w = Window.partitionBy(*key_cols).orderBy(F.col("event_ts").desc())
         latest = (
@@ -167,28 +216,26 @@ def upsert_to_parquet(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            current = spark.read.parquet(path)
+        if ptr is not None:
+            current = spark.read.parquet(ptr[1])
             merged = current.join(
                 latest.select(*key_cols), key_cols, "left_anti"
             ).unionByName(latest)
         else:
             merged = latest
-        # write to a versioned subdir then atomically repoint would be the
-        # production move; for a local sink, rewrite via a temp dir
-        tmp = f"{path}__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        fresh = spark.read.parquet(tmp)
-        fresh.write.mode("overwrite").parquet(path)
+        version = f"upsert_v{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{path}/{version}")
+        os.makedirs(path, exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{version}")
+        os.replace(tmp, marker)  # the single atomic commit point
+        keep = {version, os.path.basename(ptr[1])} if ptr else {version}
+        for d in os.listdir(path):
+            if d.startswith("upsert_v") and d not in keep:
+                shutil.rmtree(f"{path}/{d}", ignore_errors=True)
 
-    return (
-        events.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return merge
 
 
 def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):

@@ -712,3 +712,561 @@ def test_ngram_novelty_matches_python_model(spark, sf_dir):
         micro = (2 * 1000000 * n_novel + n_types) // (2 * n_types)
         assert got[d] == (n_types, n_novel, micro), d
     assert len(got) == len(per)
+
+
+def test_lorenz_gini_matches_python(spark, sf_dir):
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_lorenz_gini"].fn(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    custs = [r["c_custkey"] for r in spark.read.parquet(
+        f"{sf_dir}/customer.parquet").select("c_custkey").collect()]
+    spend = {c: 0 for c in custs}
+    for r in orders:
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + int(
+            (Decimal(str(r["o_totalprice"])) * 100).to_integral_value()
+        )
+    xs = [spend[c] for c in custs]
+    xs.sort()
+    n, sx = len(xs), sum(xs)
+    sixi = sum((i + 1) * x for i, x in enumerate(xs))
+    num = 2 * sixi - (n + 1) * sx
+    den = n * sx
+    want = (2 * 1000000 * num + den) // (2 * den)
+    assert got["n_customers"] == n
+    assert got["total_cents"] == sx
+    assert got["gini_micro"] == want
+    assert 0 <= got["gini_micro"] <= 1000000
+
+
+def test_herfindahl_bounds_and_python_pin(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {r["n_name"]: r for r in QUERIES["q_herfindahl"].fn(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice").collect()
+    c = {r["c_custkey"]: r["c_nationkey"] for r in spark.read.parquet(
+        f"{sf_dir}/customer.parquet").collect()}
+    n = {r["n_nationkey"]: r["n_name"] for r in spark.read.parquet(
+        f"{sf_dir}/nation.parquet").collect()}
+    spend = defaultdict(int)
+    for r in o:
+        spend[(n[c[r["o_custkey"]]], r["o_custkey"])] += int(
+            (Decimal(str(r["o_totalprice"])) * 100).to_integral_value())
+    per = defaultdict(list)
+    for (nat, _), cents in spend.items():
+        per[nat].append(cents)
+    for nat, xs in per.items():
+        s, s2 = sum(xs), sum(x * x for x in xs)
+        want = (2 * 1000000 * s2 + s * s) // (2 * s * s)
+        assert got[nat]["hhi_micro"] == want, nat
+        assert got[nat]["n_customers"] == len(xs)
+        # HHI in [1/n, 1]
+        assert want <= 1000000 and want * len(xs) >= 900000 // 1
+
+
+def test_cramers_v_matches_python(spark, sf_dir):
+    from collections import Counter
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_cramers_v"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderpriority AS r", "CAST(MONTH(o_orderdate) AS BIGINT) AS c"
+    ).collect()
+    obs = Counter((x["r"], x["c"]) for x in rows)
+    rt = Counter(x["r"] for x in rows)
+    ct = Counter(x["c"] for x in rows)
+    nn = len(rows)
+    s = sum(
+        round(obs.get((r, c), 0) ** 2 / (rt[r] * ct[c]), 9)
+        for r in rt for c in ct
+    )
+    chi2 = nn * (s - 1.0)
+    import math
+    v = math.sqrt(chi2 / (nn * (min(len(rt), len(ct)) - 1)))
+    assert got["n"] == nn
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert got["cramers_v"] == pytest.approx(v, abs=1e-5)
+    assert 0 <= got["cramers_v"] <= 1
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir):
+    import math
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_hill_tail_index"].fn(spark, sf_dir).collect()[0]
+    cents = sorted(
+        (
+            int((Decimal(str(r["o_totalprice"])) * 100).to_integral_value())
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_totalprice").collect()
+        ),
+        reverse=True,
+    )[:64]
+    xk = cents[-1]
+    s = sum(round(math.log(x / xk), 9) for x in cents)
+    assert got["xk_cents"] == xk
+    assert got["hill_gamma"] == pytest.approx(s / 63, abs=1e-5)
+    if s > 0:
+        assert got["hill_alpha"] == pytest.approx(63 / s, abs=1e-3)
+
+
+def test_heaps_law_matches_python(spark, sf_dir):
+    import math
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    rows = QUERIES["q_heaps_law"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").collect()
+
+    def shingles(text, k=3):
+        toks = [t for t in text.strip().split() if t]
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    per_sh = {r["doc_id"]: shingles(r["text"]) for r in docs}
+    per_len = {r["doc_id"]: len([t for t in r["text"].strip().split() if t])
+               for r in docs}
+    first = {}
+    for d in sorted(per_sh):
+        for s in per_sh[d]:
+            first.setdefault(s, d)
+    m = max(per_len) + 1
+    pts = []
+    for r in rows:
+        j, thr = r["checkpoint"], r["thr_doc"]
+        assert thr == (j * m) // 4
+        n_tok = sum(v for d, v in per_len.items() if d < thr)
+        n_typ = sum(1 for s, d in first.items() if d < thr)
+        assert r["n_tokens"] == n_tok and r["n_types"] == n_typ, j
+        pts.append((round(math.log(n_tok), 9), round(math.log(n_typ), 9)))
+    su = sum(u for u, _ in pts); sv = sum(v for _, v in pts)
+    suv = sum(round(u * v, 9) for u, v in pts)
+    suu = sum(round(u * u, 9) for u, _ in pts)
+    beta = (4 * suv - su * sv) / (4 * suu - su * su)
+    assert rows[0]["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+    assert 0 < rows[0]["heaps_beta"] < 1  # sublinear vocabulary growth
+
+
+def test_naive_bayes_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in QUERIES["q_naive_bayes"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    tf = {}
+    for r in docs:
+        toks = [t for t in r["text"].strip().split() if t]
+        tf[r["doc_id"]] = (r["source"], Counter(toks))
+    vocab = sorted({w for _, c in tf.values() for w in c})
+    V = len(vocab)
+    cls_tot = Counter(); cls_docs = Counter()
+    cw = defaultdict(int)
+    for _, (s, c) in tf.items():
+        cls_docs[s] += 1
+        for w, k in c.items():
+            cls_tot[s] += k
+            cw[(s, w)] += k
+    n_docs = len(tf)
+    cost = {
+        (s, w): round(math.log((cw[(s, w)] + 1) / (cls_tot[s] + V)) * 1e6)
+        for s in cls_tot for w in vocab
+    }
+    prior = {s: round(math.log(cls_docs[s] / n_docs) * 1e6) for s in cls_docs}
+    want = Counter()
+    for d, (actual, c) in tf.items():
+        # tie-break: max score, then MIN source name
+        scores = {s: sum(k * cost[(s, w)] for w, k in c.items()) + prior[s]
+                  for s in cls_tot}
+        mx = max(scores.values())
+        best = min(s for s, v in scores.items() if v == mx)
+        want[(actual, best)] += 1
+    assert got == dict(want)
+
+
+def test_retrieval_eval_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.text import (
+        _REVAL_B, _REVAL_K1, _REVAL_TERMS, _REVAL_TOPK, _REVAL_W,
+    )
+
+    got = {r["term"]: r for r in QUERIES["q_retrieval_eval"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").collect()
+    tf = {r["doc_id"]: Counter([t for t in r["text"].strip().split() if t])
+          for r in docs}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(tf)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    for c in tf.values():
+        for w in c:
+            df[w] += 1
+    for term in _REVAL_TERMS:
+        scored = []
+        for d, c in tf.items():
+            t = c.get(term, 0)
+            if t == 0:
+                continue
+            idf = math.log((2 * n_docs + 2) / (2 * df[term] + 1))
+            sat = t * (_REVAL_K1 + 1) / (
+                t + _REVAL_K1 * (1 - _REVAL_B + _REVAL_B * dl[d] / avgdl))
+            rel = 3 if t >= 4 else (1 if t >= 2 else 0)
+            scored.append((round(idf * sat, 6), d, rel))
+        top = sorted(scored, key=lambda x: (-x[0], x[1]))[:_REVAL_TOPK]
+        ideal = sorted(scored, key=lambda x: (-x[2], x[1]))[:_REVAL_TOPK]
+        dcg = sum(round(rel * _REVAL_W[i], 9) for i, (_, _, rel) in enumerate(top))
+        idcg = sum(round(rel * _REVAL_W[i], 9) for i, (_, _, rel) in enumerate(ideal))
+        n_rel = sum(1 for _, _, rel in top if rel > 0)
+        first = next((i + 1 for i, (_, _, rel) in enumerate(top) if rel > 0), None)
+        mrr = (2 * 1000000 + first) // (2 * first) if first else 0
+        g = got[term]
+        assert g["n_rel_at10"] == n_rel, term
+        assert g["mrr_micro"] == mrr, term
+        if idcg > 0:
+            assert g["ndcg_at10"] == pytest.approx(dcg / idcg, abs=1e-5), term
+            assert 0 < g["ndcg_at10"] <= 1
+
+
+def test_pacf_matches_statsmodels_style_python(spark, sf_dir):
+    """Durbin-Levinson PACF vs a plain-python recursion on the same exact
+    integer residual series."""
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    got = {r["lag"]: r["pacf"] for r in QUERIES["q_pacf"].fn(spark, sf_dir).collect()}
+    days = (
+        events_table(spark, sf_dir)
+        .groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("s"))
+        .orderBy("day")
+        .collect()
+    )
+    s = [r["s"] for r in days]
+    n, ssum = len(s), sum(s)
+    r = [n * x - ssum for x in s]
+    den = sum(x * x for x in r)
+    rho = {k: sum(r[i] * r[i + k] for i in range(n - k)) / den
+           for k in range(1, 6)}
+    phi = {(1, 1): rho[1]}
+    for k in range(2, 6):
+        num = rho[k] - sum(phi[(k - 1, j)] * rho[k - j] for j in range(1, k))
+        d = 1.0 - sum(phi[(k - 1, j)] * rho[j] for j in range(1, k))
+        phi[(k, k)] = num / d
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 6):
+        assert got[k] == pytest.approx(phi[(k, k)], abs=1e-5), k
+    assert got[1] == pytest.approx(rho[1], abs=1e-6)
+
+
+def test_harmonic_centrality_matches_networkx(spark, sf_dir):
+    nx = pytest.importorskip("networkx")
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {r["node"]: r for r in
+           QUERIES["q_harmonic_centrality"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id % 50 AS a", "CAST(FLOOR(value) AS BIGINT) % 50 AS b"
+    ).where("a <> b").collect()
+    g = nx.Graph((r["a"], r["b"]) for r in ev)
+    for node in g.nodes:
+        dist = nx.single_source_shortest_path_length(g, node, cutoff=8)
+        dist.pop(node)
+        want = sum((2 * 1000000 + d) // (2 * d) for d in dist.values())
+        assert got[node]["harmonic_micro"] == want, node
+        assert got[node]["n_reached"] == len(dist)
+        assert got[node]["ecc"] == max(dist.values())
+
+
+def test_lift_curve_sane_and_monotone(spark, sf_dir):
+    """Lift must start >= 1 at the top decile (the classifier has skill,
+    pinned by test_roc separation) and gain must reach exactly 1e6 at
+    decile 10; cum_pos monotone."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    rows = QUERIES["q_lift_curve"].fn(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert rows[-1]["gain_micro"] == 1000000
+    cps = [r["cum_pos"] for r in rows]
+    assert cps == sorted(cps)
+    assert rows[0]["lift_micro"] > 1000000  # top decile beats chance
+    # python cross-check of the micro arithmetic on decile 1
+    tot_n = sum(r["n"] for r in rows)
+    tot_pos = cps[-1]
+    r0 = rows[0]
+    want = (2 * 1000000 * r0["cum_pos"] * tot_n
+            + r0["n"] * tot_pos) // (2 * r0["n"] * tot_pos)
+    assert r0["lift_micro"] == want
+
+
+def test_cvm_matches_python_model(spark, sf_dir):
+    from collections import defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    got = {r["event_type"]: r for r in QUERIES["q_cvm_test"].fn(spark, sf_dir).collect()}
+    rows = events_table(spark, sf_dir).select(
+        "event_type", "value", (F.col("user_id") % 2 == 0).alias("a")
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["event_type"]].append((r["value"], r["a"]))
+    for et, xs in per.items():
+        xs.sort()
+        n_a = sum(1 for _, a in xs if a)
+        n_b = len(xs) - n_a
+        # group by distinct value
+        s = 0
+        cum_a = cum_b = 0
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j][0] == xs[i][0]:
+                j += 1
+            cnt = j - i
+            cum_a += sum(1 for k in range(i, j) if xs[k][1])
+            cum_b += sum(1 for k in range(i, j) if not xs[k][1])
+            d = cum_a * n_b - cum_b * n_a
+            s += cnt * d * d
+            i = j
+        t = s / (n_a * n_b * (n_a + n_b) ** 2)
+        assert got[et]["t_stat"] == pytest.approx(t, abs=1e-5), et
+        assert got[et]["n_a"] == n_a and got[et]["n_b"] == n_b
+
+
+def test_token_fertility_matches_python_wordpiece(spark, sf_dir):
+    from collections import defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.text import _WP_MAXLEN, _WP_VOCAB
+
+    got = {r["source"]: r for r in
+           QUERIES["q_token_fertility"].fn(spark, sf_dir).collect()}
+    vocab = set(_WP_VOCAB)
+
+    def n_pieces(word):
+        pos, out = 0, 0
+        while pos < len(word):
+            ln = 1
+            for l in range(min(_WP_MAXLEN, len(word) - pos), 0, -1):
+                piece = word[pos:pos + l] if pos == 0 else "##" + word[pos:pos + l]
+                if piece in vocab:
+                    ln = l
+                    break
+            out += 1
+            pos += ln
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # tf, tf*np, tf*(np-1)
+    for r in docs:
+        for w in [t for t in r["text"].strip().split() if t]:
+            np_ = n_pieces(w)
+            a = agg[r["source"]]
+            a[0] += 1
+            a[1] += np_
+            a[2] += np_ - 1
+    for src, (tf, tnp, tcont) in agg.items():
+        g = got[src]
+        assert g["n_words"] == tf and g["n_pieces"] == tnp, src
+        assert g["fertility_micro"] == (2 * 1000000 * tnp + tf) // (2 * tf)
+        assert g["continuation_micro"] == (2 * 1000000 * tcont + tnp) // (2 * tnp)
+    assert set(got) == set(agg)
+
+
+def _events_graph_edges(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id % 50 AS a", "CAST(FLOOR(value) AS BIGINT) % 50 AS b"
+    ).where("a <> b").collect()
+    return {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in ev}
+
+
+def test_betweenness_matches_networkx(spark, sf_dir):
+    nx = pytest.importorskip("networkx")
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = {r["node"]: r["bc"] for r in QUERIES["q_betweenness"].fn(spark, sf_dir).collect()}
+    g = nx.Graph(sorted(_events_graph_edges(spark, sf_dir)))
+    want = nx.betweenness_centrality(g, normalized=False)
+    assert set(got) == set(want)
+    for node, bc in want.items():
+        assert got[node] == pytest.approx(bc, abs=1e-3), node
+
+
+def test_betweenness_path_graph_exact():
+    """P4 path: interior nodes have bc 2 and 2 (each pair crossing)."""
+    from pyspark.sql import SparkSession
+    from platform_etl_backend_spark.operators.graph import betweenness_centrality
+
+    spark = SparkSession.getActiveSession()
+    edges = [(0, 1), (1, 2), (2, 3)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {r["node"]: float(r["bc"]) / 2 for r in betweenness_centrality(df).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+
+def test_betweenness_raises_on_level_underrun(spark):
+    from platform_etl_backend_spark.operators.graph import betweenness_centrality
+
+    chain = [(i, i + 1) for i in range(10)]
+    sym = chain + [(b, a) for a, b in chain]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="level budget"):
+        betweenness_centrality(df, max_levels=3).collect()
+
+
+def test_degree_assortativity_matches_networkx(spark, sf_dir):
+    nx = pytest.importorskip("networkx")
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_degree_assortativity"].fn(spark, sf_dir).collect()[0]
+    g = nx.Graph(sorted(_events_graph_edges(spark, sf_dir)))
+    want = nx.degree_assortativity_coefficient(g)
+    assert got["assortativity"] == pytest.approx(want, abs=1e-5)
+    assert got["n_directed_edges"] == 2 * g.number_of_edges()
+
+
+def test_distance_distribution_matches_networkx(spark, sf_dir):
+    nx = pytest.importorskip("networkx")
+    from collections import Counter
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    rows = QUERIES["q_distance_distribution"].fn(spark, sf_dir).collect()
+    g = nx.Graph(sorted(_events_graph_edges(spark, sf_dir)))
+    hist = Counter()
+    for s in g.nodes:
+        for t, d in nx.single_source_shortest_path_length(g, s, cutoff=8).items():
+            if t != s:
+                hist[d] += 1
+    assert {r["d"]: r["n_pairs"] for r in rows} == dict(hist)
+    tot = sum(hist.values())
+    cum = 0
+    eff = None
+    for d in sorted(hist):
+        cum += hist[d]
+        if eff is None and 10 * cum >= 9 * tot:
+            eff = d
+    assert rows[0]["eff_diameter"] == eff
+
+
+def test_ridge_regression_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.relational import _RIDGE_LAMBDA
+
+    got = QUERIES["q_ridge_regression"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice").collect()
+    X = np.array([
+        [1.0, float(r["l_quantity"]),
+         float((Decimal(str(r["l_discount"])) * 100).to_integral_value())]
+        for r in rows
+    ])
+    y = np.array([
+        float((Decimal(str(r["l_extendedprice"])) * 100).to_integral_value())
+        for r in rows
+    ])
+    pen = np.diag([0.0, _RIDGE_LAMBDA, _RIDGE_LAMBDA])
+    beta = np.linalg.solve(X.T @ X + pen, X.T @ y)
+    assert got["beta0"] == pytest.approx(beta[0], rel=1e-6, abs=1e-3)
+    assert got["beta1"] == pytest.approx(beta[1], rel=1e-6, abs=1e-4)
+    assert got["beta2"] == pytest.approx(beta[2], rel=1e-6, abs=1e-4)
+    assert got["n"] == len(rows)
+    # no sign assertion: the synthetic price/quantity relationship is the
+    # pin's job (numpy agreement above), not a domain assumption
+
+
+def test_nb_crossval_is_leak_free_and_matches_python(spark, sf_dir):
+    """Exact python twin of the complement-trick CV; also proves
+    leak-freedom structurally: fold f's model counts contain NO fold-f
+    tokens (asserted inside the twin by construction)."""
+    import math
+    from collections import Counter, defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.text import _NBCV_FOLDS
+
+    got = {r["fold"]: r for r in QUERIES["q_nb_crossval"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    tf = {r["doc_id"]: (r["doc_id"] % _NBCV_FOLDS, r["source"],
+                        Counter([t for t in r["text"].strip().split() if t]))
+          for r in docs}
+    vocab = sorted({w for _, _, c in tf.values() for w in c})
+    V = len(vocab)
+    cwf = defaultdict(int); cwt = defaultdict(int)
+    ndf = Counter(); nds = Counter(); nf = Counter()
+    for _, (f, s, c) in tf.items():
+        ndf[(f, s)] += 1; nds[s] += 1; nf[f] += 1
+        for w, k in c.items():
+            cwf[(f, s, w)] += k
+            cwt[(s, w)] += k
+    n_docs = len(tf)
+    classes = sorted(nds)
+    correct = Counter(); total = Counter()
+    for d, (f, actual, c) in tf.items():
+        scores = {}
+        for s in classes:
+            tot_s = sum(cwt[(s, w)] - cwf[(f, s, w)] for w in vocab)
+            cost = {w: round(math.log(
+                (cwt[(s, w)] - cwf[(f, s, w)] + 1) / (tot_s + V)) * 1e6)
+                for w in c}
+            prior = round(math.log(
+                (nds[s] - ndf[(f, s)] + 1)
+                / (n_docs - nf[f] + len(classes))) * 1e6)
+            scores[s] = sum(k * cost[w] for w, k in c.items()) + prior
+        mx = max(scores.values())
+        pred = min(s for s, v in scores.items() if v == mx)
+        total[f] += 1
+        if pred == actual:
+            correct[f] += 1
+    for f in range(_NBCV_FOLDS):
+        assert got[f]["n_docs"] == total[f]
+        assert got[f]["n_correct"] == correct[f], f
+        acc = (2 * 1000000 * correct[f] + total[f]) // (2 * total[f])
+        assert got[f]["accuracy_micro"] == acc
+
+
+def test_periodogram_matches_python_and_finds_no_fake_cycle(spark, sf_dir):
+    import math
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    got = {r["period"]: r["power"] for r in
+           QUERIES["q_periodogram"].fn(spark, sf_dir).collect()}
+    days = (
+        events_table(spark, sf_dir)
+        .groupBy(F.expr("ep div 86400").alias("day"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("s"))
+        .collect()
+    )
+    n = len(days); ssum = sum(r["s"] for r in days)
+    for p in (2, 3, 7, 14):
+        sc = ss = 0
+        for r in days:
+            resid = float(n * r["s"] - ssum)
+            t = r["day"] % p
+            sc += round(resid * round(math.cos(2 * math.pi * t / p), 12), 3)
+            ss += round(resid * round(math.sin(2 * math.pi * t / p), 12), 3)
+        assert got[p] == pytest.approx(sc * sc + ss * ss, rel=1e-9), p
+        assert got[p] >= 0

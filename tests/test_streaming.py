@@ -140,7 +140,7 @@ def test_foreachbatch_upsert(spark, sf_dir, events_stream, tmp_path):
     latest_per_user = events_stream.select("user_id", "event_type", "event_ts")
     q = J.upsert_to_parquet(latest_per_user, ["user_id"], path, ckpt)
     q.awaitTermination(120)
-    got = spark.read.parquet(path)
+    got = J.current_upsert_table(spark, path)
     batch = _batch_events(spark, sf_dir)
     # one row per user, carrying that user's latest event
     assert got.count() == batch.select("user_id").distinct().count()
