@@ -215,6 +215,7 @@ HEADLINE = [
     "q_ridge_regression",
     "q_nb_crossval",
     "q_periodogram",
+    "q_mix_shift",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -1205,3 +1205,88 @@ def q_quantile_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --- price-volume-mix decomposition -------------------------------------------------
+
+
+def _srha(num: str, den: str) -> str:
+    """Signed round-half-away integer division as shared SQL text (the
+    q_shapley_attribution rule: DuckDB // floors while Spark div truncates
+    for negatives — taking abs first sidesteps both)."""
+    return (
+        f"(CASE WHEN ({num}) < 0"
+        f" THEN -((2 * (-({num})) + ({den})) IDIV (2 * ({den})))"
+        f" ELSE (2 * ({num}) + ({den})) IDIV (2 * ({den})) END)"
+    )
+
+
+@register(
+    "q_mix_shift",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, YEAR(o.o_orderdate) AS yr,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE YEAR(o.o_orderdate) IN (1996, 1997)),
+    per AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT) AS rev0,
+             CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT) AS rev1
+      FROM base GROUP BY seg),
+    fx AS (
+      SELECT seg, n0, n1, rev0, rev1,
+             CAST({_srha("(n1 - n0) * rev0", "n0").replace("IDIV", "//")}
+                  AS BIGINT) AS volume_effect,
+             CAST({_srha("n0 * rev1 * 1 - rev0 * n1", "n1").replace("IDIV", "//")}
+                  AS BIGINT) AS price_effect
+      FROM per WHERE n0 > 0 AND n1 > 0)
+    SELECT seg, n0, n1, rev0, rev1, volume_effect, price_effect,
+           CAST(rev1 - rev0 - volume_effect - price_effect AS BIGINT)
+             AS joint_effect
+    FROM fx ORDER BY seg
+    """,
+    description="price-volume-mix decomposition of the 1996->1997 revenue "
+    "change per market segment (the BI variance-bridge: Delta-rev = "
+    "volume effect (Delta-n x base avg price) + price effect (Delta-avg "
+    "x base volume) + joint term, with the joint defined as the exact "
+    "remainder so the bridge RECONCILES to the cent by construction): "
+    "exact DECIMAL-cent sums, signed round-half-away integer divisions "
+    "(the Shapley signed-idiv rule — engine // vs div negative behavior "
+    "never evaluates). SCALE: one join + one segment rollup; the "
+    "decomposition is a bounded-frame projection",
+    tags=("olap", "relational", "finance"),
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).cast("bigint").alias("n0"),
+            F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).cast("bigint").alias("rev0"),
+            F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).cast("bigint").alias("rev1"),
+        )
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    fx = per.selectExpr(
+        "seg", "n0", "n1", "rev0", "rev1",
+        f"CAST({_srha('(n1 - n0) * rev0', 'n0').replace('IDIV', 'div')} AS BIGINT)"
+        " AS volume_effect",
+        f"CAST({_srha('n0 * rev1 * 1 - rev0 * n1', 'n1').replace('IDIV', 'div')} AS BIGINT)"
+        " AS price_effect",
+    )
+    return fx.selectExpr(
+        "seg", "n0", "n1", "rev0", "rev1", "volume_effect", "price_effect",
+        "CAST(rev1 - rev0 - volume_effect - price_effect AS BIGINT) AS joint_effect",
+    ).orderBy("seg")

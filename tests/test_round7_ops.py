@@ -1270,3 +1270,42 @@ def test_periodogram_matches_python_and_finds_no_fake_cycle(spark, sf_dir):
             ss += round(resid * round(math.sin(2 * math.pi * t / p), 12), 3)
         assert got[p] == pytest.approx(sc * sc + ss * ss, rel=1e-9), p
         assert got[p] >= 0
+
+
+def test_mix_shift_bridge_reconciles_and_matches_python(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    rows = QUERIES["q_mix_shift"].fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey", "YEAR(o_orderdate) AS yr", "o_totalprice"
+    ).where("yr IN (1996, 1997)").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in spark.read.parquet(
+        f"{sf_dir}/customer.parquet").collect()}
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in o:
+        a = agg[seg[r["o_custkey"]]]
+        cents = int((Decimal(str(r["o_totalprice"])) * 100).to_integral_value())
+        if r["yr"] == 1996:
+            a[0] += 1; a[2] += cents
+        else:
+            a[1] += 1; a[3] += cents
+
+    def srha(num, den):
+        return -((2 * -num + den) // (2 * den)) if num < 0 else (
+            2 * num + den) // (2 * den)
+
+    got = {r["seg"]: r for r in rows}
+    for s, (n0, n1, rev0, rev1) in agg.items():
+        if n0 == 0 or n1 == 0:
+            assert s not in got
+            continue
+        g = got[s]
+        vol = srha((n1 - n0) * rev0, n0)
+        price = srha(n0 * rev1 - rev0 * n1, n1)
+        assert (g["n0"], g["n1"], g["rev0"], g["rev1"]) == (n0, n1, rev0, rev1)
+        assert g["volume_effect"] == vol and g["price_effect"] == price, s
+        # the bridge reconciles to the cent
+        assert (g["volume_effect"] + g["price_effect"] + g["joint_effect"]
+                == rev1 - rev0)
