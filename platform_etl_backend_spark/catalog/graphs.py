@@ -1206,3 +1206,72 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select(
         "node", F.round(F.col("bc").cast("double") / 2, 6).alias("bc")
     ).orderBy("node")
+
+
+def _betweenness_sampled_oracle(levels: int = _BC_LEVELS) -> str:
+    """The Brandes-Pich estimator oracle: the q_betweenness sweeps with
+    seeds restricted to node % 5 == 0 and the n/|S| rescale."""
+    base = _betweenness_oracle(levels)
+    base = base.replace(
+        "sig0 AS MATERIALIZED (SELECT node AS s, node AS v,"
+        " CAST(1 AS BIGINT) AS sig FROM nodes)",
+        "seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % 5 = 0),"
+        "\n    sig0 AS MATERIALIZED (SELECT node AS s, node AS v,"
+        " CAST(1 AS BIGINT) AS sig FROM seeds)",
+    )
+    return base.replace(
+        """SELECT n.node, ROUND(CAST(COALESCE(bc.bc, 0) AS DOUBLE) / 2, 6) AS bc
+    FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node""",
+        """SELECT n.node,
+           ROUND(CAST(COALESCE(bc.bc, 0) AS DOUBLE) / 2
+                 * ((SELECT COUNT(*) FROM nodes)
+                    / CAST((SELECT COUNT(*) FROM seeds) AS DOUBLE)), 6)
+             AS bc_est
+    FROM nodes n LEFT JOIN bc ON bc.node = n.node ORDER BY n.node""",
+    )
+
+
+@register(
+    "q_betweenness_sampled",
+    oracle=_betweenness_sampled_oracle(),
+    description="Brandes-Pich SAMPLED betweenness (the cluster-scale path "
+    "q_betweenness documents, made concrete): the same level-synchronous "
+    "sweeps seeded from the deterministic 1-in-5 source subset "
+    "(node % 5 == 0), estimate = (n/|S|) * sampled dependency sum — the "
+    "pair frame shrinks from O(n*reached) to O(|S|*reached), which is "
+    "the ONLY thing that changes vs the exact query (same operator, a "
+    "source predicate). Deterministic subset => oracle-checkable exactly, "
+    "unlike RNG-sampled estimators. SCALE: |S| is the knob — landmark "
+    "counts in the hundreds make exact-quality rankings tractable on "
+    "billion-edge graphs (Brandes-Pich 2007)",
+    tags=("graph", "iterative", "centrality", "approx"),
+)
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import betweenness_centrality
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 5 == 0)
+    counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    )
+    bc = betweenness_centrality(sym, max_levels=_BC_LEVELS, sources=seeds)
+    return (
+        bc.crossJoin(F.broadcast(counts))
+        .selectExpr(
+            "node",
+            "ROUND(CAST(bc AS DOUBLE) / 2"
+            " * (n_nodes / CAST(n_seeds AS DOUBLE)), 6) AS bc_est",
+        )
+        .orderBy("node")
+    )

@@ -1051,6 +1051,7 @@ def betweenness_centrality(
     src: str = "src",
     dst: str = "dst",
     max_levels: int = 6,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Exact betweenness centrality (Brandes 2001) as level-synchronous
     relational BSP over an UNDIRECTED graph given as a symmetrized edge
@@ -1086,9 +1087,12 @@ def betweenness_centrality(
         .localCheckpoint()
     )
     nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    # Brandes-Pich estimator: restrict the source set (a (node) frame) and
+    # scale the result by n/|S| at the caller — same plan, k-BFS cost
+    seeds = nodes if sources is None else nodes.join(sources, "node", "semi")
     # forward: per-level shortest-path counts
     sig = [
-        nodes.select(
+        seeds.select(
             F.col("node").alias("s"), F.col("node").alias("v"),
             F.lit(1).cast("bigint").alias("sig"),
         ).localCheckpoint()

@@ -1309,3 +1309,23 @@ def test_mix_shift_bridge_reconciles_and_matches_python(spark, sf_dir):
         # the bridge reconciles to the cent
         assert (g["volume_effect"] + g["price_effect"] + g["joint_effect"]
                 == rev1 - rev0)
+
+
+def test_sampled_betweenness_with_all_sources_equals_exact(spark, sf_dir):
+    """S = all nodes -> the estimator IS the exact bc (scale factor 1)."""
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.operators.graph import betweenness_centrality
+
+    edges = sorted(_events_graph_edges(spark, sf_dir))
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    nodes = df.selectExpr("src AS node").distinct()
+    exact = {r["node"]: float(r["bc"]) for r in betweenness_centrality(df).collect()}
+    sampled = {r["node"]: float(r["bc"]) for r in
+               betweenness_centrality(df, sources=nodes).collect()}
+    assert sampled == exact
+    # and the 1-in-5 estimator is nonnegative with the right support
+    est = {r["node"]: r["bc_est"] for r in
+           QUERIES["q_betweenness_sampled"].fn(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    assert all(v >= 0 for v in est.values())
