@@ -217,6 +217,8 @@ HEADLINE = [
     "q_periodogram",
     "q_mix_shift",
     "q_betweenness_sampled",
+    "q_anderson_darling",
+    "q_nelson_aalen",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

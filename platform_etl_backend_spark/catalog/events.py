@@ -4984,3 +4984,204 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(period AS BIGINT) AS period",
         "ROUND(sc * sc + ss * ss, 3) AS power",
     ).orderBy("period")
+
+
+# --- Anderson-Darling two-sample test ----------------------------------------------
+
+
+@register(
+    "q_anderson_darling",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    g AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM base GROUP BY event_type, value),
+    r AS (
+      SELECT event_type, cnt,
+             CAST(SUM(cnt_a) OVER wc AS BIGINT) AS cum_a,
+             CAST(SUM(cnt) OVER wc AS BIGINT) AS cum,
+             CAST(SUM(cnt_a) OVER wf AS BIGINT) AS n_a,
+             CAST(SUM(cnt) OVER wf AS BIGINT) AS n
+      FROM g
+      WINDOW wc AS (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type)),
+    terms AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             CAST(round(
+               CAST(cnt AS DOUBLE)
+               * (CAST(cum_a * n - cum * n_a AS DOUBLE)
+                  * CAST(cum_a * n - cum * n_a AS DOUBLE))
+               / (CAST(cum AS DOUBLE) * CAST(n - cum AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS t
+      FROM r WHERE cum < n),
+    agg AS (
+      SELECT event_type, n_a, n_b, CAST(SUM(t) AS DOUBLE) AS s
+      FROM terms GROUP BY event_type, n_a, n_b)
+    SELECT event_type, n_a, n_b,
+           ROUND(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS a2
+    FROM agg ORDER BY event_type
+    """,
+    description="two-sample Anderson-Darling statistic per event type "
+    "(cohort A = even user_id) — completes the ECDF-test trio: KS sees "
+    "the max gap, CvM the mean squared gap, AD weights the squared gap "
+    "by 1/(H(1-H)) so TAIL differences count (the heavy-tail shift "
+    "detector). Pettitt's A2 with ties processed as distinct-value "
+    "blocks (right-continuous ECDF, H=1 block excluded — the convention "
+    "is pinned in the python twin): per-block terms are exact integer "
+    "cross-products over one fixed-order IEEE division, DECIMAL(28,9) "
+    "contributions. SCALE: identical shape to q_ks_test/q_cvm_test — "
+    "cumulative windows over the map-side pre-aggregated distinct-value "
+    "frame, key-parallel per event type",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    g = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type", "cnt",
+        F.sum("cnt_a").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt_a").over(wf).cast("bigint").alias("n_a"),
+        F.sum("cnt").over(wf).cast("bigint").alias("n"),
+    )
+    terms = r.where(F.col("cum") < F.col("n")).selectExpr(
+        "event_type", "n_a", "n - n_a AS n_b",
+        # the deviation d = cum_a*n - cum*n_a is BIGINT-safe (<= N^2) but
+        # d^2 is NOT at large N — square in DOUBLE on both engines
+        "CAST(round("
+        " CAST(cnt AS DOUBLE)"
+        " * (CAST(cum_a * n - cum * n_a AS DOUBLE)"
+        "    * CAST(cum_a * n - cum * n_a AS DOUBLE))"
+        " / (CAST(cum AS DOUBLE) * CAST(n - cum AS DOUBLE)), 9)"
+        " AS DECIMAL(28,9)) AS t",
+    )
+    return (
+        terms.groupBy("event_type", "n_a", "n_b")
+        .agg(F.sum("t").cast("double").alias("s"))
+        .selectExpr(
+            "event_type", "n_a", "n_b",
+            "ROUND(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS a2",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Nelson-Aalen cumulative hazard -------------------------------------------------
+
+
+@register(
+    "q_nelson_aalen",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, value, {_EPOCH_DUCK} AS ep FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(ep) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' AND value >= 190.0 THEN ep END) AS t_conv,
+             MAX(ep) AS t_last
+      FROM e GROUP BY user_id),
+    subjects AS (
+      SELECT user_id,
+             CASE WHEN t_conv IS NOT NULL THEN t_conv - t0 ELSE t_last - t0 END AS dur,
+             CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user),
+    times AS (
+      SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d
+      FROM subjects GROUP BY dur HAVING SUM(ev) > 0),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM subjects s WHERE s.dur >= times.t)
+                  AS BIGINT) AS n
+      FROM times),
+    terms AS (
+      SELECT t, d, n,
+             CAST(round(CAST(d AS DOUBLE) / n, 9) AS DECIMAL(28,9)) AS h,
+             CAST(round(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * n), 9)
+                  AS DECIMAL(28,9)) AS v
+      FROM risk),
+    curve AS (
+      SELECT t, d, n,
+             SUM(h) OVER w AS ch, SUM(v) OVER w AS cv
+      FROM terms
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(t AS BIGINT) AS duration_s, n AS at_risk, d AS n_events,
+           ROUND(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+           ROUND(CAST(cv AS DOUBLE), 9) AS hazard_var
+    FROM curve ORDER BY duration_s
+    """,
+    description="Nelson-Aalen cumulative hazard (+ its Poisson variance) "
+    "for time-to-first-high-value-purchase with right censoring — the "
+    "additive twin of q_kaplan_meier's multiplicative survival curve "
+    "(H(t) = sum d_i/n_i; exact-rational increments as DECIMAL(28,9) "
+    "contributions, so the running sums are order-free): same subjects/"
+    "risk-set frames (the event-time table is tiny — broadcast range "
+    "semi-join), one ordered prefix sum over the bounded event-time "
+    "frame. SCALE: identical to q_kaplan_meier — one user rollup + a "
+    "bounded risk join",
+    tags=("events", "timeseries", "survival"),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min("ep").alias("t0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 190.0),
+                F.col("ep"),
+            )
+        ).alias("t_conv"),
+        F.max("ep").alias("t_last"),
+    )
+    subjects = per_user.select(
+        F.when(
+            F.col("t_conv").isNotNull(), F.col("t_conv") - F.col("t0")
+        ).otherwise(F.col("t_last") - F.col("t0")).alias("dur"),
+        F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = (
+        subjects.groupBy(F.col("dur").alias("t"))
+        .agg(F.sum("ev").cast("bigint").alias("d"))
+        .where(F.col("d") > 0)
+    )
+    risk = (
+        subjects.join(F.broadcast(times), subjects.dur >= times.t)
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    terms = risk.selectExpr(
+        "t", "d", "n",
+        "CAST(round(CAST(d AS DOUBLE) / n, 9) AS DECIMAL(28,9)) AS h",
+        "CAST(round(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * n), 9)"
+        " AS DECIMAL(28,9)) AS v",
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        terms.select(
+            "t", "d", "n",
+            F.sum("h").over(w).alias("ch"),
+            F.sum("v").over(w).alias("cv"),
+        )
+        .selectExpr(
+            "CAST(t AS BIGINT) AS duration_s",
+            "n AS at_risk",
+            "d AS n_events",
+            "ROUND(CAST(ch AS DOUBLE), 6) AS cum_hazard",
+            "ROUND(CAST(cv AS DOUBLE), 9) AS hazard_var",
+        )
+        .orderBy("duration_s")
+    )

@@ -1329,3 +1329,116 @@ def test_sampled_betweenness_with_all_sources_equals_exact(spark, sf_dir):
            QUERIES["q_betweenness_sampled"].fn(spark, sf_dir).collect()}
     assert set(est) == set(exact)
     assert all(v >= 0 for v in est.values())
+
+
+def test_anderson_darling_matches_python_and_detects_shift(spark, sf_dir):
+    from collections import defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    got = {r["event_type"]: r for r in
+           QUERIES["q_anderson_darling"].fn(spark, sf_dir).collect()}
+    rows = events_table(spark, sf_dir).select(
+        "event_type", "value", (F.col("user_id") % 2 == 0).alias("a")
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["event_type"]].append((r["value"], r["a"]))
+    for et, xs in per.items():
+        xs.sort()
+        n_a = sum(1 for _, a in xs if a)
+        n_b = len(xs) - n_a
+        N = len(xs)
+        s = 0.0
+        cum_a = cum = i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j][0] == xs[i][0]:
+                j += 1
+            cnt = j - i
+            cum_a += sum(1 for k in range(i, j) if xs[k][1])
+            cum += cnt
+            if cum < N:
+                d = cum_a * N - cum * n_a
+                s += round(cnt * (float(d) * float(d)) / (float(cum) * float(N - cum)), 9)
+            i = j
+        a2 = s / (n_a * n_b)
+        g = got[et]
+        assert g["a2"] == pytest.approx(a2, abs=1e-5), et
+        assert (g["n_a"], g["n_b"]) == (n_a, n_b)
+
+
+def test_anderson_darling_shift_sensitivity(spark):
+    """A clean location shift must score higher than identical samples."""
+    from platform_etl_backend_spark.catalog import QUERIES  # noqa: F401 (import parity)
+    # direct python of the same statistic on synthetic samples
+    def a2(xs_a, xs_b):
+        pooled = sorted([(x, True) for x in xs_a] + [(x, False) for x in xs_b])
+        n_a, n_b = len(xs_a), len(xs_b)
+        N = n_a + n_b
+        s = cum_a = cum = 0.0
+        i = 0
+        while i < N:
+            j = i
+            while j < N and pooled[j][0] == pooled[i][0]:
+                j += 1
+            cnt = j - i
+            cum_a += sum(1 for k in range(i, j) if pooled[k][1])
+            cum += cnt
+            if cum < N:
+                d = cum_a * N - cum * n_a
+                s += cnt * d * d / (cum * (N - cum))
+            i = j
+        return s / (n_a * n_b)
+
+    base = [float(i % 37) for i in range(200)]
+    shifted = [x + 5.0 for x in base]
+    assert a2(base, shifted) > 10 * a2(base, list(base))
+
+
+def test_nelson_aalen_matches_python_and_km_consistency(spark, sf_dir):
+    """Exact python twin; and the additive hazard must agree with the
+    multiplicative KM curve: -log S(t) >= H(t) (elementary inequality
+    -ln(1-x) >= x), tight where increments are small."""
+    import math
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    rows = QUERIES["q_nelson_aalen"].fn(spark, sf_dir).collect()
+    e = events_table(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ep").collect()
+    per = {}
+    for r in e:
+        u = r["user_id"]
+        t0, tc, tl = per.get(u, (None, None, None))
+        t0 = r["ep"] if t0 is None else min(t0, r["ep"])
+        tl = r["ep"] if tl is None else max(tl, r["ep"])
+        if r["event_type"] == "purchase" and r["value"] >= 190.0:
+            tc = r["ep"] if tc is None else min(tc, r["ep"])
+        per[u] = (t0, tc, tl)
+    subjects = [
+        ((tc - t0) if tc is not None else (tl - t0), 1 if tc is not None else 0)
+        for t0, tc, tl in per.values()
+    ]
+    from collections import Counter
+
+    deaths = Counter()
+    for dur, ev in subjects:
+        if ev:
+            deaths[dur] += 1
+    ch = cv = 0.0
+    want = []
+    for t in sorted(deaths):
+        d = deaths[t]
+        n = sum(1 for dur, _ in subjects if dur >= t)
+        ch += round(d / n, 9)
+        cv += round(d / (float(n) * n), 9)
+        want.append((t, n, d, round(ch, 6), round(cv, 9)))
+    got = [(r["duration_s"], r["at_risk"], r["n_events"],
+            r["cum_hazard"], r["hazard_var"]) for r in rows]
+    assert got == want
+    # KM consistency on the shared grid
+    km = {r["duration_s"]: r["log_survival"] for r in
+          QUERIES["q_kaplan_meier"].fn(spark, sf_dir).collect()}
+    for r in rows:
+        assert -km[r["duration_s"]] >= r["cum_hazard"] - 1e-6
