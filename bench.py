@@ -219,6 +219,7 @@ HEADLINE = [
     "q_betweenness_sampled",
     "q_anderson_darling",
     "q_nelson_aalen",
+    "q_map_eval",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -4415,15 +4415,12 @@ cands AS (
 )
 def q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.dedup import (
-        _banded_keys, _w_min_hash, weighted_shingle_tf,
+        _banded_keys, weighted_minhash_sigs_from_tf, weighted_shingle_tf_rows,
     )
 
     d = table(spark, sf_dir, "documents")
-    docs = weighted_shingle_tf(d, "doc_id", "text", 3).persist()
-    sig = docs.select(
-        "doc_id",
-        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(8)],
-    )
+    wtf = weighted_shingle_tf_rows(d, "doc_id", "text", 3).persist()
+    sig = weighted_minhash_sigs_from_tf(wtf, "doc_id", 8)
     keyed = _banded_keys(sig, "doc_id", 8, 4)
     ka = keyed.select(F.col("doc_id").alias("id_a"), "band", "key")
     kb = keyed.select(F.col("doc_id").alias("id_b"), "band", "key")
@@ -4432,9 +4429,6 @@ def q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-    wtf = docs.select("doc_id", F.explode("wsh").alias("p")).select(
-        "doc_id", F.col("p.g").alias("g"), F.col("p.w").alias("w")
     )
     sizes = wtf.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("s"))
     wa = wtf.select(F.col("doc_id").alias("id_a"), "g", F.col("w").alias("w_a"))
@@ -4501,15 +4495,12 @@ def q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.dedup import (
-        _banded_keys, _w_min_hash, weighted_shingle_tf,
+        _banded_keys, weighted_minhash_sigs_from_tf, weighted_shingle_tf_rows,
     )
 
     d = table(spark, sf_dir, "documents")
-    docs = weighted_shingle_tf(d, "doc_id", "text", 3).persist()
-    sig = docs.select(
-        "doc_id",
-        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(8)],
-    )
+    wtf = weighted_shingle_tf_rows(d, "doc_id", "text", 3).persist()
+    sig = weighted_minhash_sigs_from_tf(wtf, "doc_id", 8)
     keyed = _banded_keys(sig, "doc_id", 8, 4)
     ka = keyed.select(F.col("doc_id").alias("id_a"), "band", "key")
     kb = keyed.select(F.col("doc_id").alias("id_b"), "band", "key")
@@ -4520,9 +4511,7 @@ def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # feeds the count AND the verify join
     )
-    wtf = docs.select("doc_id", F.explode("wsh").alias("p")).select(
-        "doc_id", F.col("p.g").alias("g"), F.col("p.w").alias("w")
-    ).localCheckpoint()  # feeds verify AND the all-pairs truth join
+    wtf = wtf.localCheckpoint()  # feeds sig, verify AND the all-pairs truth join
     sizes = wtf.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("s"))
     za = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
@@ -5680,4 +5669,125 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("fold").cast("bigint").alias("fold"), "n_docs",
                 "n_correct", "accuracy_micro")
         .orderBy("fold")
+    )
+
+
+# --- MAP@10 (average precision) -----------------------------------------------------
+
+# lcm(1..10) — sum of cumrel_k/k terms becomes ONE exact integer over 2520
+_AP_LCM = 2520
+
+
+@register(
+    "q_map_eval",
+    oracle=f"""
+    WITH q(term) AS (SELECT unnest({list(_REVAL_TERMS)!r})),
+    toks AS (SELECT doc_id, unnest({_T}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    scored AS (
+      SELECT q.term, tf.doc_id,
+             CASE WHEN tf.tf >= 4 THEN 3 WHEN tf.tf >= 2 THEN 1 ELSE 0 END AS rel,
+             ROUND({_REVAL_IDF}
+                   * (tf.tf * ({_REVAL_K1} + 1))
+                   / (tf.tf + {_REVAL_K1} * (1 - {_REVAL_B}
+                      + {_REVAL_B} * dl.dl / avgdl)), 6) AS score
+      FROM q JOIN tf ON q.term = tf.w
+      JOIN dfreq ON dfreq.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id, g),
+    ranked AS (
+      SELECT term, CASE WHEN rel > 0 THEN 1 ELSE 0 END AS hit,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS r
+      FROM scored),
+    rtot AS (
+      SELECT term, CAST(SUM(hit) AS BIGINT) AS n_rel FROM ranked
+      GROUP BY term),
+    cum AS (
+      SELECT term, r, hit,
+             CAST(SUM(hit) OVER (PARTITION BY term ORDER BY r
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch
+      FROM ranked WHERE r <= {_REVAL_TOPK}),
+    s AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN hit = 1 THEN ch * ({_AP_LCM} // r)
+                           ELSE 0 END) AS BIGINT) AS num
+      FROM cum GROUP BY term)
+    SELECT s.term, rtot.n_rel,
+           CAST((2 * 1000000 * num + {_AP_LCM} * LEAST(rtot.n_rel, {_REVAL_TOPK}))
+                // (2 * {_AP_LCM} * LEAST(rtot.n_rel, {_REVAL_TOPK}))
+                AS BIGINT) AS ap_micro
+    FROM s JOIN rtot ON s.term = rtot.term
+    WHERE rtot.n_rel > 0 ORDER BY s.term
+    """,
+    description="average precision @10 per query (MAP's per-query grain — "
+    "the order-sensitive judge completing NDCG/MRR/P@k): AP = "
+    "mean over hit positions of precision@k, computed as ONE exact "
+    "integer rational — each cumrel_k/k term scaled by lcm(1..10)=2520, "
+    "so the sum is BIGINT and the final micro is round-half-away "
+    "division (zero floats beyond the BM25 ranking itself). SCALE: same "
+    "frame shapes as q_retrieval_eval — key-parallel per-term windows, "
+    "vocab-bounded sides",
+    tags=("text", "retrieval", "ml-eval"),
+)
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(D.ws_tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = spark.createDataFrame([(t,) for t in _REVAL_TERMS], "term string")
+    idf = portable_ln_ratio(2 * F.col("n_docs") + 2, 2 * F.col("df") + 1)
+    sat = (F.col("tf") * (_REVAL_K1 + 1)) / (
+        F.col("tf")
+        + _REVAL_K1 * (1 - _REVAL_B + _REVAL_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q).join(tf, q.term == tf.w)
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "term", "doc_id",
+            F.when(F.col("tf") >= 2, 1).otherwise(0).alias("hit"),
+            F.round(idf * sat, 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    ranked = scored.withColumn("r", F.row_number().over(w_rank).cast("bigint"))
+    rtot = ranked.groupBy("term").agg(F.sum("hit").cast("bigint").alias("n_rel"))
+    wc = Window.partitionBy("term").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = ranked.where(F.col("r") <= _REVAL_TOPK).select(
+        "term", "r", "hit", F.sum("hit").over(wc).cast("bigint").alias("ch")
+    )
+    s = cum.groupBy("term").agg(
+        F.sum(
+            F.when(F.col("hit") == 1, F.col("ch") * (_AP_LCM / F.col("r")).cast("bigint"))
+            .otherwise(0)
+        ).cast("bigint").alias("num")
+    )
+    return (
+        s.join(rtot, "term")
+        .where(F.col("n_rel") > 0)
+        .selectExpr(
+            "term", "n_rel",
+            f"CAST((2 * 1000000 * num + {_AP_LCM} * LEAST(n_rel, {_REVAL_TOPK}))"
+            f" div (2 * {_AP_LCM} * LEAST(n_rel, {_REVAL_TOPK})) AS BIGINT)"
+            " AS ap_micro",
+        )
+        .orderBy("term")
     )

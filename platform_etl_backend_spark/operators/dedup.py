@@ -920,14 +920,95 @@ def _w_min_hash(wsh: Column, seed: int) -> Column:
     )
 
 
+def weighted_minhash_sigs_from_docs(
+    docs: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """H exact weighted min-hashes from a (id, wsh) frame via the
+    EXPLODE + codegen shape: the replica array ("g:i" strings) is built
+    ONCE per doc (one HOF pass), exploded to rows, and every seed's md5
+    + min then runs as ordinary codegen'd aggregation expressions with
+    map-side partial mins — one skinny keyed shuffle. The first
+    formulation evaluated the nested HOF expansion PER SEED (Spark does
+    not codegen lambda HOFs — the CDC lesson); bench caught it at 16 s
+    at sf0.1, this shape runs the identical md5 count in ~2 s."""
+    reps = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("wsh"),
+                    lambda p: F.transform(
+                        F.sequence(F.lit(1), p["w"]),
+                        lambda i: F.concat(
+                            p["g"], F.lit(":"), i.cast("string")
+                        ),
+                    ),
+                )
+            )
+        ).alias("rep"),
+    )
+    return reps.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("rep")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def weighted_shingle_tf_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, g, w) tf-weighted k-shingle ROWS via the wordcount shape
+    (explode + keyed count): one codegen'd shuffle. The array-building
+    twin (weighted_shingle_tf) counts occurrences with an O(D*L)
+    in-array filter per doc — interpreted HOF lambdas made that the
+    dominant cost at sf0.1 (bench: 16 s); every multi-consumer catalog
+    query should start from THIS frame and derive arrays only if needed."""
+    toks = ws_tokens(text_col)
+    whole = F.array(F.concat_ws(" ", toks))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(whole)
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def weighted_minhash_sigs_from_tf(
+    wtf: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """H exact weighted min-hashes from a (id, g, w) row frame: replica
+    rows ("g:i", i = 1..w) explode off a tiny per-row sequence, then the
+    md5 mins aggregate map-side as plain codegen expressions."""
+    reps = wtf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("w")),
+                lambda i: F.concat(F.col("g"), F.lit(":"), i.cast("string")),
+            )
+        ).alias("rep"),
+    )
+    return reps.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("rep")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def weighted_minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """H exact weighted min-hashes per doc over tf-weighted k-shingles,
-    map-side (array transforms only — the signature stage stays
-    embarrassingly parallel, the minhash_signatures scale contract)."""
-    docs = weighted_shingle_tf(df, id_col, text_col, k)
-    return docs.select(
-        id_col,
-        *[_w_min_hash(F.col("wsh"), i).alias(f"h{i}") for i in range(num_hashes)],
-    )
+    """H exact weighted min-hashes per doc over tf-weighted k-shingles
+    (wordcount-shape tf + codegen md5 aggregation — see
+    weighted_minhash_sigs_from_tf)."""
+    wtf = weighted_shingle_tf_rows(df, id_col, text_col, k)
+    return weighted_minhash_sigs_from_tf(wtf, id_col, num_hashes)

@@ -1442,3 +1442,51 @@ def test_nelson_aalen_matches_python_and_km_consistency(spark, sf_dir):
           QUERIES["q_kaplan_meier"].fn(spark, sf_dir).collect()}
     for r in rows:
         assert -km[r["duration_s"]] >= r["cum_hazard"] - 1e-6
+
+
+def test_map_eval_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.text import (
+        _AP_LCM, _REVAL_B, _REVAL_K1, _REVAL_TERMS, _REVAL_TOPK,
+    )
+
+    got = {r["term"]: r for r in QUERIES["q_map_eval"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").collect()
+    tf = {r["doc_id"]: Counter([t for t in r["text"].strip().split() if t])
+          for r in docs}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(tf)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    for c in tf.values():
+        for w in c:
+            df[w] += 1
+    for term in _REVAL_TERMS:
+        scored = []
+        for d, c in tf.items():
+            t = c.get(term, 0)
+            if t == 0:
+                continue
+            idf = math.log((2 * n_docs + 2) / (2 * df[term] + 1))
+            sat = t * (_REVAL_K1 + 1) / (
+                t + _REVAL_K1 * (1 - _REVAL_B + _REVAL_B * dl[d] / avgdl))
+            scored.append((round(idf * sat, 6), d, 1 if t >= 2 else 0))
+        ranked = sorted(scored, key=lambda x: (-x[0], x[1]))
+        n_rel = sum(h for _, _, h in ranked)
+        if n_rel == 0:
+            assert term not in got
+            continue
+        num = 0
+        ch = 0
+        for k, (_, _, h) in enumerate(ranked[:_REVAL_TOPK], start=1):
+            if h:
+                ch += 1
+                num += ch * (_AP_LCM // k)
+        den = _AP_LCM * min(n_rel, _REVAL_TOPK)
+        ap = (2 * 1000000 * num + den) // (2 * den)
+        g = got[term]
+        assert g["n_rel"] == n_rel and g["ap_micro"] == ap, term
+        assert 0 <= g["ap_micro"] <= 1000000
