@@ -220,6 +220,7 @@ HEADLINE = [
     "q_anderson_darling",
     "q_nelson_aalen",
     "q_map_eval",
+    "q_theil_index",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -3702,3 +3702,79 @@ def _ridge_outs() -> list[str]:
     # split on ', ROUND' boundaries, re-prefixing
     parts = body.split(", ROUND(")
     return [parts[0]] + ["ROUND(" + p for p in parts[1:]]
+
+
+_THEIL_LN = _duck_ln("cents * n", "sx")
+
+
+@register(
+    "q_theil_index",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                                AS BIGINT), 0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sx
+           FROM spend),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(cents AS DOUBLE) * n / sx) * {_THEIL_LN}, 9)
+             AS DECIMAL(28,9)) AS t
+      FROM spend, st WHERE cents > 0)
+    SELECT (SELECT n FROM st) AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM spend WHERE cents = 0)
+             AS n_zero,
+           ROUND(CAST(SUM(t) AS DOUBLE) / (SELECT n FROM st), 6) AS theil_t
+    FROM terms
+    """,
+    description="Theil T inequality index of customer spend — the "
+    "decomposable companion of q_lorenz_gini (Theil splits exactly into "
+    "within-group + between-group terms, the property Gini lacks): "
+    "T = (1/n) Sum (x/mu) ln(x/mu) with x/mu carried as the exact "
+    "integer rational x*n/S, the log on the engine-portable ratio ln, "
+    "per-customer terms as DECIMAL(28,9) contributions (zero-spend "
+    "customers contribute the x->0 limit 0 and are reported). SCALE: "
+    "one join-rollup + a scalar frame + a map-side term projection",
+    tags=("relational", "stats", "skew"),
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                (F.sum(dec2("o_totalprice")) * 100).cast("bigint"), F.lit(0)
+            ).alias("cents")
+        )
+    )
+    st = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    joined = spend.crossJoin(F.broadcast(st))
+    terms = joined.where(F.col("cents") > 0).select(
+        F.round(
+            (F.col("cents").cast("double") * F.col("n") / F.col("sx"))
+            * portable_ln_ratio(F.col("cents") * F.col("n"), F.col("sx")),
+            9,
+        ).cast("decimal(28,9)").alias("t")
+    )
+    nz = joined.where(F.col("cents") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zero")
+    )
+    return (
+        terms.agg(F.sum("t").alias("s"))
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(nz))
+        .selectExpr(
+            "n AS n_customers",
+            "n_zero",
+            "ROUND(CAST(s AS DOUBLE) / n, 6) AS theil_t",
+        )
+    )

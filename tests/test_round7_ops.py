@@ -1490,3 +1490,29 @@ def test_map_eval_matches_python(spark, sf_dir):
         g = got[term]
         assert g["n_rel"] == n_rel and g["ap_micro"] == ap, term
         assert 0 <= g["ap_micro"] <= 1000000
+
+
+def test_theil_index_matches_python(spark, sf_dir):
+    import math
+    from decimal import Decimal
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_theil_index"].fn(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice").collect()
+    custs = [r["c_custkey"] for r in spark.read.parquet(
+        f"{sf_dir}/customer.parquet").select("c_custkey").collect()]
+    spend = {c: 0 for c in custs}
+    for r in orders:
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + int(
+            (Decimal(str(r["o_totalprice"])) * 100).to_integral_value())
+    n = len(spend)
+    sx = sum(spend.values())
+    s = sum(
+        round((x * n / sx) * math.log(x * n / sx), 9)
+        for x in spend.values() if x > 0
+    )
+    assert got["n_customers"] == n
+    assert got["n_zero"] == sum(1 for x in spend.values() if x == 0)
+    assert got["theil_t"] == pytest.approx(s / n, abs=1e-5)
+    assert 0 <= got["theil_t"] <= math.log(n)  # Theil bounds
