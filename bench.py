@@ -221,6 +221,7 @@ HEADLINE = [
     "q_nelson_aalen",
     "q_map_eval",
     "q_theil_index",
+    "q_entropy_rate",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

@@ -100,7 +100,7 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # additions has cumulative driver evidence and the oldest single-check
 # rows start their second pass.
 #
-# ROUND-8 ROTATION TODO: the 24 round-7 late-session additions have no
+# ROUND-8 ROTATION TODO: the 25 round-7 late-session additions have no
 # driver evidence yet (all replica-green at BOTH SFs when registered):
 # q_lorenz_gini, q_herfindahl, q_cramers_v, q_hill_tail_index,
 # q_heaps_law, q_naive_bayes, q_retrieval_eval, q_pacf,
@@ -108,8 +108,8 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_degree_assortativity, q_distance_distribution, q_betweenness,
 # q_ridge_regression, q_nb_crossval, q_periodogram, q_mix_shift,
 # q_betweenness_sampled, q_anderson_darling, q_nelson_aalen, q_map_eval,
-# q_theil_index.
-# Front these 24 in the round-8 window; pad the remaining slots with
+# q_theil_index, q_entropy_rate.
+# Front these 25 in the round-8 window; pad the remaining slots with
 # the 8 once-checked round-1 rows displaced this round (q_harmonic_scores,
 # q_hash_sample, q_intersect_nations, q_join_lut_broadcast, q_join_multi,
 # q_json_extract, q_latest_order_per_customer, q_lead_lag) and then the

@@ -5185,3 +5185,95 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_s")
     )
+
+
+# --- entropy rate of the event sequence ----------------------------------------------
+
+_ER_LN = duck_portable_ln_ratio("c_a", "c_ab")
+
+
+@register(
+    "q_entropy_rate",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_EPOCH_DUCK} AS ep FROM events),
+    p AS (SELECT event_type AS prev_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                     AS next_type
+          FROM e),
+    c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM p WHERE next_type IS NOT NULL GROUP BY prev_type, next_type),
+    t AS (SELECT prev_type, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY prev_type),
+    n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nn FROM c),
+    terms AS (
+      SELECT c.prev_type,
+             CAST(round(CAST(c.c_ab AS DOUBLE) * {_ER_LN}, 9)
+                  AS DECIMAL(28,9)) AS t
+      FROM c JOIN t ON c.prev_type = t.prev_type),
+    per AS (
+      SELECT prev_type, CAST(SUM(t) AS DECIMAL(38,9)) AS s
+      FROM terms GROUP BY prev_type)
+    SELECT per.prev_type,
+           t.c_a AS n_transitions,
+           ROUND(CAST(per.s AS DOUBLE) / t.c_a, 6) AS cond_entropy_nats,
+           (SELECT ROUND(CAST(SUM(per2.s) AS DOUBLE)
+                         / (SELECT CAST(nn AS DOUBLE) FROM n), 6)
+            FROM per per2) AS entropy_rate_nats
+    FROM per JOIN t ON per.prev_type = t.prev_type
+    ORDER BY per.prev_type
+    """,
+    description="empirical entropy rate of the per-user event sequence "
+    "(H(next | prev) under the bigram model — the sequence-"
+    "predictability number: 0 = deterministic sessions, ln(K) = uniform "
+    "noise; the information-theoretic twin of q_markov_transitions): "
+    "per-state conditional entropies and the stationary-weighted rate, "
+    "all from the same exact transition counts — each term is "
+    "c_ab * ln(c_a/c_ab) on the engine-portable ratio ln, DECIMAL(28,9) "
+    "contributions, one final IEEE division. SCALE: one user-keyed "
+    "window + rollups bounded by |event types|^2",
+    tags=("events", "sequence", "markov", "stats"),
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
+
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    p = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    c = (
+        p.where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    t = c.groupBy("prev_type").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    nn = c.agg(F.sum("c_ab").cast("bigint").alias("nn"))
+    terms = c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        F.round(
+            F.col("c_ab").cast("double")
+            * portable_ln_ratio(F.col("c_a"), F.col("c_ab")),
+            9,
+        ).cast("decimal(28,9)").alias("t"),
+    )
+    # per-state sums STAY decimal through the second aggregation level —
+    # a raw double sum over even a 5-row frame is order-dependent
+    per = terms.groupBy("prev_type").agg(
+        F.sum("t").cast("decimal(38,9)").alias("s")
+    )
+    rate = per.agg(F.sum("s").alias("stot")).crossJoin(F.broadcast(nn)).select(
+        F.round(
+            F.col("stot").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("entropy_rate_nats")
+    )
+    return (
+        per.join(t, "prev_type")
+        .crossJoin(F.broadcast(rate))
+        .selectExpr(
+            "prev_type",
+            "c_a AS n_transitions",
+            "ROUND(CAST(s AS DOUBLE) / c_a, 6) AS cond_entropy_nats",
+            "entropy_rate_nats",
+        )
+        .orderBy("prev_type")
+    )

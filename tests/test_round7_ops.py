@@ -1516,3 +1516,38 @@ def test_theil_index_matches_python(spark, sf_dir):
     assert got["n_zero"] == sum(1 for x in spend.values() if x == 0)
     assert got["theil_t"] == pytest.approx(s / n, abs=1e-5)
     assert 0 <= got["theil_t"] <= math.log(n)  # Theil bounds
+
+
+def test_entropy_rate_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.catalog.events import events_table
+
+    rows = QUERIES["q_entropy_rate"].fn(spark, sf_dir).collect()
+    e = sorted(
+        events_table(spark, sf_dir).select(
+            "user_id", "event_type", "ep", "event_id").collect(),
+        key=lambda r: (r["user_id"], r["ep"], r["event_id"]),
+    )
+    pairs = Counter()
+    prev = {}
+    for r in e:
+        u = r["user_id"]
+        if u in prev:
+            pairs[(prev[u], r["event_type"])] += 1
+        prev[u] = r["event_type"]
+    tot = defaultdict(int)
+    for (a, _), c in pairs.items():
+        tot[a] += c
+    nn = sum(pairs.values())
+    per = defaultdict(float)
+    for (a, b), c in pairs.items():
+        per[a] += round(c * math.log(tot[a] / c), 9)
+    rate = sum(per.values()) / nn
+    for r in rows:
+        a = r["prev_type"]
+        assert r["n_transitions"] == tot[a]
+        assert r["cond_entropy_nats"] == pytest.approx(per[a] / tot[a], abs=1e-5)
+        assert r["entropy_rate_nats"] == pytest.approx(rate, abs=1e-5)
+        assert 0 <= r["cond_entropy_nats"] <= math.log(len(tot)) + 1e-9
