@@ -222,6 +222,8 @@ HEADLINE = [
     "q_map_eval",
     "q_theil_index",
     "q_entropy_rate",
+    # round 8
+    "q_approx_percentile_envelope",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under
@@ -326,6 +328,22 @@ def main() -> None:
     # $SPARK_GRAFT_BENCH_OUT is rewritten, so a killed run still leaves a
     # complete-coverage min-of-k artifact for the passes that finished.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    # Full per-query detail artifact (round-7 VERDICT #2): the driver's
+    # tail capture truncates the compact line's per-query dict at ~190
+    # queries, so round-over-round comparisons lost most of the map.
+    # Rewritten after every pass; committed per round as
+    # BENCH_DETAIL_r{N}.json so regressions stay auditable.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+
+    def write_detail(payload: dict) -> None:
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+
     timings: dict[str, float] = {}
     for p in range(passes):
         for name in HEADLINE:
@@ -346,6 +364,13 @@ def main() -> None:
         if out_path:
             with open(out_path, "w") as fh:
                 fh.write(ckpt + "\n")
+        write_detail({
+            "sf": sf,
+            "passes": p + 1,
+            "partial": p + 1 < passes,
+            "agg": "min",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+        })
     timings = {k: round(v, 3) for k, v in timings.items()}
     tracked = {name: time_min(name) for name in TRACKED}
 
@@ -356,7 +381,13 @@ def main() -> None:
     # artifacts (this VM's run-to-run noise is ±15%+; the min over 6
     # passes is far more stable than over 3).
     QUIET = ["q_prefix_jaccard", "q_semantic_dedup",
-             "q_entity_resolution", "q_grid_cluster"]
+             "q_entity_resolution", "q_grid_cluster",
+             # round-7 VERDICT #3: quiet-baseline the two-pass-rank
+             # rewires + the ambient-drift suspects so a TRUE regression
+             # cannot hide behind session noise
+             "q_roc_auc", "q_calibration_bins", "q_equidepth_histogram",
+             "q_gini_split", "q_wasserstein_1d",
+             "q_quantile_rank_error", "q_minhash_recall"]
     quiet_passes = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_PASSES", "3"))
     tracked_quiet = {}
     for name in QUIET:
@@ -392,6 +423,15 @@ def main() -> None:
     if out_path:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
+    write_detail({
+        "sf": sf,
+        "passes": passes,
+        "partial": False,
+        "agg": "min",
+        "queries": timings,
+        "tracked": tracked,
+        "tracked_quiet": tracked_quiet,
+    })
     print(line)
     # BENCH_r04 lesson: the full line above now exceeds the driver's
     # tail-capture window at 90+ queries, and since "value" precedes the

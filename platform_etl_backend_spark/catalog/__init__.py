@@ -77,98 +77,85 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # for free. q_value_histogram's mn==mx guard is output-identical on
 # non-degenerate data (replica re-verified), so it does not need a slot.
 #
-# ROUND-7 WINDOW (this round): computed by diffing the r01-r06
-# CORRECTNESS key sets against the registry (the same computation the
-# VERDICT runs) —
-# - the 22 queries with NO driver evidence: the 18 round-6 additions
-#   registered past position 50 (all replica-green at both SFs since
-#   round 6; the 5 W2-class queries among them were REWIRED onto the
-#   two-pass distributed rank this round and re-verified) plus the 4
-#   round-7 additions (q_scc_fwbw, q_weighted_minhash,
-#   q_weighted_minhash_recall, q_transformer_rerank — rows-only);
-# - 3 changed-contract re-checks: q_ntile_buckets and
-#   q_min_over_windows (rewired off their O(n) single-partition windows
-#   this round) and q_quantile_normalize (reference ranks now two-pass);
-#   output values are oracle-identical, but a changed plan earns a
-#   fresh driver slot per the round-4 protocol;
-# - the 12 round-7 session-2/3 additions (zero driver evidence — they
-#   outrank once-checked pads);
-# - 13 pad slots: the oldest never-twice-checked rows (round-1-checked,
-#   alphabetical — deterministic; the rest of that cohort returns in
-#   round 8).
-# r07 green => every query registered BEFORE the round-7 session-4+
-# additions has cumulative driver evidence and the oldest single-check
-# rows start their second pass.
-#
-# ROUND-8 ROTATION TODO: the 25 round-7 late-session additions have no
-# driver evidence yet (all replica-green at BOTH SFs when registered):
-# q_lorenz_gini, q_herfindahl, q_cramers_v, q_hill_tail_index,
-# q_heaps_law, q_naive_bayes, q_retrieval_eval, q_pacf,
-# q_harmonic_centrality, q_lift_curve, q_cvm_test, q_token_fertility,
-# q_degree_assortativity, q_distance_distribution, q_betweenness,
-# q_ridge_regression, q_nb_crossval, q_periodogram, q_mix_shift,
-# q_betweenness_sampled, q_anderson_darling, q_nelson_aalen, q_map_eval,
-# q_theil_index, q_entropy_rate.
-# Front these 25 in the round-8 window; pad the remaining slots with
-# the 8 once-checked round-1 rows displaced this round (q_harmonic_scores,
-# q_hash_sample, q_intersect_nations, q_join_lut_broadcast, q_join_multi,
-# q_json_extract, q_latest_order_per_customer, q_lead_lag) and then the
-# oldest never-twice-checked rows.
+# ROUND-8 WINDOW (this round): computed by diffing the r01-r07
+# CORRECTNESS key sets against the 336-query registry (the same
+# computation the VERDICT runs) —
+# - the 25 round-7 late-session additions with NO driver evidence (all
+#   replica-green at BOTH SFs when registered, re-verified by the
+#   round-7 judge at both SFs): positions 1-25 below. r08 green =>
+#   cumulative driver evidence covers the ENTIRE registry for the first
+#   time — zero structural lag.
+# - 4 changed-contract/changed-plan re-checks (the round-4 protocol:
+#   fresh driver slot on any change): q_conformal_interval (three-way
+#   fit/calibrate/test split per round-7 ADVICE), q_skyline_2d (merge
+#   pass now runs on a DISTINCT (cents,size) frame + broadcast semi
+#   join back — removes the tie-inflation caveat AND makes the bound
+#   classifier-visible), q_seasonal_decompose (persist instead of
+#   localCheckpoint so the calendar bound is classifier-visible; same
+#   values), q_wasserstein_1d (two_pass_cdf's per-pid statistics fused
+#   into ONE groupBy — one scan + one broadcast instead of two).
+# - 21 pad slots: the 8 once-checked round-1 rows displaced by the
+#   round-7 window (q_harmonic_scores .. q_lead_lag) and then the next
+#   13 of that cohort in the same deterministic alphabetical order
+#   (q_left_join_fill .. q_semi_join). q_session_window, q_sessionize,
+#   q_stats_per_group, q_string_funcs, q_time_buckets and
+#   q_union_parties close out the round-1 cohort in round 9.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "q_target_encoding",
-    "q_k_anonymity",
-    "q_gini_split",
-    "q_seasonal_decompose",
-    "q_shapley_attribution",
-    "q_dp_noisy_counts",
-    "q_sequential_patterns",
-    "q_stratified_ate",
-    "q_wasserstein_1d",
-    "q_ktruss",
-    "q_scc",
-    "q_scc_fwbw",
-    "q_equidepth_histogram",
-    "q_quantile_rank_error",
-    "q_transformer_rerank",
-    "q_roc_auc",
-    "q_calibration_bins",
-    "q_rendezvous_sharding",
-    "q_length_buckets",
-    "q_minhash_recall",
-    "q_weighted_minhash",
-    "q_weighted_minhash_recall",
-    "q_ntile_buckets",
-    "q_min_over_windows",
-    "q_quantile_normalize",
-    "q_anti_join",
-    "q_approx_distinct",
-    "q_case_when",
-    "q_date_parts",
-    "q_dense_rank_best",
-    "q_distinct",
-    "q_except_nations",
-    "q_explode_words",
-    "q_expr_join",
-    "q_file_provenance",
-    "q_full_outer",
-    "q_global_agg",
-    "q_global_rank_multiplier",
-    # round-7 session-2/3 additions (zero driver evidence — they outrank
-    # the remaining once-checked pads, which return in round 8)
-    "q_logreg_gd",
-    "q_negative_sampling",
-    "q_cohens_kappa",
+    # -- the 25 never-driver-checked round-7 additions -----------------
+    "q_lorenz_gini",
+    "q_herfindahl",
+    "q_cramers_v",
+    "q_hill_tail_index",
+    "q_heaps_law",
+    "q_naive_bayes",
+    "q_retrieval_eval",
+    "q_pacf",
+    "q_harmonic_centrality",
+    "q_lift_curve",
+    "q_cvm_test",
+    "q_token_fertility",
+    "q_degree_assortativity",
+    "q_distance_distribution",
+    "q_betweenness",
+    "q_ridge_regression",
+    "q_nb_crossval",
+    "q_periodogram",
+    "q_mix_shift",
+    "q_betweenness_sampled",
+    "q_anderson_darling",
+    "q_nelson_aalen",
+    "q_map_eval",
+    "q_theil_index",
+    "q_entropy_rate",
+    # -- changed contract/plan re-checks (round-4 protocol) ------------
     "q_conformal_interval",
-    "q_psi_drift",
-    "q_js_divergence",
-    "q_logrank_test",
-    "q_boosted_stumps",
-    "q_mutual_information",
-    "q_brier_decomposition",
-    "q_tree_depth2",
-    "q_ngram_novelty",
+    "q_skyline_2d",
+    "q_seasonal_decompose",
+    "q_wasserstein_1d",
+    # -- pads: once-checked (round 1) rows starting their second pass --
+    "q_harmonic_scores",
+    "q_hash_sample",
+    "q_intersect_nations",
+    "q_join_lut_broadcast",
+    "q_join_multi",
+    "q_json_extract",
+    "q_latest_order_per_customer",
+    "q_lead_lag",
+    "q_left_join_fill",
+    "q_math_funcs",
+    "q_melt_metrics",
+    "q_nullsafe_join",
+    "q_order_limit",
+    "q_rank_topk",
+    "q_rowwise_sum",
+    "q_running_sum",
+    "q_salted_agg",
+    "q_scalar_filter_sum",
+    "q_selectexpr_fragments",
+    "q_self_join",
+    "q_semi_join",
 )
 
 

@@ -3187,7 +3187,13 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y - (2 * s7 + c7) div (2 * c7) AS d",
             "CAST(day % 7 AS INT) AS dow",
         )
-        .localCheckpoint()  # feeds sea + res
+        # persist (NOT localCheckpoint): both avoid recomputing the frame
+        # for its two consumers (sea + res), but persist keeps the
+        # InMemoryRelation's cached plan visible, so the plan classifier
+        # can SEE the calendar-bounded day rollup below the global-window
+        # exchanges (round-7 VERDICT #4 — this query leaves the plan-guard
+        # hand allowlist).
+        .persist()
     )
     wd = Window.partitionBy("dow").orderBy("d", "day")
     sea = (
@@ -3202,7 +3208,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = det.join(F.broadcast(sea), "dow").select(
         "day", "y", "trend", "seasonal",
         (F.col("d") - F.col("seasonal")).alias("resid"),
-    ).localCheckpoint()  # feeds med + mad + final
+    ).persist()  # feeds med + mad + final (plan stays classifier-visible)
     wg = Window.orderBy("resid", "day")
     med = (
         res.select(

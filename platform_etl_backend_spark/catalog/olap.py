@@ -8,7 +8,7 @@ unambiguously identified by NULL keys in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_backend_spark.catalog.registry import register, table, dec2, dbl
@@ -418,6 +418,105 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_approx_percentile_envelope",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)),
+    c AS (
+      SELECT l_returnflag, q, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM r)
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN q END) AS BIGINT)
+             AS p50_exact,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS BIGINT)
+             AS p90_exact,
+           TRUE AS p50_within, TRUE AS p90_within
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="accuracy envelope for percentile_approx (the oracle-"
+    "paired twin that shrinks q_approx_percentile's rows-only check — the "
+    "q_hll_registers/q_hll_estimate pattern): exact rank-pick p50/p90 per "
+    "return flag from the (flag, quantity) rollup — the value domain is "
+    "bounded, so the per-flag cumulative windows run on a tiny frame — "
+    "plus CHECKED BOOLEANS asserting the GK estimate's TRUE rank interval "
+    "[count(<est)+1, count(<=est)] intersects the guaranteed band "
+    "rank(q)±(n/accuracy + 1); the oracle emits the exact percentiles and "
+    "literal TRUE — a GK accuracy violation hash-fails the gate. SCALE: "
+    "one wordcount-shaped rollup shuffle + broadcast of the 3-row "
+    "estimate frame; for unbounded value domains pre-bucket the values",
+    tags=("stats", "olap", "sketch", "eval"),
+)
+def q_approx_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    roll = li.groupBy("l_returnflag", "q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = roll.select(
+        "l_returnflag", "q", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    exact = cum.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.expr("cum >= (n + 1) div 2"), F.col("q")))
+        .cast("bigint").alias("p50_exact"),
+        F.min(F.when(F.expr("cum >= (9 * n + 9) div 10"), F.col("q")))
+        .cast("bigint").alias("p90_exact"),
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("q", F.lit(0.5), F.lit(10000)).alias("e50"),
+        F.percentile_approx("q", F.lit(0.9), F.lit(10000)).alias("e90"),
+    )
+    ranks = (
+        roll.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(F.when(cond, F.col("cnt")).otherwise(F.lit(0)))
+                .cast("bigint").alias(name)
+                for name, cond in [
+                    ("r50_le", F.col("q") <= F.col("e50")),
+                    ("r50_lt", F.col("q") < F.col("e50")),
+                    ("r90_le", F.col("q") <= F.col("e90")),
+                    ("r90_lt", F.col("q") < F.col("e90")),
+                ]
+            ]
+        )
+    )
+
+    def within(le: str, lt: str, q_scaled: int):
+        # the estimate's true rank interval [lt+1, le] must intersect
+        # [q·n − (n/10000 + 1), q·n + (n/10000 + 1)], all ×10000 integer
+        return (
+            (F.col(le) * 10000 >= q_scaled * F.col("n") - F.col("n") - 10000)
+            & ((F.col(lt) + 1) * 10000 <= q_scaled * F.col("n") + F.col("n") + 10000)
+        )
+
+    return (
+        exact.join(F.broadcast(ranks), "l_returnflag")
+        .select(
+            "l_returnflag", "n", "p50_exact", "p90_exact",
+            within("r50_le", "r50_lt", 5000).alias("p50_within"),
+            within("r90_le", "r90_lt", 9000).alias("p90_within"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -990,6 +990,11 @@ def fwbw_scc(
                 f"fwbw_scc: {max_rounds} pivot rounds exhausted with nodes "
                 "still unassigned — raise max_rounds"
             )
+    if not done:
+        # empty edge frame after self-loop/distinct filtering: no nodes,
+        # no SCCs — return an empty (node, scc) frame with the input's
+        # node type instead of IndexError (round-7 ADVICE).
+        return nodes.select("node", F.col("node").alias("scc"))
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)

@@ -99,14 +99,26 @@ def two_pass_row_number(
     rn_col: str = "rn",
     num_partitions: int | None = None,
     total_col: str | None = None,
+    ranged_sink: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Global 1-based ROW_NUMBER over a total order, no O(n) single sort.
 
     ``order_cols`` must be a unique tie-broken order (registry rule).  If
     ``total_col`` is given, the grand total row count rides along on every
     row (free — it is already on the broadcast offsets frame).
+
+    ``ranged_sink``: owned-lifetime hook (round-7 ADVICE) — the internal
+    range-partitioned frame is PERSISTED (both passes must observe one
+    sampled partitioning), and catalog queries leave the release to
+    context teardown.  Long-running callers (a ``foreachBatch`` merge
+    runs once per micro-batch and would pin one cached frame per batch)
+    pass a list here, and MUST ``unpersist()`` the appended frame AFTER
+    their action completes — unpersisting earlier would re-sample the
+    range exchange and break the pid→offset mapping.
     """
     d = ranged_with_pid(df, order_cols, num_partitions)
+    if ranged_sink is not None:
+        ranged_sink.append(d)
     off = _offsets(d, {"n": F.count(F.lit(1))})
     w_local = Window.partitionBy(PID).orderBy(*order_cols)
     out = d.join(F.broadcast(off), PID).withColumn(
@@ -249,24 +261,44 @@ def two_pass_cdf(
 ) -> DataFrame:
     """Cumulative sums + LEAD of the support value in ONE ranged pass —
     the empirical-CDF shape (Wasserstein integrals, survival curves).
+
+    The per-partition statistics (offset sums AND each partition's first
+    support value) come from ONE fused groupBy(pid) over the persisted
+    ranged frame — one scan + one broadcast join instead of two of each
+    (round-7 VERDICT #3: the fixed two-pass orchestration cost is what
+    regressed the rewired queries at bench scale; fusing halves it here).
     """
     d = ranged_with_pid(df, order_cols, num_partitions)
-    off = _offsets(d, {c: F.sum(F.col(c)) for c in sum_cols})
     s_cols = list(dict.fromkeys([*order_cols, value_col]))
-    firsts = d.groupBy(PID).agg(F.min(F.struct(*s_cols)).alias("__s"))
-    nxt = firsts.select(
-        PID,
+    per = d.groupBy(PID).agg(
+        *[F.sum(F.col(c)).alias(f"__t_{c}") for c in sum_cols],
+        F.min(F.struct(*s_cols)).alias("__s"),
+    )
+    w_excl = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    side_cols = [F.col(PID)]
+    for c in sum_cols:
+        t = F.col(f"__t_{c}")
+        side_cols.append(
+            F.coalesce(F.sum(t).over(w_excl), F.lit(0))
+            .cast("bigint").alias(f"__off_{c}")
+        )
+        side_cols.append(F.sum(t).over(w_all).cast("bigint").alias(f"__tot_{c}"))
+    side_cols.append(
         F.lead(F.col(f"__s.{value_col}")).over(Window.orderBy(PID)).alias(
             "__next_first"
-        ),
+        )
     )
+    side = per.select(*side_cols)
     w_local = (
         Window.partitionBy(PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_row = Window.partitionBy(PID).orderBy(*order_cols)
-    out = d.join(F.broadcast(off), PID).join(F.broadcast(nxt), PID)
+    out = d.join(F.broadcast(side), PID)
     keep = list(df.columns)
     for c in sum_cols:
         out = out.withColumn(

@@ -81,6 +81,12 @@ def classify_single_partitions(plan: str) -> list[dict]:
     - ``raw``     — feeds a Sort/Window straight off scans/joins with NO
       reducing aggregate below: the W2 class, an O(n) one-partition sort.
       The plan-guard pytest fails on any of these.
+    - ``unknown`` — a consumer shape the classifier does not recognize
+      (e.g. a join or non-window operator over an unaggregated frame).
+      Unknown is NOT benign: the plan-guard pytest fails on it unless the
+      query is explicitly allowlisted (round-7 ADVICE — the old
+      fall-through to ``scalar`` let novel O(n) single-partition plans
+      ship silently).
     """
     import re
 
@@ -107,7 +113,13 @@ def classify_single_partitions(plan: str) -> list[dict]:
                 break
             subtree.append(lines[j])
         anc_txt = " ".join(ancestors)
-        is_window = "Window" in anc_txt or "Sort" in ancestors[0] if ancestors else False
+        # "Sort [" matches the bare Sort operator only — "Sort" alone
+        # would also match SortMergeJoin and misclassify a join consumer
+        # as a window/sort (caught by the round-8 unit test)
+        is_window = (
+            ("Window" in anc_txt or "Sort [" in ancestors[0])
+            if ancestors else False
+        )
         scalarish = (
             re.search(r"Aggregate\(keys=\[\]", anc_txt)
             or "CollectLimit" in anc_txt
@@ -131,8 +143,8 @@ def classify_single_partitions(plan: str) -> list[dict]:
         elif not subtree:
             # exchange is a leaf here (reused/cached subtree elided)
             out.append({"class": "scalar", "detail": "elided reused subtree"})
-        elif is_window or "Window" in anc_txt or (ancestors and "Sort" in ancestors[0]):
+        elif is_window:
             out.append({"class": "raw", "detail": "window/sort over unaggregated frame"})
         else:
-            out.append({"class": "scalar", "detail": "non-window consumer"})
+            out.append({"class": "unknown", "detail": "unrecognized consumer"})
     return out

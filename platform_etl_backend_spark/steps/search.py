@@ -123,8 +123,16 @@ def _search_index(
 
 
 def search_step(
-    spark: SparkSession, inputs: Mapping[str, DataFrame]
+    spark: SparkSession, inputs: Mapping[str, DataFrame], storage: str | None = None
 ) -> Mapping[str, DataFrame]:
+    """``storage`` is the declarative materialization-point knob (SURVEY
+    §7.3-6): the reference pins 8 DISK_ONLY persists across its Search
+    step (Search.scala:652-809); here the multi-consumed frames are
+    persisted only when the caller names a ``pyspark.StorageLevel`` (e.g.
+    ``"DISK_ONLY"``).  Default None: the only internal frame with real
+    fan-out is ``assoc`` (4 consumers), and its recompute is one parquet
+    scan + two broadcast joins — SCALE.md's Search-persist decision table
+    records the per-site reasoning."""
     targets = inputs["targets"]
     diseases = inputs["diseases"]
     associations = inputs["associations"]  # targetId, diseaseId, score
@@ -137,6 +145,10 @@ def search_step(
         targets.select(F.col("id").alias("targetId"), F.col("approvedSymbol"))
     )
     assoc = associations.join(disease_names, "diseaseId").join(target_names, "targetId")
+    if storage is not None:
+        from pyspark import StorageLevel
+
+        assoc = assoc.persist(getattr(StorageLevel, storage))
 
     t_bands = banded_labels(assoc, "targetId", "diseaseName", "score").withColumnsRenamed(
         {"labels_50": "terms", "labels_25": "terms25", "labels_5": "terms5"}
@@ -174,7 +186,7 @@ def search_step(
         out["associations_with_drugs"] = associations_with_drugs(evidence)
     if "drugs" in inputs and evidence is not None:
         out["search_drug"] = drug_index(
-            inputs["drugs"], evidence, targets, diseases
+            inputs["drugs"], evidence, targets, diseases, storage=storage
         )
     if "variants" in inputs:
         out["search_variant"] = variant_index(inputs["variants"])
@@ -294,11 +306,14 @@ def study_index(
 
 
 def drug_index(
-    drugs: DataFrame, evidence: DataFrame, targets: DataFrame, diseases: DataFrame
+    drugs: DataFrame, evidence: DataFrame, targets: DataFrame,
+    diseases: DataFrame, storage: str | None = None,
 ) -> DataFrame:
     """Drug search index (Search.scala:430-560 semantics): associated
     target/disease ids from evidence, propagated labels, flattenCat
-    keywords over synonyms/tradeNames, evidence-score relevance."""
+    keywords over synonyms/tradeNames, evidence-score relevance.
+    ``storage`` mirrors the reference's drug-frame DISK_ONLY persist
+    (Search.scala:702) for the 3-consumer ``assoc`` rollup."""
     assoc = (
         evidence.where(F.col("drugId").isNotNull())
         .groupBy("drugId")
@@ -308,6 +323,10 @@ def drug_index(
             F.mean("score").alias("relevance"),
         )
     )
+    if storage is not None:
+        from pyspark import StorageLevel
+
+        assoc = assoc.persist(getattr(StorageLevel, storage))
     t_labels = (
         assoc.select("drugId", F.explode("targetIds").alias("targetId"))
         .join(

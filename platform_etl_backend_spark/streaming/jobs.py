@@ -522,8 +522,13 @@ def quantile_merge_fn(base_path: str, value_col: str = "v", keep: int = 32):
             return  # replayed batch: already committed
         spark = batch.sparkSession
         vals = batch.select(F.col(value_col).cast("double").alias("v"))
+        # owned-lifetime persist (round-7 ADVICE): without the sink, each
+        # micro-batch would pin one cached ranged frame in executor
+        # storage for the life of the stream.
+        ranged_sink: list[DataFrame] = []
         rk = two_pass_row_number(
-            vals, ["v"], rn_col="rn", total_col="n_b"
+            vals, ["v"], rn_col="rn", total_col="n_b",
+            ranged_sink=ranged_sink,
         )
         stride = F.expr(f"(n_b + {keep} - 1) div {keep}")
         summ = rk.where((F.col("rn") - 1) % stride == 0).select(
@@ -540,6 +545,8 @@ def quantile_merge_fn(base_path: str, value_col: str = "v", keep: int = 32):
         )
         version = f"summary_v{batch_id}"
         merged.write.mode("overwrite").parquet(f"{base_path}/{version}")
+        for fr in ranged_sink:  # write action done — release the cache
+            fr.unpersist()
         os.makedirs(base_path, exist_ok=True)
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as fh:
@@ -603,6 +610,230 @@ def quantile_maintenance_stream(
     return (
         values.writeStream.foreachBatch(
             quantile_merge_fn(base_path, value_col, keep)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- streaming first-occurrence n-gram novelty (rolling Bloom) ---------------
+
+
+def _novelty_pointer(base_path: str) -> tuple[int, str] | None:
+    """(applied_batch_id, version_dir) from the novelty pointer, or None."""
+    import os
+
+    marker = f"{base_path}/applied_batch_id"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        lines = fh.read().strip().splitlines()
+    return int(lines[0]), f"{base_path}/{lines[1]}"
+
+
+def current_novelty_table(spark, base_path: str) -> DataFrame:
+    """The committed per-doc novelty rows (doc_id, n_types, n_novel,
+    novelty_micro) — resolves the atomic pointer written by
+    :func:`novelty_merge_fn`."""
+    ptr = _novelty_pointer(base_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed novelty table under {base_path}")
+    return spark.read.parquet(f"{ptr[1]}/out")
+
+
+def novelty_merge_fn(
+    base_path: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    gen_capacity: int | None = None,
+    generations: int = 4,
+):
+    """foreachBatch body for :func:`novelty_stream` — the BOUNDED-STATE
+    streaming twin of ``q_ngram_novelty`` (first-occurrence trigram share),
+    exposed separately so the replay fence and the Bloom bounds are
+    directly testable (the topk_merge_fn convention).
+
+    The batch operator's seen-set is the full distinct-shingle frame —
+    unbounded on an endless stream. Here the seen-set is a ROLLING BLOOM
+    FILTER:
+
+    - membership state is ``generations`` bit arrays of ``m_bits`` bits
+      stored as (gen, word_idx, bits) 64-bit words — AT MOST
+      ``generations * m_bits / 64`` rows ever, the documented memory
+      bound; inserts go to the CURRENT generation, and when its insert
+      count passes ``gen_capacity`` a fresh generation opens and the
+      OLDEST is dropped (novelty then means "not seen among the last
+      ~generations*gen_capacity shingles" — the crawl-dedup convention).
+      ``gen_capacity=None`` never rotates (exact-horizon mode for twin
+      testing).
+    - k bit positions per shingle come from md5 (content-keyed,
+      partitioning-invariant); membership = all k bits set in SOME
+      retained generation.
+    - FALSE-POSITIVE BOUND: a lookup against a generation holding n_g
+      inserts false-positives with p ≈ (1 − e^(−k·n_g/m_bits))^k
+      (union-bounded over generations); an FP marks a truly-novel
+      shingle as seen, so the streamed ``n_novel`` can only UNDERCOUNT
+      the batch oracle — never overcount. No false negatives: every
+      inserted shingle stays member until its generation rotates out.
+      The twin test pins stream == batch at the default sizing
+      (p < 1e-9 on the fixture) and stream <= batch when m_bits is
+      forced tiny.
+    - within a micro-batch, first-occurrence is EXACT (min doc_id over
+      the batch's shingle rollup); the Bloom only answers "seen in any
+      EARLIER batch".
+
+    Commit protocol: versioned dirs (bloom words + per-doc rows + per-gen
+    meta under ``novelty_v{batch_id}``) + ONE atomic pointer ``os.replace``
+    — per-doc rows are APPEND-ONLY (not idempotent), so the replay fence
+    skips already-committed batch ids, exactly like the TPUT sink.
+    """
+    import os
+    import shutil
+
+    from platform_etl_backend_spark.operators.dedup import exploded_shingles
+
+    marker = f"{base_path}/applied_batch_id"
+
+    def _positions(df: DataFrame) -> DataFrame:
+        """(shingle, i, word_idx, mask) — k md5-derived bit positions."""
+        pos_cols = F.array(*[
+            F.expr(
+                f"CAST(conv(substr(md5(concat('nv{i}:', shingle)), 1, 12), 16, 10)"
+                f" AS BIGINT) % {m_bits}"
+            )
+            for i in range(k)
+        ])
+        return (
+            df.select("shingle", F.posexplode(pos_cols).alias("i", "pos"))
+            .select(
+                "shingle", "i",
+                F.expr("pos div 64").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                .alias("mask"),
+            )
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        ptr = _novelty_pointer(base_path)
+        if ptr is not None and batch_id <= ptr[0]:
+            return  # replayed batch: already committed
+        spark = batch.sparkSession
+        sh = exploded_shingles(batch, doc_col, text_col, n)
+        n_types = sh.groupBy(doc_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types")
+        )
+        firsts = sh.groupBy("shingle").agg(
+            F.min(doc_col).alias("first_doc")
+        ).persist()
+        pos = _positions(firsts)
+        if ptr is not None:
+            state = spark.read.parquet(f"{ptr[1]}/bloom")
+            meta = spark.read.parquet(f"{ptr[1]}/meta")
+        else:
+            state = spark.createDataFrame(
+                [], "gen INT, word_idx BIGINT, bits BIGINT"
+            )
+            meta = spark.createDataFrame([], "gen INT, inserted BIGINT")
+        # membership: all k bits set within ONE retained generation
+        seen = (
+            pos.join(state, "word_idx")
+            .where(F.expr("(bits & mask) != 0"))
+            .groupBy("shingle", "gen")
+            .agg(F.count_distinct("i").alias("nh"))
+            .where(F.col("nh") == k)
+            .select("shingle")
+            .distinct()
+        )
+        novel = firsts.join(seen, "shingle", "left_anti")
+        n_novel = novel.groupBy(F.col("first_doc").alias(doc_col)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel")
+        )
+        out_new = (
+            n_types.join(n_novel, doc_col, "left")
+            .na.fill({"n_novel": 0})
+            .selectExpr(
+                f"CAST({doc_col} AS BIGINT) AS doc_id",
+                "n_types",
+                "n_novel",
+                "CAST((2 * 1000000 * n_novel + n_types) div (2 * n_types)"
+                " AS BIGINT) AS novelty_micro",
+            )
+        )
+        # generation bookkeeping (tiny frames — collect is per-gen counts)
+        meta_rows = {int(r["gen"]): int(r["inserted"]) for r in meta.collect()}
+        cur_gen = max(meta_rows) if meta_rows else 0
+        n_new = firsts.count()
+        if (
+            gen_capacity is not None
+            and meta_rows.get(cur_gen, 0) + n_new > gen_capacity
+            and meta_rows.get(cur_gen, 0) > 0
+        ):
+            cur_gen += 1
+        keep_gens = set(range(cur_gen - generations + 1, cur_gen + 1))
+        meta_rows[cur_gen] = meta_rows.get(cur_gen, 0) + n_new
+        meta_rows = {g: c for g, c in meta_rows.items() if g in keep_gens}
+        new_bits = (
+            _positions(firsts)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+            .select(F.lit(cur_gen).cast("int").alias("gen"), "word_idx", "bits")
+        )
+        merged_bloom = (
+            state.where(F.col("gen").isin(*keep_gens))
+            .unionByName(new_bits)
+            .groupBy("gen", "word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        version = f"novelty_v{batch_id}"
+        vdir = f"{base_path}/{version}"
+        merged_out = (
+            spark.read.parquet(f"{ptr[1]}/out").unionByName(out_new)
+            if ptr is not None else out_new
+        )
+        merged_out.write.mode("overwrite").parquet(f"{vdir}/out")
+        merged_bloom.write.mode("overwrite").parquet(f"{vdir}/bloom")
+        spark.createDataFrame(
+            [(g, c) for g, c in sorted(meta_rows.items())],
+            "gen INT, inserted BIGINT",
+        ).write.mode("overwrite").parquet(f"{vdir}/meta")
+        firsts.unpersist()
+        os.makedirs(base_path, exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{version}")
+        os.replace(tmp, marker)  # single atomic commit point
+        keep_dirs = {version, os.path.basename(ptr[1])} if ptr else {version}
+        for d in os.listdir(base_path):
+            if d.startswith("novelty_v") and d not in keep_dirs:
+                shutil.rmtree(f"{base_path}/{d}", ignore_errors=True)
+
+    return merge
+
+
+def novelty_stream(
+    docs: DataFrame, base_path: str, checkpoint: str,
+    doc_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    m_bits: int = 1 << 20, k: int = 4,
+    gen_capacity: int | None = None, generations: int = 4,
+):
+    """foreachBatch FIRST-OCCURRENCE NOVELTY maintenance — the streaming
+    twin of q_ngram_novelty with the WEAKER twin contract on a rolling
+    horizon: equality with the batch oracle while no Bloom false positive
+    fires and no generation rotates; <= (undercount only) otherwise, per
+    the documented FP bound. SCALE: state is <= generations*m_bits/64
+    bit-words however long the stream runs; each micro-batch costs one
+    shingle rollup + a k-way position join against the word table."""
+    return (
+        docs.writeStream.foreachBatch(
+            novelty_merge_fn(
+                base_path, doc_col, text_col, n,
+                m_bits=m_bits, k=k,
+                gen_capacity=gen_capacity, generations=generations,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -56,6 +56,24 @@ def test_plan_audit_covers_every_registered_query():
     assert not stale, f"PLAN_AUDIT rows for unregistered queries: {stale}"
 
 
+def test_classifier_flags_unrecognized_consumer_as_unknown():
+    """Round-7 ADVICE: an Exchange SinglePartition feeding a shape the
+    classifier does not recognize (here: a join over an unaggregated
+    frame) must classify as 'unknown', not default to benign 'scalar'."""
+    from platform_etl_backend_spark.plans.inspect import classify_single_partitions
+
+    plan = "\n".join([
+        "== Physical Plan ==",
+        "SortMergeJoin [a#1L], [b#2L], Inner",
+        ":- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        ":  +- Project [a#1L]",
+        ":     +- FileScan parquet [a#1L]",
+        "+- FileScan parquet [b#2L]",
+    ])
+    out = classify_single_partitions(plan)
+    assert out == [{"class": "unknown", "detail": "unrecognized consumer"}]
+
+
 def test_no_catalog_query_has_raw_single_partition_window(all_plans):
     """The W2 guard made machine-checkable (round-6 VERDICT ask): no
     catalog query may sort an UNAGGREGATED frame in a single partition
@@ -70,27 +88,31 @@ def test_no_catalog_query_has_raw_single_partition_window(all_plans):
     for name, plan in all_plans.items():
         if isinstance(plan, Exception):
             continue  # plan failures are the cartesian test's concern
-        raw = [c for c in classify_single_partitions(plan) if c["class"] == "raw"]
-        if raw:
-            offenders[name] = raw
+        # 'unknown' fails too (round-7 ADVICE): the classifier's old
+        # fall-through treated unrecognized consumers as benign, so a
+        # novel O(n) single-partition plan could ship silently. An
+        # unknown shape needs either a classifier upgrade or an explicit
+        # allowlist entry here.
+        bad = [
+            c for c in classify_single_partitions(plan)
+            if c["class"] in ("raw", "unknown")
+        ]
+        if bad:
+            offenders[name] = bad
     # Documented exceptions — frames bounded BY CONSTRUCTION where the
-    # classifier cannot see the bound (filter- or checkpoint-shaped, not
-    # aggregate-shaped), plus the one reference-parity W2 site:
+    # classifier cannot see the bound, plus the one reference-parity W2
+    # site. (q_skyline_2d and q_seasonal_decompose left this list in
+    # round 8: the skyline merge now runs on a DISTINCT (cents,size)
+    # frame and seasonal_decompose persists instead of localCheckpoints,
+    # so the classifier sees the reducing aggregates.)
     allowed = {
         # mirrors Search.scala:600-606 exactly (W2 by reference parity,
         # single-partition sort confined to a pre-filtered subset)
         "q_global_rank_multiplier",
-        # final merge runs on SURVIVORS of per-band local skylines (the
-        # global skyline is a subset of local skylines; survivor set is
-        # filter-shaped so the classifier sees no aggregate)
-        "q_skyline_2d",
         # summary frame <= shards*(keep+1) rows by the stride filter —
         # bounded by sketch parameters, not data
         "q_mergeable_quantiles",
         "q_quantile_rank_error",
-        # calendar-bounded day rollup behind localCheckpoint (the
-        # aggregate is hidden from the classifier by the RDD scan)
-        "q_seasonal_decompose",
     }
     for name in allowed:
         offenders.pop(name, None)

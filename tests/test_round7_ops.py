@@ -51,6 +51,17 @@ def test_fwbw_scc_trims_acyclic_graph_in_one_round(spark):
     assert got == {i: i for i in range(31)}
 
 
+def test_fwbw_scc_empty_after_selfloop_filter_returns_empty_frame(spark):
+    """Round-7 ADVICE: an edge frame that is empty after the self-loop/
+    distinct filter must yield an empty (node, scc) frame, not IndexError."""
+    from platform_etl_backend_spark.operators.graph import fwbw_scc
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    out = fwbw_scc(df)
+    assert out.columns == ["node", "scc"]
+    assert out.count() == 0
+
+
 def test_fwbw_scc_raises_on_exhausted_budget(spark):
     from platform_etl_backend_spark.operators.graph import fwbw_scc
 
@@ -381,9 +392,12 @@ def test_cohens_kappa_matches_python_model(spark, sf_dir):
 
 
 def test_conformal_interval_coverage_and_quantile(spark, sf_dir):
-    """qhat must be the exact ceil((n+1)·0.9)-th smallest calibration
-    residual (python rank-pick), and held-out coverage ≥ 85% (the 90%
-    marginal guarantee minus finite-sample slack)."""
+    """Three-way split (round-7 ADVICE: the split-conformal guarantee
+    needs fit/calibration disjoint): predictor fit on split 0, qhat =
+    the exact ceil((n+1)·0.9)-th smallest residual on the disjoint
+    calibration split 1 (python rank-pick), and held-out split-2
+    coverage ≥ 85% (the 90% marginal guarantee minus finite-sample
+    slack)."""
     from collections import defaultdict
 
     from platform_etl_backend_spark.catalog import QUERIES
@@ -394,23 +408,23 @@ def test_conformal_interval_coverage_and_quantile(spark, sf_dir):
         r["c_custkey"]: r["c_mktsegment"]
         for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
     }
-    cal = defaultdict(list)
+    fit = defaultdict(list)
     rows = []
     for r in orders:
         cents = round(float(r["o_totalprice"]) * 100)
         seg = cust[r["o_custkey"]]
-        rows.append((r["o_orderkey"], seg, cents, r["o_orderkey"] % 2))
-        if r["o_orderkey"] % 2 == 0:
-            cal[seg].append(cents)
-    pred = {s: (2 * sum(v) + len(v)) // (2 * len(v)) for s, v in cal.items()}
+        rows.append((r["o_orderkey"], seg, cents, r["o_orderkey"] % 3))
+        if r["o_orderkey"] % 3 == 0:
+            fit[seg].append(cents)
+    pred = {s: (2 * sum(v) + len(v)) // (2 * len(v)) for s, v in fit.items()}
     resid = sorted(
-        (abs(c - pred[s]), k) for k, s, c, sp in rows if sp == 0
+        (abs(c - pred[s]), k) for k, s, c, sp in rows if sp == 1
     )
     n_cal = len(resid)
     k_idx = -(-(n_cal + 1) * 9 // 10)  # ceil
     qhat = resid[k_idx - 1][0]
     assert got["n_cal"] == n_cal and got["qhat_cents"] == qhat
-    test = [(abs(c - pred[s]) <= qhat) for k, s, c, sp in rows if sp == 1]
+    test = [(abs(c - pred[s]) <= qhat) for k, s, c, sp in rows if sp == 2]
     assert got["n_test"] == len(test)
     assert got["n_covered"] == sum(test)
     assert got["coverage_micro"] >= 850000

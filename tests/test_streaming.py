@@ -464,3 +464,133 @@ def test_quantile_merge_replay_fence_and_crash_safety(spark, sf_dir, tmp_path):
     merge(vals, 1)  # a new batch must apply (weights double)
     after = current_quantile_summary(spark, base)
     assert after.agg(F.sum("w")).collect()[0][0] == 400
+
+
+# --- first-occurrence novelty stream (rolling Bloom) -------------------------
+
+
+def _batch_novelty(spark, sf_dir):
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    return {
+        r["doc_id"]: (r["n_types"], r["n_novel"], r["novelty_micro"])
+        for r in QUERIES["q_ngram_novelty"].fn(spark, sf_dir).collect()
+    }
+
+
+def _doc_slices(spark, sf_dir, n_slices=4):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    step = (mx + n_slices) // n_slices
+    return [
+        docs.where((F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step))
+        for i in range(n_slices)
+    ]
+
+
+def test_novelty_merge_equals_batch_across_ordered_batches(spark, sf_dir, tmp_path):
+    """Streaming first-occurrence novelty == the q_ngram_novelty batch
+    oracle when micro-batches arrive in doc-id order and the Bloom is
+    sized so no false positive fires (default 2^20 bits / 4 hashes: FP
+    p < 1e-9 at fixture scale). Within-batch firsts are exact; the Bloom
+    answers only 'seen in an earlier batch'."""
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_novelty_table,
+        novelty_merge_fn,
+    )
+
+    base = str(tmp_path / "novelty")
+    merge = novelty_merge_fn(base)
+    for i, sl in enumerate(_doc_slices(spark, sf_dir)):
+        merge(sl, i)
+    got = {
+        r["doc_id"]: (r["n_types"], r["n_novel"], r["novelty_micro"])
+        for r in current_novelty_table(spark, base).collect()
+    }
+    assert got == _batch_novelty(spark, sf_dir)
+
+
+def test_novelty_tiny_bloom_only_undercounts(spark, sf_dir, tmp_path):
+    """The documented FP direction: an undersized Bloom (forced false
+    positives) may mark truly-novel shingles as seen — streamed n_novel
+    <= batch n_novel per doc, NEVER above; n_types stays exact."""
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_novelty_table,
+        novelty_merge_fn,
+    )
+
+    base = str(tmp_path / "novelty_tiny")
+    merge = novelty_merge_fn(base, m_bits=512, k=2)
+    for i, sl in enumerate(_doc_slices(spark, sf_dir)):
+        merge(sl, i)
+    want = _batch_novelty(spark, sf_dir)
+    got = {
+        r["doc_id"]: (r["n_types"], r["n_novel"])
+        for r in current_novelty_table(spark, base).collect()
+    }
+    assert set(got) == set(want)
+    undercounted = 0
+    for doc, (n_types, n_novel) in got.items():
+        assert n_types == want[doc][0]
+        assert n_novel <= want[doc][1], (doc, n_novel, want[doc][1])
+        undercounted += int(n_novel < want[doc][1])
+    assert undercounted > 0  # 512 bits MUST collide on this corpus
+
+
+def test_novelty_replay_fence_and_state_bound(spark, sf_dir, tmp_path):
+    """Replayed batch ids are no-ops (append-only outputs need the fence),
+    and the rolling-generation state honours the documented memory bound:
+    <= generations * m_bits/64 bit-words, oldest generation dropped."""
+    from platform_etl_backend_spark.streaming.jobs import (
+        _novelty_pointer,
+        current_novelty_table,
+        novelty_merge_fn,
+    )
+
+    base = str(tmp_path / "novelty_fence")
+    m_bits, generations = 4096, 2
+    merge = novelty_merge_fn(
+        base, m_bits=m_bits, k=2, gen_capacity=200, generations=generations
+    )
+    slices = _doc_slices(spark, sf_dir)
+    merge(slices[0], 0)
+    once = sorted(map(tuple, current_novelty_table(spark, base).collect()))
+    merge(slices[0], 0)  # replay: must be skipped
+    assert sorted(map(tuple, current_novelty_table(spark, base).collect())) == once
+    for i, sl in enumerate(slices[1:], start=1):
+        merge(sl, i)
+    ptr = _novelty_pointer(base)
+    bloom = spark.read.parquet(f"{ptr[1]}/bloom")
+    meta = spark.read.parquet(f"{ptr[1]}/meta")
+    gens = sorted(r["gen"] for r in meta.select("gen").distinct().collect())
+    assert len(gens) <= generations
+    assert gens[-1] > 0  # capacity 200 must have rotated at least once
+    assert bloom.count() <= generations * (m_bits // 64)
+    # output rows cover every doc exactly once
+    out = current_novelty_table(spark, base)
+    assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_novelty_stream_wrapper_single_batch(spark, sf_dir, tmp_path):
+    """novelty_stream end-to-end through writeStream/foreachBatch: one
+    availableNow trigger over the whole corpus == the batch oracle (a
+    single batch has exact within-batch firsts by construction)."""
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_novelty_table,
+        novelty_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "docs_one")
+    docs.coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    base = str(tmp_path / "novelty_stream")
+    q = novelty_stream(stream, base, str(tmp_path / "ckpt_novelty"))
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["n_types"], r["n_novel"], r["novelty_micro"])
+        for r in current_novelty_table(spark, base).collect()
+    }
+    assert got == _batch_novelty(spark, sf_dir)
