@@ -224,6 +224,11 @@ HEADLINE = [
     "q_entropy_rate",
     # round 8
     "q_approx_percentile_envelope",
+    "q_kruskal_wallis",
+    "q_levene_test",
+    "q_scd2_history",
+    "q_t_closeness",
+    "q_friedman_test",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

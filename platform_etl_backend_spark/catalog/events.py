@@ -2256,6 +2256,473 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- SCD2 dimension history --------------------------------------------------
+
+
+@register(
+    "q_scd2_history",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, {_EPOCH_DUCK} AS ep
+      FROM events WHERE user_id % 17 = 0),
+    daily AS (
+      SELECT user_id, ep // 86400 AS day,
+             MAX({{'ep': ep, 'eid': event_id, 'et': event_type}}) AS last_ev,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id, ep // 86400),
+    st AS (
+      SELECT user_id, day, last_ev.et AS status, n_events FROM daily),
+    flagged AS (
+      SELECT user_id, day, status, n_events,
+             CASE WHEN LAG(status) OVER w IS DISTINCT FROM status
+                  THEN 1 ELSE 0 END AS chg
+      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    runs AS (
+      SELECT user_id, day, status, n_events,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    hist AS (
+      SELECT user_id, status, CAST(run_id AS BIGINT) AS run_id,
+             CAST(MIN(day) AS BIGINT) AS valid_from_day,
+             CAST(MAX(day) AS BIGINT) AS last_active_day,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, status, run_id)
+    SELECT user_id, status, valid_from_day,
+           CAST(LEAD(valid_from_day) OVER (PARTITION BY user_id
+                ORDER BY valid_from_day) - 1 AS BIGINT) AS valid_to_day,
+           last_active_day, n_active_days, n_events
+    FROM hist ORDER BY user_id, valid_from_day
+    """,
+    description="SCD type-2 dimension history (the warehouse "
+    "slowly-changing-dimension build beside the SCD1 q_merge_upsert): "
+    "per (user, day) the LAST event's type is the observed status "
+    "(deterministic argmax via struct MAX over (ep, event_id)); "
+    "consecutive observed days with the same status collapse into one "
+    "validity interval via the lag-change-flag + running-sum run id; "
+    "valid_to_day = next interval's valid_from - 1, NULL while current. "
+    "Runs are over OBSERVED days (a status surviving a gap stays one "
+    "interval — change-detection semantics). SCALE: one (user, day) "
+    "rollup + per-user windows — all partitioned by the dimension key, "
+    "no global order anywhere; user subset %17 bounds the fixture output",
+    tags=("events", "warehouse", "scd", "window"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir).where(F.col("user_id") % 17 == 0)
+    daily = (
+        e.groupBy("user_id", F.expr("ep div 86400").alias("day"))
+        .agg(
+            F.max(F.struct("ep", "event_id", "event_type")).alias("last_ev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id", "day",
+            F.col("last_ev.event_type").alias("status"), "n_events",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("status").over(w).eqNullSafe(F.col("status")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("user_id", "status", F.col("run_id").cast("bigint").alias("run_id")).agg(
+        F.min("day").cast("bigint").alias("valid_from_day"),
+        F.max("day").cast("bigint").alias("last_active_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_day")
+    return (
+        hist.select(
+            "user_id", "status", "valid_from_day",
+            (F.lead("valid_from_day").over(w_iv) - 1)
+            .cast("bigint").alias("valid_to_day"),
+            "last_active_day", "n_active_days", "n_events",
+        )
+        .orderBy("user_id", "valid_from_day")
+    )
+
+
+# --- Kruskal-Wallis H (k-sample rank test) ----------------------------------
+
+# shared IEEE tails evaluated from identical exact operands on both engines
+# H = 12/(n(n+1)) * SUM_g R_g^2/n_g - 3(n+1); the fold's s already carries
+# the /4 from R_g = two_rg/2
+_KW_RAW = (
+    "(12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+    " - 3.0 * CAST(n + 1 AS DOUBLE))"
+)
+_KW_C = (
+    "(1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+)
+# Cross-group float sums fold in EXPLICIT event_type order on both engines
+# (Spark F.aggregate over a sorted struct array; DuckDB list_reduce over an
+# ORDER BY list) — the mirrored-float-order recipe. A plain SUM of the
+# per-group double terms is distribution-order-dependent, and the
+# round-to-DECIMAL workaround hit the cross-engine ROUND(double) tie
+# divergence at sf0.01 (caught by the replica gate).
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH gv AS (
+      SELECT value AS v, event_type, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM events GROUP BY value, event_type),
+    pv AS (
+      SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM gv GROUP BY v),
+    pc AS (
+      SELECT v, c,
+             COALESCE(CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+      FROM pv),
+    per_g AS (
+      SELECT gv.event_type,
+             CAST(SUM(gv.cg * (2 * pc.cum + pc.c + 1)) AS BIGINT) AS two_rg,
+             CAST(SUM(gv.cg) AS BIGINT) AS n_g
+      FROM gv JOIN pc ON gv.v = pc.v GROUP BY gv.event_type),
+    tots AS (
+      SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM pv),
+    sums AS (
+      SELECT list_reduce(
+               list_transform(
+                 list({{'g': event_type, 'r': two_rg, 'm': n_g}}
+                      ORDER BY event_type),
+                 x -> CAST(x.r AS DOUBLE) * CAST(x.r AS DOUBLE)
+                      / CAST(4 * x.m AS DOUBLE)),
+               (a, b) -> a + b) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM per_g)
+    SELECT n, n_groups, tie_sum,
+           ROUND({_KW_RAW}, 6) AS h,
+           ROUND({_KW_RAW} / {_KW_C}, 6) AS h_tie_corrected
+    FROM sums, tots
+    """,
+    description="Kruskal-Wallis H (one-way rank ANOVA across all 5 event "
+    "types — the k-sample extension of the Mann-Whitney pair test): pooled "
+    "midranks as EXACT integers over the distinct-VALUE rollup (2x the "
+    "group rank-sum = sum cg*(2*cum+c+1), the midrank identity), tie "
+    "correction 1 - sum(c^3-c)/(n^3-n) from the same frame; the cross-"
+    "group sum of the R_g^2/n_g IEEE terms folds in EXPLICIT group order "
+    "on both engines (F.aggregate / list_reduce — plain SUM of doubles "
+    "is distribution-order-dependent). SCALE: the pooled cumulative "
+    "window runs on the distinct-value frame — bounded by the 2-dp value "
+    "DOMAIN (~56k points), never the corpus; quantize first for unbounded "
+    "domains. One wordcount-shaped rollup + one value-keyed join back",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    gv = e.groupBy(F.col("value").alias("v"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cg")
+    )
+    pv = gv.groupBy("v").agg(F.sum("cg").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pc = pv.select(
+        "v", "c",
+        F.coalesce(F.sum("c").over(w_cum).cast("bigint"), F.lit(0)).alias("cum"),
+    )
+    per_g = (
+        gv.join(pc, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cg") * (2 * F.col("cum") + F.col("c") + 1))
+            .cast("bigint").alias("two_rg"),
+            F.sum("cg").cast("bigint").alias("n_g"),
+        )
+    )
+    glob = pv.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint").alias("tie_sum"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    sums = per_g.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("g"),
+                        F.col("two_rg").alias("r"),
+                        F.col("n_g").alias("m"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["r"].cast("double") * x["r"].cast("double")
+            / (4 * x["m"]).cast("double"),
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return sums.crossJoin(F.broadcast(glob)).selectExpr(
+        "n", "n_groups", "tie_sum",
+        f"ROUND({_KW_RAW}, 6) AS h",
+        f"ROUND({_KW_RAW} / {_KW_C}, 6) AS h_tie_corrected",
+    )
+
+
+# --- Friedman test (within-block rank test) ----------------------------------
+
+
+@register(
+    "q_friedman_test",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, event_type, value FROM events),
+    cell AS (
+      SELECT ep // 86400 AS day, event_type,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e GROUP BY ep // 86400, event_type),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+    complete AS (
+      SELECT day FROM cell GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (day)),
+    grp AS (
+      SELECT day, s, CAST(COUNT(*) AS BIGINT) AS c FROM cc GROUP BY day, s),
+    rk AS (
+      SELECT day, s,
+             2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY day ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) + c + 1 AS r2
+      FROM grp),
+    ranked AS (
+      SELECT cc.day, cc.event_type, rk.r2
+      FROM cc JOIN rk ON cc.day = rk.day AND cc.s = rk.s),
+    per_t AS (
+      SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked GROUP BY event_type),
+    a4 AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a4 FROM ranked),
+    s4 AS (
+      SELECT CAST(SUM((r2_sum - n * ((SELECT k FROM kk) + 1))
+                      * (r2_sum - n * ((SELECT k FROM kk) + 1))) AS BIGINT)
+               AS s4,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM per_t)
+    SELECT n AS n_blocks, (SELECT k FROM kk) AS n_treatments,
+           CASE WHEN a4 - n * (SELECT k FROM kk)
+                     * ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1) <> 0
+                THEN ROUND(CAST(((SELECT k FROM kk) - 1) * s4 AS DOUBLE)
+                     / CAST(a4 - n * (SELECT k FROM kk)
+                            * ((SELECT k FROM kk) + 1)
+                            * ((SELECT k FROM kk) + 1) AS DOUBLE), 6)
+           END AS q_friedman
+    FROM s4, a4
+    """,
+    description="Friedman test (within-block rank test — the "
+    "repeated-measures sibling of Kruskal-Wallis): blocks = days, "
+    "treatments = event types, cell = exact-micro daily value total; "
+    "within each COMPLETE block the k cells get integer doubled midranks "
+    "(2*cum + c + 1), and the tie-general statistic Q = (k-1)*S4 / "
+    "(A4 - n*k*(k+1)^2) — with S4 = sum_j (R2_j - n(k+1))^2 and A4 = "
+    "sum r2^2 — is ENTIRELY integer arithmetic up to ONE final division "
+    "(the /4s cancel; no float ever sums across groups). Incomplete "
+    "blocks (a day missing a type) are dropped, the standard treatment. "
+    "SCALE: one (day,type) rollup; all windows partition by day over "
+    "k-row frames",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    cell = e.groupBy(
+        F.expr("ep div 86400").alias("day"), "event_type"
+    ).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("s")
+    )
+    kk = cell.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    complete = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("nt") == F.col("k"))
+        .select("day")
+    )
+    cc = cell.join(complete, "day", "left_semi")
+    grp = cc.groupBy("day", "s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grp.select(
+        "day", "s",
+        (
+            2 * F.coalesce(F.sum("c").over(w).cast("bigint"), F.lit(0))
+            + F.col("c") + 1
+        ).alias("r2"),
+    )
+    ranked = cc.join(rk, ["day", "s"]).select("day", "event_type", "r2")
+    per_t = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a4 = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a4")
+    )
+    s4 = (
+        per_t.crossJoin(F.broadcast(kk))
+        .select(
+            (F.col("r2_sum") - F.col("n") * (F.col("k") + 1)).alias("d"),
+            "n", "k",
+        )
+        .agg(
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s4"),
+            F.max("n").cast("bigint").alias("n"),
+            F.max("k").cast("bigint").alias("k"),
+        )
+    )
+    return s4.crossJoin(F.broadcast(a4)).selectExpr(
+        "n AS n_blocks", "k AS n_treatments",
+        "CASE WHEN a4 - n * k * (k + 1) * (k + 1) <> 0"
+        " THEN ROUND(CAST((k - 1) * s4 AS DOUBLE)"
+        " / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE), 6)"
+        " END AS q_friedman",
+    )
+
+
+# --- Brown-Forsythe / Levene variance-homogeneity test ----------------------
+
+_BF_SSB = (
+    "(CAST(sq AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)"
+    " / CAST(nt AS DOUBLE))"
+)
+_BF_SSW = "(CAST(sst AS DOUBLE) - CAST(sq AS DOUBLE))"
+
+
+@register(
+    "q_levene_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY event_type, cents),
+    r AS (
+      SELECT event_type, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+      FROM g),
+    med AS (
+      SELECT event_type, CAST(MIN(cents) AS BIGINT) AS med_c
+      FROM r WHERE cum >= (n_g + 1) // 2 GROUP BY event_type),
+    z AS (
+      SELECT b.event_type, ABS(b.cents - m.med_c) AS zc
+      FROM base b JOIN med m ON b.event_type = m.event_type),
+    per_g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(zc) AS BIGINT) AS sg,
+             CAST(SUM(zc * zc) AS BIGINT) AS ssg
+      FROM z GROUP BY event_type),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS nt,
+             CAST(SUM(sg) AS BIGINT) AS st,
+             CAST(SUM(ssg) AS BIGINT) AS sst,
+             list_reduce(
+               list_transform(
+                 list({{'g': event_type, 'r': sg, 'm': n_g}}
+                      ORDER BY event_type),
+                 x -> CAST(x.r AS DOUBLE) * CAST(x.r AS DOUBLE)
+                      / CAST(x.m AS DOUBLE)),
+               (a, b) -> a + b) AS sq
+      FROM per_g)
+    SELECT nt AS n, k AS n_groups,
+           ROUND({_BF_SSB}, 6) AS ssb,
+           ROUND({_BF_SSW}, 6) AS ssw,
+           ROUND(({_BF_SSB} / CAST(k - 1 AS DOUBLE))
+                 / ({_BF_SSW} / CAST(nt - k AS DOUBLE)), 6) AS f_bf
+    FROM sums
+    """,
+    description="Brown-Forsythe test (Levene's variance-homogeneity test "
+    "with MEDIAN centers — the robust variant) across all 5 event types: "
+    "per-group medians by rank-pick over the per-type distinct-cents "
+    "rollup (partitioned windows, frames bounded by the value DOMAIN), "
+    "then one-way ANOVA F on the |cents - median| deviations — all sums "
+    "EXACT integers (cents are bounded so zc^2 sums stay in BIGINT), "
+    "and the cross-group sg^2/n_g float sum folds in explicit group "
+    "order on both engines (the mirrored-float-order recipe), F one "
+    "shared fixed-order expression. "
+    "The variance-equality gate in front of pooled t/ANOVA decisions. "
+    "SCALE: two wordcount-shaped rollups + one broadcast median join",
+    tags=("events", "stats", "experiment"),
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    g = base.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type", "cents",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_g"),
+    )
+    med = (
+        r.where(F.expr("cum >= (n_g + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("cents").cast("bigint").alias("med_c"))
+    )
+    z = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_c")).alias("zc")
+    )
+    per_g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("zc").cast("bigint").alias("sg"),
+        F.sum(F.col("zc") * F.col("zc")).cast("bigint").alias("ssg"),
+    )
+    sums = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("sg").cast("bigint").alias("st"),
+        F.sum("ssg").cast("bigint").alias("sst"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("g"),
+                        F.col("sg").alias("r"),
+                        F.col("n_g").alias("m"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["r"].cast("double") * x["r"].cast("double")
+            / x["m"].cast("double"),
+        ).alias("sq"),
+    )
+    return sums.selectExpr(
+        "nt AS n", "k AS n_groups",
+        f"ROUND({_BF_SSB}, 6) AS ssb",
+        f"ROUND({_BF_SSW}, 6) AS ssw",
+        f"ROUND(({_BF_SSB} / CAST(k - 1 AS DOUBLE))"
+        f" / ({_BF_SSW} / CAST(nt - k AS DOUBLE)), 6) AS f_bf",
+    )
+
+
 # --- Kolmogorov-Smirnov two-sample test ------------------------------------
 
 @register(

@@ -2646,6 +2646,97 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t-closeness privacy audit ----------------------------------------------
+
+
+@register(
+    "q_t_closeness",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey AS nat,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer),
+    tot AS (
+      SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS big_c FROM q
+      GROUP BY sensitive),
+    n_all AS (SELECT CAST(SUM(big_c) AS BIGINT) AS big_n FROM tot),
+    gc AS (
+      SELECT nat, bal_band, sensitive, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY nat, bal_band, sensitive),
+    gn AS (
+      SELECT nat, bal_band, CAST(SUM(c) AS BIGINT) AS n_g
+      FROM gc GROUP BY nat, bal_band),
+    dist AS (
+      SELECT gn.nat, gn.bal_band, gn.n_g, t.sensitive, t.big_c,
+             COALESCE(gc.c, 0) AS c, (SELECT big_n FROM n_all) AS big_n
+      FROM gn CROSS JOIN tot t
+      LEFT JOIN gc ON gc.nat = gn.nat AND gc.bal_band = gn.bal_band
+                  AND gc.sensitive = t.sensitive),
+    tvd AS (
+      SELECT nat, bal_band, CAST(MAX(n_g) AS BIGINT) AS n_g,
+             CAST(SUM(ABS(c * big_n - big_c * n_g)) AS BIGINT) AS num,
+             CAST(MAX(big_n) AS BIGINT) AS big_n
+      FROM dist GROUP BY nat, bal_band)
+    SELECT nat, bal_band, n_g,
+           CAST((2 * 1000000 * num + 2 * n_g * big_n)
+                // (2 * 2 * n_g * big_n) AS BIGINT) AS tvd_micro
+    FROM tvd
+    ORDER BY tvd_micro DESC, nat, bal_band LIMIT 10
+    """,
+    description="t-closeness privacy audit (Li 2007 — completes the "
+    "k-anonymity / l-diversity / DP release-review family): for each "
+    "quasi-identifier group (nation, balance band), the earth-mover "
+    "distance between the group's sensitive-attribute (market segment) "
+    "distribution and the global one — for categorical attributes with "
+    "uniform ground distance EMD = total variation = (1/2) sum|p_i - q_i|, "
+    "computed as the EXACT integer sum |c_i*N - C_i*n_g| over the common "
+    "denominator n_g*N, emitted as a round-half-away micro; worst 10 "
+    "groups (the t threshold a release would check). SCALE: one "
+    "(QI, sensitive) rollup + a cross join against the |segments|-row "
+    "global frame — QI cardinality is bounded, so every frame is tiny",
+    tags=("relational", "privacy", "audit"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    tot = q.groupBy("sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_c")
+    )
+    gc = q.groupBy("nat", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gn = gc.groupBy("nat", "bal_band").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    n_all = tot.agg(F.sum("big_c").cast("bigint").alias("big_n"))
+    full = (
+        gn.crossJoin(F.broadcast(tot))
+        .join(gc, ["nat", "bal_band", "sensitive"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(n_all))
+    )
+    tvd = full.groupBy("nat", "bal_band").agg(
+        F.max("n_g").cast("bigint").alias("n_g"),
+        F.sum(F.abs(F.col("c") * F.col("big_n") - F.col("big_c") * F.col("n_g")))
+        .cast("bigint").alias("num"),
+        F.max("big_n").cast("bigint").alias("big_n"),
+    )
+    return (
+        tvd.selectExpr(
+            "nat", "bal_band", "n_g",
+            "CAST((2 * 1000000 * num + 2 * n_g * big_n)"
+            " div (2 * 2 * n_g * big_n) AS BIGINT) AS tvd_micro",
+        )
+        .orderBy(F.desc("tvd_micro"), "nat", "bal_band")
+        .limit(10)
+    )
+
+
 # --- decision-tree split search (Gini impurity) -------------------------------------
 
 @register(

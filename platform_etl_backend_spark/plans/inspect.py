@@ -141,8 +141,13 @@ def classify_single_partitions(plan: str) -> list[dict]:
             keys = ", ".join(k.strip() for k in keys.split(","))[:60]
             out.append({"class": "bounded", "detail": f"agg[{keys}]"})
         elif not subtree:
-            # exchange is a leaf here (reused/cached subtree elided)
-            out.append({"class": "scalar", "detail": "elided reused subtree"})
+            # exchange is a leaf here (reused/cached subtree elided) — the
+            # classifier cannot see what flows through it, so this is NOT
+            # benign (same reasoning as the unknown fall-through: a window
+            # over an elided raw subtree would otherwise ship silently).
+            # As of round 8 NO catalog query produces a leaf SP exchange
+            # (sweep-verified), so any appearance is new and needs a look.
+            out.append({"class": "unknown", "detail": "elided reused subtree"})
         elif is_window:
             out.append({"class": "raw", "detail": "window/sort over unaggregated frame"})
         else:

@@ -34,3 +34,205 @@ def test_approx_percentile_envelope_matches_python_rank_pick(spark, sf_dir):
         assert g["p90_exact"] == p90, (flag, g["p90_exact"], p90)
         # the GK guarantee the oracle pins as literal TRUE
         assert g["p50_within"] is True and g["p90_within"] is True
+
+
+def test_kruskal_wallis_matches_python_model(spark, sf_dir):
+    """H and the tie-corrected H must match a plain-python midrank
+    implementation to the shared 6-dp rounding."""
+    from collections import Counter, defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    pooled = Counter(r["value"] for r in rows)
+    n = sum(pooled.values())
+    # pooled midranks per distinct value
+    mid = {}
+    cum = 0
+    for v in sorted(pooled):
+        c = pooled[v]
+        mid[v] = cum + (c + 1) / 2
+        cum += c
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(mid[r["value"]])
+    s = sum(
+        sum(g) ** 2 / len(g)
+        for _, g in sorted(groups.items())
+    )
+    h = 12 * s / (n * (n + 1)) - 3 * (n + 1)
+    tie = sum(c ** 3 - c for c in pooled.values())
+    hc = h / (1 - tie / (n ** 3 - n))
+    assert got["n"] == n
+    assert got["n_groups"] == len(groups)
+    assert got["tie_sum"] == tie
+    assert abs(got["h"] - h) < 1e-5, (got["h"], h)
+    assert abs(got["h_tie_corrected"] - hc) < 1e-5
+    assert got["h"] > 0
+
+
+def test_levene_brown_forsythe_matches_python_model(spark, sf_dir):
+    """Brown-Forsythe F on |cents - group median| must match the python
+    model (lower-median rank-pick, exact integer deviations)."""
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_levene_test"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    cents = defaultdict(list)
+    for r in rows:
+        cents[r["event_type"]].append(round(r["value"] * 100))
+    z = {}
+    for gname, v in cents.items():
+        v.sort()
+        med = v[(len(v) + 1) // 2 - 1]
+        z[gname] = [abs(x - med) for x in v]
+    k = len(z)
+    nt = sum(len(v) for v in z.values())
+    st = sum(sum(v) for v in z.values())
+    sst = sum(x * x for v in z.values() for x in v)
+    sq = sum(sum(v) ** 2 / len(v) for _, v in sorted(z.items()))
+    ssb = sq - st ** 2 / nt
+    ssw = sst - sq
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert got["n"] == nt and got["n_groups"] == k
+    assert abs(got["f_bf"] - f) < 1e-5, (got["f_bf"], f)
+    assert abs(got["ssb"] - ssb) < 1.0 and abs(got["ssw"] - ssw) < 1.0
+
+
+def test_scd2_history_intervals_partition_and_chain(spark, sf_dir):
+    """SCD2 invariants vs a plain-python replay: per user the intervals
+    chain (valid_to = next valid_from - 1, NULL only on the last), statuses
+    change at every boundary, and day-level statuses replay to the same
+    runs."""
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    out = QUERIES["q_scd2_history"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in out:
+        by_user[r["user_id"]].append(r)
+    assert by_user  # fixture has %17 users
+    # python replay from raw events
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    days = defaultdict(dict)  # user -> day -> (ep, event_id, event_type)
+    for r in ev:
+        if r["user_id"] % 17 != 0:
+            continue
+        ts = r["ts"]
+        ep = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 10**9
+        key = (ep, r["event_id"], r["event_type"])
+        d = ep // 86400
+        cur = days[r["user_id"]].get(d)
+        if cur is None or key > cur:
+            days[r["user_id"]][d] = key
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["valid_from_day"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_day"] == b["valid_from_day"] - 1
+            assert a["status"] != b["status"]  # a run ends only on change
+        assert rows[-1]["valid_to_day"] is None  # current interval open
+        # replay: collapse observed-day statuses into runs
+        want = []
+        for d in sorted(days[user]):
+            st = days[user][d][2]
+            if not want or want[-1][0] != st:
+                want.append([st, d, d, 1])
+            else:
+                want[-1][2] = d
+                want[-1][3] += 1
+        got = [
+            (r["status"], r["valid_from_day"], r["last_active_day"],
+             r["n_active_days"])
+            for r in rows
+        ]
+        assert got == [tuple(w) for w in want], (user, got, want)
+
+
+def test_t_closeness_matches_python_tvd(spark, sf_dir):
+    """Per-group categorical EMD (= total variation distance) must equal
+    the python rational computation, and the query must return the true
+    worst-10 groups."""
+    from collections import Counter, defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+    from fractions import Fraction
+
+    got = QUERIES["q_t_closeness"].fn(spark, sf_dir).collect()
+    rows = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    import math
+
+    glob = Counter()
+    groups = defaultdict(Counter)
+    for r in rows:
+        band = math.floor(float(r["c_acctbal"]) / 1000)
+        glob[r["c_mktsegment"]] += 1
+        groups[(r["c_nationkey"], band)][r["c_mktsegment"]] += 1
+    n = sum(glob.values())
+    tvd = {}
+    for g, cnts in groups.items():
+        ng = sum(cnts.values())
+        t = Fraction(
+            sum(abs(cnts.get(s, 0) * n - glob[s] * ng) for s in glob),
+            2 * ng * n,
+        )
+        # round-half-away micro
+        tvd[g] = (2 * 10**6 * t.numerator + t.denominator) // (2 * t.denominator)
+    want = sorted(
+        ((mic, g) for g, mic in tvd.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    got_t = [((r["nat"], r["bal_band"]), r["tvd_micro"]) for r in got]
+    assert [(g, mic) for mic, g in want] == got_t
+    assert all(0 <= mic <= 10**6 for _, mic in got_t)  # TVD in [0, 1]
+
+
+def test_friedman_matches_python_model(spark, sf_dir):
+    """Q must match a plain-python Friedman computation (daily micro
+    totals, midranks within complete blocks, tie-general formula), and
+    the tie-free classic formula when no within-day ties exist."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_friedman_test"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cells = defaultdict(lambda: defaultdict(Decimal))
+    types = set()
+    for r in rows:
+        ts = r["ts"]
+        ep = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 10**9
+        d = ep // 86400
+        v = Decimal(str(round(r["value"], 6)))
+        cells[d][r["event_type"]] += v
+        types.add(r["event_type"])
+    k = len(types)
+    blocks = {
+        d: {t: int(s * 10**6) for t, s in m.items()}
+        for d, m in cells.items() if len(m) == k
+    }
+    n = len(blocks)
+    r2sum = defaultdict(int)
+    a4 = 0
+    for d, m in blocks.items():
+        vals = sorted(m.values())
+        for t, s in m.items():
+            lt = sum(1 for x in vals if x < s)
+            eq = sum(1 for x in vals if x == s)
+            r2 = 2 * lt + eq + 1
+            r2sum[t] += r2
+            a4 += r2 * r2
+    s4 = sum((r2sum[t] - n * (k + 1)) ** 2 for t in types)
+    q = (k - 1) * s4 / (a4 - n * k * (k + 1) ** 2)
+    assert got["n_blocks"] == n and got["n_treatments"] == k
+    assert abs(got["q_friedman"] - q) < 1e-6, (got["q_friedman"], q)
