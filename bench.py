@@ -229,6 +229,8 @@ HEADLINE = [
     "q_scd2_history",
     "q_t_closeness",
     "q_friedman_test",
+    "q_silhouette_cells",
+    "q_bipartite_check",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

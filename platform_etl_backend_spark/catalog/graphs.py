@@ -1275,3 +1275,100 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- bipartiteness / odd-cycle check ----------------------------------------
+
+
+@register(
+    "q_bipartite_check",
+    oracle="""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT LEAST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS a,
+                      GREATEST(user_id % 50, CAST(FLOOR(value) AS BIGINT) % 50) AS b
+      FROM events WHERE user_id % 50 <> CAST(FLOOR(value) AS BIGINT) % 50),
+    sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(s, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.s, sym.v FROM reach r JOIN sym ON sym.u = r.node),
+    comp AS (SELECT s AS node, CAST(MIN(node) AS BIGINT) AS component
+             FROM reach GROUP BY s),
+    roots AS (SELECT component AS node FROM comp GROUP BY component),
+    walk(s, node, dist) AS (
+      SELECT node, node, 0 FROM roots
+      UNION
+      SELECT w.s, sym.v, w.dist + 1
+      FROM walk w JOIN sym ON sym.u = w.node WHERE w.dist < 16),
+    firsts AS (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS d
+      FROM walk GROUP BY s, node),
+    colored AS (SELECT node, d % 2 AS color FROM firsts),
+    conf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_conflict_edges
+      FROM und e
+      JOIN colored cu ON e.a = cu.node
+      JOIN colored cv ON e.b = cv.node
+      WHERE cu.color = cv.color)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           n_conflict_edges,
+           n_conflict_edges = 0 AS is_bipartite
+    FROM conf
+    """,
+    description="bipartiteness / odd-cycle certificate for the events "
+    "co-occurrence projection (2-colorability gates matching-based "
+    "algorithms and reveals odd feedback cycles): BFS-parity coloring "
+    "from each component's min-node root — color = min-hop-distance mod "
+    "2, computed by the landmark-seeded multi-BFS "
+    "(pairwise_hop_distances(sources=roots), the round-8 knob: pair "
+    "frame O(components * reached), NOT all-pairs) — then an edge-parity "
+    "audit: the graph is bipartite iff NO edge joins same-color "
+    "endpoints (BFS-parity conflict = odd cycle, the textbook "
+    "certificate). Components via the large-star/small-star operator. "
+    "SCALE: one CC run + one k-BFS + one edge join against the broadcast "
+    "color table",
+    tags=("graph", "iterative", "audit"),
+)
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_backend_spark.operators.graph import (
+        connected_components,
+        pairwise_hop_distances,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    a = F.col("user_id").cast("bigint") % 50
+    b = F.floor(F.col("value")).cast("bigint") % 50
+    und = (
+        ev.where(a != b)
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    sym = und.selectExpr("x AS src", "y AS dst").unionByName(
+        und.selectExpr("y AS src", "x AS dst")
+    )
+    cc = connected_components(sym, "src", "dst")
+    roots = cc.groupBy("component").agg(F.min("node").alias("node")).select("node")
+    dist = pairwise_hop_distances(sym, max_hops=16, sources=roots)
+    colored = dist.select(
+        "node", (F.col("dist") % 2).cast("bigint").alias("color")
+    ).unionByName(
+        roots.select("node", F.lit(0).cast("bigint").alias("color"))
+    )
+    conf = (
+        und.join(F.broadcast(colored.selectExpr("node AS x", "color AS cx")), "x")
+        .join(F.broadcast(colored.selectExpr("node AS y", "color AS cy")), "y")
+        .where(F.col("cx") == F.col("cy"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conflict_edges"))
+    )
+    nn = cc.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(conf))
+        .selectExpr(
+            "n_nodes", "n_edges", "n_conflict_edges",
+            "n_conflict_edges = 0 AS is_bipartite",
+        )
+    )

@@ -330,6 +330,103 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_top1(emb, cents, "vec_id", "embedding")
 
 
+def _silhouette_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Centroid-based silhouette on the kmeans cells (reuses the fit CTEs)."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    fit = ",\n    ".join(_kmeans_cte_parts(k, iters, dim)[:-1])  # drop fasg
+    sc = cos.format(a="v.vec", b="c.cvec")
+    return f"""
+    WITH {fit},
+    scored AS (
+      SELECT v.vid, c.cell_id, {sc} AS cc FROM v, cent{iters} c),
+    rk AS (
+      SELECT vid, cell_id, cc,
+             ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cc DESC, cell_id)
+               AS rn
+      FROM scored),
+    own AS (SELECT vid, cell_id, cc AS c_own FROM rk WHERE rn = 1),
+    oth AS (SELECT vid, MAX(cc) AS c_oth FROM rk WHERE rn > 1 GROUP BY vid),
+    sv AS (
+      SELECT o.cell_id,
+             CASE WHEN GREATEST(1 - o.c_own, 1 - t.c_oth) = 0
+                  THEN CAST(0 AS DECIMAL(18,6))
+                  ELSE CAST(round((o.c_own - t.c_oth)
+                       / GREATEST(1 - o.c_own, 1 - t.c_oth), 6)
+                       AS DECIMAL(18,6)) END AS s
+      FROM own o JOIN oth t ON o.vid = t.vid),
+    per AS (
+      SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) * 1000000 AS BIGINT) AS sum_micro
+      FROM sv GROUP BY cell_id)
+    SELECT cell_id, n,
+           CASE WHEN sum_micro >= 0
+                THEN CAST((2 * sum_micro + n) // (2 * n) AS BIGINT)
+                ELSE CAST(-((2 * (-sum_micro) + n) // (2 * n)) AS BIGINT)
+           END AS mean_s_micro
+    FROM per ORDER BY cell_id
+    """
+
+
+_SIL_S = (
+    "CASE WHEN GREATEST(1 - c_own, 1 - c_oth) = 0"
+    " THEN CAST(0 AS DECIMAL(18,6))"
+    " ELSE CAST(round((c_own - c_oth)"
+    " / GREATEST(1 - c_own, 1 - c_oth), 6) AS DECIMAL(18,6)) END"
+)
+
+
+@register(
+    "q_silhouette_cells",
+    oracle=_silhouette_oracle(),
+    description="clustering-quality eval for the self-fitted k-means cells "
+    "(the missing judge beside the ANN family's recall audits): simplified "
+    "centroid-based silhouette under cosine distance d = 1 - cos — per "
+    "vector a = d(own centroid), b = min over other centroids, s = "
+    "(b - a)/max(a, b) = (c_own - c_oth)/max(1-c_own, 1-c_oth); per-cell "
+    "mean as a signed round-half-away micro over 6-dp DECIMAL "
+    "contributions (order-free sum; the float s never sums raw). "
+    "Negative cell means flag cluster overlap before an IVF index ships. "
+    "SCALE: one n x k broadcast score pass + a per-vid k-row window + a "
+    "cell rollup — identical shape to the IVF assignment it audits",
+    tags=("vectors", "kmeans", "eval", "similarity"),
+)
+def q_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("vid"), S.as_double_array("embedding").alias("vec")
+    )
+    cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
+        "cell_id", F.col("vec").alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vid", "cell_id",
+        F.round(S.cosine(F.col("vec"), F.col("cvec")), 6).alias("cc"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
+    rk = scored.withColumn("rn", F.row_number().over(w))
+    own = rk.where(F.col("rn") == 1).select(
+        "vid", "cell_id", F.col("cc").alias("c_own")
+    )
+    oth = rk.where(F.col("rn") > 1).groupBy("vid").agg(
+        F.max("cc").alias("c_oth")
+    )
+    sv = own.join(oth, "vid").select("cell_id", F.expr(_SIL_S).alias("s"))
+    per = sv.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("s") * 1000000).cast("bigint").alias("sum_micro"),
+    )
+    return per.selectExpr(
+        "cell_id", "n",
+        "CASE WHEN sum_micro >= 0"
+        " THEN CAST((2 * sum_micro + n) div (2 * n) AS BIGINT)"
+        " ELSE CAST(-((2 * (-sum_micro) + n) div (2 * n)) AS BIGINT)"
+        " END AS mean_s_micro",
+    ).orderBy("cell_id")
+
+
 def _bucket_sql_offset(col: str, nbits: int, offset: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN {col}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

@@ -1006,15 +1006,22 @@ def pairwise_hop_distances(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 8,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs hop distances by per-source frontier BSP — the frontier is
     keyed on (source, node), so one round still costs one shuffle however
     many sources run concurrently (the relational multi-BFS plan; Brandes-
     style centrality preprocessing).
 
-    SCALE: the pair frame is O(n * reachable-set) — meant for BOUNDED node
-    sets (the catalog's 50-node projection graphs, landmark subsets at
-    cluster scale: pick k landmark sources and the same plan is k-BFS).
+    ``sources``: optional one-column frame of source nodes — the LANDMARK
+    knob the scale note below describes, made explicit (round 8): k
+    landmark sources make the same plan a k-BFS with pair frames
+    O(k * reachable-set) instead of O(n * reachable-set). Default None =
+    every node is a source (the original all-pairs behavior).
+
+    SCALE: the pair frame is O(sources * reachable-set) — meant for
+    BOUNDED node sets (the catalog's 50-node projection graphs) or
+    landmark subsets at cluster scale via ``sources``.
     Per round: one frontier-keyed join + a first-visit anti-join, both on
     the (source, node) composite key; early exit on an empty frontier.
 
@@ -1027,12 +1034,14 @@ def pairwise_hop_distances(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("s").alias("node"))
+    seed_nodes = (
+        sources.toDF("node").distinct()
+        if sources is not None
+        else e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
     )
-    frontier = nodes.select(
+    frontier = seed_nodes.select(
         F.col("node").alias("source"), "node", F.lit(0).cast("int").alias("dist")
     ).localCheckpoint()
     visited = frontier

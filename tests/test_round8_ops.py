@@ -236,3 +236,104 @@ def test_friedman_matches_python_model(spark, sf_dir):
     q = (k - 1) * s4 / (a4 - n * k * (k + 1) ** 2)
     assert got["n_blocks"] == n and got["n_treatments"] == k
     assert abs(got["q_friedman"] - q) < 1e-6, (got["q_friedman"], q)
+
+
+def test_silhouette_cells_matches_python_model(spark, sf_dir):
+    """Per-cell mean silhouette must equal a plain-python recomputation
+    from the SAME fitted centroids (6-dp cosine, signed-rha micro), and
+    every mean must lie in [-1e6, 1e6]."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = {
+        r["cell_id"]: list(r["vec"])
+        for r in kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return round(num / (da * db), 6)
+
+    sums = defaultdict(Decimal)
+    ns = defaultdict(int)
+    for r in emb.collect():
+        v = [float(x) for x in r["embedding"]]
+        scored = sorted(
+            ((cos(v, c), -cid) for cid, c in cents.items()), reverse=True
+        )
+        c_own, own_cell = scored[0][0], -scored[0][1]
+        c_oth = max(s for s, _ in scored[1:])
+        denom = max(1 - c_own, 1 - c_oth)
+        s = Decimal(0) if denom == 0 else Decimal(
+            str(round((c_own - c_oth) / denom, 6))
+        )
+        sums[own_cell] += s
+        ns[own_cell] += 1
+    got = {
+        r["cell_id"]: (r["n"], r["mean_s_micro"])
+        for r in QUERIES["q_silhouette_cells"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ns)
+    for cell in ns:
+        sm = int(sums[cell] * 10**6)
+        n = ns[cell]
+        mean = (
+            (2 * sm + n) // (2 * n) if sm >= 0 else -((2 * -sm + n) // (2 * n))
+        )
+        assert got[cell] == (n, mean), (cell, got[cell], (n, mean))
+        assert -10**6 <= got[cell][1] <= 10**6
+
+
+def test_bipartite_check_matches_networkx_and_flags_odd_cycles(spark, sf_dir):
+    """The certificate must agree with networkx on the fixture projection,
+    and the operator must correctly certify a known-bipartite even cycle
+    and refute an odd cycle (via the same BFS-parity path)."""
+    import pytest
+
+    nx = pytest.importorskip("networkx")
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_bipartite_check"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value"
+    ).collect()
+    edges = set()
+    for r in rows:
+        u = r["user_id"] % 50
+        v = int(r["value"]) % 50
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    g = nx.Graph(edges)
+    assert got["n_nodes"] == g.number_of_nodes()
+    assert got["n_edges"] == g.number_of_edges()
+    assert bool(got["is_bipartite"]) == nx.is_bipartite(g)
+    assert (got["n_conflict_edges"] == 0) == bool(got["is_bipartite"])
+
+
+def test_bfs_parity_certifies_even_and_refutes_odd_cycle(spark):
+    """Direct operator check: C6 is bipartite (0 parity conflicts), C5 is
+    not — using the new landmark `sources` knob of
+    pairwise_hop_distances."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.operators.graph import pairwise_hop_distances
+
+    def conflicts(n):
+        und = [(i, (i + 1) % n) for i in range(n)]
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        roots = spark.createDataFrame([(0,)], ["node"])
+        dist = pairwise_hop_distances(edges, max_hops=16, sources=roots)
+        color = {r["node"]: r["dist"] % 2 for r in dist.collect()}
+        color[0] = 0
+        return sum(1 for a, b in und if color[a] == color[b])
+
+    assert conflicts(6) == 0
+    assert conflicts(5) > 0
