@@ -231,6 +231,9 @@ HEADLINE = [
     "q_friedman_test",
     "q_silhouette_cells",
     "q_bipartite_check",
+    "q_jonckheere",
+    "q_page_trend",
+    "q_davies_bouldin",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

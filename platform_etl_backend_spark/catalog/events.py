@@ -2473,11 +2473,12 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Friedman test (within-block rank test) ----------------------------------
 
-
-@register(
-    "q_friedman_test",
-    oracle=f"""
-    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, event_type, value FROM events),
+# Shared rank kernel (the _lpa_oracle final-override pattern): daily micro
+# totals per (day, event_type) cell, complete blocks only, doubled integer
+# midranks within each block. Ends with `ranked`(day, event_type, r2) and
+# `kk`(k). Used by q_friedman_test and q_page_trend.
+_FRIEDMAN_RANK_CTES = f"""e AS (
+      SELECT {_EPOCH_DUCK} AS ep, event_type, value FROM events),
     cell AS (
       SELECT ep // 86400 AS day, event_type,
              CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
@@ -2498,7 +2499,47 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp),
     ranked AS (
       SELECT cc.day, cc.event_type, rk.r2
-      FROM cc JOIN rk ON cc.day = rk.day AND cc.s = rk.s),
+      FROM cc JOIN rk ON cc.day = rk.day AND cc.s = rk.s)"""
+
+
+def _friedman_ranked(spark: SparkSession, sf_dir: str):
+    """Spark twin of _FRIEDMAN_RANK_CTES: (ranked frame, kk 1-row frame)."""
+    e = events_table(spark, sf_dir)
+    cell = e.groupBy(
+        F.expr("ep div 86400").alias("day"), "event_type"
+    ).agg(
+        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("s")
+    )
+    kk = cell.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    complete = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("nt") == F.col("k"))
+        .select("day")
+    )
+    cc = cell.join(complete, "day", "left_semi")
+    grp = cc.groupBy("day", "s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grp.select(
+        "day", "s",
+        (
+            2 * F.coalesce(F.sum("c").over(w).cast("bigint"), F.lit(0))
+            + F.col("c") + 1
+        ).alias("r2"),
+    )
+    ranked = cc.join(rk, ["day", "s"]).select("day", "event_type", "r2")
+    return ranked, kk
+
+
+@register(
+    "q_friedman_test",
+    oracle=f"""
+    WITH {_FRIEDMAN_RANK_CTES},
     per_t AS (
       SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -2534,35 +2575,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats", "experiment", "nonparametric"),
 )
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = events_table(spark, sf_dir)
-    cell = e.groupBy(
-        F.expr("ep div 86400").alias("day"), "event_type"
-    ).agg(
-        (F.sum(dec6(F.round("value", 6))) * 1000000).cast("bigint").alias("s")
-    )
-    kk = cell.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
-    complete = (
-        cell.groupBy("day")
-        .agg(F.count(F.lit(1)).alias("nt"))
-        .crossJoin(F.broadcast(kk))
-        .where(F.col("nt") == F.col("k"))
-        .select("day")
-    )
-    cc = cell.join(complete, "day", "left_semi")
-    grp = cc.groupBy("day", "s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = (
-        Window.partitionBy("day")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rk = grp.select(
-        "day", "s",
-        (
-            2 * F.coalesce(F.sum("c").over(w).cast("bigint"), F.lit(0))
-            + F.col("c") + 1
-        ).alias("r2"),
-    )
-    ranked = cc.join(rk, ["day", "s"]).select("day", "event_type", "r2")
+    ranked, kk = _friedman_ranked(spark, sf_dir)
     per_t = ranked.groupBy("event_type").agg(
         F.sum("r2").cast("bigint").alias("r2_sum"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2588,6 +2601,81 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN ROUND(CAST((k - 1) * s4 AS DOUBLE)"
         " / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE), 6)"
         " END AS q_friedman",
+    )
+
+
+# --- Page's trend test (within-block ordered alternative) --------------------
+
+# z from exact integers: L2 = 2L, mean2 = 2*mu_L = n*k*(k+1)^2 / 2 (exact —
+# k(k+1) is even), sigma_L^2 = n*k^2*(k+1)^2*(k-1)/144 (no-tie form; block
+# ranks come from micro-integer daily totals, so within-block ties are
+# measure-zero — asserted by the pytest pin)
+_PAGE_Z = (
+    "ROUND((CAST(l2 AS DOUBLE) - CAST(mean2 AS DOUBLE)) / (2.0 * sqrt("
+    "CAST(n * k * k * (k + 1) * (k + 1) * (k - 1) AS DOUBLE) / 144.0)), 6)"
+)
+
+
+@register(
+    "q_page_trend",
+    oracle=f"""
+    WITH {_FRIEDMAN_RANK_CTES},
+    tord AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS j
+      FROM (SELECT DISTINCT event_type FROM ranked)),
+    per_t AS (
+      SELECT r.event_type, tord.j,
+             CAST(SUM(r.r2) AS BIGINT) AS r2_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked r JOIN tord ON r.event_type = tord.event_type
+      GROUP BY r.event_type, tord.j),
+    agg AS (
+      SELECT CAST(SUM(j * r2_sum) AS BIGINT) AS l2,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM per_t),
+    fin AS (
+      SELECT agg.l2, agg.n, kk.k,
+             CAST(agg.n * kk.k * (kk.k + 1) * (kk.k + 1) // 2 AS BIGINT)
+               AS mean2
+      FROM agg, kk)
+    SELECT n AS n_blocks, k, l2, mean2, {_PAGE_Z} AS z
+    FROM fin
+    """,
+    description="Page's L trend test (the ordered-alternative sibling of "
+    "Friedman, as Jonckheere is to Kruskal-Wallis): within-block doubled "
+    "midranks from the shared Friedman kernel, L2 = sum over treatments "
+    "of rank-position j (alphabetical event-type order — the fixture's "
+    "deterministic a-priori ordering) times the doubled rank sum — "
+    "EXACT integers; null mean n*k*(k+1)^2/2 exact; one final float z "
+    "with the no-tie variance (block ranks come from micro-integer "
+    "totals, ties measure-zero, pinned). SCALE: identical to "
+    "q_friedman_test — one (day,type) rollup + k-row per-day windows",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, kk = _friedman_ranked(spark, sf_dir)
+    w_ord = Window.orderBy("event_type")
+    tord = (
+        ranked.select("event_type").distinct()
+        .select("event_type", F.row_number().over(w_ord).cast("bigint").alias("j"))
+    )
+    per_t = (
+        ranked.join(F.broadcast(tord), "event_type")
+        .groupBy("event_type", "j")
+        .agg(
+            F.sum("r2").cast("bigint").alias("r2_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    agg = per_t.agg(
+        F.sum(F.col("j") * F.col("r2_sum")).cast("bigint").alias("l2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return agg.crossJoin(F.broadcast(kk)).selectExpr(
+        "n AS n_blocks", "k", "l2",
+        "n * k * (k + 1) * (k + 1) div 2 AS mean2",
+        f"{_PAGE_Z} AS z",
     )
 
 
@@ -2720,6 +2808,140 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_BF_SSW}, 6) AS ssw",
         f"ROUND(({_BF_SSB} / CAST(k - 1 AS DOUBLE))"
         f" / ({_BF_SSW} / CAST(nt - k AS DOUBLE)), 6) AS f_bf",
+    )
+
+
+# --- Jonckheere-Terpstra ordered-alternative test ----------------------------
+
+# z evaluated from exact BIGINT building blocks on both engines; the three
+# variance terms are the Hollander-Wolfe tie-corrected decomposition
+_JT_VAR = (
+    "(CAST(nn * (nn - 1) * (2 * nn + 5) - g25 - t25 AS DOUBLE) / 72.0"
+    " + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
+    "   / (36.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)"
+    "      * CAST(nn - 2 AS DOUBLE))"
+    " + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+    "   / (8.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))"
+)
+_JT_Z = (
+    f"ROUND((CAST(jt2 AS DOUBLE) - CAST(mean2 AS DOUBLE))"
+    f" / (2.0 * sqrt({_JT_VAR})), 6)"
+)
+
+
+@register(
+    "q_jonckheere",
+    oracle=f"""
+    WITH gv AS (
+      SELECT event_type AS g, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, value),
+    vals AS (SELECT DISTINCT v FROM gv),
+    grps AS (SELECT DISTINCT g FROM gv),
+    grid AS (
+      SELECT grps.g, vals.v, COALESCE(gv.c, 0) AS c
+      FROM grps CROSS JOIN vals
+      LEFT JOIN gv ON gv.g = grps.g AND gv.v = vals.v),
+    cum AS (
+      SELECT g, v, c,
+             COALESCE(CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS cumlt
+      FROM grid),
+    u AS (
+      SELECT CAST(SUM(b.c * (2 * a.cumlt + a.c)) AS BIGINT) AS jt2
+      FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+    ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gv GROUP BY g),
+    mu AS (
+      SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS mean2
+      FROM ng a JOIN ng b ON a.g < b.g),
+    gsum AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS g25,
+             CAST(SUM(n * (n - 1) * (n - 2)) AS BIGINT) AS g3,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS g2
+      FROM ng),
+    tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY v),
+    tsum AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t25,
+             CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t3,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS t2
+      FROM tv)
+    SELECT nn AS n, jt2, mean2, {_JT_Z} AS z
+    FROM u, mu, gsum, tsum
+    """,
+    description="Jonckheere-Terpstra ordered-alternative k-sample test "
+    "(the trend-aware sibling of Kruskal-Wallis — detects monotone "
+    "location shift across the alphabetically-ordered event types, the "
+    "fixture's deterministic a-priori ordering): JT = sum over ordered "
+    "group pairs of the Mann-Whitney U with half-credit ties, computed "
+    "as EXACT integers (2U = sum over the pooled value grid of "
+    "c_j(v)*(2*cumlt_i(v) + c_i(v))); null mean and the three-term "
+    "Hollander-Wolfe tie-corrected variance from exact group/tie "
+    "moments; ONE final float z. SCALE: the (group x pooled-value) grid "
+    "is k*|domain| rows — bounded like the MW/KS frames; the pair join "
+    "is k^2-bounded per value",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    gv = e.groupBy(F.col("event_type").alias("g"), F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vals = gv.select("v").distinct()
+    grps = gv.select("g").distinct()
+    grid = (
+        grps.crossJoin(vals)
+        .join(gv, ["g", "v"], "left")
+        .na.fill({"c": 0})
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "g", "v", "c",
+        F.coalesce(F.sum("c").over(w).cast("bigint"), F.lit(0)).alias("cumlt"),
+    )
+    a = cum.selectExpr("g AS ga", "v", "c AS ca", "cumlt")
+    b = cum.selectExpr("g AS gb", "v", "c AS cb")
+    u = (
+        a.join(b, "v")
+        .where(F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(F.col("cb") * (2 * F.col("cumlt") + F.col("ca")))
+            .cast("bigint").alias("jt2")
+        )
+    )
+    ng = gv.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    na_ = ng.selectExpr("g AS ga", "n AS na")
+    nb_ = ng.selectExpr("g AS gb", "n AS nb")
+    mu = (
+        na_.crossJoin(nb_)
+        .where(F.col("ga") < F.col("gb"))
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("mean2"))
+    )
+    gsum = ng.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("bigint").alias("g25"),
+        F.sum(F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+        .cast("bigint").alias("g3"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("g2"),
+    )
+    tvf = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    tsum = tvf.agg(
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("bigint").alias("t25"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("bigint").alias("t3"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("bigint").alias("t2"),
+    )
+    return (
+        u.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(gsum))
+        .crossJoin(F.broadcast(tsum))
+        .selectExpr("nn AS n", "jt2", "mean2", f"{_JT_Z} AS z")
     )
 
 

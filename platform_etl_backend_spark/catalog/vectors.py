@@ -427,6 +427,165 @@ def q_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell_id")
 
 
+def _davies_bouldin_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Davies-Bouldin index on the kmeans cells (reuses the fit CTEs)."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    fit = ",\n    ".join(_kmeans_cte_parts(k, iters, dim)[:-1])  # drop fasg
+    sc = cos.format(a="v.vec", b="c.cvec")
+    cm = cos.format(a="a.cvec", b="b.cvec")
+    return f"""
+    WITH {fit},
+    scored AS (
+      SELECT v.vid, c.cell_id, {sc} AS cc FROM v, cent{iters} c),
+    rk AS (
+      SELECT vid, cell_id, cc,
+             ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cc DESC, cell_id)
+               AS rn
+      FROM scored),
+    own AS (SELECT vid, cell_id, cc FROM rk WHERE rn = 1),
+    scat AS (
+      SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(1 - cc, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS dsum
+      FROM own GROUP BY cell_id),
+    sc2 AS (
+      SELECT cell_id, n,
+             CAST((2 * dsum + n) // (2 * n) AS BIGINT) AS s_micro
+      FROM scat),
+    sep AS (
+      SELECT a.cell_id AS i, b.cell_id AS j,
+             CAST(round(1 - {cm}, 6) * 1000000 AS BIGINT) AS m_micro
+      FROM cent{iters} a JOIN cent{iters} b ON a.cell_id <> b.cell_id),
+    r AS (
+      SELECT sep.i, sep.j,
+             CAST(si.s_micro + sj.s_micro AS DOUBLE)
+               / CAST(sep.m_micro AS DOUBLE) AS rv
+      FROM sep
+      JOIN sc2 si ON si.cell_id = sep.i
+      JOIN sc2 sj ON sj.cell_id = sep.j
+      WHERE sep.m_micro > 0),
+    worst AS (
+      SELECT i AS cell_id, rv AS r_max, j AS worst_other
+      FROM (SELECT i, j, rv,
+                   ROW_NUMBER() OVER (PARTITION BY i ORDER BY rv DESC, j)
+                     AS rn
+            FROM r)
+      WHERE rn = 1),
+    db AS (
+      SELECT ROUND(list_reduce(
+               list_transform(list({{'c': cell_id, 'r': r_max}}
+                                   ORDER BY cell_id), x -> x.r),
+               (a, b) -> a + b) / COUNT(*), 6) AS db_index
+      FROM worst)
+    SELECT w.cell_id, s.n, s.s_micro, w.worst_other,
+           ROUND(w.r_max, 6) AS r_max,
+           (SELECT db_index FROM db) AS db_index
+    FROM worst w JOIN sc2 s ON s.cell_id = w.cell_id
+    ORDER BY w.cell_id
+    """
+
+
+@register(
+    "q_davies_bouldin",
+    oracle=_davies_bouldin_oracle(),
+    description="Davies-Bouldin index on the self-fitted k-means cells — "
+    "the scatter/separation clustering judge beside q_silhouette_cells "
+    "(DB penalizes cells whose internal scatter is large relative to "
+    "their nearest-centroid separation; lower is better): per-cell "
+    "scatter = round-half-away micro mean of d = 1 - cos(member, own "
+    "centroid) over 6-dp DECIMAL contributions; separation = micro "
+    "centroid-pair distance; R_ij = (S_i + S_j)/M_ij one IEEE division "
+    "of exact micro integers; worst-partner argmax deterministic "
+    "(rv DESC, j); the k-term DB mean folds in EXPLICIT cell order on "
+    "both engines. SCALE: one n x k broadcast score pass + a k^2 "
+    "centroid-pair frame — both bounded by the cell count",
+    tags=("vectors", "kmeans", "eval", "similarity"),
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("vid"), S.as_double_array("embedding").alias("vec")
+    )
+    cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
+        "cell_id", F.col("vec").alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vid", "cell_id",
+        F.round(S.cosine(F.col("vec"), F.col("cvec")), 6).alias("cc"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
+    own = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "cell_id", "cc")
+    )
+    sc2 = (
+        own.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.expr("CAST(round(1 - cc, 6) AS DECIMAL(18,6))")) * 1000000)
+            .cast("bigint").alias("dsum"),
+        )
+        .selectExpr("cell_id", "n",
+                    "CAST((2 * dsum + n) div (2 * n) AS BIGINT) AS s_micro")
+    )
+    ca = cents.selectExpr("cell_id AS i", "cvec AS va")
+    cb = cents.selectExpr("cell_id AS j", "cvec AS vb")
+    sep = (
+        ca.crossJoin(cb)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i", "j",
+            (F.round(1 - S.cosine(F.col("va"), F.col("vb")), 6) * 1000000)
+            .cast("bigint").alias("m_micro"),
+        )
+    )
+    r = (
+        sep.join(F.broadcast(sc2.selectExpr("cell_id AS i", "s_micro AS si")), "i")
+        .join(F.broadcast(sc2.selectExpr("cell_id AS j", "s_micro AS sj")), "j")
+        .where(F.col("m_micro") > 0)
+        .select(
+            "i", "j",
+            (
+                (F.col("si") + F.col("sj")).cast("double")
+                / F.col("m_micro").cast("double")
+            ).alias("rv"),
+        )
+    )
+    w_r = Window.partitionBy("i").orderBy(F.desc("rv"), F.asc("j"))
+    worst = (
+        r.withColumn("rn", F.row_number().over(w_r))
+        .where(F.col("rn") == 1)
+        .select(F.col("i").alias("cell_id"), F.col("rv").alias("r_max"),
+                F.col("j").alias("worst_other"))
+    )
+    db = worst.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("cell_id").alias("c"),
+                                 F.col("r_max").alias("r"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["r"],
+            ) / F.count(F.lit(1)),
+            6,
+        ).alias("db_index")
+    )
+    return (
+        worst.join(sc2, "cell_id")
+        .crossJoin(F.broadcast(db))
+        .select("cell_id", "n", "s_micro", "worst_other",
+                F.round("r_max", 6).alias("r_max"), "db_index")
+        .orderBy("cell_id")
+    )
+
+
 def _bucket_sql_offset(col: str, nbits: int, offset: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN {col}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

@@ -337,3 +337,158 @@ def test_bfs_parity_certifies_even_and_refutes_odd_cycle(spark):
 
     assert conflicts(6) == 0
     assert conflicts(5) > 0
+
+
+def test_jonckheere_matches_python_model(spark, sf_dir):
+    """2*JT, the null mean, and the tie-corrected z must match a
+    bisect-based python computation over the ordered group pairs."""
+    import math
+    from bisect import bisect_left, bisect_right
+    from collections import defaultdict
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_jonckheere"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    names = sorted(groups)
+    for g in names:
+        groups[g].sort()
+    jt2 = 0
+    for i, gi in enumerate(names):
+        vi = groups[gi]
+        for gj in names[i + 1:]:
+            for v in groups[gj]:
+                lt = bisect_left(vi, v)
+                eq = bisect_right(vi, v) - lt
+                jt2 += 2 * lt + eq
+    ns = [len(groups[g]) for g in names]
+    nn = sum(ns)
+    mean2 = sum(
+        ns[i] * ns[j] for i in range(len(ns)) for j in range(i + 1, len(ns))
+    )
+    from collections import Counter
+
+    ties = Counter(v for vs in groups.values() for v in vs)
+    g25 = sum(n * (n - 1) * (2 * n + 5) for n in ns)
+    g3 = sum(n * (n - 1) * (n - 2) for n in ns)
+    g2 = sum(n * (n - 1) for n in ns)
+    t25 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t3 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t2 = sum(t * (t - 1) for t in ties.values())
+    var = (
+        (nn * (nn - 1) * (2 * nn + 5) - g25 - t25) / 72.0
+        + g3 * t3 / (36.0 * nn * (nn - 1) * (nn - 2))
+        + g2 * t2 / (8.0 * nn * (nn - 1))
+    )
+    z = (jt2 - mean2) / (2.0 * math.sqrt(var))
+    assert got["n"] == nn
+    assert got["jt2"] == jt2, (got["jt2"], jt2)
+    assert got["mean2"] == mean2
+    assert abs(got["z"] - z) < 1e-5, (got["z"], z)
+
+
+def test_page_trend_matches_python_model(spark, sf_dir):
+    """Page's L2 and z must match a plain-python computation on the same
+    complete-block micro-total ranks; within-block ties must be absent
+    (the no-tie variance precondition)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_page_trend"].fn(spark, sf_dir).collect()[0]
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cells = defaultdict(lambda: defaultdict(Decimal))
+    types = set()
+    for r in rows:
+        ts = r["ts"]
+        ep = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 10**9
+        cells[ep // 86400][r["event_type"]] += Decimal(str(round(r["value"], 6)))
+        types.add(r["event_type"])
+    k = len(types)
+    order = {t: j for j, t in enumerate(sorted(types), start=1)}
+    blocks = {
+        d: {t: int(s * 10**6) for t, s in m.items()}
+        for d, m in cells.items() if len(m) == k
+    }
+    n = len(blocks)
+    l2 = 0
+    for d, m in blocks.items():
+        vals = sorted(m.values())
+        assert len(set(vals)) == k  # no within-block ties on micro totals
+        for t, s in m.items():
+            r2 = 2 * vals.index(s) + 2  # 2 * rank (1-based, no ties)
+            l2 += order[t] * r2
+    mean2 = n * k * (k + 1) * (k + 1) // 2
+    var = n * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0
+    z = (l2 - mean2) / (2.0 * math.sqrt(var))
+    assert got["n_blocks"] == n and got["k"] == k
+    assert got["l2"] == l2 and got["mean2"] == mean2
+    assert abs(got["z"] - z) < 1e-6
+
+
+def test_davies_bouldin_matches_python_model(spark, sf_dir):
+    """Per-cell scatter, worst partner, and the DB index must match a
+    plain-python recomputation from the same fitted centroids."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from platform_etl_backend_spark.catalog import QUERIES
+    from platform_etl_backend_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = {
+        r["cell_id"]: list(r["vec"])
+        for r in kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(x * x for x in b))), 6)
+
+    dsum = defaultdict(Decimal)
+    ns = defaultdict(int)
+    for r in emb.collect():
+        v = [float(x) for x in r["embedding"]]
+        best = sorted(((cos(v, c), -cid) for cid, c in cents.items()),
+                      reverse=True)[0]
+        cid = -best[1]
+        dsum[cid] += Decimal(str(round(1 - best[0], 6)))
+        ns[cid] += 1
+    s_micro = {
+        c: (2 * int(dsum[c] * 10**6) + ns[c]) // (2 * ns[c]) for c in ns
+    }
+    worst = {}
+    for i in ns:
+        cands = []
+        for j in ns:
+            if i == j:
+                continue
+            m = round(1 - cos(cents[i], cents[j]), 6) * 10**6
+            m = int(round(m))
+            if m > 0:
+                cands.append(((s_micro[i] + s_micro[j]) / m, -j))
+        rv, nj = sorted(cands, reverse=True)[0]
+        worst[i] = (-nj, rv)
+    db = round(sum(rv for _, rv in (worst[c] for c in sorted(worst))) /
+               len(worst), 6)
+    got = {
+        r["cell_id"]: r
+        for r in QUERIES["q_davies_bouldin"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ns)
+    for c in ns:
+        g = got[c]
+        assert g["n"] == ns[c] and g["s_micro"] == s_micro[c]
+        assert g["worst_other"] == worst[c][0]
+        assert abs(g["r_max"] - round(worst[c][1], 6)) < 2e-6
+        assert abs(g["db_index"] - db) < 2e-6
