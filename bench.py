@@ -234,6 +234,8 @@ HEADLINE = [
     "q_jonckheere",
     "q_page_trend",
     "q_davies_bouldin",
+    "q_cochran_q",
+    "q_hodges_lehmann",
 ]
 
 # Documented non-headline heavies (SCALE.md): timed and reported under

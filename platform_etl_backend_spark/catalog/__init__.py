@@ -101,12 +101,13 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   q_stats_per_group, q_string_funcs, q_time_buckets and
 #   q_union_parties close out the round-1 cohort in round 9.
 #
-# ROUND-9 ROTATION TODO: the 11 round-8 late-session additions have no
+# ROUND-9 ROTATION TODO: the 13 round-8 late-session additions have no
 # driver evidence yet (all replica-green at BOTH SFs when registered):
 # q_approx_percentile_envelope, q_kruskal_wallis, q_levene_test,
 # q_friedman_test, q_scd2_history, q_t_closeness, q_silhouette_cells,
-# q_bipartite_check, q_jonckheere, q_page_trend, q_davies_bouldin.
-# Front these 11 in the round-9 window; then the 6 round-1 rows that
+# q_bipartite_check, q_jonckheere, q_page_trend, q_davies_bouldin,
+# q_cochran_q, q_hodges_lehmann.
+# Front these 13 in the round-9 window; then the 6 round-1 rows that
 # close out that cohort's second pass (q_session_window, q_sessionize,
 # q_stats_per_group, q_string_funcs, q_time_buckets, q_union_parties);
 # pad the rest with the oldest never-twice-checked rows (the

@@ -2503,7 +2503,7 @@ _FRIEDMAN_RANK_CTES = f"""e AS (
 
 
 def _friedman_ranked(spark: SparkSession, sf_dir: str):
-    """Spark twin of _FRIEDMAN_RANK_CTES: (ranked frame, kk 1-row frame)."""
+    """Spark twin of _FRIEDMAN_RANK_CTES: (ranked, kk, complete cells)."""
     e = events_table(spark, sf_dir)
     cell = e.groupBy(
         F.expr("ep div 86400").alias("day"), "event_type"
@@ -2533,7 +2533,7 @@ def _friedman_ranked(spark: SparkSession, sf_dir: str):
         ).alias("r2"),
     )
     ranked = cc.join(rk, ["day", "s"]).select("day", "event_type", "r2")
-    return ranked, kk
+    return ranked, kk, cc
 
 
 @register(
@@ -2575,7 +2575,7 @@ def _friedman_ranked(spark: SparkSession, sf_dir: str):
     tags=("events", "stats", "experiment", "nonparametric"),
 )
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked, kk = _friedman_ranked(spark, sf_dir)
+    ranked, kk, _cc = _friedman_ranked(spark, sf_dir)
     per_t = ranked.groupBy("event_type").agg(
         F.sum("r2").cast("bigint").alias("r2_sum"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2654,7 +2654,7 @@ _PAGE_Z = (
     tags=("events", "stats", "experiment", "nonparametric"),
 )
 def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked, kk = _friedman_ranked(spark, sf_dir)
+    ranked, kk, _cc = _friedman_ranked(spark, sf_dir)
     w_ord = Window.orderBy("event_type")
     tord = (
         ranked.select("event_type").distinct()
@@ -2676,6 +2676,194 @@ def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n AS n_blocks", "k", "l2",
         "n * k * (k + 1) * (k + 1) div 2 AS mean2",
         f"{_PAGE_Z} AS z",
+    )
+
+
+# --- Cochran's Q (within-block binary treatment test) ------------------------
+
+
+@register(
+    "q_cochran_q",
+    oracle=f"""
+    WITH {_FRIEDMAN_RANK_CTES},
+    tg AS (
+      SELECT event_type, s, CAST(COUNT(*) AS BIGINT) AS c FROM cc
+      GROUP BY event_type, s),
+    tr AS (
+      SELECT event_type, s,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM tg),
+    med AS (
+      SELECT event_type, CAST(MIN(s) AS BIGINT) AS med_s
+      FROM tr WHERE cum >= (nb + 1) // 2 GROUP BY event_type),
+    x AS (
+      SELECT cc.day, cc.event_type,
+             CASE WHEN cc.s > med.med_s THEN 1 ELSE 0 END AS v
+      FROM cc JOIN med ON cc.event_type = med.event_type),
+    cj AS (SELECT event_type, CAST(SUM(v) AS BIGINT) AS c FROM x
+           GROUP BY event_type),
+    ri AS (SELECT day, CAST(SUM(v) AS BIGINT) AS r FROM x GROUP BY day),
+    agg AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cj) AS nones,
+             (SELECT CAST(SUM(c * c) AS BIGINT) FROM cj) AS scj2,
+             (SELECT CAST(SUM(r * r) AS BIGINT) FROM ri) AS sri2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ri) AS b,
+             (SELECT k FROM kk) AS k)
+    SELECT b AS n_blocks, k, nones AS n_ones, scj2 AS sum_cj2,
+           sri2 AS sum_ri2,
+           CASE WHEN k * nones - sri2 <> 0
+                THEN ROUND(CAST((k - 1) * (k * scj2 - nones * nones)
+                     AS DOUBLE) / CAST(k * nones - sri2 AS DOUBLE), 6)
+           END AS q_cochran
+    FROM agg
+    """,
+    description="Cochran's Q (within-block binary treatment test — the "
+    "k-treatment McNemar, completing the within-subject family beside "
+    "Friedman/Page): response x_ij = 1 iff treatment j's daily micro "
+    "total in block (day) i exceeds treatment j's own rank-pick median "
+    "daily total (above-typical-day indicator, deterministic); Q = "
+    "(k-1)(k*sum C_j^2 - N^2)/(k*N - sum R_i^2) ENTIRELY from exact "
+    "integers with ONE final division, NULL-guarded when every block is "
+    "constant. SCALE: the same (day,type) rollup as the Friedman "
+    "kernel + per-type bounded median windows + two tiny rollups",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ranked, kk, cc = _friedman_ranked(spark, sf_dir)
+    tg = cc.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    tr = tg.select(
+        "event_type", "s",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("nb"),
+    )
+    med = (
+        tr.where(F.expr("cum >= (nb + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("s").cast("bigint").alias("med_s"))
+    )
+    x = cc.join(F.broadcast(med), "event_type").select(
+        "day", "event_type",
+        F.when(F.col("s") > F.col("med_s"), 1).otherwise(0).alias("v"),
+    )
+    cj = x.groupBy("event_type").agg(F.sum("v").cast("bigint").alias("c"))
+    ri = x.groupBy("day").agg(F.sum("v").cast("bigint").alias("r"))
+    cagg = cj.agg(
+        F.sum("c").cast("bigint").alias("nones"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scj2"),
+    )
+    ragg = ri.agg(
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sri2"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    return (
+        cagg.crossJoin(F.broadcast(ragg))
+        .crossJoin(F.broadcast(kk))
+        .selectExpr(
+            "b AS n_blocks", "k", "nones AS n_ones", "scj2 AS sum_cj2",
+            "sri2 AS sum_ri2",
+            "CASE WHEN k * nones - sri2 <> 0"
+            " THEN ROUND(CAST((k - 1) * (k * scj2 - nones * nones)"
+            " AS DOUBLE) / CAST(k * nones - sri2 AS DOUBLE), 6)"
+            " END AS q_cochran",
+        )
+    )
+
+
+# --- Hodges-Lehmann shift estimator ------------------------------------------
+
+
+@register(
+    "q_hodges_lehmann",
+    oracle=f"""
+    WITH e AS (SELECT {_EPOCH_DUCK} AS ep, event_type, value FROM events),
+    days AS (
+      SELECT event_type, ep // 86400 AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS s
+      FROM e WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, ep // 86400),
+    a AS (SELECT day, s FROM days WHERE event_type = 'purchase'),
+    b AS (SELECT day, s FROM days WHERE event_type = 'click'),
+    diffs AS (
+      SELECT a.s - b.s AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM a CROSS JOIN b GROUP BY a.s - b.s),
+    cum AS (
+      SELECT d, c,
+             CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS np
+      FROM diffs),
+    pick AS (
+      SELECT CAST(MIN(d) AS BIGINT) AS hl_shift_micro,
+             CAST(MAX(np) AS BIGINT) AS n_pairs
+      FROM cum WHERE cum >= (np + 1) // 2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           n_pairs, hl_shift_micro
+    FROM pick
+    """,
+    description="Hodges-Lehmann shift estimator (the robust location-"
+    "difference companion of the Mann-Whitney test): the median of all "
+    "pairwise differences between the purchase and click DAILY totals — "
+    "day-level units make the pair frame |days_a| x |days_b| (calendar-"
+    "bounded, the textbook HL applied where it scales; raw-row HL is "
+    "quadratic and needs sampling), totals exact micro integers, the "
+    "median a lower rank-pick over the difference rollup (cumulative "
+    "window on a day-pair-bounded frame). SCALE: one (type, day) rollup "
+    "+ a bounded cross join + one bounded rank-pick window",
+    tags=("events", "stats", "experiment", "nonparametric"),
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_table(spark, sf_dir)
+    days = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.expr("ep div 86400").alias("day"))
+        .agg(
+            (F.sum(dec6(F.round("value", 6))) * 1000000)
+            .cast("bigint").alias("s")
+        )
+    )
+    a = days.where(F.col("event_type") == "purchase").select(
+        F.col("s").alias("sa")
+    )
+    b = days.where(F.col("event_type") == "click").select(
+        F.col("s").alias("sb")
+    )
+    diffs = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("sa") - F.col("sb")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = diffs.select(
+        "d", "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("np"),
+    )
+    pick = cum.where(F.expr("cum >= (np + 1) div 2")).agg(
+        F.min("d").cast("bigint").alias("hl_shift_micro"),
+        F.max("np").cast("bigint").alias("n_pairs"),
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(pick))
+        .select("n_a", "n_b", "n_pairs", "hl_shift_micro")
     )
 
 

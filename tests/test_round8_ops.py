@@ -492,3 +492,60 @@ def test_davies_bouldin_matches_python_model(spark, sf_dir):
         assert g["worst_other"] == worst[c][0]
         assert abs(g["r_max"] - round(worst[c][1], 6)) < 2e-6
         assert abs(g["db_index"] - db) < 2e-6
+
+
+def _daily_micro(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cells = defaultdict(lambda: defaultdict(Decimal))
+    for r in rows:
+        ts = r["ts"]
+        ep = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 10**9
+        cells[ep // 86400][r["event_type"]] += Decimal(str(round(r["value"], 6)))
+    return {
+        d: {t: int(s * 10**6) for t, s in m.items()} for d, m in cells.items()
+    }
+
+
+def test_cochran_q_matches_python_model(spark, sf_dir):
+    """Q from the above-own-median binary matrix over complete blocks must
+    match the python computation exactly (integer identity, one division)."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_cochran_q"].fn(spark, sf_dir).collect()[0]
+    cells = _daily_micro(spark, sf_dir)
+    types = sorted({t for m in cells.values() for t in m})
+    k = len(types)
+    blocks = {d: m for d, m in cells.items() if len(m) == k}
+    med = {}
+    for t in types:
+        v = sorted(m[t] for m in blocks.values())
+        med[t] = v[(len(v) + 1) // 2 - 1]
+    x = {d: {t: int(m[t] > med[t]) for t in types} for d, m in blocks.items()}
+    cj = {t: sum(x[d][t] for d in x) for t in types}
+    ri = {d: sum(x[d].values()) for d in x}
+    n1 = sum(cj.values())
+    scj2 = sum(c * c for c in cj.values())
+    sri2 = sum(r * r for r in ri.values())
+    assert got["n_blocks"] == len(blocks) and got["k"] == k
+    assert got["n_ones"] == n1
+    assert got["sum_cj2"] == scj2 and got["sum_ri2"] == sri2
+    q = (k - 1) * (k * scj2 - n1 * n1) / (k * n1 - sri2)
+    assert abs(got["q_cochran"] - q) < 1e-6
+
+
+def test_hodges_lehmann_matches_python_model(spark, sf_dir):
+    """The HL shift must be the exact lower median of all pairwise
+    purchase-minus-click daily-total differences."""
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    got = QUERIES["q_hodges_lehmann"].fn(spark, sf_dir).collect()[0]
+    cells = _daily_micro(spark, sf_dir)
+    a = [m["purchase"] for m in cells.values() if "purchase" in m]
+    b = [m["click"] for m in cells.values() if "click" in m]
+    diffs = sorted(x - y for x in a for y in b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["n_pairs"] == len(diffs)
+    assert got["hl_shift_micro"] == diffs[(len(diffs) + 1) // 2 - 1]
