@@ -534,9 +534,11 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cents.selectExpr("cell_id AS i", "cvec AS va")
     cb = cents.selectExpr("cell_id AS j", "cvec AS vb")
+    # broadcast the k-row side so the inequality pair join plans as a
+    # BroadcastNestedLoopJoin, not a CartesianProduct (the plan guard
+    # forbids cartesians; caught by the full-suite re-run at round close)
     sep = (
-        ca.crossJoin(cb)
-        .where(F.col("i") != F.col("j"))
+        ca.join(F.broadcast(cb), F.col("i") != F.col("j"))
         .select(
             "i", "j",
             (F.round(1 - S.cosine(F.col("va"), F.col("vb")), 6) * 1000000)
