@@ -101,73 +101,76 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   q_stats_per_group, q_string_funcs, q_time_buckets and
 #   q_union_parties close out the round-1 cohort in round 9.
 #
-# ROUND-9 ROTATION TODO: the 13 round-8 late-session additions have no
-# driver evidence yet (all replica-green at BOTH SFs when registered):
-# q_approx_percentile_envelope, q_kruskal_wallis, q_levene_test,
-# q_friedman_test, q_scd2_history, q_t_closeness, q_silhouette_cells,
-# q_bipartite_check, q_jonckheere, q_page_trend, q_davies_bouldin,
-# q_cochran_q, q_hodges_lehmann.
-# Front these 13 in the round-9 window; then the 6 round-1 rows that
-# close out that cohort's second pass (q_session_window, q_sessionize,
-# q_stats_per_group, q_string_funcs, q_time_buckets, q_union_parties);
-# pad the rest with the oldest never-twice-checked rows (the
-# round-2-checked cohort, alphabetical).
+# ROUND-9 WINDOW (this round): the rotation staged by the round-8 TODO,
+# confirmed by the round-8 VERDICT (#1) —
+# - the 13 round-8 late-session additions with NO driver evidence (all
+#   replica-green at BOTH SFs when registered; judge-verified green at
+#   both SFs in round 8): positions 1-13 below. q_davies_bouldin's slot
+#   doubles as the post-cartesian-fix + post-ADVICE-micro-fix re-check.
+# - the 6 round-1 rows that close out that cohort's second pass:
+#   q_session_window, q_sessionize, q_stats_per_group, q_string_funcs,
+#   q_time_buckets, q_union_parties.
+# - 31 pad slots: the oldest never-twice-checked rows — the cohort whose
+#   only driver evidence is round 2, in deterministic alphabetical
+#   order, SKIPPING q_montecarlo_critical (rows-only by design; a window
+#   slot buys no hash evidence there). q_winnow_fingerprint and
+#   q_zscore_norm close out this cohort in round 10.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 25 never-driver-checked round-7 additions -----------------
-    "q_lorenz_gini",
-    "q_herfindahl",
-    "q_cramers_v",
-    "q_hill_tail_index",
-    "q_heaps_law",
-    "q_naive_bayes",
-    "q_retrieval_eval",
-    "q_pacf",
-    "q_harmonic_centrality",
-    "q_lift_curve",
-    "q_cvm_test",
-    "q_token_fertility",
-    "q_degree_assortativity",
-    "q_distance_distribution",
-    "q_betweenness",
-    "q_ridge_regression",
-    "q_nb_crossval",
-    "q_periodogram",
-    "q_mix_shift",
-    "q_betweenness_sampled",
-    "q_anderson_darling",
-    "q_nelson_aalen",
-    "q_map_eval",
-    "q_theil_index",
-    "q_entropy_rate",
-    # -- changed contract/plan re-checks (round-4 protocol) ------------
-    "q_conformal_interval",
-    "q_skyline_2d",
-    "q_seasonal_decompose",
-    "q_wasserstein_1d",
-    # -- pads: once-checked (round 1) rows starting their second pass --
-    "q_harmonic_scores",
-    "q_hash_sample",
-    "q_intersect_nations",
-    "q_join_lut_broadcast",
-    "q_join_multi",
-    "q_json_extract",
-    "q_latest_order_per_customer",
-    "q_lead_lag",
-    "q_left_join_fill",
-    "q_math_funcs",
-    "q_melt_metrics",
-    "q_nullsafe_join",
-    "q_order_limit",
-    "q_rank_topk",
-    "q_rowwise_sum",
-    "q_running_sum",
-    "q_salted_agg",
-    "q_scalar_filter_sum",
-    "q_selectexpr_fragments",
-    "q_self_join",
-    "q_semi_join",
+    # -- the 13 never-driver-checked round-8 additions -----------------
+    "q_approx_percentile_envelope",
+    "q_kruskal_wallis",
+    "q_levene_test",
+    "q_friedman_test",
+    "q_scd2_history",
+    "q_t_closeness",
+    "q_silhouette_cells",
+    "q_bipartite_check",
+    "q_jonckheere",
+    "q_page_trend",
+    "q_davies_bouldin",
+    "q_cochran_q",
+    "q_hodges_lehmann",
+    # -- round-1 cohort second-pass closers ----------------------------
+    "q_session_window",
+    "q_sessionize",
+    "q_stats_per_group",
+    "q_string_funcs",
+    "q_time_buckets",
+    "q_union_parties",
+    # -- pads: the round-2-only cohort, alphabetical (sans MC rows-only)
+    "q_ann_bucketed",
+    "q_ann_ivf",
+    "q_ann_ivf_kmeans",
+    "q_ann_multiprobe",
+    "q_bottomk_sample",
+    "q_cosine_topk",
+    "q_crossencoder_rerank",
+    "q_cube",
+    "q_decontaminate",
+    "q_dedup_exact",
+    "q_doc_tokens",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_fingerprint_groups",
+    "q_gopher_rules",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_label_keys",
+    "q_langid_confusion",
+    "q_minhash_lsh",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_ngram_jaccard",
+    "q_percentile_disc",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_repetition_ngrams",
+    "q_rollup",
+    "q_simhash",
+    "q_stats_moments",
+    "q_text_quality",
 )
 
 

@@ -3077,8 +3077,13 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = gv.select("v").distinct()
     grps = gv.select("g").distinct()
+    # broadcast the k-row group side explicitly: grps is a distinct over
+    # a scan, so without the hint Catalyst's size estimate decides between
+    # BroadcastNestedLoopJoin and CartesianProduct and the no-cartesian
+    # plan guard could flip under stats/AQE changes (round-8 ADVICE; same
+    # reason the q_davies_bouldin pair join broadcasts)
     grid = (
-        grps.crossJoin(vals)
+        F.broadcast(grps).crossJoin(vals)
         .join(gv, ["g", "v"], "left")
         .na.fill({"c": 0})
     )
@@ -3105,7 +3110,7 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     na_ = ng.selectExpr("g AS ga", "n AS na")
     nb_ = ng.selectExpr("g AS gb", "n AS nb")
     mu = (
-        na_.crossJoin(nb_)
+        F.broadcast(na_).crossJoin(nb_)
         .where(F.col("ga") < F.col("gb"))
         .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("mean2"))
     )

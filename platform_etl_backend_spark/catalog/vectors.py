@@ -537,11 +537,18 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the k-row side so the inequality pair join plans as a
     # BroadcastNestedLoopJoin, not a CartesianProduct (the plan guard
     # forbids cartesians; caught by the full-suite re-run at round close)
+    # micro() convention (cf. q_mmr_rerank): round cos to 6dp FIRST (the
+    # oracle's cm is ROUND(cos, 6)), then an outer F.round before the
+    # bigint cast — Spark's raw CAST truncates toward zero while DuckDB's
+    # CAST rounds to nearest, and ~1% of 6-dp products sit one IEEE ulp
+    # below the integer (round-8 ADVICE).  Both engines now round-to-
+    # nearest on a non-negative value, so they agree bit-for-bit.
+    cm6 = F.round(S.cosine(F.col("va"), F.col("vb")), 6)
     sep = (
         ca.join(F.broadcast(cb), F.col("i") != F.col("j"))
         .select(
             "i", "j",
-            (F.round(1 - S.cosine(F.col("va"), F.col("vb")), 6) * 1000000)
+            F.round(F.round(F.lit(1.0) - cm6, 6) * 1000000)
             .cast("bigint").alias("m_micro"),
         )
     )

@@ -153,3 +153,32 @@ def classify_single_partitions(plan: str) -> list[dict]:
         else:
             out.append({"class": "unknown", "detail": "unrecognized consumer"})
     return out
+
+
+# Single-partition plan-guard allowlist: queries whose `raw`/`unknown`
+# classification is a documented, deliberately-accepted exception. This is
+# THE single source of truth — tests/test_plan_catalog_guard.py enforces
+# the guard against it and scripts/plan_audit.py --check replicates the
+# same verdict per-commit, so the two can never drift apart.
+PLAN_GUARD_ALLOWLIST: dict[str, str] = {
+    # mirrors the reference Search.scala:600-606 exactly (W2 by reference
+    # parity, single-partition sort confined to a pre-filtered subset)
+    "q_global_rank_multiplier": "reference-parity W2 site",
+    # summary frame <= shards*(keep+1) rows by the stride filter —
+    # bounded by sketch parameters, not data
+    "q_mergeable_quantiles": "sketch-parameter-bounded summary frame",
+    "q_quantile_rank_error": "sketch-parameter-bounded summary frame",
+}
+
+
+def plan_guard_verdict(plan: str) -> list[dict]:
+    """The exact offender computation the catalog-wide plan guard uses:
+    every `raw` or `unknown` single-partition classification in a simple
+    plan (allowlist NOT applied — callers subtract PLAN_GUARD_ALLOWLIST
+    keyed by query name). Shared by the pytest guard and the per-commit
+    `scripts/plan_audit.py --check` loop so a cartesian/raw/unknown plan
+    fails at the commit that introduces it, not at round close."""
+    return [
+        c for c in classify_single_partitions(plan)
+        if c["class"] in ("raw", "unknown")
+    ]

@@ -636,10 +636,21 @@ def current_novelty_table(spark, base_path: str) -> DataFrame:
     """The committed per-doc novelty rows (doc_id, n_types, n_novel,
     novelty_micro) — resolves the atomic pointer written by
     :func:`novelty_merge_fn`."""
+    import os
+
     ptr = _novelty_pointer(base_path)
     if ptr is None:
         raise FileNotFoundError(f"no committed novelty table under {base_path}")
-    return spark.read.parquet(f"{ptr[1]}/out")
+    out_root = f"{base_path}/out"
+    if os.path.isdir(out_root):
+        # append-only per-batch partitions; the pointer fences off any
+        # batch dir written by a crashed/uncommitted attempt
+        return (
+            spark.read.parquet(out_root)
+            .where(F.col("batch") <= F.lit(ptr[0]))
+            .drop("batch")
+        )
+    return spark.read.parquet(f"{ptr[1]}/out")  # pre-append layout fallback
 
 
 def novelty_merge_fn(
@@ -686,10 +697,13 @@ def novelty_merge_fn(
       the batch's shingle rollup); the Bloom only answers "seen in any
       EARLIER batch".
 
-    Commit protocol: versioned dirs (bloom words + per-doc rows + per-gen
-    meta under ``novelty_v{batch_id}``) + ONE atomic pointer ``os.replace``
-    — per-doc rows are APPEND-ONLY (not idempotent), so the replay fence
-    skips already-committed batch ids, exactly like the TPUT sink.
+    Commit protocol: versioned STATE dirs (bloom words + per-gen meta
+    under ``novelty_v{batch_id}``), per-doc rows appended to an immutable
+    ``out/batch={id}`` partition (per-batch write cost O(batch), never
+    O(history)), then ONE atomic pointer ``os.replace`` — the reader
+    filters ``batch <= pointer`` so an uncommitted batch dir is invisible,
+    and the replay fence skips already-committed batch ids, exactly like
+    the TPUT sink.
     """
     import os
     import shutil
@@ -790,11 +804,16 @@ def novelty_merge_fn(
         )
         version = f"novelty_v{batch_id}"
         vdir = f"{base_path}/{version}"
-        merged_out = (
-            spark.read.parquet(f"{ptr[1]}/out").unionByName(out_new)
-            if ptr is not None else out_new
+        # per-doc rows are APPEND-ONLY: write ONLY this batch's rows into
+        # an immutable batch-addressed partition — per-batch I/O is
+        # O(batch), not O(total docs ever emitted) (round-8 ADVICE: the
+        # old full-history rewrite was the real unbounded per-batch cost).
+        # A crashed attempt's dir is either overwritten on replay (same
+        # batch_id, mode=overwrite) or fenced off by the pointer filter
+        # in current_novelty_table.
+        out_new.write.mode("overwrite").parquet(
+            f"{base_path}/out/batch={batch_id}"
         )
-        merged_out.write.mode("overwrite").parquet(f"{vdir}/out")
         merged_bloom.write.mode("overwrite").parquet(f"{vdir}/bloom")
         spark.createDataFrame(
             [(g, c) for g, c in sorted(meta_rows.items())],
@@ -824,9 +843,12 @@ def novelty_stream(
     twin of q_ngram_novelty with the WEAKER twin contract on a rolling
     horizon: equality with the batch oracle while no Bloom false positive
     fires and no generation rotates; <= (undercount only) otherwise, per
-    the documented FP bound. SCALE: state is <= generations*m_bits/64
-    bit-words however long the stream runs; each micro-batch costs one
-    shingle rollup + a k-way position join against the word table."""
+    the documented FP bound. SCALE: Bloom state is <= generations*
+    m_bits/64 bit-words however long the stream runs; each micro-batch
+    costs one shingle rollup + a k-way position join against the word
+    table + an O(batch) append into out/batch={id} (the output history
+    accumulates on DISK as immutable partitions, but no batch ever
+    rewrites it)."""
     return (
         docs.writeStream.foreachBatch(
             novelty_merge_fn(

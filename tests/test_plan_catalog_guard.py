@@ -82,7 +82,10 @@ def test_no_catalog_query_has_raw_single_partition_window(all_plans):
     aggregate-bounded frames (per-partition offsets, calendar/alphabet
     rollups) — stay allowed; new O(n) global sorts fail here instead of
     shipping as docstring caveats."""
-    from platform_etl_backend_spark.plans.inspect import classify_single_partitions
+    from platform_etl_backend_spark.plans.inspect import (
+        PLAN_GUARD_ALLOWLIST,
+        plan_guard_verdict,
+    )
 
     offenders = {}
     for name, plan in all_plans.items():
@@ -93,27 +96,13 @@ def test_no_catalog_query_has_raw_single_partition_window(all_plans):
         # novel O(n) single-partition plan could ship silently. An
         # unknown shape needs either a classifier upgrade or an explicit
         # allowlist entry here.
-        bad = [
-            c for c in classify_single_partitions(plan)
-            if c["class"] in ("raw", "unknown")
-        ]
+        bad = plan_guard_verdict(plan)
         if bad:
             offenders[name] = bad
-    # Documented exceptions — frames bounded BY CONSTRUCTION where the
-    # classifier cannot see the bound, plus the one reference-parity W2
-    # site. (q_skyline_2d and q_seasonal_decompose left this list in
-    # round 8: the skyline merge now runs on a DISTINCT (cents,size)
-    # frame and seasonal_decompose persists instead of localCheckpoints,
-    # so the classifier sees the reducing aggregates.)
-    allowed = {
-        # mirrors Search.scala:600-606 exactly (W2 by reference parity,
-        # single-partition sort confined to a pre-filtered subset)
-        "q_global_rank_multiplier",
-        # summary frame <= shards*(keep+1) rows by the stride filter —
-        # bounded by sketch parameters, not data
-        "q_mergeable_quantiles",
-        "q_quantile_rank_error",
-    }
-    for name in allowed:
+    # Documented exceptions live in ONE place — plans/inspect.py's
+    # PLAN_GUARD_ALLOWLIST — shared with the per-commit
+    # `scripts/plan_audit.py --check` loop (round-8 VERDICT #4) so the
+    # commit-time check and this round-close guard can never disagree.
+    for name in PLAN_GUARD_ALLOWLIST:
         offenders.pop(name, None)
     assert not offenders, offenders
