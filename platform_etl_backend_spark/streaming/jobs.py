@@ -861,3 +861,68 @@ def novelty_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- fenced append sink (generic; SCD2 interval stream uses it) --------------
+
+
+def fenced_append_fn(base_path: str):
+    """foreachBatch body: append-only exactly-once sink for APPEND-mode
+    streams whose rows must not duplicate under micro-batch replay (the
+    novelty sink's commit protocol, factored out): each batch's rows land
+    in an immutable ``out/batch={id}`` partition, then ONE atomic pointer
+    ``os.replace`` commits the batch id. A replayed batch id returns
+    early; a crashed attempt's partition is either overwritten on replay
+    or fenced off by the reader's ``batch <= pointer`` filter. Per-batch
+    I/O is O(batch) — history is never rewritten."""
+    import os
+
+    marker = f"{base_path}/applied_batch_id"
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        ptr = _novelty_pointer(base_path)
+        if ptr is not None and batch_id <= ptr[0]:
+            return  # replayed batch: already committed
+        batch.write.mode("overwrite").parquet(
+            f"{base_path}/out/batch={batch_id}"
+        )
+        os.makedirs(base_path, exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\nout")
+        os.replace(tmp, marker)  # single atomic commit point
+
+    return merge
+
+
+def current_appended_table(spark, base_path: str) -> DataFrame:
+    """All rows committed through :func:`fenced_append_fn` (pointer-fenced
+    union of the immutable per-batch partitions)."""
+    ptr = _novelty_pointer(base_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed table under {base_path}")
+    return (
+        spark.read.parquet(f"{base_path}/out")
+        .where(F.col("batch") <= F.lit(ptr[0]))
+        .drop("batch")
+    )
+
+
+def scd2_interval_stream(
+    events: DataFrame, base_path: str, checkpoint: str
+):
+    """Streaming SCD2 maintenance job — the per-user validity-interval
+    chain (streaming/stateful.scd2_stream) draining CLOSED intervals into
+    a fenced append-only table. The committed table equals the batch
+    q_scd2_history rows with non-NULL valid_to_day on the same replay,
+    minus closes whose change day is still the user's open day (see the
+    scd2_stream twin contract); state is O(1) per user."""
+    from platform_etl_backend_spark.streaming.stateful import scd2_stream
+
+    return (
+        scd2_stream(events)
+        .writeStream.foreachBatch(fenced_append_fn(base_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -265,3 +265,119 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: the type-2 validity-interval chain (batch twin:
+# catalog/events.q_scd2_history) as an applyInPandasWithState operator.
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT = (
+    "user_id bigint, status string, valid_from_day bigint, "
+    "valid_to_day bigint, last_active_day bigint, n_active_days bigint, "
+    "n_events bigint"
+)
+# open interval (status..n_events) + the still-accumulating current day
+# (cur_*: the day's status is unknown until a LATER day arrives, because a
+# later event inside the same day can still flip the day's last event)
+SCD2_STATE = (
+    "status string, valid_from bigint, last_active bigint, n_days bigint, "
+    "n_events bigint, cur_day bigint, cur_ep bigint, cur_eid bigint, "
+    "cur_et string, cur_n bigint"
+)
+
+
+def _scd2_step(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Advance one user's SCD2 interval chain over a batch.
+
+    EXACTLY the batch semantics (q_scd2_history): per observed day the
+    LAST event (lexicographic max of (ep, event_id, event_type) — the
+    struct-MAX argmax) is the day's status; consecutive observed days with
+    the same status extend one interval; a status change observed on day d
+    CLOSES the open interval with valid_to_day = d-1 and opens a new one.
+    Only CLOSED intervals are emitted (append mode) — the open interval
+    and the accumulating current day stay in state, exactly the batch rows
+    whose valid_to_day is NULL. Assumes event-time-ordered arrival across
+    batches (the streaming-funnel contract); within a batch rows are
+    sorted. Per-batch work is one pandas groupby over the user's rows +
+    a python fold over its DAYS (not rows) — state is O(1) per user.
+    """
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    if state.exists:
+        (status, vfrom, lact, ndays, nev,
+         cday, cep, ceid, cet, cn) = state.get
+    else:
+        status = None
+        vfrom = lact = ndays = nev = 0
+        cday = None
+        cep = ceid = cn = 0
+        cet = ""
+    closed: list[tuple] = []
+
+    def fold_day(day: int, day_status: str, day_n: int) -> None:
+        nonlocal status, vfrom, lact, ndays, nev
+        if status is None:
+            status, vfrom, lact, ndays, nev = day_status, day, day, 1, day_n
+        elif day_status == status:
+            lact, ndays, nev = day, ndays + 1, nev + day_n
+        else:
+            closed.append(
+                (int(key[0]), status, vfrom, day - 1, lact, ndays, nev)
+            )
+            status, vfrom, lact, ndays, nev = day_status, day, day, 1, day_n
+
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ep", "event_id", "event_type"])
+        days = (pdf["ep"].to_numpy(dtype=np.int64) // 86400)
+        for day, grp in pdf.groupby(days, sort=True):
+            day = int(day)
+            last = grp.iloc[-1]
+            g_ep, g_eid, g_et = int(last["ep"]), int(last["event_id"]), str(last["event_type"])
+            if cday is not None and day == cday:
+                cn += len(grp)
+                if (g_ep, g_eid, g_et) > (cep, ceid, cet):
+                    cep, ceid, cet = g_ep, g_eid, g_et
+            else:
+                if cday is not None:  # a later day arrived: cur day is final
+                    fold_day(cday, cet, cn)
+                cday, cep, ceid, cet, cn = day, g_ep, g_eid, g_et, len(grp)
+    state.update((
+        status, vfrom, lact, ndays, nev,
+        cday, cep, ceid, cet, cn,
+    ))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "status", "valid_from_day", "valid_to_day",
+                     "last_active_day", "n_active_days", "n_events"],
+        )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 validity intervals per user (append mode: one row
+    per interval, emitted at the moment the interval CLOSES). Input needs
+    columns: user_id, event_id, ep (bigint event seconds), event_type.
+
+    TWIN CONTRACT vs batch q_scd2_history: a close is emitted once the
+    status-CHANGE day (valid_to+1) is itself superseded by a later
+    observed day — before that, the change day is the user's open day and
+    a later same-day event could flip its status back, so the close is
+    correctly deferred. Hence the stream's emitted set equals the batch
+    rows with non-NULL valid_to_day EXCEPT those whose change day is the
+    user's last observed day (pinned by the twin test). The open interval
+    + pending day per user live in O(1) state, never in the output."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_step,
+        outputStructType=SCD2_OUTPUT,
+        stateStructType=SCD2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
