@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""10x scale validation of the dedup/ANN bound claims (round-8 VERDICT #6).
+
+Builds a ``--mult``x corpus from the sf0.1 tables (perturbed copies — each
+replica shifts ids and appends a per-copy token/digit so vocabulary and
+shingle space actually GROW, the realistic scale-up), then runs the three
+bounded-by-construction composites ONCE each and records, next to the
+wall time, the bound each one's docstring claims:
+
+- q_minhash_lsh:        sum(|band bucket|^2)  (candidate-join cost)
+- q_semantic_dedup:     sum(|kmeans cell|^2)  (within-cell pair cost)
+- q_entity_resolution:  sum(|variant block|^2) (deletion-blocking cost)
+
+If wall tracks the bound (not corpus^2), the claim holds with an
+empirical point beyond bench SF — record the output in SCALE.md.
+
+Usage: python scripts/scale10x.py [--mult 10] [--base /root/testdata/sf0.1]
+       [--out /tmp/scale10x] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, base: str, out: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+    cust = spark.read.parquet(f"{base}/customer.parquet")
+    n_cust = cust.agg(F.max("c_custkey")).first()[0] + 1
+
+    rep = spark.range(mult).select(F.col("id").cast("int").alias("copy"))
+    (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("copy") * F.lit(n_docs)).alias("doc_id"),
+            # copy 0 is the original text; each replica appends one novel
+            # token so replicas are NEAR-dups (distinct shingle sets),
+            # not exact clones — the honest scale-up for dedup inputs
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text",
+                                   F.concat(F.lit("copytok"), "copy")))
+            .alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    )
+    (
+        emb.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("vec_id") + F.col("copy") * F.lit(n_emb)).alias("vec_id"),
+            "embedding", "label",
+        )
+        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    )
+    (
+        cust.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("c_custkey") + F.col("copy") * F.lit(n_cust))
+            .alias("c_custkey"),
+            # per-copy digit suffix: the name VOCABULARY grows mult-x, so
+            # deletion-neighborhood blocking scales with it (identical
+            # names would only multiply record counts, not blocking work)
+            F.when(F.col("copy") == 0, F.col("c_name"))
+            .otherwise(F.concat("c_name", F.col("copy").cast("string")))
+            .alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        .write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    )
+
+
+def bounds(spark, sf_dir: str) -> dict:
+    """The three docstring bounds, computed from the operators' own
+    blocking stages (same code path the composites run)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog.registry import table
+    from platform_etl_backend_spark.operators import dedup as D
+    from platform_etl_backend_spark.operators import similarity as S
+
+    out = {}
+    sig = D.minhash_signatures(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, num_hashes=8
+    )
+    keys = D._banded_keys(sig, "doc_id", num_hashes=8, bands=4)
+    out["minhash_sum_bucket_sq"] = (
+        keys.groupBy("band", "key").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("vid"),
+                   S.as_double_array("embedding").alias("vec"))
+    cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
+        "cell_id", F.col("vec").alias("cvec"))
+    from pyspark.sql import Window
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vid", "cell_id",
+        F.round(S.cosine(F.col("vec"), F.col("cvec")), 6).alias("cc"))
+    w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
+    own = (scored.withColumn("rn", F.row_number().over(w))
+           .where("rn = 1").groupBy("cell_id").count())
+    out["semantic_sum_cell_sq"] = (
+        own.agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    cust = table(spark, sf_dir, "customer")
+    vocab = cust.select(F.col("c_name").alias("token")).distinct()
+    variants = vocab.select(
+        "token",
+        F.explode(
+            F.array_union(
+                F.array(F.col("token")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token")),
+                    lambda i: F.concat(
+                        F.substring(F.col("token"), 1, i - 1),
+                        F.col("token").substr(i + 1, F.length("token")),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    ).distinct()
+    out["er_sum_block_sq"] = (
+        variants.groupBy("variant").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale10x")
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from platform_etl_backend_spark.engine.session import get_spark
+    from platform_etl_backend_spark.catalog import QUERIES
+
+    spark = get_spark(
+        "scale10x", master=f"local[{args.cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(args.cpus), 8)),
+                    "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not args.skip_build:
+        t0 = time.time()
+        build_corpus(spark, args.base, args.out, args.mult)
+        print(f"built {args.mult}x corpus in {time.time()-t0:.1f}s", flush=True)
+
+    result = {"mult": args.mult, "base": args.base}
+    for name in ("q_minhash_lsh", "q_semantic_dedup", "q_entity_resolution"):
+        t0 = time.time()
+        QUERIES[name].fn(spark, args.out).write.format("noop").mode(
+            "overwrite").save()
+        result[name + "_wall_s"] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(json.dumps({name: result[name + "_wall_s"]}), flush=True)
+    result.update(bounds(spark, args.out))
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
