@@ -277,9 +277,11 @@ SURVEYED = [
     # HOF transposition predicate is ~6 array ops per candidate pair —
     # bounded by sum(block^2), heavy per-row by design
     "q_fuzzy_damerau",
-    # IVF family: each re-fits/assigns its coarse quantizer in-query
-    # (self-contained determinism contract) — cost is the fit + one
-    # bounded probe join, k x corpus, never corpus^2
+    # IVF family: each assigns (and q_ann_ivf_kmeans re-fits) its coarse
+    # quantizer in-query; the probe join costs ~nprobe*n^2/k, which is
+    # big at the catalog's deliberately tiny k=8 — the k knob controls it
+    # (measured cost model in SCALE.md round-9 section), never corpus^2
+    # at production k
     "q_ann_ivf_nprobe",
     "q_ann_ivf_kmeans",
     "q_ann_ivf",
@@ -407,6 +409,15 @@ def main() -> None:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
 
+    # surveyed heavies run FIRST (right after warmup): measured round-9,
+    # a single pass taken at the END of a ~700-execution bench session
+    # reads 2-11x high (q_winnow 83s session-tail vs 8.5s fresh-JVM cold /
+    # 4.1s warm) — late-JVM codegen-cache/GC state, not the queries. Up
+    # front the reading is a clean cold-ish number and the ~90s of work
+    # doubles as extra warmup for the min-of-3 headline passes.
+    surveyed = {} if full_mode else {name: round(time_once(name), 3)
+                                     for name in SURVEYED}
+
     timings: dict[str, float] = {}
     for p in range(passes):
         for qi, name in enumerate(bench_names):
@@ -446,8 +457,6 @@ def main() -> None:
         })
     timings = {k: round(v, 3) for k, v in timings.items()}
     tracked = {} if full_mode else {name: time_min(name) for name in TRACKED}
-    surveyed = {} if full_mode else {name: round(time_once(name), 3)
-                                     for name in SURVEYED}
 
     # "tracked_quiet" (round-6 VERDICT ask): the four load-sensitive
     # heavies get EXTRA passes at the end of the run and report the min

@@ -115,6 +115,15 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   order, SKIPPING q_montecarlo_critical (rows-only by design; a window
 #   slot buys no hash evidence there). q_winnow_fingerprint and
 #   q_zscore_norm close out this cohort in round 10.
+#
+# ROUND-10 ROTATION TODO: round 9 added NO new catalog queries (the
+# instrumentation round), so the whole 50-slot window goes to second-pass
+# rotation: q_winnow_fingerprint + q_zscore_norm (closing the round-2
+# cohort), then the 41-query round-3-checked cohort alphabetical
+# (q_ann_ivf_nprobe .. q_vector_centroids — recompute by diffing the
+# CORRECTNESS key sets, names staged in DEVNOTES), then pad from the
+# round-4-checked cohort alphabetical. Front any round-10 additions or
+# changed contracts first, per the standing protocol.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
