@@ -202,10 +202,17 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("vb"))
+    # norms precomputed per VECTOR (cosine_pre, bit-identical): the n^2
+    # pair stage folds each 64-dim array once per pair instead of three
+    # times — measured 43.9 -> 9.8 s at sf0.1 (round 9)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   S.as_double_array("embedding").alias("va")
+                   ).withColumn("na", S.norm(F.col("va")))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   S.as_double_array("embedding").alias("vb")
+                   ).withColumn("nb", S.norm(F.col("vb")))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cos = S.cosine(F.col("va"), F.col("vb"))
+    cos = S.cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.where(cos >= 0.95)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
@@ -397,13 +404,14 @@ def q_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select(
         F.col("vec_id").alias("vid"), S.as_double_array("embedding").alias("vec")
-    )
+    ).withColumn("vn", S.norm(F.col("vec")))
     cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
         "cell_id", F.col("vec").alias("cvec")
-    )
+    ).withColumn("cn", S.norm(F.col("cvec")))
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vid", "cell_id",
-        F.round(S.cosine(F.col("vec"), F.col("cvec")), 6).alias("cc"),
+        F.round(S.cosine_pre(F.col("vec"), F.col("cvec"),
+                             F.col("vn"), F.col("cn")), 6).alias("cc"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
     rk = scored.withColumn("rn", F.row_number().over(w))
@@ -508,13 +516,14 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select(
         F.col("vec_id").alias("vid"), S.as_double_array("embedding").alias("vec")
-    )
+    ).withColumn("vn", S.norm(F.col("vec")))
     cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
         "cell_id", F.col("vec").alias("cvec")
-    )
+    ).withColumn("cn", S.norm(F.col("cvec")))
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vid", "cell_id",
-        F.round(S.cosine(F.col("vec"), F.col("cvec")), 6).alias("cc"),
+        F.round(S.cosine_pre(F.col("vec"), F.col("cvec"),
+                             F.col("vn"), F.col("cn")), 6).alias("cc"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
     own = (
@@ -840,18 +849,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         S.as_double_array("embedding").alias("qv"),
         F.col("label").alias("qlab"),
-    )
+    ).withColumn("qn", S.norm(F.col("qv")))
     b = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         S.as_double_array("embedding").alias("bv"),
         F.col("label").alias("nlab"),
-    )
+    ).withColumn("bn", S.norm(F.col("bv")))
     pairs = (
         b.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
                & (F.col("qlab") != F.col("nlab")))
         .select(
             "query_id", "qlab", "neighbor_id", "nlab",
-            F.round(S.cosine(F.col("qv"), F.col("bv")), 6).alias("cos"),
+            F.round(S.cosine_pre(F.col("qv"), F.col("bv"),
+                                 F.col("qn"), F.col("bn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -902,18 +912,19 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), S.as_double_array("embedding").alias("qv")
-    )
+    ).withColumn("qn", S.norm(F.col("qv")))
     n = emb.sparkSession.sparkContext.defaultParallelism
     b = emb.repartition(n).select(
         F.col("vec_id").alias("neighbor_id"), S.as_double_array("embedding").alias("bv")
-    )
+    ).withColumn("bn", S.norm(F.col("bv")))
     pairs = (
         b.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(S.cosine(F.col("qv"), F.col("bv")), 6).alias("cos"),
+            F.round(S.cosine_pre(F.col("qv"), F.col("bv"),
+                                 F.col("qn"), F.col("bn")), 6).alias("cos"),
             F.round(S.dot(F.col("qv"), F.col("bv")), 6).alias("dot"),
         )
     )
