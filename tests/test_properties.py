@@ -276,3 +276,43 @@ def test_interval_overlap_matches_quadratic_model(spark, a_raw, b_raw):
             if k1 == k2 and s1 <= e2 and s2 <= e1:
                 expect[(ai, bi)] = min(e1, e2) - max(s1, s2)
     assert out == expect
+
+
+vec_elems = st.floats(min_value=-10, max_value=10,
+                      allow_nan=False, allow_infinity=False, width=32)
+
+
+@given(data=st.data())
+@SETTINGS
+def test_cosine_pre_bit_identical_to_cosine(spark, data):
+    """The round-9 pair-join optimization contract: cosine_pre with
+    per-vector precomputed norms must equal cosine(a, b) BIT-FOR-BIT on
+    arbitrary vectors (norm(x) is the same IEEE left-fold wherever it is
+    evaluated) — this is why all 16 affected oracles stayed hash-green
+    with zero tolerance. Any future 'optimization' that reorders the fold
+    (e.g. pairwise/tree summation) fails here, not in a 6-dp oracle."""
+    from platform_etl_backend_spark.operators import similarity as S
+
+    dim = data.draw(st.integers(min_value=1, max_value=8))
+    nonzero = st.lists(vec_elems, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0 for x in v)  # ANSI mode: 0-norm divides throw
+    )
+    a = data.draw(nonzero)
+    b = data.draw(nonzero)
+    row = (
+        spark.createDataFrame([(a, b)], "a: array<double>, b: array<double>")
+        .select(
+            S.cosine(F.col("a"), F.col("b")).alias("plain"),
+            S.cosine_pre(
+                F.col("a"), F.col("b"), S.norm(F.col("a")), S.norm(F.col("b"))
+            ).alias("pre"),
+        )
+        .first()
+    )
+    # bit-for-bit comparison via the raw IEEE bytes
+    import struct
+
+    def bits(x):
+        return None if x is None else struct.pack(">d", x)
+
+    assert bits(row["plain"]) == bits(row["pre"])
