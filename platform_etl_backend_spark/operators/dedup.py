@@ -520,16 +520,31 @@ def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     Returns (tok_a, tok_b, dist) with dist = Damerau-1 distance (0 never
     occurs: tok_a < tok_b implies inequality).
     """
-    base = fuzzy_candidates_dist1(df, id_col, str_col)
+    # materialize the char arrays ONCE per candidate row: ca/cb are
+    # referenced 4x below (diffs filter + both cross-equal probes) and
+    # inline F.split would re-split per reference. Measured effect at
+    # sf0.1 is small (~3%: 15.1 -> 14.7 s — the candidate join/distinct
+    # dominates this operator, per the round-9 audit), but the expression
+    # is strictly lighter and reads clearer
+    base = fuzzy_candidates_dist1(df, id_col, str_col).withColumns(
+        {"_ca": F.split(F.col("tok_a"), ""), "_cb": F.split(F.col("tok_b"), "")}
+    )
     lev = F.levenshtein("tok_a", "tok_b")
-    ca, cb = F.split(F.col("tok_a"), ""), F.split(F.col("tok_b"), "")
+    ca, cb = F.col("_ca"), F.col("_cb")
     # try_element_at everywhere: the pair may have unequal lengths (the
     # transposition predicate rejects those via same_len, but Catalyst
-    # evaluates the filter eagerly — ANSI element_at would throw)
-    diffs = F.filter(
-        F.sequence(F.lit(1), F.length("tok_a")),
-        lambda i: ~(F.try_element_at(ca, i).eqNullSafe(F.try_element_at(cb, i))),
+    # evaluates the filter eagerly — ANSI element_at would throw).
+    # _diffs is materialized as a column for the same reason as _ca/_cb:
+    # it is referenced ~6x below and each inline reference would re-run
+    # the O(len) position filter
+    base = base.withColumn(
+        "_diffs",
+        F.filter(
+            F.sequence(F.lit(1), F.length("tok_a")),
+            lambda i: ~(F.try_element_at(ca, i).eqNullSafe(F.try_element_at(cb, i))),
+        ),
     )
+    diffs = F.col("_diffs")
     # try_element_at: diffs can be shorter than 2 (ANSI element_at throws)
     d1, d2 = F.try_element_at(diffs, F.lit(1)), F.try_element_at(diffs, F.lit(2))
     is_trans = (
