@@ -2356,15 +2356,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.graph import connected_components
 
     c = table(spark, sf_dir, "customer")
-    # localCheckpoint both composite boundaries: connected_components
-    # materializes its input lineage twice (node set + edge seed), and cc
-    # feeds two consumers — without the cuts the deletion-neighborhood
-    # join re-executes per consumer (measured 12.5s -> ~5s at sf0.1)
-    pairs = (
-        D.fuzzy_pairs_dist1(c, "c_custkey", "c_name")
-        .select("tok_a", "tok_b")
-        .localCheckpoint()
-    )
+    # cc feeds two consumers, so ITS boundary stays localCheckpointed —
+    # without the cut the whole CC chain re-executes per consumer
+    # (measured 12.5s -> ~5s at sf0.1). The pairs boundary no longer
+    # needs a cut here: connected_components checkpoints its normalized
+    # edge frame on entry (round-9 fix), so the deletion-neighborhood
+    # join executes exactly once either way.
+    pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name").select("tok_a", "tok_b")
     cc = connected_components(pairs, "tok_a", "tok_b").localCheckpoint()
     clusters = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),

@@ -138,10 +138,18 @@ def connected_components(
     Returns (node, component) where component is the minimum node id in
     the component.
     """
+    # checkpoint the normalized edge frame FIRST: nodes and the iteration
+    # seed both derive from it, and without the cut the caller's upstream
+    # pipeline (often an expensive candidate-verify chain, e.g. the
+    # ngram-jaccard pairs feeding q_dedup_clusters) executed TWICE — once
+    # for the node set, once for the edge seed (round-9 audit; the
+    # entity-resolution composite had been pre-checkpointing around
+    # exactly this)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("a").alias("node"))
@@ -155,7 +163,7 @@ def connected_components(
     # the check is a safety net, not the stop condition, and paying it
     # every round makes small iterative graphs orchestration-bound — at
     # most check_every - 1 extra (cheap, already-converged) rounds run.
-    cur = e.localCheckpoint()
+    cur = e  # already checkpointed above
     converged = False
     for it in range(max_iter):
         # large-star: Γ(u) from both edge directions; m = min(Γ(u) ∪ {u});
