@@ -189,9 +189,15 @@ def prefix_filtered_jaccard_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via shared-shingle join (baseline path)."""
-    sh = exploded_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    """Exact all-pairs n-gram Jaccard via shared-shingle join (baseline path).
+
+    The exploded shingle frame feeds the self-join (both sides) and the
+    size rollup, and the rollup is referenced for both pair ends — without
+    the persists the tokenize+shingle chain planned FOUR FileScans of the
+    corpus (0 ReusedExchange, round-9 plan audit); now it runs once (the
+    minhash twin's persist-at-reuse-points pattern, Target.scala:154)."""
+    sh = exploded_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).persist()
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
