@@ -887,9 +887,10 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lab AS (
       SELECT n.n_name,
-             list_filter(list_distinct(flatten([
+             list_filter(list_distinct(list_transform(flatten([
                  coalesce(string_split(c.c_name, '#'), []),
-                 coalesce(string_split(c.c_mktsegment, '#'), [])])),
+                 coalesce(string_split(c.c_mktsegment, '#'), [])]),
+                 s -> replace(trim(s), ',', ''))),
                  x -> x IS NOT NULL AND x <> '') AS lbl
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
     SELECT n_name,

@@ -33,12 +33,20 @@ def mk_flatten_array(*cols: Column) -> Column:
 def flatten_cat(*array_cols: Column | str) -> Column:
     """The reference's label-merging primitive ``flattenCat``
     (Helpers.scala:154-167, used ~30× in Search.scala): concatenate N
-    array columns, dropping null arrays and null/empty elements, distinct.
+    array columns, dropping null arrays, normalizing every element with
+    ``replace(trim(s), ',', '')`` exactly as the reference does, then
+    distinct and dropping null elements.
+
+    Deliberate divergence (documented): the reference keeps elements
+    that normalize to the empty string (whitespace-only labels survive
+    as ``""`` in its keyword arrays); we drop them — empty keywords are
+    index noise with no lookup value.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in array_cols]
     arr = F.array(*cols)
     merged = F.flatten(F.filter(arr, lambda x: x.isNotNull()))
-    return F.array_distinct(F.filter(merged, lambda x: x.isNotNull() & (x != F.lit(""))))
+    normed = F.transform(merged, lambda s: F.replace(F.trim(s), F.lit(","), F.lit("")))
+    return F.array_distinct(F.filter(normed, lambda x: x.isNotNull() & (x != F.lit(""))))
 
 
 def safe_array_union(*cols: Column | str) -> Column:

@@ -21,6 +21,19 @@ def test_flatten_cat(spark):
     assert out == [["a", "b"], ["c"], []]
 
 
+def test_flatten_cat_normalizes_whitespace_and_commas(spark):
+    """Reference parity (Helpers.scala:154-167): each element passes through
+    replace(trim(s), ',', '') BEFORE distinct — ' a ' and 'a,' merge with 'a'.
+    Whitespace-only labels normalize to '' and are dropped (our documented
+    divergence: the reference keeps the empty string)."""
+    df = spark.createDataFrame(
+        [([" a ", "a,", "b, c"], ["a", "   ", ",", "d ,e"])],
+        "x: array<string>, y: array<string>",
+    )
+    out = df.select(C.flatten_cat("x", "y")).first()[0]
+    assert out == ["a", "b c", "d e"]
+
+
 def test_safe_array_union(spark):
     df = spark.createDataFrame([(["a"], None, ["b", "a"])],
                                "x: array<string>, y: array<string>, z: array<string>")

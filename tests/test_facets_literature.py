@@ -72,7 +72,8 @@ def test_search_facet_step(spark):
 
 def test_search_step(spark):
     targets = spark.createDataFrame(
-        [("ENSG1", "BRCA1", "breast cancer gene 1", ["RNF53"]),
+        [("ENSG1", "BRCA1", "breast cancer gene 1",
+          ["RNF53", " BRCA1, early onset ", "  ,  "]),
          ("ENSG2", "TP53", "tumor protein p53", None)],
         "id: string, approvedSymbol: string, approvedName: string, synonyms: array<string>",
     )
@@ -99,6 +100,11 @@ def test_search_step(spark):
     import math
     assert abs(t["ENSG1"].multiplier - (math.log1p(0.65) + 1.0)) < 1e-9
     assert "brca1" in t["ENSG1"].prefixes and "RNF53" in t["ENSG1"].keywords
+    # flattenCat normalization (Helpers.scala:154-167): trim + comma-strip
+    # BEFORE distinct; whitespace-only labels are dropped entirely.
+    assert "BRCA1 early onset" in t["ENSG1"].keywords
+    assert " BRCA1, early onset " not in t["ENSG1"].keywords
+    assert "" not in t["ENSG1"].keywords
     assert "breast cancer" in t["ENSG1"].ngrams  # word bigram of the name
     d = {r.id: r for r in out["search_disease"].collect()}
     assert d["EFO_2"].terms == ["BRCA1", "TP53"]

@@ -204,7 +204,10 @@ def _inputs_literature(spark, tmp_path):
 def _inputs_search(spark, tmp_path):
     return {
         "targets": spark.createDataFrame(
-            [("ENSG1", "BRCA1", "breast cancer gene 1", ["RNF53"]),
+            # the comma/whitespace synonyms pin flattenCat's trim+comma-strip
+            # normalization (Helpers.scala:154-167) end-to-end through search
+            [("ENSG1", "BRCA1", "breast cancer gene 1",
+              ["RNF53", " BRCA1, early onset ", "  ,  "]),
              ("ENSG2", "TP53", "tumor protein p53", None)],
             "id: string, approvedSymbol: string, approvedName: string, "
             "synonyms: array<string>",
@@ -338,7 +341,7 @@ GOLDEN: dict[str, dict[str, str]] = {
     "search": {
         "associations_with_drugs": "136f977ce2ba558b",
         "search_disease": "c6ae9579fc1e7bd4",
-        "search_target": "70d88ac3c0edf29d"
+        "search_target": "aeae7d5f8045443f"
     },
     "search_ebi": {
         "ebisearchAssociations": "2637dd57c45b071b",
