@@ -833,7 +833,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nr = rt.agg(F.count(F.lit(1)).alias("nr"))
     nc = ct.agg(F.count(F.lit(1)).alias("nc"))
-    dof = nr.crossJoin(nc).select(
+    dof = nr.crossJoin(F.broadcast(nc)).select(
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof")
     )
     return terms.agg(
@@ -4252,7 +4252,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_s").alias("c2"),
     )
     terms = (
-        ch.crossJoin(subs)
+        ch.crossJoin(F.broadcast(subs))
         .where(F.expr("(s & bit) = 0"))
         .join(F.broadcast(wst), F.expr("w_mask = (s | bit)"), "left")
         .join(F.broadcast(ost), F.expr("o_mask = s"), "left")
@@ -4671,7 +4671,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(2 * SUM(s) + COUNT(*)) div (2 * COUNT(*))").alias("sample_mean_micro")
     )
     return (
-        lo.crossJoin(hi).crossJoin(sm)
+        lo.crossJoin(F.broadcast(hi)).crossJoin(F.broadcast(sm))
         .select(
             "ci_lo_micro", "ci_hi_micro", "sample_mean_micro",
             F.lit(_BOOT_B).cast("int").alias("n_replicates"),
@@ -5034,12 +5034,14 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = e.select(F.col("event_type").alias("e1")).distinct()
     t2 = e.select(F.col("event_type").alias("e2")).distinct()
     t3 = e.select(F.col("event_type").alias("e3")).distinct()
-    pat2 = t1.crossJoin(t2).select(
+    # alphabet-bounded sides: hint them so the plan can never flip to
+    # CartesianProduct under stats/AQE changes (the jonckheere lesson)
+    pat2 = t1.crossJoin(F.broadcast(t2)).select(
         F.concat_ws(">", "e1", "e2").alias("pattern"),
         F.lit(2).alias("len"), "e1", "e2",
         F.lit(None).cast("string").alias("e3"),
     )
-    pat3 = t1.crossJoin(t2).crossJoin(t3).select(
+    pat3 = t1.crossJoin(F.broadcast(t2)).crossJoin(F.broadcast(t3)).select(
         F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
         F.lit(3).alias("len"), "e1", "e2", "e3",
     )

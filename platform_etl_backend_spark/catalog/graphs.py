@@ -1263,7 +1263,7 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct()
     seeds = nodes.where(F.col("node") % 5 == 0)
     counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+        F.broadcast(seeds.agg(F.count(F.lit(1)).alias("n_seeds")))
     )
     bc = betweenness_centrality(sym, max_levels=_BC_LEVELS, sources=seeds)
     return (

@@ -916,7 +916,7 @@ def q_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
     )
-    return med.crossJoin(ex).select(
+    return med.crossJoin(F.broadcast(ex)).select(
         "f2_est_x4", "f2_exact", "n_keys",
         (
             F.col("f2_est_x4").cast("double")
@@ -1283,7 +1283,7 @@ def q_quantile_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", F.col("v").alias("exact_value")
     )
     ranks = (
-        approx.crossJoin(src.select(F.col("v").alias("sv")))
+        F.broadcast(approx).crossJoin(src.select(F.col("v").alias("sv")))
         .groupBy("q")
         .agg(
             F.sum(F.when(F.col("sv") <= F.col("approx_value"), 1).otherwise(0))

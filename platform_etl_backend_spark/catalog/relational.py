@@ -3630,7 +3630,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(28,9)").alias("t")
     )
     dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
-        ct.agg(F.count(F.lit(1)).alias("nc"))
+        F.broadcast(ct.agg(F.count(F.lit(1)).alias("nc")))
     ).select(F.least("nr", "nc").alias("k"))
     return (
         terms.agg(F.sum("t").alias("s"))

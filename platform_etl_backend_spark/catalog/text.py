@@ -2823,7 +2823,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = (
         raw.agg(F.sum("cr").cast("bigint").alias("tr"))
         .crossJoin(
-            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+            F.broadcast(
+                tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+            )
         )
     )
     model = (
@@ -4321,7 +4323,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
     return (
-        n_truth.crossJoin(n_cands).crossJoin(n_ver)
+        n_truth.crossJoin(F.broadcast(n_cands)).crossJoin(F.broadcast(n_ver))
         .selectExpr(
             "n_truth", "n_candidates", "n_verified",
             "CAST(CASE WHEN n_truth = 0 THEN 0"
@@ -4533,7 +4535,7 @@ def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
     return (
-        n_truth.crossJoin(n_cands).crossJoin(n_ver)
+        n_truth.crossJoin(F.broadcast(n_cands)).crossJoin(F.broadcast(n_ver))
         .selectExpr(
             "n_truth", "n_candidates", "n_verified",
             "CAST(CASE WHEN n_truth = 0 THEN 0"
@@ -5106,7 +5108,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     grid = (
-        cls.crossJoin(vocab)
+        F.broadcast(cls).crossJoin(vocab)
         .join(cw, ["s", "w"], "left")
         .select(
             "s", "w", "tot_s", F.coalesce(F.col("c_ws"), F.lit(0)).alias("c_ws")
@@ -5567,8 +5569,9 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_n"))
     folds = spark.range(_NBCV_FOLDS).select(F.col("id").alias("fold"))
     grid = (
-        folds.crossJoin(cwt.select("s").distinct())
-        .crossJoin(vocab)
+        vocab.crossJoin(
+            F.broadcast(folds.crossJoin(cwt.select("s").distinct()))
+        )
         .join(cwt, ["s", "w"], "left")
         .join(
             cwf.selectExpr("fold", "s", "w", "c AS cf"), ["fold", "s", "w"], "left"
@@ -5601,7 +5604,7 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nall = dc.agg(F.sum("nd").cast("bigint").alias("n_docs"))
     ncls = dtot.agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"))
     prior = (
-        folds.crossJoin(dtot)
+        folds.crossJoin(F.broadcast(dtot))
         .join(dc.selectExpr("fold", "source", "nd"), ["fold", "source"], "left")
         .join(ftot, "fold")
         .crossJoin(F.broadcast(nall))

@@ -483,7 +483,7 @@ def hll_estimate(df: DataFrame, key_col: str, label: str) -> DataFrame:
         .alias("s_present"),
     )
     exact = df.select(F.countDistinct(key_col).alias("n_exact"))
-    j = agg.crossJoin(exact)  # two 1-row frames
+    j = agg.crossJoin(F.broadcast(exact))  # two 1-row frames
     v = F.lit(HLL_M) - F.col("n_buckets")  # zero registers
     denom = (
         F.col("s_present")

@@ -350,3 +350,14 @@ def test_skyline_band_merge_and_item_similarity_shapes(spark, sf_dir):
     plan = explain_str(sim, "simple")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert_no_cartesian(sim)
+
+
+def test_sequential_patterns_pattern_frame_broadcast_no_cartesian(spark, sf_dir):
+    """The alphabet^2/alphabet^3 pattern frames are built from hinted
+    crossJoins of distinct-event-type sides; without the hints the plan
+    rests on Catalyst's size estimate and can flip to CartesianProduct
+    under stats/AQE changes (round-9 VERDICT #4, the jonckheere lesson)."""
+    df = q("q_sequential_patterns", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
