@@ -116,70 +116,85 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   slot buys no hash evidence there). q_winnow_fingerprint and
 #   q_zscore_norm close out this cohort in round 10.
 #
-# ROUND-10 ROTATION TODO: round 9 added NO new catalog queries (the
-# instrumentation round), so the whole 50-slot window goes to second-pass
-# rotation: q_winnow_fingerprint + q_zscore_norm (closing the round-2
-# cohort), then the 41-query round-3-checked cohort alphabetical
-# (q_ann_ivf_nprobe .. q_vector_centroids — recompute by diffing the
-# CORRECTNESS key sets, names staged in DEVNOTES), then pad from the
-# round-4-checked cohort alphabetical. Front any round-10 additions or
-# changed contracts first, per the standing protocol.
+# ROUND-10 WINDOW (this round): recomputed by diffing the committed
+# CORRECTNESS_r*.json key sets (tests/test_evidence_freshness.py now
+# mechanizes that diff) —
+# - q_flatten_cat_labels FRONTED as the round's one changed contract
+#   (flatten_cat gained the reference's trim+comma normalization,
+#   Helpers.scala:154-167); it is also round-2-latest, so the slot
+#   double-counts for freshness.
+# - q_winnow_fingerprint + q_zscore_norm close the once-checked
+#   round-2 cohort.
+# - the ENTIRE round-3-latest cohort, alphabetical — 47 names, not the
+#   41 the round-9 TODO staged (the diff is the source of truth; the 6
+#   extra are q_asof_join, q_audio_decode, q_dedup_clusters,
+#   q_graph_closure, q_image_decode, q_range_join). 1+2+47 = 50 exactly,
+#   so no round-4 pads fit this round.
+# Still round-2-latest after this window (all twice-checked r1+r2, the
+# oldest remaining evidence): q_collect_set, q_flatten_collect,
+# q_running_collect, q_sorted_names_array, q_topk_banded_labels, and the
+# rows-only q_montecarlo_critical.
+#
+# ROUND-11 ROTATION TODO: front any round-10 additions / changed
+# contracts, then the 5 hashable twice-checked round-2-latest rows named
+# above, then the round-4-latest cohort alphabetical (50 names — run the
+# freshness diff; q_agg_basic .. q_winsorized_mean) to fill the window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 13 never-driver-checked round-8 additions -----------------
-    "q_approx_percentile_envelope",
-    "q_kruskal_wallis",
-    "q_levene_test",
-    "q_friedman_test",
-    "q_scd2_history",
-    "q_t_closeness",
-    "q_silhouette_cells",
-    "q_bipartite_check",
-    "q_jonckheere",
-    "q_page_trend",
-    "q_davies_bouldin",
-    "q_cochran_q",
-    "q_hodges_lehmann",
-    # -- round-1 cohort second-pass closers ----------------------------
-    "q_session_window",
-    "q_sessionize",
-    "q_stats_per_group",
-    "q_string_funcs",
-    "q_time_buckets",
-    "q_union_parties",
-    # -- pads: the round-2-only cohort, alphabetical (sans MC rows-only)
-    "q_ann_bucketed",
-    "q_ann_ivf",
-    "q_ann_ivf_kmeans",
-    "q_ann_multiprobe",
-    "q_bottomk_sample",
-    "q_cosine_topk",
-    "q_crossencoder_rerank",
-    "q_cube",
-    "q_decontaminate",
-    "q_dedup_exact",
-    "q_doc_tokens",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_fingerprint_groups",
-    "q_gopher_rules",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_label_keys",
-    "q_langid_confusion",
-    "q_minhash_lsh",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_ngram_jaccard",
-    "q_percentile_disc",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_repetition_ngrams",
-    "q_rollup",
-    "q_simhash",
-    "q_stats_moments",
-    "q_text_quality",
+    # -- changed contract this round (flatten_cat normalization) ------
+    "q_flatten_cat_labels",
+    # -- close the once-checked round-2 cohort -------------------------
+    "q_winnow_fingerprint",
+    "q_zscore_norm",
+    # -- the full round-3-latest cohort, alphabetical (47) -------------
+    "q_ann_ivf_nprobe",
+    "q_ann_multitable",
+    "q_asof_forward",
+    "q_asof_join",
+    "q_asof_nearest",
+    "q_audio_decode",
+    "q_bfs_distance",
+    "q_cap_per_group",
+    "q_cohort_retention",
+    "q_corpus_pipeline",
+    "q_count_min",
+    "q_dedup_clusters",
+    "q_doc_chunks",
+    "q_dup_spans",
+    "q_entropy_by_source",
+    "q_ewma",
+    "q_exists_subquery",
+    "q_funnel_stages",
+    "q_fuzzy_damerau",
+    "q_fuzzy_token_join",
+    "q_graph_closure",
+    "q_image_decode",
+    "q_inverted_index",
+    "q_label_propagation",
+    "q_lateral_topk",
+    "q_locf_fill",
+    "q_mad_outliers",
+    "q_matryoshka_topk",
+    "q_pack_sequences",
+    "q_pagerank",
+    "q_percentile_cont",
+    "q_pmi_cooccur",
+    "q_prefix_jaccard",
+    "q_range_frame_avg",
+    "q_range_join",
+    "q_scalar_subquery",
+    "q_scd2_intervals",
+    "q_semantic_dedup",
+    "q_sliding_dau",
+    "q_source_mix_weights",
+    "q_stratified_sample",
+    "q_stupid_backoff",
+    "q_time_weighted_avg",
+    "q_tpch_q10",
+    "q_triangle_count",
+    "q_variant_json",
+    "q_vector_centroids",
 )
 
 
