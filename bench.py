@@ -419,9 +419,22 @@ def main() -> None:
                                      for name in SURVEYED}
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for p in range(passes):
         for qi, name in enumerate(bench_names):
-            dt = time_once(name)
+            # full mode surveys EVERY registered query in one long pass:
+            # one raising query must not abort the other ~350 (warmup
+            # already swallows exceptions; the timed loop must too).
+            # Headline mode keeps fail-fast — its queries are the curated
+            # always-green set and a silent hole there hides a regression.
+            if full_mode:
+                try:
+                    dt = time_once(name)
+                except Exception as exc:  # noqa: BLE001 - survey resilience
+                    failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    continue
+            else:
+                dt = time_once(name)
             prior = timings.get(name)
             timings[name] = dt if prior is None else min(prior, dt)
             # full mode is one long pass over ~350 queries: checkpoint the
@@ -433,6 +446,7 @@ def main() -> None:
                     "sf": sf, "passes": p, "partial": True, "agg": "min",
                     "n_done": qi + 1,
                     "queries": {k: round(v, 3) for k, v in timings.items()},
+                    **({"failures": failures} if failures else {}),
                 })
         ckpt = json.dumps({
             "metric": metric,
@@ -443,6 +457,7 @@ def main() -> None:
             "passes": p + 1,
             "agg": "min",
             "partial": p + 1 < passes,
+            **({"n_failed": len(failures)} if failures else {}),
         })
         print(ckpt, flush=True)
         if out_path:
@@ -454,6 +469,7 @@ def main() -> None:
             "partial": p + 1 < passes,
             "agg": "min",
             "queries": {k: round(v, 3) for k, v in timings.items()},
+            **({"failures": failures} if failures else {}),
         })
     timings = {k: round(v, 3) for k, v in timings.items()}
     tracked = {} if full_mode else {name: time_min(name) for name in TRACKED}
@@ -505,6 +521,7 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "agg": "min",
+        **({"failures": failures} if failures else {}),
     })
     if out_path:
         with open(out_path, "w") as fh:
@@ -518,6 +535,7 @@ def main() -> None:
         "tracked": tracked,
         "tracked_quiet": tracked_quiet,
         "surveyed": surveyed,
+        **({"failures": failures} if failures else {}),
     })
     print(line)
     # BENCH_r04 lesson: the full line above now exceeds the driver's
@@ -535,6 +553,7 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "agg": "min",
+        **({"n_failed": len(failures)} if failures else {}),
     }))
 
 

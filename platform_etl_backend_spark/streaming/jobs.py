@@ -632,22 +632,42 @@ def _novelty_pointer(base_path: str) -> tuple[int, str] | None:
     return int(lines[0]), f"{base_path}/{lines[1]}"
 
 
+def _committed_batch_dirs(base_path: str, fence: int) -> list[str]:
+    """Paths of the ``out/batch={id}`` partitions with id <= fence. Listing
+    explicitly (instead of scanning ``out/`` and filtering after) means an
+    UNCOMMITTED dir left by a crashed attempt — possibly holding partial or
+    corrupt parquet that would fail the footer scan — is never opened."""
+    import os
+
+    out_root = f"{base_path}/out"
+    dirs = []
+    if os.path.isdir(out_root):
+        for d in os.listdir(out_root):
+            if not d.startswith("batch="):
+                continue
+            try:
+                bid = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid <= fence:
+                dirs.append(f"{out_root}/{d}")
+    return sorted(dirs)
+
+
 def current_novelty_table(spark, base_path: str) -> DataFrame:
     """The committed per-doc novelty rows (doc_id, n_types, n_novel,
     novelty_micro) — resolves the atomic pointer written by
     :func:`novelty_merge_fn`."""
-    import os
-
     ptr = _novelty_pointer(base_path)
     if ptr is None:
         raise FileNotFoundError(f"no committed novelty table under {base_path}")
-    out_root = f"{base_path}/out"
-    if os.path.isdir(out_root):
-        # append-only per-batch partitions; the pointer fences off any
-        # batch dir written by a crashed/uncommitted attempt
+    committed = _committed_batch_dirs(base_path, ptr[0])
+    if committed:
+        # only pointer-fenced partitions are ever opened; basePath keeps
+        # the ``batch`` partition column parseable for the drop
         return (
-            spark.read.parquet(out_root)
-            .where(F.col("batch") <= F.lit(ptr[0]))
+            spark.read.option("basePath", f"{base_path}/out")
+            .parquet(*committed)
             .drop("batch")
         )
     return spark.read.parquet(f"{ptr[1]}/out")  # pre-append layout fallback
@@ -804,6 +824,24 @@ def novelty_merge_fn(
         )
         version = f"novelty_v{batch_id}"
         vdir = f"{base_path}/{version}"
+        # LAYOUT MIGRATION: a pre-append-layout pointer kept the FULL
+        # merged per-doc table inside its version dir (ptr[1]/out). The
+        # first new-layout commit must backfill it into the committed-id
+        # partition out/batch={ptr id}, or the reader (which prefers
+        # out/ once it exists) would silently drop all pre-migration
+        # rows — and the old version dir is garbage-collected two
+        # commits from now. Idempotent under a crash: re-running the
+        # backfill overwrites the same partition with the same rows, and
+        # a crash before the pointer commit leaves a reader view equal
+        # to the old merged table.
+        if (
+            ptr is not None
+            and os.path.isdir(f"{ptr[1]}/out")
+            and not _committed_batch_dirs(base_path, ptr[0])
+        ):
+            spark.read.parquet(f"{ptr[1]}/out").write.mode("overwrite").parquet(
+                f"{base_path}/out/batch={ptr[0]}"
+            )
         # per-doc rows are APPEND-ONLY: write ONLY this batch's rows into
         # an immutable batch-addressed partition — per-batch I/O is
         # O(batch), not O(total docs ever emitted) (round-8 ADVICE: the
@@ -897,13 +935,20 @@ def fenced_append_fn(base_path: str):
 
 def current_appended_table(spark, base_path: str) -> DataFrame:
     """All rows committed through :func:`fenced_append_fn` (pointer-fenced
-    union of the immutable per-batch partitions)."""
+    union of the immutable per-batch partitions; uncommitted dirs from a
+    crashed attempt are never opened — see :func:`_committed_batch_dirs`)."""
     ptr = _novelty_pointer(base_path)
     if ptr is None:
         raise FileNotFoundError(f"no committed table under {base_path}")
+    committed = _committed_batch_dirs(base_path, ptr[0])
+    if not committed:
+        raise FileNotFoundError(
+            f"pointer names batch {ptr[0]} but no committed partition under "
+            f"{base_path}/out"
+        )
     return (
-        spark.read.parquet(f"{base_path}/out")
-        .where(F.col("batch") <= F.lit(ptr[0]))
+        spark.read.option("basePath", f"{base_path}/out")
+        .parquet(*committed)
         .drop("batch")
     )
 

@@ -332,9 +332,12 @@ def _scd2_step(
             )
             status, vfrom, lact, ndays, nev = day_status, day, day, 1, day_n
 
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
+    # one user's batch rows can span several arrow chunks (maxRecordsPerBatch)
+    # with days interleaved ACROSS chunks — concatenate and sort ONCE per
+    # batch, or fold_day sees days out of order and emits wrong closed
+    # intervals (per-user batch memory is already the operating model)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(["ep", "event_id", "event_type"])
         days = (pdf["ep"].to_numpy(dtype=np.int64) // 86400)
         for day, grp in pdf.groupby(days, sort=True):

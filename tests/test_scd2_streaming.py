@@ -200,3 +200,48 @@ def test_scd2_interval_stream_end_to_end(spark, sf_dir, tmp_path):
     assert {
         tuple(r) for r in current_appended_table(spark, base).collect()
     } == got
+
+
+def test_scd2_multi_chunk_batch_sorts_once(spark, tmp_path):
+    """Round-9 ADVICE: when one user's micro-batch rows span multiple
+    arrow chunks (> maxRecordsPerBatch), days interleave ACROSS chunks —
+    the step must concat+sort once per batch, not per chunk, or fold_day
+    sees days out of order and emits wrong closed intervals."""
+    from platform_etl_backend_spark.streaming.stateful import scd2_stream
+
+    day = 86400
+    # one user, 9 rows, days deliberately scrambled in file order so
+    # 2-row arrow chunks each straddle non-adjacent days
+    days_scrambled = [5, 0, 6, 1, 5, 2, 6, 0, 1]
+    pdf = pd.DataFrame({
+        "user_id": [1] * 9,
+        "event_id": list(range(1, 10)),
+        "event_type": ["B" if d >= 5 else "A" for d in days_scrambled],
+        "ep": [d * day + i for i, d in enumerate(days_scrambled)],
+    })
+    src = str(tmp_path / "scd2_chunks")
+    os.makedirs(src, exist_ok=True)
+    p = f"{src}/c0.parquet"
+    pdf.to_parquet(p, index=False)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = scd2_stream(_stream(spark, src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("scd2_chunked_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    rows = [
+        (r.user_id, r.status, r.valid_from_day, r.valid_to_day,
+         r.last_active_day, r.n_active_days, r.n_events)
+        for r in spark.table("scd2_chunked_out").collect()
+    ]
+    # sorted truth: days 0-2 are 'A' (3 days, 5 events), closed by the
+    # 'B' change on day 5 at 5-1=4; the open 'B' interval is withheld
+    assert rows == [(1, "A", 0, 4, 2, 3, 5)]

@@ -594,3 +594,79 @@ def test_novelty_stream_wrapper_single_batch(spark, sf_dir, tmp_path):
         for r in current_novelty_table(spark, base).collect()
     }
     assert got == _batch_novelty(spark, sf_dir)
+
+
+def test_novelty_old_layout_migration_backfills_history(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE (medium): resuming over a PRE-append-layout state dir
+    (full merged table in novelty_v{N}/out, nothing under {base}/out) must
+    not lose committed history — the first new-layout commit backfills
+    ptr/out into out/batch={ptr id} before the reader starts preferring
+    the partitioned root."""
+    import shutil
+
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_novelty_table,
+        novelty_merge_fn,
+    )
+
+    slices = _doc_slices(spark, sf_dir)
+
+    # ground truth: both batches through the current layout
+    ref = str(tmp_path / "nv_ref")
+    merge_ref = novelty_merge_fn(ref)
+    merge_ref(slices[0], 0)
+    merge_ref(slices[1], 1)
+    want = sorted(map(tuple, current_novelty_table(spark, ref).collect()))
+
+    # fabricate an old-layout state dir: batch 0's bloom/meta state plus
+    # the merged per-doc table INSIDE the version dir, no {base}/out
+    scratch = str(tmp_path / "nv_scratch")
+    merge_scratch = novelty_merge_fn(scratch)
+    merge_scratch(slices[0], 0)
+    old = tmp_path / "nv_old"
+    shutil.copytree(f"{scratch}/novelty_v0", old / "novelty_v0")
+    current_novelty_table(spark, scratch).write.parquet(
+        str(old / "novelty_v0" / "out")
+    )
+    (old / "applied_batch_id").write_text("0\nnovelty_v0")
+
+    merge_old = novelty_merge_fn(str(old))
+    merge_old(slices[1], 1)  # first new-layout commit over the old pointer
+    got = sorted(map(tuple, current_novelty_table(spark, str(old)).collect()))
+    assert got == want  # batch-0 history survived the migration
+
+
+def test_fenced_readers_never_open_uncommitted_dirs(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE (low): a crashed attempt can leave partial/corrupt
+    parquet in an uncommitted batch={id} dir; the readers must list only
+    the pointer-fenced partitions, so the corrupt footer is never
+    scanned."""
+    import os
+
+    from platform_etl_backend_spark.streaming.jobs import (
+        current_appended_table,
+        current_novelty_table,
+        fenced_append_fn,
+        novelty_merge_fn,
+    )
+
+    slices = _doc_slices(spark, sf_dir)
+
+    base = str(tmp_path / "nv_corrupt")
+    merge = novelty_merge_fn(base)
+    merge(slices[0], 0)
+    committed = sorted(map(tuple, current_novelty_table(spark, base).collect()))
+    os.makedirs(f"{base}/out/batch=99")
+    with open(f"{base}/out/batch=99/part-00000.parquet", "wb") as fh:
+        fh.write(b"not a parquet footer")
+    got = sorted(map(tuple, current_novelty_table(spark, base).collect()))
+    assert got == committed
+
+    abase = str(tmp_path / "append_corrupt")
+    fmerge = fenced_append_fn(abase)
+    fmerge(slices[0].select("doc_id"), 0)
+    want = sorted(map(tuple, current_appended_table(spark, abase).collect()))
+    os.makedirs(f"{abase}/out/batch=7")
+    with open(f"{abase}/out/batch=7/part-00000.parquet", "wb") as fh:
+        fh.write(b"garbage")
+    assert sorted(map(tuple, current_appended_table(spark, abase).collect())) == want
