@@ -148,12 +148,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_winnow_fingerprint",
     "q_zscore_norm",
     # -- the full round-3-latest cohort, alphabetical (47) -------------
+    # (q_audio_decode displaced mid-round — staged for round 11 — to seat
+    #  q_entity_resolution, whose plan changed with the fuzzy-verify rewire)
+    "q_entity_resolution",
     "q_ann_ivf_nprobe",
     "q_ann_multitable",
     "q_asof_forward",
     "q_asof_join",
     "q_asof_nearest",
-    "q_audio_decode",
     "q_bfs_distance",
     "q_cap_per_group",
     "q_cohort_retention",

@@ -505,10 +505,19 @@ def fuzzy_pairs_dist1(
     ``max_block_cost``: see :func:`fuzzy_candidates_dist1` — the
     quadratic-bomb guard for pathological blocking keys.
     """
-    cands = fuzzy_candidates_dist1(df, id_col, str_col, max_block_cost=max_block_cost)
-    return cands.select(
-        "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b").alias("dist")
-    ).where(F.col("dist") <= 1)
+    cands = _variant_pair_candidates(df, id_col, str_col, max_block_cost=max_block_cost)
+    # threshold-bounded levenshtein is O(threshold*len) per pair, not
+    # O(len^2); it returns -1 when the bound is exceeded, so accept >= 0
+    # (a hash-merged bucket can hold arbitrarily-far pairs — -1 <= 1
+    # would wrongly admit them)
+    return (
+        cands.select(
+            "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b", 1).alias("dist")
+        )
+        .where(F.col("dist") >= 0)
+        .distinct()  # verify-then-distinct: the dedup exchange carries only
+        # accepted pairs (~30% here), not every candidate
+    )
 
 
 def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
@@ -519,62 +528,76 @@ def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     Same deletion-neighborhood blocking (a transposed pair shares the
     variant obtained by deleting either transposed character), but the
     verify step accepts levenshtein <= 1 OR an adjacent transposition.
-    Spark has no damerau builtin; the transposition predicate is composed
-    from char-array HOFs (exactly two differing positions, adjacent, and
-    cross-equal) — pure Catalyst, no UDF.
+    Spark has no damerau builtin; the verify is pure Catalyst, no UDF.
+
+    Verify shape (round-10 perf rewire, 2.2-2.5x at sf0.1: 17.7 quiet ->
+    ~8 s):
+    - threshold-bounded ``levenshtein(a, b, 2)`` everywhere — O(2*len)
+      per pair, not O(len^2); bounded lev returns -1 past the bound, so
+      distance tests are ``== k``, never ``<=``.
+    - pairs at bounded distance <= 1 pass outright; ONLY same-length
+      distance-2 pairs reach the transposition predicate.
+    - transposition via ONE zip_with (first-diff position p1 through
+      array_position) + three native substr comparisons: a transposition
+      at the FIRST diff is the only way a lev-2 same-length pair can be
+      OSA distance 1, so it suffices that a[p1]==b[p1+1], a[p1+1]==b[p1]
+      and the tails beyond p1+1 are equal. This replaces the old
+      collect-ALL-diff-positions char-array filter, whose interpreted
+      per-character lambdas dominated the operator (HOF lambdas do not
+      codegen — the CDC lesson).
+    - verify runs BEFORE the candidate distinct, so the dedup exchange
+      carries only accepted pairs.
 
     Returns (tok_a, tok_b, dist) with dist = Damerau-1 distance (0 never
     occurs: tok_a < tok_b implies inequality).
     """
-    # materialize the char arrays ONCE per candidate row: ca/cb are
-    # referenced 4x below (diffs filter + both cross-equal probes) and
-    # inline F.split would re-split per reference. Measured effect at
-    # sf0.1 is small (~3%: 15.1 -> 14.7 s — the candidate join/distinct
-    # dominates this operator, per the round-9 audit), but the expression
-    # is strictly lighter and reads clearer
-    base = fuzzy_candidates_dist1(df, id_col, str_col).withColumns(
-        {"_ca": F.split(F.col("tok_a"), ""), "_cb": F.split(F.col("tok_b"), "")}
+    base = _variant_pair_candidates(df, id_col, str_col).withColumn(
+        "lev2", F.levenshtein("tok_a", "tok_b", 2)
     )
-    lev = F.levenshtein("tok_a", "tok_b")
-    ca, cb = F.col("_ca"), F.col("_cb")
-    # try_element_at everywhere: the pair may have unequal lengths (the
-    # transposition predicate rejects those via same_len, but Catalyst
-    # evaluates the filter eagerly — ANSI element_at would throw).
-    # _diffs is materialized as a column for the same reason as _ca/_cb:
-    # it is referenced ~6x below and each inline reference would re-run
-    # the O(len) position filter
-    base = base.withColumn(
-        "_diffs",
-        F.filter(
-            F.sequence(F.lit(1), F.length("tok_a")),
-            lambda i: ~(F.try_element_at(ca, i).eqNullSafe(F.try_element_at(cb, i))),
-        ),
+    easy = base.where((F.col("lev2") >= 0) & (F.col("lev2") <= 1)).select(
+        "tok_a", "tok_b", F.col("lev2").alias("dist")
     )
-    diffs = F.col("_diffs")
-    # try_element_at: diffs can be shorter than 2 (ANSI element_at throws)
-    d1, d2 = F.try_element_at(diffs, F.lit(1)), F.try_element_at(diffs, F.lit(2))
+    a, b = F.col("tok_a"), F.col("tok_b")
+    hard = base.where(
+        (F.col("lev2") == 2) & (F.length("tok_a") == F.length("tok_b"))
+    )
+    eq = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x.eqNullSafe(y))
+    hard = hard.withColumn("_p1", F.array_position(eq, False))
+    p1 = F.col("_p1")
+    # p1 >= 1 always here (lev2 == 2 excludes equal strings); substr past
+    # the end returns "" on both sides, which is exactly right for a
+    # transposition of the last two characters
     is_trans = (
-        (F.length("tok_a") == F.length("tok_b"))
-        & (F.size(diffs) == 2)
-        & (d2 == d1 + 1)
-        & (F.try_element_at(ca, d1) == F.try_element_at(cb, d2))
-        & (F.try_element_at(ca, d2) == F.try_element_at(cb, d1))
+        (a.substr(p1, F.lit(1)) == b.substr(p1 + 1, F.lit(1)))
+        & (a.substr(p1 + 1, F.lit(1)) == b.substr(p1, F.lit(1)))
+        & (a.substr(p1 + 2, F.length(a)) == b.substr(p1 + 2, F.length(b)))
     )
-    return (
-        base.withColumn("lev", lev)
-        .where((F.col("lev") <= 1) | is_trans)
-        .select(
-            "tok_a", "tok_b",
-            F.when(F.col("lev") <= 1, F.col("lev")).otherwise(F.lit(1)).alias("dist"),
-        )
+    hardok = hard.where(is_trans).select(
+        "tok_a", "tok_b", F.lit(1).alias("dist")
     )
+    return easy.unionByName(hardok).distinct()
 
 
 def fuzzy_candidates_dist1(
     df: DataFrame, id_col: str, str_col: str, max_block_cost: int | None = None
 ) -> DataFrame:
+    """Distinct candidate (tok_a, tok_b) pairs sharing a 1-deletion
+    variant. Kept as the public blocking API; the verifiers consume the
+    PRE-distinct :func:`_variant_pair_candidates` and dedup after their
+    filter instead, so the distinct exchange carries only accepted pairs.
+    """
+    return _variant_pair_candidates(
+        df, id_col, str_col, max_block_cost=max_block_cost
+    ).distinct()
+
+
+def _variant_pair_candidates(
+    df: DataFrame, id_col: str, str_col: str, max_block_cost: int | None = None
+) -> DataFrame:
     """Candidate (tok_a, tok_b) pairs sharing a 1-deletion variant — the
-    blocking stage shared by the Levenshtein and Damerau verifiers.
+    blocking stage shared by the Levenshtein and Damerau verifiers. NOT
+    deduplicated: a pair sharing several variants appears once per shared
+    variant (callers filter first, then ``.distinct()``).
 
     ``max_block_cost`` (optional): the verify join's cost is Σ|bucket|²
     over variant buckets. A pathological key distribution (e.g. every
@@ -607,8 +630,9 @@ def fuzzy_candidates_dist1(
     # construction (strings sharing a 1-deletion variant), so the
     # collect_set + in-bucket HOF pair expansion is bounded. Measured ~20%
     # faster at sf0.1 with identical output. sort_array gives tok_a <
-    # tok_b for free; distinct still needed (a pair can share several
-    # variants). The shuffle key is xxhash64(variant) — a fixed 8-byte key
+    # tok_b for free; callers dedup AFTER their verify filter (a pair can
+    # share several variants). The shuffle key is xxhash64(variant) — a
+    # fixed 8-byte key
     # instead of the variable-width variant string; a hash collision only
     # MERGES two buckets (extra candidates that the exact-distance verify
     # discards), it can never lose a pair, so correctness is unaffected
@@ -618,8 +642,14 @@ def fuzzy_candidates_dist1(
         .agg(F.sort_array(F.collect_set("token")).alias("toks"))
         .where(F.size("toks") > 1)
     )
+    # ALWAYS checkpoint the bucket frame (it is tiny — one row per shared
+    # variant, Σ|bucket| strings, never Σ|bucket|²): it doubles as the
+    # guard's scan fence AND as a CollapseProject fence — without it the
+    # optimizer inlines the downstream verify's split/zip_with HOFs into
+    # the pair-expansion projection and the interpreted lambdas run
+    # multiple times per pair (measured 18 s vs 8 s at sf0.1).
+    buckets = buckets.localCheckpoint()
     if max_block_cost is not None:
-        buckets = buckets.localCheckpoint()
         cost_row = (
             buckets.select(F.size("toks").alias("n"))
             .agg(F.sum(F.col("n").cast("bigint") * F.col("n")).alias("cost"))
@@ -646,10 +676,8 @@ def fuzzy_candidates_dist1(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.tok_a", "p.tok_b")
-        .distinct()
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        "p.tok_a", "p.tok_b"
     )
 
 

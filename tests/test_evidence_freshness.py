@@ -54,6 +54,9 @@ NEXT_WINDOW_STAGED: frozenset[str] = frozenset({
     "q_running_collect",
     "q_sorted_names_array",
     "q_topk_banded_labels",
+    # displaced from the round-10 window mid-round (twice-checked r2+r3)
+    # to seat the changed-plan q_entity_resolution
+    "q_audio_decode",
 })
 
 # {query: round its output contract / plan shape last changed}. Append in
@@ -63,6 +66,13 @@ CHANGED_CONTRACTS: dict[str, int] = {
     # flatten_cat gained the reference's trim+comma element normalization
     # (Helpers.scala:154-167) in round 10.
     "q_flatten_cat_labels": 10,
+    # round-10 fuzzy-verify rewire (bounded levenshtein, verify-before-
+    # distinct, zip_with+substr transposition, bucket-checkpoint fence):
+    # same output, new plan shape for every _variant_pair_candidates
+    # consumer.
+    "q_fuzzy_damerau": 10,
+    "q_fuzzy_token_join": 10,
+    "q_entity_resolution": 10,
 }
 
 

@@ -343,3 +343,24 @@ def test_fuzzy_block_cost_guard_fires_on_hot_block(spark):
         for r in fuzzy_pairs_dist1(df, "c_custkey", "c_name").collect()
     )
     assert loose == unguarded and len(loose) > 0
+
+
+def test_fuzzy_damerau_transposition_boundary_positions(spark):
+    """Round-10 verify rewire edges: transpositions at the FIRST two and
+    the LAST two characters (the substr-past-end '' == '' tail path), a
+    lev-2 same-length pair that is NOT one adjacent transposition, and a
+    NON-adjacent swap — all through the zip_with+substr predicate."""
+    from platform_etl_backend_spark.operators.dedup import fuzzy_pairs_damerau1
+
+    names = ["abcd", "bacd", "abdc", "badc", "acbd"]
+    df = spark.createDataFrame(list(enumerate(names)), ["c_custkey", "c_name"])
+    dam = {(r.tok_a, r.tok_b): r.dist
+           for r in fuzzy_pairs_damerau1(df, "c_custkey", "c_name").collect()}
+    assert dam[("abcd", "bacd")] == 1   # first two chars
+    assert dam[("abcd", "abdc")] == 1   # last two chars (empty-tail compare)
+    assert dam[("abcd", "acbd")] == 1   # middle
+    # 'bacd' vs 'abdc': two separate transpositions = OSA distance 2 — out
+    assert ("abdc", "bacd") not in dam
+    # 'cbad' (non-adjacent swap of a/c) would be distance 2 — not built here,
+    # but 'badc' vs 'abcd' (two adjacent transpositions) must also be out
+    assert ("abcd", "badc") not in dam
