@@ -35,7 +35,10 @@ def _detect(
         state.remove()
         return
     cnt0, sum0, sumsq0 = state.get if state.exists else (0, 0.0, 0.0)
-    for pdf in pdfs:
+    # concat + sort ONCE per batch: a user's rows can span several arrow
+    # chunks with ts_ord interleaved across them (the _scd2_step lesson)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(["ts_ord", "event_id"])
         v = pdf["value"].to_numpy(dtype=np.float64)
         n = len(v)
@@ -132,7 +135,8 @@ class AnomalyProcessor(StatefulProcessor):
         cnt0, sum0, sumsq0 = (
             self._profile.get() if self._profile.exists() else (0, 0.0, 0.0)
         )
-        for pdf in rows:
+        chunks = [pdf for pdf in rows if len(pdf)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             pdf = pdf.sort_values(["ts_ord", "event_id"])
             v = pdf["value"].to_numpy(dtype=np.float64)
             n = len(v)
