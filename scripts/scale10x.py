@@ -137,6 +137,56 @@ def bounds(spark, sf_dir: str) -> dict:
     return out
 
 
+def minhash_recall(spark, sf_dir: str, bandings=((8, 4), (16, 4), (16, 8))) -> dict:
+    """Wall AND quality at one corpus size (round-9 VERDICT #7): exact
+    ngram-Jaccard truth once, then per-(num_hashes, bands) banding the
+    verified-pair recall, candidate precision, and the Σ|bucket|² cost the
+    banding actually paid — the numbers that justify an (r, b) choice when
+    the corpus grows (theory: P[candidate | sim s] = 1 - (1 - s^r)^b with
+    r = num_hashes/bands rows per band; bigger r cuts bucket collisions
+    polynomially but lowers catch probability near the threshold)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog.registry import table
+    from platform_etl_backend_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    t0 = time.time()
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    n_truth = truth.count()
+    out = {"n_truth": n_truth, "truth_wall_s": round(time.time() - t0, 2)}
+    spark.catalog.clearCache()
+    for num_hashes, bands in bandings:
+        tag = f"h{num_hashes}_b{bands}"
+        sig = D.minhash_signatures(docs, "doc_id", "text", k=3,
+                                   num_hashes=num_hashes)
+        keys = D._banded_keys(sig, "doc_id", num_hashes=num_hashes, bands=bands)
+        out[f"{tag}_sum_bucket_sq"] = int(
+            keys.groupBy("band", "key").count()
+            .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+        )
+        ka = keys.select(F.col("doc_id").alias("id_a"), "band", "key")
+        kb = keys.select(F.col("doc_id").alias("id_b"), "band", "key")
+        n_cands = (
+            ka.join(kb, ["band", "key"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct().count()
+        )
+        t0 = time.time()
+        n_ver = D.minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3,
+            num_hashes=num_hashes, bands=bands, threshold=0.5,
+        ).count()
+        out[f"{tag}_wall_s"] = round(time.time() - t0, 2)
+        out[f"{tag}_n_candidates"] = n_cands
+        out[f"{tag}_n_verified"] = n_ver
+        # verified pairs are exact-Jaccard >= threshold, hence a SUBSET of
+        # truth: recall = n_verified / n_truth
+        out[f"{tag}_recall"] = round(n_ver / n_truth, 4) if n_truth else None
+        out[f"{tag}_precision"] = round(n_ver / n_cands, 4) if n_cands else None
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -144,6 +194,9 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale10x")
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--recall", action="store_true",
+                    help="measure MinHash recall/precision per banding at "
+                    "BOTH the base (1x) and the built (mult-x) corpus")
     args = ap.parse_args()
 
     from platform_etl_backend_spark.engine.session import get_spark
@@ -161,6 +214,14 @@ def main() -> None:
         print(f"built {args.mult}x corpus in {time.time()-t0:.1f}s", flush=True)
 
     result = {"mult": args.mult, "base": args.base}
+    if args.recall:
+        for label, d in (("recall_1x", args.base), (f"recall_{args.mult}x", args.out)):
+            t0 = time.time()
+            result[label] = minhash_recall(spark, d)
+            print(json.dumps({label: result[label]}), flush=True)
+        spark.stop()
+        print(json.dumps(result))
+        return
     for name in ("q_minhash_lsh", "q_semantic_dedup", "q_entity_resolution"):
         t0 = time.time()
         QUERIES[name].fn(spark, args.out).write.format("noop").mode(
