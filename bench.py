@@ -479,11 +479,14 @@ def main() -> None:
     # itself instead of by hand each round.
     full_quiet = {}
     if full_mode:
+        quiet_n = max(passes, 3)  # a quiet number is min-of->=3 by definition
         for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
             if dt <= 5.0:
                 break
             try:
-                full_quiet[name] = time_min(name)
+                full_quiet[name] = round(
+                    min(time_once(name) for _ in range(quiet_n)), 3
+                )
             except Exception as exc:  # noqa: BLE001 - survey resilience
                 failures[name] = f"quiet: {type(exc).__name__}: {exc}"[:300]
     tracked = {} if full_mode else {name: time_min(name) for name in TRACKED}
