@@ -151,6 +151,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (q_audio_decode displaced mid-round — staged for round 11 — to seat
     #  q_entity_resolution, whose plan changed with the fuzzy-verify rewire)
     "q_entity_resolution",
+    # (q_image_decode likewise displaced/staged to seat q_logreg_gd,
+    #  whose per-step weight checkpoint changed the plan)
+    "q_logreg_gd",
     "q_ann_ivf_nprobe",
     "q_ann_multitable",
     "q_asof_forward",
@@ -171,7 +174,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_fuzzy_damerau",
     "q_fuzzy_token_join",
     "q_graph_closure",
-    "q_image_decode",
     "q_inverted_index",
     "q_label_propagation",
     "q_lateral_topk",

@@ -38,7 +38,9 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("p_partkey div 2").cast("bigint").alias("src"),  # parent
         F.col("p_partkey").alias("dst"),  # child
     )
-    clo = transitive_closure(edges, "src", "dst")
+    # depth-14 binary tree: path doubling converges in 4 rounds vs 15
+    # one-hop rounds (the per-round stage overhead dominated; ~2x wall)
+    clo = transitive_closure(edges, "src", "dst", method="double")
     return clo.groupBy(F.col("descendant").alias("node")).agg(
         F.count(F.lit(1)).alias("n_ancestors"),
         F.concat_ws(

@@ -2910,7 +2910,7 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.month("o_orderdate").cast("bigint") / 12.0).alias("x2"),
         F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
     ).persist()
-    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint()
     w = spark.sql("SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c")
     lr = float(_LR_RATE)
     for _ in range(_LR_STEPS):
@@ -2935,6 +2935,10 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("b") - lr * (F.col("g1").cast("double") / F.col("n"))).alias("b"),
                 (F.col("c") - lr * (F.col("g2").cast("double") / F.col("n"))).alias("c"),
             )
+            # 1-row weight frame: checkpoint per step, or the final plan
+            # nests every step's aggregation and Catalyst replans the
+            # whole chain at the end (measured 5.2 -> 3.8 s warm at sf0.1)
+            .localCheckpoint()
         )
     acc = pts.crossJoin(F.broadcast(w)).agg(
         F.sum(

@@ -55,8 +55,9 @@ NEXT_WINDOW_STAGED: frozenset[str] = frozenset({
     "q_sorted_names_array",
     "q_topk_banded_labels",
     # displaced from the round-10 window mid-round (twice-checked r2+r3)
-    # to seat the changed-plan q_entity_resolution
+    # to seat the changed-plan q_entity_resolution / q_logreg_gd
     "q_audio_decode",
+    "q_image_decode",
 })
 
 # {query: round its output contract / plan shape last changed}. Append in
@@ -73,6 +74,10 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_fuzzy_damerau": 10,
     "q_fuzzy_token_join": 10,
     "q_entity_resolution": 10,
+    # round-10 iterative-plan fixes: graph closure path doubling (4 BSP
+    # rounds, was 15 one-hop) and logreg's per-step weight checkpoint.
+    "q_graph_closure": 10,
+    "q_logreg_gd": 10,
 }
 
 

@@ -108,3 +108,26 @@ def test_components_match_networkx_on_random_graph(spark):
         for node in comp:
             want[node] = m
     assert _components(spark, edges) == want
+
+
+def test_transitive_closure_double_equals_hop_and_caps_raise(spark):
+    """Path doubling == one-hop closure on a deep chain; both methods
+    RAISE (never silently truncate) when max_iter can't cover the depth."""
+    import pytest
+    from platform_etl_backend_spark.operators.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["src", "dst"]
+    )
+    hop = sorted(map(tuple, transitive_closure(edges).collect()))
+    dbl = sorted(map(tuple,
+                     transitive_closure(edges, method="double").collect()))
+    assert hop == dbl and len(hop) == 20 * 21 // 2
+    # depth 20: 5 doubling rounds cover it (2^5 = 32) + 1 to observe the
+    # empty fixpoint; 4 leave paths > 16 hops missing and must RAISE
+    assert sorted(map(tuple, transitive_closure(
+        edges, method="double", max_iter=6).collect())) == dbl
+    with pytest.raises(RuntimeError, match="not converged"):
+        transitive_closure(edges, method="double", max_iter=4).count()
+    with pytest.raises(RuntimeError, match="not converged"):
+        transitive_closure(edges, max_iter=5).count()
