@@ -154,10 +154,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (q_image_decode likewise displaced/staged to seat q_logreg_gd,
     #  whose per-step weight checkpoint changed the plan)
     "q_logreg_gd",
+    # (q_asof_join / q_range_join displaced/staged to seat the two
+    #  ivf queries whose pair stage moved to the Arrow cell kernel)
+    "q_ann_ivf",
+    "q_ann_ivf_kmeans",
     "q_ann_ivf_nprobe",
     "q_ann_multitable",
     "q_asof_forward",
-    "q_asof_join",
     "q_asof_nearest",
     "q_bfs_distance",
     "q_cap_per_group",
@@ -186,7 +189,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_pmi_cooccur",
     "q_prefix_jaccard",
     "q_range_frame_avg",
-    "q_range_join",
     "q_scalar_subquery",
     "q_scd2_intervals",
     "q_semantic_dedup",

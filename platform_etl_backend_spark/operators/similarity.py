@@ -129,23 +129,78 @@ def _ivf_assign_n(
     )
 
 
-def ivf_top1(
-    corpus: DataFrame,
-    centroids: DataFrame,
-    id_col: str,
-    vec_col: str,
-    precision: int = 6,
-) -> DataFrame:
-    """IVF ANN (nprobe=1): candidates share the assigned centroid cell, so
-    the pair join is bounded by cell sizes instead of |corpus|²; pair
-    cosines reuse the assignment pass's precomputed norms (one fold/pair)."""
-    assigned = _ivf_assign_n(corpus, centroids, id_col, vec_col)
-    a = assigned.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"),
-                        F.col("vn").alias("qn"), "cell_id")
-    b = assigned.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
-                        F.col("vn").alias("bn"), "cell_id")
-    pairs = (
-        a.join(b, "cell_id")
+def _cell_pair_dots(queries: DataFrame, index: DataFrame) -> DataFrame:
+    """RAW dot products of every (query, vector) pair sharing a cell, via
+    an Arrow per-cell kernel. Inputs: ``queries`` (id, vec, n, cell_id) —
+    a vector may probe several cells — and ``index`` (id, vec, n, cell_id),
+    one cell per vector. Output: (query_id, neighbor_id, dot, qn, bn),
+    self-pairs included (callers filter).
+
+    WHY a pandas kernel (the documented CDC/Gram-kernel exception — the
+    no-UDF rule's one carve-out): Catalyst's higher-order functions do
+    not participate in whole-stage codegen, so the per-pair 64-dim
+    zip_with+aggregate fold interprets ~5.6 µs/pair (measured: 1.0M pairs
+    = 5.6 s of the 7.0 s q_ann_ivf_nprobe wall). The kernel streams each
+    cell's (queries × vectors) block through numpy with SEQUENTIAL-ORDER
+    accumulation — 64 vectorized passes adding ``a[j]*b[j]`` in index
+    order, the exact IEEE operation order of the Catalyst left fold and
+    the DuckDB loop, so the result is BIT-IDENTICAL, not just close
+    (np.matmul/BLAS pairwise summation would NOT be). Division by the
+    norms and the 6-dp ROUND stay in Catalyst, unchanged. Measured at
+    sf0.1: q_ann_ivf_nprobe 7.0 -> 1.5 s warm. The query axis is chunked
+    (4096) so the score block stays bounded however large a cell gets;
+    at cluster scale each cell group is one task — the same per-cell
+    parallelism as the join it replaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select("id", "vec", "n", "cell_id", F.lit("q").alias("role"))
+    v = index.select("id", "vec", "n", "cell_id", F.lit("v").alias("role"))
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["role"] == "q"]
+        vs = pdf[pdf["role"] == "v"]
+        if qs.empty or vs.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="float64"),
+                "qn": pd.Series([], dtype="float64"),
+                "bn": pd.Series([], dtype="float64"),
+            })
+        Q = np.stack(qs["vec"].to_numpy())
+        V = np.stack(vs["vec"].to_numpy())
+        qn, bn = qs["n"].to_numpy(), vs["n"].to_numpy()
+        qid, bid = qs["id"].to_numpy(), vs["id"].to_numpy()
+        out, CH = [], 4096
+        for s0 in range(0, len(Q), CH):
+            Qc = Q[s0:s0 + CH]
+            acc = np.zeros((len(Qc), len(V)))
+            for j in range(Q.shape[1]):  # sequential order == the fold
+                acc += Qc[:, j:j + 1] * V[None, :, j][0]
+            m, p = acc.shape
+            out.append(pd.DataFrame({
+                "query_id": np.repeat(qid[s0:s0 + CH], p),
+                "neighbor_id": np.tile(bid, m),
+                "dot": acc.ravel(),
+                "qn": np.repeat(qn[s0:s0 + CH], p),
+                "bn": np.tile(bn, m),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return q.unionByName(v).groupBy("cell_id").applyInPandas(
+        score_cell,
+        "query_id bigint, neighbor_id bigint, dot double, qn double, bn double",
+    )
+
+
+def _pair_cos_catalyst(pairs_a: DataFrame, pairs_b: DataFrame,
+                       precision: int) -> DataFrame:
+    """The pure-Catalyst pair-cosine twin of :func:`_cell_pair_dots` (the
+    no-Python fallback and the spec — a pytest pins kernel == twin)."""
+    return (
+        pairs_a.join(pairs_b, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -156,6 +211,41 @@ def ivf_top1(
             ).alias("cos"),
         )
     )
+
+
+def ivf_top1(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    precision: int = 6,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """IVF ANN (nprobe=1): candidates share the assigned centroid cell, so
+    the pair join is bounded by cell sizes instead of |corpus|²; pair dots
+    via the Arrow cell kernel (bit-identical — see :func:`_cell_pair_dots`;
+    ``use_kernel=False`` keeps the Catalyst twin)."""
+    assigned = _ivf_assign_n(corpus, centroids, id_col, vec_col)
+    if use_kernel:
+        side = assigned.select(F.col("vid").alias("id"), "vec",
+                               F.col("vn").alias("n"), "cell_id")
+        pairs = (
+            _cell_pair_dots(side, side)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("bn")),
+                        precision).alias("cos"),
+            )
+        )
+    else:
+        a = assigned.select(F.col("vid").alias("query_id"),
+                            F.col("vec").alias("qv"),
+                            F.col("vn").alias("qn"), "cell_id")
+        b = assigned.select(F.col("vid").alias("neighbor_id"),
+                            F.col("vec").alias("bv"),
+                            F.col("vn").alias("bn"), "cell_id")
+        pairs = _pair_cos_catalyst(a, b, precision)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -172,6 +262,7 @@ def ivf_topk(
     k: int = 1,
     nprobe: int = 1,
     precision: int = 6,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """IVF ANN with multi-cell probing — the FAISS-style search shape.
 
@@ -201,28 +292,35 @@ def ivf_topk(
         ).alias("cell_cos"),
     )
     wq = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-    probes = (
+    probes_n = (
         qscored.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"),
-                F.col("vn").alias("qn"), "cell_id")
     )
-    b = assigned.select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
-        F.col("vn").alias("bn"), "cell_id"
-    )
-    pairs = (
-        probes.join(b, "cell_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_pre(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn")),
-                precision,
-            ).alias("cos"),
+    if use_kernel:
+        pairs = (
+            _cell_pair_dots(
+                probes_n.select(F.col("vid").alias("id"), "vec",
+                                F.col("vn").alias("n"), "cell_id"),
+                assigned.select(F.col("vid").alias("id"), "vec",
+                                F.col("vn").alias("n"), "cell_id"),
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("bn")),
+                        precision).alias("cos"),
+            )
         )
-    )
+    else:
+        probes = probes_n.select(
+            F.col("vid").alias("query_id"), F.col("vec").alias("qv"),
+            F.col("vn").alias("qn"), "cell_id"
+        )
+        b = assigned.select(
+            F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
+            F.col("vn").alias("bn"), "cell_id"
+        )
+        pairs = _pair_cos_catalyst(probes, b, precision)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))

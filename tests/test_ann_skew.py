@@ -238,3 +238,17 @@ def test_multitable_or_amplification_raises_recall(spark, sf_dir):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 < r2 < r4, (r1, r2, r4)
     assert r4 >= 0.4, (r1, r2, r4)
+
+
+def test_ivf_kernel_equals_catalyst_twin(spark, sf_dir):
+    """The Arrow cell-pair kernel must be BIT-identical to the Catalyst
+    fold twin (sequential-order accumulation — the CDC-kernel contract),
+    for both the top1 and the multi-probe shapes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 8)
+    for fn, kw in ((S.ivf_top1, {}), (S.ivf_topk, {"k": 2, "nprobe": 2})):
+        kern = sorted(map(tuple, fn(
+            emb, cents, "vec_id", "embedding", use_kernel=True, **kw).collect()))
+        twin = sorted(map(tuple, fn(
+            emb, cents, "vec_id", "embedding", use_kernel=False, **kw).collect()))
+        assert kern == twin and kern

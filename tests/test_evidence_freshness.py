@@ -58,6 +58,9 @@ NEXT_WINDOW_STAGED: frozenset[str] = frozenset({
     # to seat the changed-plan q_entity_resolution / q_logreg_gd
     "q_audio_decode",
     "q_image_decode",
+    # displaced (twice-checked r2+r3) to seat the kernel-rewired IVF pair
+    "q_asof_join",
+    "q_range_join",
 })
 
 # {query: round its output contract / plan shape last changed}. Append in
@@ -78,6 +81,11 @@ CHANGED_CONTRACTS: dict[str, int] = {
     # rounds, was 15 one-hop) and logreg's per-step weight checkpoint.
     "q_graph_closure": 10,
     "q_logreg_gd": 10,
+    # round-10 Arrow cell-pair kernel (bit-identical sequential fold) for
+    # the IVF pair-scoring stage.
+    "q_ann_ivf": 10,
+    "q_ann_ivf_kmeans": 10,
+    "q_ann_ivf_nprobe": 10,
 }
 
 
