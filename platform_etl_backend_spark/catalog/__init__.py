@@ -158,6 +158,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #  ivf queries whose pair stage moved to the Arrow cell kernel)
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
+    # (q_dedup_clusters displaced/staged to seat the block-tiled near-dup)
+    "q_embedding_near_dup",
     "q_ann_ivf_nprobe",
     "q_ann_multitable",
     "q_asof_forward",
@@ -167,7 +169,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_cohort_retention",
     "q_corpus_pipeline",
     "q_count_min",
-    "q_dedup_clusters",
     "q_doc_chunks",
     "q_dup_spans",
     "q_entropy_by_source",

@@ -202,20 +202,18 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # norms precomputed per VECTOR (cosine_pre, bit-identical): the n^2
-    # pair stage folds each 64-dim array once per pair instead of three
-    # times — measured 43.9 -> 9.8 s at sf0.1 (round 9)
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   S.as_double_array("embedding").alias("va")
-                   ).withColumn("na", S.norm(F.col("va")))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   S.as_double_array("embedding").alias("vb")
-                   ).withColumn("nb", S.norm(F.col("vb")))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cos = S.cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    return (
-        pairs.where(cos >= 0.95)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    # still the EXACT n^2 baseline, now block-tiled through the Arrow
+    # cell kernel (bit-identical fold; r9 cosine_pre got 43.9 -> 9.8 s,
+    # the r10 tiling 11.4 -> ~2 s quiet) — the threshold filter and the
+    # 6-dp round stay in Catalyst on the unrounded quotient
+    pairs = S.all_pairs_dots_blocked(emb, "vec_id", "embedding")
+    cos = F.col("dot") / (F.col("qn") * F.col("bn"))
+    # cross-block pairs arrive oriented by block hash, not id — normalize
+    # (dot and the norm product are orientation-symmetric bit-for-bit)
+    return pairs.where(cos >= 0.95).select(
+        F.least("query_id", "neighbor_id").alias("id_a"),
+        F.greatest("query_id", "neighbor_id").alias("id_b"),
+        F.round(cos, 6).alias("cos"),
     )
 
 

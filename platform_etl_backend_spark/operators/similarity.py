@@ -213,6 +213,48 @@ def _pair_cos_catalyst(pairs_a: DataFrame, pairs_b: DataFrame,
     )
 
 
+def all_pairs_dots_blocked(
+    vectors: DataFrame, id_col: str, vec_col: str, blocks: int = 16
+) -> DataFrame:
+    """EXACT all-pairs dot products by block tiling over the Arrow cell
+    kernel — the distributed-GEMM shape for the quadratic baseline paths.
+
+    Each vector hashes to one of ``blocks`` row-blocks; every unordered
+    pair lives in exactly one of the B(B+1)/2 block-pair cells (query
+    side replicates to cells (g, j>=g), index side to (i<=g, g)), so the
+    n² work splits into independent tasks of ~ (n/B)² pairs each — the
+    parallelism knob at scale is B ~ sqrt(cores). Output (query_id,
+    neighbor_id, dot, qn, bn): every unordered pair ONCE, self-pairs and
+    within-block duplicates already filtered; dot is bit-identical to the
+    Catalyst fold in either orientation (per-element products and the
+    index-ordered sum are commutative-safe). Arrow transfer is ~B copies
+    of the (id, vec, norm) corpus — linear, never the pair set.
+    """
+    B = blocks
+    v = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        as_double_array(vec_col).alias("vec"),
+    ).withColumn("n", norm(F.col("vec"))).withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
+    )
+    q = v.select(
+        "id", "vec", "n",
+        F.explode(F.sequence(F.col("g"), F.lit(B - 1))).alias("j"), "g",
+    ).select("id", "vec", "n", (F.col("g") * B + F.col("j")).alias("cell_id"))
+    ix = v.select(
+        "id", "vec", "n",
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("i"), "g",
+    ).select("id", "vec", "n", (F.col("i") * B + F.col("g")).alias("cell_id"))
+    dots = _cell_pair_dots(q, ix)
+    # off-diagonal cells hold each cross-block pair once; diagonal cells
+    # hold both orientations + self-pairs — one predicate covers both
+    gq = F.pmod(F.xxhash64(F.col("query_id")), F.lit(B))
+    gn = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(B))
+    return dots.where(
+        (gq < gn) | ((gq == gn) & (F.col("query_id") < F.col("neighbor_id")))
+    )
+
+
 def ivf_top1(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -252,3 +252,31 @@ def test_ivf_kernel_equals_catalyst_twin(spark, sf_dir):
         twin = sorted(map(tuple, fn(
             emb, cents, "vec_id", "embedding", use_kernel=False, **kw).collect()))
         assert kern == twin and kern
+
+
+def test_all_pairs_dots_blocked_exact_and_unique(spark, sf_dir):
+    """Block tiling covers every unordered pair EXACTLY once and matches
+    the plain crossJoin pair cosines bit-for-bit (both orientations of
+    the kernel's sequential fold are IEEE-commutative-safe)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    got = {
+        (r.query_id, r.neighbor_id) if r.query_id < r.neighbor_id
+        else (r.neighbor_id, r.query_id): r.dot / (r.qn * r.bn)
+        for r in S.all_pairs_dots_blocked(
+            emb, "vec_id", "embedding", blocks=5).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   S.as_double_array("embedding").alias("va")
+                   ).withColumn("na", S.norm(F.col("va")))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   S.as_double_array("embedding").alias("vb")
+                   ).withColumn("nb", S.norm(F.col("vb")))
+    want = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b",
+            S.cosine_pre(F.col("va"), F.col("vb"),
+                         F.col("na"), F.col("nb")).alias("cos")).collect()
+    }
+    assert set(got) == set(want)          # every pair once, none twice
+    assert got == want                    # bit-identical, no tolerance

@@ -61,6 +61,8 @@ NEXT_WINDOW_STAGED: frozenset[str] = frozenset({
     # displaced (twice-checked r2+r3) to seat the kernel-rewired IVF pair
     "q_asof_join",
     "q_range_join",
+    # displaced (twice-checked r2+r3) to seat the block-tiled near-dup
+    "q_dedup_clusters",
 })
 
 # {query: round its output contract / plan shape last changed}. Append in
@@ -86,6 +88,8 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_ann_ivf": 10,
     "q_ann_ivf_kmeans": 10,
     "q_ann_ivf_nprobe": 10,
+    # round-10 block-tiled all-pairs kernel for the exact near-dup baseline.
+    "q_embedding_near_dup": 10,
 }
 
 
