@@ -187,6 +187,57 @@ def minhash_recall(spark, sf_dir: str, bandings=((8, 4), (16, 4), (16, 8))) -> d
     return out
 
 
+def ann_recall(spark, sf_dir: str, cent_counts=(8, 64), nprobes=(1, 2, 4)) -> dict:
+    """IVF recall@1 against the EXACT brute-force top-1 (ground truth via
+    the block-tiled all-pairs kernel — affordable even at the 10x corpus)
+    per (centroid count, nprobe). Records, next to recall, the candidate
+    cost the probe actually paid (Σ probe-cell sizes) — the numbers that
+    justify the k-with-corpus and nprobe rules at scale."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog.registry import table
+    from platform_etl_backend_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t0 = time.time()
+    pairs = S.all_pairs_dots_blocked(emb, "vec_id", "embedding", blocks=32)
+    both = pairs.select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"),
+        (F.col("dot") / (F.col("qn") * F.col("bn"))).alias("cos"),
+    ).unionByName(pairs.select(
+        F.col("neighbor_id").alias("q"), F.col("query_id").alias("nb"),
+        (F.col("dot") / (F.col("qn") * F.col("bn"))).alias("cos"),
+    ))
+    # per-query argmax as a partial-aggregating groupBy (NOT a window):
+    # map-side combine collapses the n² pair rows before the shuffle —
+    # the windowed formulation shuffled all 400M rows at 10x and OOM'd a
+    # python worker. Struct max = (cos desc, then nb asc via negation).
+    truth = (
+        both.groupBy("q")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("nb")).alias("m"))).alias("b"))
+        .select("q", (-F.col("b.m")).alias("true_nb"))
+        .localCheckpoint()
+    )
+    out = {"n_vectors": n, "truth_wall_s": round(time.time() - t0, 2)}
+    for k in cent_counts:
+        cents = emb.where(F.col("vec_id") < k)
+        for nprobe in nprobes:
+            tag = f"k{k}_p{nprobe}"
+            t0 = time.time()
+            ann = S.ivf_topk(emb, cents, "vec_id", "embedding",
+                             k=1, nprobe=nprobe)
+            hits = (
+                ann.join(truth, ann.query_id == truth.q)
+                .where(F.col("neighbor_id") == F.col("true_nb"))
+                .count()
+            )
+            out[f"{tag}_wall_s"] = round(time.time() - t0, 2)
+            out[f"{tag}_recall1"] = round(hits / n, 4)
+            spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -197,6 +248,9 @@ def main() -> None:
     ap.add_argument("--recall", action="store_true",
                     help="measure MinHash recall/precision per banding at "
                     "BOTH the base (1x) and the built (mult-x) corpus")
+    ap.add_argument("--ann-recall", action="store_true",
+                    help="measure IVF recall@1 vs exact brute-force truth "
+                    "per (centroids, nprobe) at BOTH corpora")
     args = ap.parse_args()
 
     from platform_etl_backend_spark.engine.session import get_spark
@@ -214,6 +268,13 @@ def main() -> None:
         print(f"built {args.mult}x corpus in {time.time()-t0:.1f}s", flush=True)
 
     result = {"mult": args.mult, "base": args.base}
+    if args.ann_recall:
+        for label, d in (("ann_1x", args.base), (f"ann_{args.mult}x", args.out)):
+            result[label] = ann_recall(spark, d)
+            print(json.dumps({label: result[label]}), flush=True)
+        spark.stop()
+        print(json.dumps(result))
+        return
     if args.recall:
         for label, d in (("recall_1x", args.base), (f"recall_{args.mult}x", args.out)):
             t0 = time.time()
