@@ -704,17 +704,18 @@ def semantic_dedup(
                 f"max_pair_cost={max_pair_cost}; raise k (~sqrt(n), got k={k}) "
                 "or the bound"
             )
-    a = assigned.select("cell_id", F.col("vid").alias("id_a"),
-                        F.col("vec").alias("va"), F.col("vn").alias("na"))
-    b = assigned.select("cell_id", F.col("vid").alias("id_b"),
-                        F.col("vec").alias("vb"), F.col("vn").alias("nb"))
+    # within-cell pairs through the Arrow cell kernel (bit-identical raw
+    # dots; the rounded-quotient threshold stays in Catalyst — see
+    # _cell_pair_dots for why the interpreted HOF fold loses here)
+    side = assigned.select(F.col("vid").alias("id"), "vec",
+                           F.col("vn").alias("n"), "cell_id")
     dropped = (
-        a.join(b, "cell_id")
-        .where(F.col("id_a") < F.col("id_b"))
+        _cell_pair_dots(side, side)
+        .where(F.col("query_id") < F.col("neighbor_id"))
         .where(F.round(
-            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
-            precision) >= threshold)
-        .select(F.col("id_b").alias("vid"))
+            F.col("dot") / (F.col("qn") * F.col("bn")), precision
+        ) >= threshold)
+        .select(F.col("neighbor_id").alias("vid"))
         .distinct()
     )
     flagged = assigned.join(
