@@ -90,6 +90,8 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_ann_ivf_nprobe": 10,
     # round-10 block-tiled all-pairs kernel for the exact near-dup baseline.
     "q_embedding_near_dup": 10,
+    # round-10 within-cell pair stage through the Arrow cell kernel.
+    "q_semantic_dedup": 10,
 }
 
 
