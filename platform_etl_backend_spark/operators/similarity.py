@@ -60,9 +60,32 @@ def brute_force_topk(
     vec_col: str,
     k: int = 3,
     precision: int = 6,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, windowed rank.
-    Norms are precomputed per vector (cosine_pre) — one fold per pair."""
+    Norms are precomputed per vector (cosine_pre) — one fold per pair.
+
+    ``use_kernel=True`` routes the pair dots through the bipartite Arrow
+    kernel (bit-identical; see :func:`_cell_pair_dots`). Default stays
+    the Catalyst path until the consumers' round-11 driver-window slots
+    land — flipping it is a plan change under the evidence protocol."""
+    if use_kernel:
+        pairs = (
+            bipartite_dots_blocked(queries, corpus, id_col, vec_col)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("bn")),
+                        precision).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rn") <= k)
+            .select("query_id", "rn", "neighbor_id", "cos")
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -253,6 +276,36 @@ def all_pairs_dots_blocked(
     return dots.where(
         (gq < gn) | ((gq == gn) & (F.col("query_id") < F.col("neighbor_id")))
     )
+
+
+def bipartite_dots_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    blocks: int = 16,
+) -> DataFrame:
+    """RAW dot products of EVERY (query, corpus) pair — the bipartite twin
+    of :func:`all_pairs_dots_blocked`: the corpus hashes into ``blocks``
+    row-blocks (one kernel task each), the query side replicates to every
+    block (queries are the small side by contract, exactly the frame
+    brute_force_topk broadcasts today). Output (query_id, neighbor_id,
+    dot, qn, bn), one row per ordered pair, self-pairs included."""
+    B = blocks
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        as_double_array(vec_col).alias("vec"),
+    ).withColumn("n", norm(F.col("vec"))).select(
+        "id", "vec", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("cell_id"),
+    )
+    ix = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        as_double_array(vec_col).alias("vec"),
+    ).withColumn("n", norm(F.col("vec"))).withColumn(
+        "cell_id", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
+    )
+    return _cell_pair_dots(q, ix)
 
 
 def ivf_top1(
@@ -581,8 +634,12 @@ def bucketed_ann_top1(
     nbits: int = 4,
     precision: int = 6,
     probes: int = 0,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Approximate nearest neighbor: candidates share the sign-bit bucket.
+    ``use_kernel=True`` routes the in-bucket pair dots through the Arrow
+    cell kernel (bit-identical; default stays Catalyst until the
+    consumers' round-11 window slots land — a flip is a plan change).
 
     ``probes > 0`` enables MULTI-PROBE: each query additionally searches
     the ``probes`` buckets at Hamming distance 1 whose flipped dimension
@@ -628,18 +685,38 @@ def bucketed_ann_top1(
                      F.col("vn").alias("qn"), "bucket")
     b = v.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
                  F.col("vn").alias("bn"), "bucket")
-    pairs = (
-        a.join(b, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_pre(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn")),
-                precision,
-            ).alias("cos"),
+    if use_kernel:
+        pairs = (
+            _cell_pair_dots(
+                a.select(F.col("query_id").alias("id"),
+                         F.col("qv").alias("vec"),
+                         F.col("qn").alias("n"),
+                         F.col("bucket").alias("cell_id")),
+                b.select(F.col("neighbor_id").alias("id"),
+                         F.col("bv").alias("vec"),
+                         F.col("bn").alias("n"),
+                         F.col("bucket").alias("cell_id")),
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("bn")),
+                        precision).alias("cos"),
+            )
         )
-    )
+    else:
+        pairs = (
+            a.join(b, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_pre(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn")),
+                    precision,
+                ).alias("cos"),
+            )
+        )
     if probes > 0:
         pairs = pairs.distinct()  # a neighbor may appear via several probes
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

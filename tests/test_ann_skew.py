@@ -280,3 +280,23 @@ def test_all_pairs_dots_blocked_exact_and_unique(spark, sf_dir):
     }
     assert set(got) == set(want)          # every pair once, none twice
     assert got == want                    # bit-identical, no tolerance
+
+
+def test_brute_force_and_bucketed_kernel_twins(spark, sf_dir):
+    """use_kernel=True (staged for the round-11 plan flip) must equal the
+    shipped Catalyst paths bit-for-bit, including multi-probe dedup."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 32)
+    bf_k = sorted(map(tuple, S.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=3, use_kernel=True).collect()))
+    bf_c = sorted(map(tuple, S.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=3, use_kernel=False).collect()))
+    assert bf_k == bf_c and bf_k
+    for probes in (0, 2):
+        bk = sorted(map(tuple, S.bucketed_ann_top1(
+            emb, "vec_id", "embedding", probes=probes,
+            use_kernel=True).collect()))
+        bc = sorted(map(tuple, S.bucketed_ann_top1(
+            emb, "vec_id", "embedding", probes=probes,
+            use_kernel=False).collect()))
+        assert bk == bc and bk
