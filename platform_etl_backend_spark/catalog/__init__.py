@@ -135,73 +135,78 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_running_collect, q_sorted_names_array, q_topk_banded_labels, and the
 # rows-only q_montecarlo_critical.
 #
-# ROUND-11 ROTATION TODO: front any round-10 additions / changed
-# contracts, then the 5 hashable twice-checked round-2-latest rows named
-# above, then the round-4-latest cohort alphabetical (50 names — run the
-# freshness diff; q_agg_basic .. q_winsorized_mean) to fill the window.
+# ROUND-11 WINDOW (this round): the rotation is now AUTO-DERIVED —
+# tests/test_evidence_freshness.py computes the deterministic rotation
+# order (oldest evidence round first, then alphabetical) over the stale
+# set and REQUIRES the window's non-fronted slots to consume exactly its
+# prefix; whatever doesn't fit is exempt automatically (no hand-curated
+# NEXT_WINDOW_STAGED list to maintain or forget). This round's prefix:
+# - the 5 round-2-latest rows (q_collect_set .. q_topk_banded_labels),
+# - the 5 round-3-latest rows displaced mid-round-10
+#   (q_asof_join, q_audio_decode, q_dedup_clusters, q_image_decode,
+#    q_range_join),
+# - the first 40 of the 49-name round-4-latest cohort alphabetical
+#   (q_agg_basic .. q_text_normalize). The 9-name tail
+#   (q_tfidf_top_terms .. q_winsorized_mean) is the derived exemption and
+#   fronts the round-12 rotation. Changed contracts added mid-round seat
+#   by displacing from the BACK of the stale prefix (q_text_normalize
+#   first) — the rotation test recomputes the expected prefix.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- changed contract this round (flatten_cat normalization) ------
-    "q_flatten_cat_labels",
-    # -- close the once-checked round-2 cohort -------------------------
-    "q_winnow_fingerprint",
-    "q_zscore_norm",
-    # -- the full round-3-latest cohort, alphabetical (47) -------------
-    # (q_audio_decode displaced mid-round — staged for round 11 — to seat
-    #  q_entity_resolution, whose plan changed with the fuzzy-verify rewire)
-    "q_entity_resolution",
-    # (q_image_decode likewise displaced/staged to seat q_logreg_gd,
-    #  whose per-step weight checkpoint changed the plan)
-    "q_logreg_gd",
-    # (q_asof_join / q_range_join displaced/staged to seat the two
-    #  ivf queries whose pair stage moved to the Arrow cell kernel)
-    "q_ann_ivf",
-    "q_ann_ivf_kmeans",
-    # (q_dedup_clusters displaced/staged to seat the block-tiled near-dup)
-    "q_embedding_near_dup",
-    "q_ann_ivf_nprobe",
-    "q_ann_multitable",
-    "q_asof_forward",
-    "q_asof_nearest",
-    "q_bfs_distance",
-    "q_cap_per_group",
-    "q_cohort_retention",
-    "q_corpus_pipeline",
-    "q_count_min",
-    "q_doc_chunks",
-    "q_dup_spans",
-    "q_entropy_by_source",
-    "q_ewma",
-    "q_exists_subquery",
-    "q_funnel_stages",
-    "q_fuzzy_damerau",
-    "q_fuzzy_token_join",
-    "q_graph_closure",
-    "q_inverted_index",
-    "q_label_propagation",
-    "q_lateral_topk",
-    "q_locf_fill",
-    "q_mad_outliers",
-    "q_matryoshka_topk",
-    "q_pack_sequences",
-    "q_pagerank",
-    "q_percentile_cont",
-    "q_pmi_cooccur",
-    "q_prefix_jaccard",
-    "q_range_frame_avg",
-    "q_scalar_subquery",
-    "q_scd2_intervals",
-    "q_semantic_dedup",
-    "q_sliding_dau",
-    "q_source_mix_weights",
-    "q_stratified_sample",
-    "q_stupid_backoff",
-    "q_time_weighted_avg",
-    "q_tpch_q10",
-    "q_triangle_count",
-    "q_variant_json",
-    "q_vector_centroids",
+    # -- round-2-latest (oldest evidence) ------------------------------
+    "q_collect_set",
+    "q_flatten_collect",
+    "q_running_collect",
+    "q_sorted_names_array",
+    "q_topk_banded_labels",
+    # -- round-3-latest (displaced from the round-10 window) -----------
+    "q_asof_join",
+    "q_audio_decode",
+    "q_dedup_clusters",
+    "q_image_decode",
+    "q_range_join",
+    # -- round-4-latest cohort, alphabetical prefix (40 of 49) ---------
+    "q_agg_basic",
+    "q_assoc_rules",
+    "q_autocorr_lag1",
+    "q_benford_profile",
+    "q_bigram_logprob",
+    "q_bloom_probe",
+    "q_bm25_top_terms",
+    "q_bpe_encode",
+    "q_bpe_vocab",
+    "q_cdc_chunks",
+    "q_chi_square",
+    "q_conversion_latency",
+    "q_count_min_narrow",
+    "q_dedup_keep_best",
+    "q_embedding_covariance",
+    "q_feature_hashing",
+    "q_funnel_windowed",
+    "q_hard_negatives",
+    "q_hll_estimate",
+    "q_interp_lm",
+    "q_interval_overlap",
+    "q_item_cooccur",
+    "q_jpeg_roundtrip",
+    "q_kl_divergence",
+    "q_kneser_ney",
+    "q_linear_trend",
+    "q_llr_contingency",
+    "q_lm_quantile_filter",
+    "q_mode_per_group",
+    "q_ohlc_bars",
+    "q_png_decode",
+    "q_profile_table",
+    "q_rag_retrieve",
+    "q_rouge_overlap",
+    "q_sentence_split",
+    "q_sequence_match",
+    "q_skipgram_pairs",
+    "q_snapshot_diff",
+    "q_sssp",
+    "q_text_normalize",
 )
 
 

@@ -1,6 +1,7 @@
-"""Driver-evidence freshness gate (round-9 VERDICT #2): the rotation
-protocol used to live as prose in ``catalog/__init__.py``; this test makes
-it CI, the way the shared-fragment pin registry did for oracle fragments.
+"""Driver-evidence freshness gate (round-9 VERDICT #2; rotation
+auto-derivation round-11 VERDICT #7): the rotation protocol used to live
+as prose in ``catalog/__init__.py``; this test makes it CI, the way the
+shared-fragment pin registry did for oracle fragments.
 
 Mechanics
 ---------
@@ -9,19 +10,28 @@ record; the "current round" is the newest committed file + 1 (the window
 in ``catalog._DRIVER_WINDOW`` is what the CURRENT round's driver will
 check, so in-window queries project to current-round evidence).
 
-Three enforced rules:
+Enforced rules:
 1. **No structural lag** — every registered query either has some driver
    evidence already or sits in the current window.
-2. **Freshness bound** — no hash-checkable query's projected evidence may
-   be older than ``MAX_EVIDENCE_AGE_ROUNDS``, unless it is explicitly
-   staged by name for the NEXT round in ``NEXT_WINDOW_STAGED`` (deleting
-   a staged name makes this test fail — the VERDICT's done-criterion).
-   Rows-only queries (``oracle is None``) are exempt: a window slot buys
-   them no hash evidence.
+2. **Deterministic rotation, zero hand-curated lists** — the stale set
+   (hash-checkable queries whose evidence age exceeds
+   ``MAX_EVIDENCE_AGE_ROUNDS``) is ordered deterministically (oldest
+   evidence round first, then alphabetical). After the *fronted* slots
+   (new queries with no evidence + changed contracts newer than their
+   evidence), the window MUST consume exactly the prefix of that order
+   that fits. Stale queries that don't fit are exempt *automatically* —
+   there is no ``NEXT_WINDOW_STAGED`` list to maintain. Dropping a
+   prefix member from the window (or wasting a slot on a voluntary
+   re-check while stale rows remain) fails CI.
 3. **Changed contracts get a slot** — any entry in ``CHANGED_CONTRACTS``
    whose change round is newer than its latest driver evidence must be in
    the current window. Record every output-contract or plan-shape change
    there in the same commit that makes it (CLAUDE.md hard rule).
+
+With 349 registered queries and a 50-slot window the steady-state
+evidence age is ceil(349/50) = 7 rounds, above the 6-round bound — the
+automatic exemption (rule 2) is what absorbs that structural gap, while
+still forcing maximal per-round progress through the backlog.
 """
 
 from __future__ import annotations
@@ -37,33 +47,9 @@ from platform_etl_backend_spark.catalog import _DRIVER_WINDOW
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # A query's driver evidence may be at most this many rounds old (counting
-# the current window as current-round evidence).
+# the current window as current-round evidence) before it must compete
+# for a window slot under the deterministic rotation order.
 MAX_EVIDENCE_AGE_ROUNDS = 6
-
-# Queries whose evidence is allowed to exceed the age bound THIS round
-# because they are staged, by name, for the next round's window. The
-# round-11 rotation MUST consume these first (after fronted changed
-# contracts / new queries). Stale-but-unstaged is a CI failure.
-NEXT_WINDOW_STAGED: frozenset[str] = frozenset({
-    # twice-checked (r1+r2) round-2-latest rows — the oldest remaining
-    # evidence after the round-10 window; 55 stale rows competed for 50
-    # round-10 slots and these lost on check-count (each already has two
-    # green driver rounds banked).
-    "q_collect_set",
-    "q_flatten_collect",
-    "q_running_collect",
-    "q_sorted_names_array",
-    "q_topk_banded_labels",
-    # displaced from the round-10 window mid-round (twice-checked r2+r3)
-    # to seat the changed-plan q_entity_resolution / q_logreg_gd
-    "q_audio_decode",
-    "q_image_decode",
-    # displaced (twice-checked r2+r3) to seat the kernel-rewired IVF pair
-    "q_asof_join",
-    "q_range_join",
-    # displaced (twice-checked r2+r3) to seat the block-tiled near-dup
-    "q_dedup_clusters",
-})
 
 # {query: round its output contract / plan shape last changed}. Append in
 # the same commit as the change; the query must then hold a window slot
@@ -113,6 +99,37 @@ def _evidence() -> tuple[dict[str, int], int]:
     return latest, max(rounds) + 1
 
 
+def _rotation(latest: dict[str, int], current: int):
+    """Derive (fronted, stale_in_order, expected_prefix, auto_exempt).
+
+    fronted: window members that MUST hold a slot regardless of age —
+    new queries with no driver evidence, and changed contracts newer
+    than their evidence. stale_in_order: hash-checkable non-fronted
+    queries older than the bound, in deterministic rotation order
+    (evidence round asc, then name). expected_prefix: the stale rows the
+    window must contain (as many as fit after the fronted slots).
+    auto_exempt: the leftover stale rows — exempt this round by
+    construction, and the front of the NEXT round's rotation.
+    """
+    fronted = {
+        n
+        for n in _DRIVER_WINDOW
+        if n not in latest or CHANGED_CONTRACTS.get(n, 0) > latest.get(n, 0)
+    }
+    stale = sorted(
+        (
+            n
+            for n, spec in QUERIES.items()
+            if spec.oracle is not None
+            and n not in fronted
+            and current - latest.get(n, 0) > MAX_EVIDENCE_AGE_ROUNDS
+        ),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    take = min(len(stale), len(_DRIVER_WINDOW) - len(fronted))
+    return fronted, stale, stale[:take], set(stale[take:])
+
+
 def test_no_structural_lag():
     latest, _ = _evidence()
     missing = [
@@ -124,38 +141,37 @@ def test_no_structural_lag():
     )
 
 
+def test_window_consumes_stale_in_rotation_order():
+    """The forcing function: after fronted slots, every remaining window
+    slot must consume the stale backlog in deterministic order. A
+    voluntary re-check while stale rows remain, or a dropped prefix
+    member, fails here."""
+    latest, current = _evidence()
+    fronted, stale, expected, _ = _rotation(latest, current)
+    in_window = [n for n in stale if n in _DRIVER_WINDOW]
+    assert set(in_window) == set(expected), (
+        "window does not consume the stale rotation prefix; "
+        f"missing={sorted(set(expected) - set(in_window))} "
+        f"extra(out-of-order)={sorted(set(in_window) - set(expected))} "
+        f"(fronted={sorted(fronted)})"
+    )
+
+
 def test_evidence_freshness_bound():
     latest, current = _evidence()
+    _, _, _, auto_exempt = _rotation(latest, current)
     stale = {}
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             continue  # rows-only by design: a slot buys no hash evidence
         projected = current if name in _DRIVER_WINDOW else latest.get(name, 0)
         age = current - projected
-        if age > MAX_EVIDENCE_AGE_ROUNDS and name not in NEXT_WINDOW_STAGED:
+        if age > MAX_EVIDENCE_AGE_ROUNDS and name not in auto_exempt:
             stale[name] = projected
     assert not stale, (
         f"driver evidence older than {MAX_EVIDENCE_AGE_ROUNDS} rounds and "
-        f"not staged for the next window (add to _DRIVER_WINDOW or stage "
-        f"by name in NEXT_WINDOW_STAGED): {stale}"
+        f"not covered by the derived rotation exemption: {stale}"
     )
-
-
-def test_staged_names_are_real_and_still_stale():
-    """Staged exemptions must stay honest: every staged name is a
-    registered hash-checkable query that actually NEEDS the exemption —
-    a staged row that got fresh evidence (or a typo) fails here."""
-    latest, current = _evidence()
-    for name in sorted(NEXT_WINDOW_STAGED):
-        assert name in QUERIES, f"staged name not in registry: {name}"
-        assert QUERIES[name].oracle is not None, (
-            f"rows-only query needs no staging (exempt already): {name}"
-        )
-        projected = current if name in _DRIVER_WINDOW else latest.get(name, 0)
-        assert current - projected > MAX_EVIDENCE_AGE_ROUNDS, (
-            f"staged name is no longer stale — remove it: {name} "
-            f"(evidence round {projected})"
-        )
 
 
 def test_changed_contracts_hold_a_window_slot():
