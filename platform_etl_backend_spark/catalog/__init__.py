@@ -145,15 +145,27 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # - the 5 round-3-latest rows displaced mid-round-10
 #   (q_asof_join, q_audio_decode, q_dedup_clusters, q_image_decode,
 #    q_range_join),
-# - the first 40 of the 49-name round-4-latest cohort alphabetical
-#   (q_agg_basic .. q_text_normalize). The 9-name tail
-#   (q_tfidf_top_terms .. q_winsorized_mean) is the derived exemption and
-#   fronts the round-12 rotation. Changed contracts added mid-round seat
-#   by displacing from the BACK of the stale prefix (q_text_normalize
-#   first) — the rotation test recomputes the expected prefix.
+# - the alphabetical prefix of the 49-name round-4-latest cohort that
+#   fits after the fronted changed-contract seats (35 names with the 5
+#   round-11 kernel-flip seats: q_agg_basic .. q_sentence_split). The
+#   14-name tail (q_sequence_match .. q_winsorized_mean) is the derived
+#   exemption and fronts the round-12 rotation. Changed contracts added
+#   mid-round seat by displacing from the BACK of the stale prefix —
+#   the rotation test recomputes the expected prefix.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
+    # -- round-11 changed contracts (kernel default flip: brute-force /
+    #    bucketed / multi-probe / multi-table ANN pair dots now route
+    #    through the Arrow cell kernel by default — plan change, output
+    #    bit-identical, parity pytests pin kernel == Catalyst twin).
+    #    These five displace the BACK of the stale prefix
+    #    (q_sequence_match .. q_text_normalize → round-12 rotation).
+    "q_cosine_topk",
+    "q_matryoshka_topk",
+    "q_ann_bucketed",
+    "q_ann_multiprobe",
+    "q_ann_multitable",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -202,11 +214,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_rag_retrieve",
     "q_rouge_overlap",
     "q_sentence_split",
-    "q_sequence_match",
-    "q_skipgram_pairs",
-    "q_snapshot_diff",
-    "q_sssp",
-    "q_text_normalize",
 )
 
 

@@ -60,15 +60,16 @@ def brute_force_topk(
     vec_col: str,
     k: int = 3,
     precision: int = 6,
-    use_kernel: bool = False,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, windowed rank.
     Norms are precomputed per vector (cosine_pre) — one fold per pair.
 
-    ``use_kernel=True`` routes the pair dots through the bipartite Arrow
-    kernel (bit-identical; see :func:`_cell_pair_dots`). Default stays
-    the Catalyst path until the consumers' round-11 driver-window slots
-    land — flipping it is a plan change under the evidence protocol."""
+    The default routes the pair dots through the bipartite Arrow kernel
+    (bit-identical to the Catalyst fold — see :func:`_cell_pair_dots`;
+    flipped in round 11 with driver-window slots for every consumer).
+    ``use_kernel=False`` keeps the pure-Catalyst twin, which a parity
+    pytest pins against the kernel."""
     if use_kernel:
         pairs = (
             bipartite_dots_blocked(queries, corpus, id_col, vec_col)
@@ -170,13 +171,36 @@ def _cell_pair_dots(queries: DataFrame, index: DataFrame) -> DataFrame:
     the DuckDB loop, so the result is BIT-IDENTICAL, not just close
     (np.matmul/BLAS pairwise summation would NOT be). Division by the
     norms and the 6-dp ROUND stay in Catalyst, unchanged. Measured at
-    sf0.1: q_ann_ivf_nprobe 7.0 -> 1.5 s warm. The query axis is chunked
-    (4096) so the score block stays bounded however large a cell gets;
-    at cluster scale each cell group is one task — the same per-cell
-    parallelism as the join it replaces.
+    sf0.1: q_ann_ivf_nprobe 7.0 -> 1.5 s warm.
+
+    Memory shape: BOTH pair axes are chunked (4096 × 4096), so the dense
+    score block is bounded (~134 MB of float64) however large a cell
+    gets. The group's pair OUTPUT, though, is inherently
+    O(|cell_q| · |cell_v|) rows — the same pair volume the equi-join twin
+    would shuffle, materialized chunk by chunk on the worker before Arrow
+    hands it back. Callers must bound cell sizes BY CONSTRUCTION (the
+    IVF k-grows-with-corpus rule; ``bucket_stats`` as the pre-flight
+    audit before ``bucketed_ann_top1``; block tiling in
+    ``all_pairs_dots_blocked``): a hot cell is a cost problem for the
+    join twin and the kernel alike, and the kernel concentrates it on
+    one task. At cluster scale each cell group is one task — the same
+    per-cell parallelism as the join it replaces.
+
+    Ids pass through untouched and may be any integral or string type
+    (the output schema mirrors each side's id type); other types raise —
+    use the Catalyst pair-join twin for exotic keys.
     """
     import numpy as np
     import pandas as pd
+
+    _ID_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+    qt = queries.schema["id"].dataType.simpleString()
+    vt = index.schema["id"].dataType.simpleString()
+    if qt not in _ID_TYPES or vt not in _ID_TYPES:
+        raise TypeError(
+            f"_cell_pair_dots: unsupported id type (query={qt}, index={vt});"
+            " supported: integral/string — use the Catalyst pair-join twin"
+        )
 
     q = queries.select("id", "vec", "n", "cell_id", F.lit("q").alias("role"))
     v = index.select("id", "vec", "n", "cell_id", F.lit("v").alias("role"))
@@ -186,8 +210,8 @@ def _cell_pair_dots(queries: DataFrame, index: DataFrame) -> DataFrame:
         vs = pdf[pdf["role"] == "v"]
         if qs.empty or vs.empty:
             return pd.DataFrame({
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
+                "query_id": qs["id"].iloc[:0],
+                "neighbor_id": vs["id"].iloc[:0],
                 "dot": pd.Series([], dtype="float64"),
                 "qn": pd.Series([], dtype="float64"),
                 "bn": pd.Series([], dtype="float64"),
@@ -199,22 +223,24 @@ def _cell_pair_dots(queries: DataFrame, index: DataFrame) -> DataFrame:
         out, CH = [], 4096
         for s0 in range(0, len(Q), CH):
             Qc = Q[s0:s0 + CH]
-            acc = np.zeros((len(Qc), len(V)))
-            for j in range(Q.shape[1]):  # sequential order == the fold
-                acc += Qc[:, j:j + 1] * V[None, :, j][0]
-            m, p = acc.shape
-            out.append(pd.DataFrame({
-                "query_id": np.repeat(qid[s0:s0 + CH], p),
-                "neighbor_id": np.tile(bid, m),
-                "dot": acc.ravel(),
-                "qn": np.repeat(qn[s0:s0 + CH], p),
-                "bn": np.tile(bn, m),
-            }))
+            for t0 in range(0, len(V), CH):
+                Vc = V[t0:t0 + CH]
+                acc = np.zeros((len(Qc), len(Vc)))
+                for j in range(Q.shape[1]):  # sequential order == the fold
+                    acc += Qc[:, j:j + 1] * Vc[:, j]
+                m, p = acc.shape
+                out.append(pd.DataFrame({
+                    "query_id": np.repeat(qid[s0:s0 + CH], p),
+                    "neighbor_id": np.tile(bid[t0:t0 + CH], m),
+                    "dot": acc.ravel(),
+                    "qn": np.repeat(qn[s0:s0 + CH], p),
+                    "bn": np.tile(bn[t0:t0 + CH], m),
+                }))
         return pd.concat(out, ignore_index=True)
 
     return q.unionByName(v).groupBy("cell_id").applyInPandas(
         score_cell,
-        "query_id bigint, neighbor_id bigint, dot double, qn double, bn double",
+        f"query_id {qt}, neighbor_id {vt}, dot double, qn double, bn double",
     )
 
 
@@ -255,7 +281,7 @@ def all_pairs_dots_blocked(
     """
     B = blocks
     v = vectors.select(
-        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("vec"),
     ).withColumn("n", norm(F.col("vec"))).withColumn(
         "g", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
@@ -293,14 +319,14 @@ def bipartite_dots_blocked(
     dot, qn, bn), one row per ordered pair, self-pairs included."""
     B = blocks
     q = queries.select(
-        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("vec"),
     ).withColumn("n", norm(F.col("vec"))).select(
         "id", "vec", "n",
         F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("cell_id"),
     )
     ix = corpus.select(
-        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("vec"),
     ).withColumn("n", norm(F.col("vec"))).withColumn(
         "cell_id", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
@@ -518,6 +544,7 @@ def multitable_ann_top1(
     nbits: int = 4,
     tables: int = 2,
     precision: int = 6,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Multi-TABLE sign-bit LSH (OR-amplification): ``tables`` independent
     hash tables, table ℓ bucketing on dimension block [ℓ·nbits, (ℓ+1)·nbits).
@@ -529,6 +556,13 @@ def multitable_ann_top1(
     Cost is honest and bounded: both sides explode to L (table, bucket)
     keys → the join input is L× corpus rows, candidates are
     Σ_ℓ Σ_buckets n², deduped before scoring. Still never |corpus|².
+
+    Pair dots go through the Arrow cell kernel by default (bit-identical
+    — :func:`_cell_pair_dots`, keyed on the composite (table, bucket)
+    cell ``tbl·2^nbits + bkt``; flipped in round 11 with a consumer
+    window slot; ``use_kernel=False`` keeps the Catalyst twin). A pair
+    colliding in several tables is scored once per table and collapsed
+    by the same post-cos ``distinct`` as the join twin.
     """
     n = corpus.sparkSession.sparkContext.defaultParallelism
     v = corpus.repartition(n).select(
@@ -549,23 +583,38 @@ def multitable_ann_top1(
         .select("vid", "vec", "vn",
                 F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
     )
-    a = keyed.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"),
-                     F.col("vn").alias("qn"), "tbl", "bkt")
-    b = keyed.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
-                     F.col("vn").alias("bn"), "tbl", "bkt")
-    pairs = (
-        a.join(b, ["tbl", "bkt"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_pre(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn")),
-                precision,
-            ).alias("cos"),
+    if use_kernel:
+        cell = (F.col("tbl") * F.lit(1 << nbits) + F.col("bkt")).cast("int")
+        side = keyed.select(F.col("vid").alias("id"), "vec",
+                            F.col("vn").alias("n"), cell.alias("cell_id"))
+        pairs = (
+            _cell_pair_dots(side, side)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("bn")),
+                        precision).alias("cos"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        a = keyed.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"),
+                         F.col("vn").alias("qn"), "tbl", "bkt")
+        b = keyed.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("bv"),
+                         F.col("vn").alias("bn"), "tbl", "bkt")
+        pairs = (
+            a.join(b, ["tbl", "bkt"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_pre(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn")),
+                    precision,
+                ).alias("cos"),
+            )
+            .distinct()
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -634,12 +683,15 @@ def bucketed_ann_top1(
     nbits: int = 4,
     precision: int = 6,
     probes: int = 0,
-    use_kernel: bool = False,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Approximate nearest neighbor: candidates share the sign-bit bucket.
-    ``use_kernel=True`` routes the in-bucket pair dots through the Arrow
-    cell kernel (bit-identical; default stays Catalyst until the
-    consumers' round-11 window slots land — a flip is a plan change).
+    In-bucket pair dots go through the Arrow cell kernel by default
+    (bit-identical — :func:`_cell_pair_dots`; flipped in round 11 with
+    consumer window slots; ``use_kernel=False`` keeps the Catalyst twin).
+    Run :func:`bucket_stats` as the pre-flight audit at a new scale or on
+    a new embedding family: one hot bucket concentrates O(bucket²) pair
+    work on one kernel task exactly as it would on one join partition.
 
     ``probes > 0`` enables MULTI-PROBE: each query additionally searches
     the ``probes`` buckets at Hamming distance 1 whose flipped dimension

@@ -300,3 +300,45 @@ def test_brute_force_and_bucketed_kernel_twins(spark, sf_dir):
             emb, "vec_id", "embedding", probes=probes,
             use_kernel=False).collect()))
         assert bk == bc and bk
+
+
+def test_multitable_kernel_equals_catalyst_twin(spark, sf_dir):
+    """The round-11 multitable kernel path (composite (tbl, bkt) cell key)
+    must be bit-identical to the Catalyst join twin, including the
+    post-cos distinct that collapses multi-table collisions."""
+    emb = _emb(spark, sf_dir)
+    kern = sorted(map(tuple, S.multitable_ann_top1(
+        emb, "vec_id", "embedding", nbits=4, tables=2,
+        use_kernel=True).collect()))
+    twin = sorted(map(tuple, S.multitable_ann_top1(
+        emb, "vec_id", "embedding", nbits=4, tables=2,
+        use_kernel=False).collect()))
+    assert kern == twin and kern
+
+
+def test_cell_pair_dots_string_ids_pass_through(spark, sf_dir):
+    """Ids are no longer forced to bigint (round-11 ADVICE): a string id
+    column flows through the kernel untouched and the output schema
+    mirrors it — pinned against the Catalyst twin on the same frame."""
+    emb = _emb(spark, sf_dir).limit(200).withColumn(
+        "sid", F.concat(F.lit("v"), F.col("vec_id").cast("string")))
+    kern = S.bucketed_ann_top1(emb, "sid", "embedding", nbits=2,
+                               use_kernel=True)
+    assert dict(kern.dtypes)["query_id"] == "string"
+    got = sorted(map(tuple, kern.collect()))
+    twin = sorted(map(tuple, S.bucketed_ann_top1(
+        emb, "sid", "embedding", nbits=2, use_kernel=False).collect()))
+    assert got == twin and got
+    assert all(q.startswith("v") for q, _, _ in got)
+
+
+def test_cell_pair_dots_rejects_exotic_id_types(spark, sf_dir):
+    """Non-integral/non-string ids must raise instead of silently nulling
+    out (the pre-round-11 failure mode for the hard-coded bigint schema)."""
+    emb = _emb(spark, sf_dir).limit(10).select(
+        F.array(F.col("vec_id")).alias("id"),
+        S.as_double_array("embedding").alias("vec"),
+    ).withColumn("n", S.norm(F.col("vec"))).withColumn(
+        "cell_id", F.lit(0))
+    with pytest.raises(TypeError, match="unsupported id type"):
+        S._cell_pair_dots(emb, emb)

@@ -78,6 +78,14 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_embedding_near_dup": 10,
     # round-10 within-cell pair stage through the Arrow cell kernel.
     "q_semantic_dedup": 10,
+    # round-11 kernel default flip: brute_force_topk / bucketed_ann_top1 /
+    # multitable_ann_top1 pair dots now route through the Arrow cell
+    # kernel by default (bit-identical; parity pytests pin the twin).
+    "q_cosine_topk": 11,
+    "q_matryoshka_topk": 11,
+    "q_ann_bucketed": 11,
+    "q_ann_multiprobe": 11,
+    "q_ann_multitable": 11,
 }
 
 
