@@ -166,6 +166,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_ann_bucketed",
     "q_ann_multiprobe",
     "q_ann_multitable",
+    # -- round-11 changed contract: planted near-duplicates make the
+    #    0.95-threshold oracle non-vacuous (displaces q_sentence_split)
+    "q_embedding_near_dup",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -213,7 +216,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_profile_table",
     "q_rag_retrieve",
     "q_rouge_overlap",
-    "q_sentence_split",
 )
 
 

@@ -188,7 +188,12 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embedding_near_dup",
     oracle=f"""
-    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    planted AS (
+        SELECT vec_id + 10000 AS vec_id,
+               list_prepend(vec[1] * 1.01, vec[2:]) AS vec
+        FROM base WHERE vec_id % 25 = 0),
+    a AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            ROUND(list_dot_product(x.vec, y.vec) /
                  (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))), 6)
@@ -197,16 +202,35 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_dot_product(x.vec, y.vec) /
           (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))) >= 0.95
     """,
-    description="embedding-cosine near-duplicate pairs (threshold 0.95) — exact variant",
+    description="embedding-cosine near-duplicate pairs (threshold 0.95) — exact "
+    "variant, with deterministic planted near-duplicates (every 25th vector "
+    "replicated with dim-1 scaled 1.01) so the threshold actually fires on the "
+    "synthetic corpus: the round-10 judge flagged the unplanted query as a "
+    "vacuous 0-row oracle at both SFs",
     tags=("similarity", "dedup", "vectors"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    # still the EXACT n^2 baseline, now block-tiled through the Arrow
-    # cell kernel (bit-identical fold; r9 cosine_pre got 43.9 -> 9.8 s,
-    # the r10 tiling 11.4 -> ~2 s quiet) — the threshold filter and the
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double_array("embedding").alias("embedding")
+    )
+    # plant deterministic near-duplicates (round-11 VERDICT #3): one
+    # replica per 25th vector, first dimension scaled by 1.01 — a pure
+    # IEEE double product, bit-identical in DuckDB, yielding cos ~0.999999
+    # pairs so the oracle compares NON-empty frames (threshold 0.95 on the
+    # random synthetic embeddings alone produces no pairs at any SF)
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.01)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    # still the EXACT n^2 baseline, block-tiled through the Arrow cell
+    # kernel (bit-identical fold; r9 cosine_pre got 43.9 -> 9.8 s, the
+    # r10 tiling 11.4 -> ~2 s quiet) — the threshold filter and the
     # 6-dp round stay in Catalyst on the unrounded quotient
-    pairs = S.all_pairs_dots_blocked(emb, "vec_id", "embedding")
+    pairs = S.all_pairs_dots_blocked(corpus, "vec_id", "embedding")
     cos = F.col("dot") / (F.col("qn") * F.col("bn"))
     # cross-block pairs arrive oriented by block hash, not id — normalize
     # (dot and the norm product are orientation-symmetric bit-for-bit)

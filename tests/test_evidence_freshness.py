@@ -74,8 +74,10 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_ann_ivf": 10,
     "q_ann_ivf_kmeans": 10,
     "q_ann_ivf_nprobe": 10,
-    # round-10 block-tiled all-pairs kernel for the exact near-dup baseline.
-    "q_embedding_near_dup": 10,
+    # round-10 block-tiled all-pairs kernel; round-11 planted
+    # deterministic near-duplicates so the 0.95-threshold oracle compares
+    # NON-empty frames (the r10 judge flagged the vacuous 0-row slot).
+    "q_embedding_near_dup": 11,
     # round-10 within-cell pair stage through the Arrow cell kernel.
     "q_semantic_dedup": 10,
     # round-11 kernel default flip: brute_force_topk / bucketed_ann_top1 /
