@@ -56,7 +56,8 @@ def transitive_closure(
     frontier = closure
     hop = e.select(F.col("a").alias("j"), F.col("d").alias("d2"))
     converged = False
-    for _ in range(max_iter):
+
+    def _fresh_paths() -> DataFrame:
         if method == "double":
             # everything within 2^k hops is in closure after round k, so
             # closure∘closure reaches 2^(k+1)
@@ -66,12 +67,21 @@ def transitive_closure(
             step = F.broadcast(hop) if broadcast_edges else hop
             left = frontier.select("a", F.col("d").alias("j"))
         nxt = left.join(step, "j").select("a", F.col("d2").alias("d")).distinct()
-        new = nxt.join(closure, ["a", "d"], "left_anti").localCheckpoint()
+        return nxt.join(closure, ["a", "d"], "left_anti").localCheckpoint()
+
+    for _ in range(max_iter):
+        new = _fresh_paths()
         if new.isEmpty():
             converged = True
             break
         closure = closure.unionByName(new).localCheckpoint()
         frontier = new
+    if not converged and _fresh_paths().isEmpty():
+        # boundary case (round-11 ADVICE): a graph of depth exactly
+        # max_iter completes the closure on the LAST round; one extra
+        # empty-frontier probe distinguishes "complete" from "truncated"
+        # instead of raising on a correct result.
+        converged = True
     if not converged:
         raise RuntimeError(
             f"transitive_closure({method}): not converged after {max_iter} "
@@ -268,17 +278,39 @@ def connected_components(
     return labels.unionByName(roots)
 
 
-def driver_closure(edges: DataFrame, src: str = "src", dst: str = "dst"):
+def driver_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_edges: int = 500_000,
+):
     """Collect-to-driver networkx closure (reference-parity path for small
     ontologies; GraphNode.scala:45-48 does exactly this collect).
 
     Returns dict: id -> {ancestors, descendants, parents, children,
     path: list of root-paths}.
+
+    This shape is legal ONLY for driver-sized graphs (the reference's
+    Reactome ontology is ~2.6k vertices): ``max_edges`` bounds the
+    distinct edge count BEFORE the collect and raises ``ValueError``
+    above it — use :func:`transitive_closure` / :func:`closure_tables`
+    (the distributed path-doubling route) for anything larger. The
+    root-path enumeration below is additionally exponential in dense
+    DAGs, so the bound is a guard, not a promise of tractability.
     """
     if nx is None:  # pragma: no cover
         raise ImportError("networkx unavailable")
+    distinct_edges = edges.select(src, dst).distinct()
+    n_edges = distinct_edges.count()
+    if n_edges > max_edges:
+        raise ValueError(
+            f"driver_closure: {n_edges} distinct edges exceed "
+            f"max_edges={max_edges} — this is the collect-to-driver "
+            "reference-parity path; use transitive_closure/closure_tables "
+            "for graphs that don't fit the driver"
+        )
     g = nx.DiGraph()
-    for row in edges.select(src, dst).distinct().collect():
+    for row in distinct_edges.collect():
         if row[0] is not None and row[1] is not None:
             g.add_edge(row[0], row[1])
     # drop cycles like GraphNode.scala:33-40 (log & skip back-edges)
