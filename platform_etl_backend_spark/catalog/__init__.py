@@ -169,6 +169,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-11 changed contract: planted near-duplicates make the
     #    0.95-threshold oracle non-vacuous (displaces q_sentence_split)
     "q_embedding_near_dup",
+    # -- round-11 changed plans: connected_components' fixpoint check is
+    #    now the star-forest role-count on the new frame alone (fires a
+    #    round earlier, no exceptAll diff); the entity composite also
+    #    skips the pre-CC distinct and aggregates the tail in one pass.
+    #    Seats displace q_profile_table / q_rag_retrieve / q_rouge_overlap
+    #    (q_dedup_clusters already holds a slot below).
+    "q_entity_resolution",
+    "q_bipartite_check",
+    "q_grid_cluster",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -213,9 +222,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_mode_per_group",
     "q_ohlc_bars",
     "q_png_decode",
-    "q_profile_table",
-    "q_rag_retrieve",
-    "q_rouge_overlap",
 )
 
 

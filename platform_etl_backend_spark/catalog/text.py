@@ -2356,25 +2356,32 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.graph import connected_components
 
     c = table(spark, sf_dir, "customer")
-    # cc feeds two consumers, so ITS boundary stays localCheckpointed —
-    # without the cut the whole CC chain re-executes per consumer
-    # (measured 12.5s -> ~5s at sf0.1). The pairs boundary no longer
-    # needs a cut here: connected_components checkpoints its normalized
-    # edge frame on entry (round-9 fix), so the deletion-neighborhood
-    # join executes exactly once either way.
-    pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name").select("tok_a", "tok_b")
-    cc = connected_components(pairs, "tok_a", "tok_b").localCheckpoint()
-    clusters = cc.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.concat_ws("|", F.sort_array(F.collect_set("node"))).alias("members"),
+    # dedup=False: CC's entry normalization distincts the edge frame
+    # anyway, so the verify feeds it raw and the composite pays ONE
+    # 262k-pair dedup shuffle instead of two (round-11 profile). CC
+    # checkpoints the frame on entry, so the deletion-neighborhood
+    # verify chain executes exactly once.
+    pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name", dedup=False).select(
+        "tok_a", "tok_b"
     )
-    n_rec = (
-        c.join(cc, c.c_name == cc.node)
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).alias("n_records"))
+    cc = connected_components(pairs, "tok_a", "tok_b")
+    # one-pass tail (round-11 VERDICT #4): every node IS a customer name
+    # (the vocab came from c_name), so joining per-name record counts
+    # onto cc and aggregating ONCE by component replaces the former two
+    # groupBys over cc + final join — and with a single consumer the cc
+    # localCheckpoint fence (which materialized the whole CC chain a
+    # second time) is gone.
+    name_counts = c.groupBy(F.col("c_name").alias("node")).agg(
+        F.count(F.lit(1)).alias("nc")
     )
     return (
-        clusters.join(n_rec, "component")
+        cc.join(name_counts, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.concat_ws("|", F.sort_array(F.collect_set("node"))).alias("members"),
+            F.sum("nc").cast("bigint").alias("n_records"),
+        )
         .select("component", "cluster_size", "members", "n_records")
         .orderBy("component")
     )

@@ -490,7 +490,11 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
 
 
 def fuzzy_pairs_dist1(
-    df: DataFrame, id_col: str, str_col: str, max_block_cost: int | None = None
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_block_cost: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Fuzzy self-join at Levenshtein distance <= 1 via deletion-neighborhood
     blocking (the spell-join / entity-resolution primitive, cf. the public
@@ -504,20 +508,27 @@ def fuzzy_pairs_dist1(
 
     ``max_block_cost``: see :func:`fuzzy_candidates_dist1` — the
     quadratic-bomb guard for pathological blocking keys.
+
+    ``dedup=False`` skips the final distinct: a pair sharing several
+    deletion variants then appears once per shared variant (only
+    insert/delete pairs can — a substitution pair shares exactly one).
+    Right for consumers that dedup downstream anyway, e.g. feeding
+    connected_components, whose entry normalization already distincts
+    the edge frame (the entity-resolution composite saves a full
+    262k-row shuffle at sf0.1).
     """
     cands = _variant_pair_candidates(df, id_col, str_col, max_block_cost=max_block_cost)
     # threshold-bounded levenshtein is O(threshold*len) per pair, not
     # O(len^2); it returns -1 when the bound is exceeded, so accept >= 0
     # (a hash-merged bucket can hold arbitrarily-far pairs — -1 <= 1
     # would wrongly admit them)
-    return (
-        cands.select(
-            "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b", 1).alias("dist")
-        )
-        .where(F.col("dist") >= 0)
-        .distinct()  # verify-then-distinct: the dedup exchange carries only
-        # accepted pairs (~30% here), not every candidate
-    )
+    verified = cands.select(
+        "tok_a", "tok_b", F.levenshtein("tok_a", "tok_b", 1).alias("dist")
+    ).where(F.col("dist") >= 0)
+    if not dedup:
+        return verified
+    return verified.distinct()  # verify-then-distinct: the dedup exchange
+    # carries only accepted pairs (~30% here), not every candidate
 
 
 def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:

@@ -137,6 +137,7 @@ def connected_components(
     max_iter: int = 30,
     check_every: int = 1,
     on_exhausted: str = "warn",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -175,13 +176,14 @@ def connected_components(
     # ngram-jaccard pairs feeding q_dedup_clusters) executed TWICE — once
     # for the node set, once for the edge seed (round-9 audit; the
     # entity-resolution composite had been pre-checkpointing around
-    # exactly this)
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # exactly this). ``pre_normalized=True`` lets a caller that already
+    # guarantees distinct loop-free pairs (e.g. the fuzzy verifiers,
+    # whose output is distinct with tok_a < tok_b) skip the redundant
+    # normalization shuffle — the checkpoint fence stays either way.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not pre_normalized:
+        e = e.where(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -230,23 +232,33 @@ def connected_components(
             .localCheckpoint(eager=False)  # lineage cut; materializes
             # inside the next action instead of one extra job per round
         )
-        # fixpoint when the undirected edge set is unchanged
+        # Fixpoint check (round-11 rewrite): every emitted edge is
+        # oriented big -> small by construction (large-star emits (b, m)
+        # with m <= a < b; small-star emits (b', m) and (a', m) with
+        # m = the strict min smaller neighbor), so the frame is a
+        # disjoint union of stars — the Kiveris fixpoint — EXACTLY when
+        # (1) no source has out-degree >= 2 and (2) no edge target also
+        # appears as a source (depth-1 trees). Both large- and small-star
+        # provably leave such a frame unchanged, and any violation of
+        # either condition triggers a rewrite next round. Checked with
+        # ONE role-count aggregation + isEmpty on the NEW frame alone —
+        # no diff against the previous round (the former two-directional
+        # exceptAll), and it fires one round EARLIER: the unchanged-set
+        # check needed an extra round to observe the converged frame
+        # repeat itself.
+        cur = small
         if (it + 1) % check_every == 0 or it == max_iter - 1:
-            new_canon = small.select(
-                F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
+            roles = small.select(
+                F.col("a").alias("n"), F.lit(1).alias("src")
+            ).unionByName(small.select(F.col("b").alias("n"), F.lit(0).alias("src")))
+            viol = (
+                roles.groupBy("n")
+                .agg(F.sum("src").alias("s"), F.count(F.lit(1)).alias("c"))
+                .where((F.col("s") >= 2) | ((F.col("s") >= 1) & (F.col("c") > F.col("s"))))
             )
-            old_canon = cur.select(
-                F.greatest("a", "b").alias("x"), F.least("a", "b").alias("y")
-            )
-            changed = new_canon.exceptAll(old_canon).unionByName(
-                old_canon.exceptAll(new_canon)
-            )
-            cur = small
-            if changed.isEmpty():
+            if viol.isEmpty():
                 converged = True
                 break
-        else:
-            cur = small
     if not converged and on_exhausted != "ignore":
         msg = (
             f"connected_components: {max_iter} rounds exhausted without "

@@ -64,7 +64,9 @@ CHANGED_CONTRACTS: dict[str, int] = {
     # consumer.
     "q_fuzzy_damerau": 10,
     "q_fuzzy_token_join": 10,
-    "q_entity_resolution": 10,
+    # round-10 fuzzy rewire; round-11: dedup=False feed into CC (one pair
+    # dedup shuffle instead of two) + one-pass tail aggregation.
+    "q_entity_resolution": 11,
     # round-10 iterative-plan fixes: graph closure path doubling (4 BSP
     # rounds, was 15 one-hop) and logreg's per-step weight checkpoint.
     "q_graph_closure": 10,
@@ -88,6 +90,12 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_ann_bucketed": 11,
     "q_ann_multiprobe": 11,
     "q_ann_multitable": 11,
+    # round-11 connected_components fixpoint-check rewrite (star-forest
+    # role-count on the new frame, fires a round earlier) — plan change
+    # for every CC consumer.
+    "q_dedup_clusters": 11,
+    "q_bipartite_check": 11,
+    "q_grid_cluster": 11,
 }
 
 
