@@ -178,6 +178,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_entity_resolution",
     "q_bipartite_check",
     "q_grid_cluster",
+    # -- round-11 changed contract: q_transformer_rerank is now the
+    #    integer fixed-point cross-encoder with a relational DuckDB
+    #    oracle — it leaves the rows-only set (displaces q_png_decode)
+    "q_transformer_rerank",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -221,7 +225,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_lm_quantile_filter",
     "q_mode_per_group",
     "q_ohlc_bars",
-    "q_png_decode",
 )
 
 

@@ -26,7 +26,9 @@ ROWS_ONLY_ALLOWED = {
     "q_approx_distinct",       # HLL sketch values are engine-specific
     "q_montecarlo_critical",   # seeded simulation, not SQL-expressible
     "q_approx_percentile",     # GK quantile sketch values are engine-specific
-    "q_transformer_rerank",    # a transformer forward pass is not SQL-expressible
+    # q_transformer_rerank left this set in round 11: the scorer is now
+    # the integer fixed-point transformer, reproduced relationally by a
+    # DuckDB oracle (the float softmax sibling remains pytest-pinned).
 }
 
 FORBIDDEN_TYPES = {"array", "map", "struct"}

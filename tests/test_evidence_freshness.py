@@ -96,6 +96,10 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_dedup_clusters": 11,
     "q_bipartite_check": 11,
     "q_grid_cluster": 11,
+    # round-11: the scorer became the integer fixed-point transformer and
+    # the query gained a relational DuckDB oracle (left the rows-only set;
+    # output contract changed from float score to bigint logit).
+    "q_transformer_rerank": 11,
 }
 
 

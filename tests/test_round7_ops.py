@@ -250,10 +250,14 @@ def test_transformer_scores_discriminate_and_are_deterministic():
 
 
 def test_transformer_rerank_spark_topk(spark, sf_dir):
-    """End-to-end through mapInPandas: batch scores must equal the local
-    forward pass, and the per-query top-3 window must rank by them."""
+    """End-to-end through mapInPandas for BOTH scorers: the catalog query
+    (integer model since round 11) must equal the local integer forward,
+    and the float transformer operator must equal the local float forward;
+    the per-query top-3 window must rank by the scores."""
     from platform_etl_backend_spark.catalog import QUERIES
-    from platform_etl_backend_spark.operators.rerank import _forward, _token_ids
+    from platform_etl_backend_spark.operators.rerank import (
+        _forward, _int_forward, _int_tokenize, _token_ids, transformer_rerank,
+    )
 
     out = QUERIES["q_transformer_rerank"].fn(spark, sf_dir)
     rows = out.collect()
@@ -265,20 +269,33 @@ def test_transformer_rerank_spark_topk(spark, sf_dir):
     import numpy as np
 
     for r in rows[:10]:
-        ids, segs = _token_ids(docs[r["query_id"]], docs[r["doc_id"]])
-        want = float(np.round(_forward([ids], [segs]), 9)[0])
-        assert r["score"] == want
-    # ranks ordered by score desc within query
+        ids, segs = _int_tokenize(docs[r["query_id"]], docs[r["doc_id"]])
+        assert r["logit"] == int(_int_forward([ids], [segs])[0])
+    # ranks ordered by logit desc within query
     from collections import defaultdict
 
     per_q = defaultdict(list)
     for r in rows:
-        per_q[r["query_id"]].append((r["rk"], r["score"], r["doc_id"]))
+        per_q[r["query_id"]].append((r["rk"], r["logit"], r["doc_id"]))
     for q_, lst in per_q.items():
         lst.sort()
         assert len(lst) <= 3
         scores = [s for _, s, _ in lst]
         assert scores == sorted(scores, reverse=True)
+    # the float model path stays covered through the operator
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = d.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"), "source"
+    )
+    c = d.select("doc_id", F.col("text").alias("dtext"), "source")
+    pairs = q.join(c, "source").where(F.col("doc_id") != F.col("query_id"))
+    frows = transformer_rerank(
+        pairs, "query_id", "doc_id", "qtext", "dtext", k=2
+    ).collect()
+    assert frows
+    for r in frows[:5]:
+        ids, segs = _token_ids(docs[r["query_id"]], docs[r["doc_id"]])
+        assert r["score"] == float(np.round(_forward([ids], [segs]), 9)[0])
 
 
 # --- distributed logistic-regression GD --------------------------------------
