@@ -269,33 +269,26 @@ TRACKED = [
 # ONCE per bench run (a drift alarm, not a steady-state estimator — the
 # full min-of-3 treatment on ~100s of heavies would triple bench cost);
 # the per-round BENCH_FULL survey remains the complete map.
-SURVEYED = [
-    # deliberate brute-force O(n^2) exact cosine baseline — the ground
-    # truth the q_ann_* scale paths are recall-audited against
+# Round 11 (VERDICT #6): the round-10 kernel/plan rewires made the former
+# surveyed heavies cheap enough for the headline set (fuzzy_damerau
+# 17.9->4.3, embedding_near_dup 15.8->~2 with the planted pairs, the IVF
+# family 1.3-3.0, graph_closure 3.8, dedup_clusters 1.7, winnow ~3) —
+# keeping them surveyed just hid them from the round-over-round headline
+# trend. They are appended to HEADLINE below; headline totals re-base
+# this round (n grows 214 -> 223, noted in DEVNOTES).
+SURVEYED = []
+
+HEADLINE.extend([
     "q_embedding_near_dup",
-    # Damerau verify over deletion-neighborhood candidates: char-array
-    # HOF transposition predicate is ~6 array ops per candidate pair —
-    # bounded by sum(block^2), heavy per-row by design
     "q_fuzzy_damerau",
-    # IVF family: each assigns (and q_ann_ivf_kmeans re-fits) its coarse
-    # quantizer in-query; the probe join costs ~nprobe*n^2/k, which is
-    # big at the catalog's deliberately tiny k=8 — the k knob controls it
-    # (measured cost model in SCALE.md round-9 section), never corpus^2
-    # at production k
     "q_ann_ivf_nprobe",
     "q_ann_ivf_kmeans",
     "q_ann_ivf",
     "q_ann_multiprobe",
-    # minhash + connected-components composite: iterative large/small-star
-    # rounds on the candidate graph (same class as q_entity_resolution)
     "q_dedup_clusters",
-    # iterative broadcast hop-joins to fixpoint (DAG closure depth) —
-    # per-iteration cost bounded by the frontier, rounds = graph depth
     "q_graph_closure",
-    # winnowing needs every k-gram hash + per-position window argmin —
-    # the positional-shingle explode is ~len(text) rows per doc by design
     "q_winnow_fingerprint",
-]
+])
 
 
 def main() -> None:

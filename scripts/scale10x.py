@@ -187,20 +187,13 @@ def minhash_recall(spark, sf_dir: str, bandings=((8, 4), (16, 4), (16, 8))) -> d
     return out
 
 
-def ann_recall(spark, sf_dir: str, cent_counts=(8, 64), nprobes=(1, 2, 4)) -> dict:
-    """IVF recall@1 against the EXACT brute-force top-1 (ground truth via
-    the block-tiled all-pairs kernel — affordable even at the 10x corpus)
-    per (centroid count, nprobe). Records, next to recall, the candidate
-    cost the probe actually paid (Σ probe-cell sizes) — the numbers that
-    justify the k-with-corpus and nprobe rules at scale."""
+def _exact_top1(spark, emb):
+    """EXACT brute-force top-1 per vector (ground truth via the block-tiled
+    all-pairs kernel — affordable even at the 10x corpus)."""
     from pyspark.sql import functions as F
 
-    from platform_etl_backend_spark.catalog.registry import table
     from platform_etl_backend_spark.operators import similarity as S
 
-    emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    t0 = time.time()
     pairs = S.all_pairs_dots_blocked(emb, "vec_id", "embedding", blocks=32)
     both = pairs.select(
         F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"),
@@ -213,12 +206,28 @@ def ann_recall(spark, sf_dir: str, cent_counts=(8, 64), nprobes=(1, 2, 4)) -> di
     # map-side combine collapses the n² pair rows before the shuffle —
     # the windowed formulation shuffled all 400M rows at 10x and OOM'd a
     # python worker. Struct max = (cos desc, then nb asc via negation).
-    truth = (
+    return (
         both.groupBy("q")
         .agg(F.max(F.struct(F.col("cos"), (-F.col("nb")).alias("m"))).alias("b"))
         .select("q", (-F.col("b.m")).alias("true_nb"))
         .localCheckpoint()
     )
+
+
+def ann_recall(spark, sf_dir: str, cent_counts=(8, 64), nprobes=(1, 2, 4)) -> dict:
+    """IVF recall@1 against the EXACT brute-force top-1 per (centroid
+    count, nprobe). Records, next to recall, the candidate cost the probe
+    actually paid (Σ probe-cell sizes) — the numbers that justify the
+    k-with-corpus and nprobe rules at scale."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog.registry import table
+    from platform_etl_backend_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t0 = time.time()
+    truth = _exact_top1(spark, emb)
     out = {"n_vectors": n, "truth_wall_s": round(time.time() - t0, 2)}
     for k in cent_counts:
         cents = emb.where(F.col("vec_id") < k)
@@ -238,6 +247,78 @@ def ann_recall(spark, sf_dir: str, cent_counts=(8, 64), nprobes=(1, 2, 4)) -> di
     return out
 
 
+def lsh_recall(
+    spark, sf_dir: str, nbits: int = 4, probes=(0, 2, 4), tables=(1, 2, 4)
+) -> dict:
+    """Recall@1 + paid cost for the sign-bit LSH family (round-11 VERDICT
+    #5): multi-PROBE (Hamming-1 query fan-out within one table) and
+    multi-TABLE (OR-amplification across independent dimension blocks),
+    both against the exact brute-force top-1. Beside wall and recall it
+    records the STRUCTURAL candidate bound each knob buys:
+    - single table, p probes: Σ_b n_b² pairs, times (1 + p) on the query
+      side (only the fan-out multiplies — the index is untouched);
+    - L tables: Σ_ℓ Σ_b n_{ℓ,b}² (each table's own bucket skyline).
+    The knob rule these numbers pin: probes buy recall within ONE
+    projection (cost multiplier exact and linear), tables buy recall
+    across INDEPENDENT projections (1-(1-r)^L composition) at a full
+    extra Σn² per table — see SCALE.md round-11."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_backend_spark.catalog.registry import table
+    from platform_etl_backend_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t0 = time.time()
+    truth = _exact_top1(spark, emb)
+    out = {"n_vectors": n, "truth_wall_s": round(time.time() - t0, 2)}
+    vec = S.as_double_array("embedding")
+    for p in probes:
+        tag = f"probe{p}"
+        t0 = time.time()
+        ann = S.bucketed_ann_top1(emb, "vec_id", "embedding",
+                                  nbits=nbits, probes=p)
+        hits = (
+            ann.join(truth, ann.query_id == truth.q)
+            .where(F.col("neighbor_id") == F.col("true_nb"))
+            .count()
+        )
+        out[f"{tag}_wall_s"] = round(time.time() - t0, 2)
+        out[f"{tag}_recall1"] = round(hits / n, 4)
+        base_pairs = int(
+            S.bucket_stats(emb, "embedding", nbits)
+            .agg(F.sum(F.col("n") * F.col("n")).alias("c"))
+            .first()["c"]
+        )
+        out[f"{tag}_pair_bound"] = base_pairs * (1 + p)
+        spark.catalog.clearCache()
+    for L in tables:
+        tag = f"tables{L}"
+        t0 = time.time()
+        ann = S.multitable_ann_top1(emb, "vec_id", "embedding",
+                                    nbits=nbits, tables=L)
+        hits = (
+            ann.join(truth, ann.query_id == truth.q)
+            .where(F.col("neighbor_id") == F.col("true_nb"))
+            .count()
+        )
+        out[f"{tag}_wall_s"] = round(time.time() - t0, 2)
+        out[f"{tag}_recall1"] = round(hits / n, 4)
+        cost = 0
+        for t in range(L):
+            cost += int(
+                emb.select(
+                    S.sign_bucket(vec, nbits, offset=t * nbits).alias("b")
+                )
+                .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.col("n") * F.col("n")).alias("c"))
+                .first()["c"]
+            )
+        out[f"{tag}_pair_bound"] = cost
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -251,6 +332,9 @@ def main() -> None:
     ap.add_argument("--ann-recall", action="store_true",
                     help="measure IVF recall@1 vs exact brute-force truth "
                     "per (centroids, nprobe) at BOTH corpora")
+    ap.add_argument("--lsh-recall", action="store_true",
+                    help="measure sign-bit LSH recall@1 vs exact truth per "
+                    "(probes, tables) knob at BOTH corpora")
     args = ap.parse_args()
 
     from platform_etl_backend_spark.engine.session import get_spark
@@ -268,6 +352,13 @@ def main() -> None:
         print(f"built {args.mult}x corpus in {time.time()-t0:.1f}s", flush=True)
 
     result = {"mult": args.mult, "base": args.base}
+    if args.lsh_recall:
+        for label, d in (("lsh_1x", args.base), (f"lsh_{args.mult}x", args.out)):
+            result[label] = lsh_recall(spark, d)
+            print(json.dumps({label: result[label]}), flush=True)
+        spark.stop()
+        print(json.dumps(result))
+        return
     if args.ann_recall:
         for label, d in (("ann_1x", args.base), (f"ann_{args.mult}x", args.out)):
             result[label] = ann_recall(spark, d)
