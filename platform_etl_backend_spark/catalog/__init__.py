@@ -182,6 +182,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    integer fixed-point cross-encoder with a relational DuckDB
     #    oracle — it leaves the rows-only set (displaces q_png_decode)
     "q_transformer_rerank",
+    # -- round-11 optimization-pass changed plans (see CHANGED_CONTRACTS):
+    #    fuzzy pair expansion now codegen posexplode+slice+explode (both
+    #    fuzzy consumers), retrieval/MAP eval term-filtered tf shape, PCA
+    #    one-row array-fold iteration. Seats displace the BACK of the
+    #    stale prefix (q_linear_trend .. q_ohlc_bars → round-12 rotation).
+    "q_fuzzy_damerau",
+    "q_fuzzy_token_join",
+    "q_retrieval_eval",
+    "q_map_eval",
+    "q_pca_power",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -220,11 +230,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_jpeg_roundtrip",
     "q_kl_divergence",
     "q_kneser_ney",
-    "q_linear_trend",
-    "q_llr_contingency",
-    "q_lm_quantile_filter",
-    "q_mode_per_group",
-    "q_ohlc_bars",
 )
 
 

@@ -1350,7 +1350,7 @@ def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = und.selectExpr("x AS src", "y AS dst").unionByName(
         und.selectExpr("y AS src", "x AS dst")
     )
-    cc = connected_components(sym, "src", "dst")
+    cc = connected_components(sym, "src", "dst", check_every=2)
     roots = cc.groupBy("component").agg(F.min("node").alias("node")).select("node")
     dist = pairwise_hop_distances(sym, max_hops=16, sources=roots)
     colored = dist.select(

@@ -224,7 +224,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
     ).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    # near-dup doc clusters are tiny stars — the star fixpoint lands in
+    # ~2 rounds; checking every 2nd round halves the per-round action
+    # overhead (round-11 orchestration audit, same as q_grid_cluster)
+    cc = connected_components(pairs, "id_a", "id_b", check_every=2)
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.concat_ws(
@@ -2364,7 +2367,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.fuzzy_pairs_dist1(c, "c_custkey", "c_name", dedup=False).select(
         "tok_a", "tok_b"
     )
-    cc = connected_components(pairs, "tok_a", "tok_b")
+    # check_every=3: this adversarial graph converges at exactly round 3
+    # (measured round-11) — batching the fixpoint check lets the three
+    # rounds' lazy localCheckpoints materialize inside ONE job instead of
+    # three round-boundary actions (the composite is action-latency-bound)
+    cc = connected_components(pairs, "tok_a", "tok_b", check_every=3)
     # one-pass tail (round-11 VERDICT #4): every node IS a customer name
     # (the vocab came from c_name), so joining per-name record counts
     # onto cc and aggregating ONCE by component replaces the former two
@@ -5267,13 +5274,28 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(D.ws_tokens("text")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # Round-11 rewrite (guide §2.3, project/filter before the exchange):
+    # only the 8 query terms' tf rows ever reach the scoring join, and a
+    # doc's length equals size(tokens) (split of a trimmed string is never
+    # an empty list, so dl = SUM(tf) over all words = the array length).
+    # The former full-corpus (doc, word) rollup + per-doc dl rollup +
+    # full-vocab dfreq collapse to: a map-side dl column carried through
+    # the explode, a pre-shuffle isin filter down to the term set, and a
+    # term-only dfreq — the full token stream never crosses an exchange
+    # and the dl join disappears.
+    toks = d.select(
+        "doc_id",
+        F.size(D.ws_tokens("text")).cast("bigint").alias("dl"),
+        F.explode(D.ws_tokens("text")).alias("w"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(*_REVAL_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()  # dfreq + scored both consume it: one corpus explode
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    g = dl.agg(
+    g = d.select(F.size(D.ws_tokens("text")).cast("bigint").alias("dl")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
@@ -5286,7 +5308,6 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q).join(tf, q.term == tf.w)
         .join(F.broadcast(dfreq), "w")  # vocab-bounded — safe at any scale
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .select(
             "term", "doc_id",
@@ -5746,13 +5767,23 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.functions.portable_math import portable_ln_ratio
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(D.ws_tokens("text")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # Same round-11 shape as q_retrieval_eval: dl rides the explode
+    # map-side and the token stream is filtered to the 8 query terms
+    # BEFORE the only aggregation shuffle (dl = size(tokens) = SUM(tf)
+    # exactly; the full-vocab dfreq was only ever consumed at the terms).
+    toks = d.select(
+        "doc_id",
+        F.size(D.ws_tokens("text")).cast("bigint").alias("dl"),
+        F.explode(D.ws_tokens("text")).alias("w"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(*_REVAL_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()  # dfreq + scored both consume it: one corpus explode
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    g = dl.agg(
+    g = d.select(F.size(D.ws_tokens("text")).cast("bigint").alias("dl")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
@@ -5765,7 +5796,6 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q).join(tf, q.term == tf.w)
         .join(F.broadcast(dfreq), "w")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .select(
             "term", "doc_id",

@@ -1342,35 +1342,59 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ut.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ).localCheckpoint()  # the 64x64 matrix reused by every iteration
-    v = spark.range(64).select(
-        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
     )
-    nrm_last = None
+    # Round-11 rewrite: the former loop ran each of the 20 matrix-vector
+    # rounds as a distributed join + two aggregations on a 64-row frame —
+    # 40 shuffles + 20 checkpoint jobs of pure orchestration (~3.8 s at
+    # sf0.1 for constant-size math). The 64x64 matrix now packs into ONE
+    # row (two bounded collect_list aggregations) and every iteration is
+    # an array fold on that row. Arithmetic is value-identical: each
+    # cov*v / u*u term is the same IEEE product cast to DECIMAL(28,12)
+    # (exact, so the fold order cannot matter — Spark's decimal SUM
+    # accumulates in DECIMAL(38,12), which the aggregate() accumulator
+    # reproduces), the double cast / sqrt / division stay IEEE. One
+    # localCheckpoint per iteration still fences CollapseProject from
+    # re-inlining the fold exponentially (the logreg/tree_depth2 lesson).
+    rows = cm.groupBy("i").agg(
+        F.sort_array(F.collect_list(F.struct("j", "cov"))).alias("r")
+    )
+    mat = rows.agg(
+        F.sort_array(F.collect_list(F.struct("i", "r"))).alias("mr")
+    ).select(
+        F.transform("mr", lambda s: F.transform(s["r"], lambda e: e["cov"])).alias("m")
+    )
+    state = mat.select(
+        "m", F.array_repeat(F.lit(0.125), 64).alias("v")
+    ).localCheckpoint()
+    # Accumulator is DECIMAL(37,12): 37,12 + 28,12 widens to exactly
+    # 38,12 (no precision-loss scale adjustment, so no 11-dp rounding),
+    # and the cast back to 37,12 is scale-preserving — every partial sum
+    # is the exact rational, same value Spark's decimal SUM buffer holds.
+    u_expr = (
+        "transform(m, row -> cast(aggregate("
+        "zip_with(row, v, (c, x) -> cast(c * x as decimal(28,12))), "
+        "cast(0 as decimal(37,12)), "
+        "(acc, t) -> cast(acc + t as decimal(37,12))) as double))"
+    )
+    nrm_expr = (
+        "sqrt(cast(aggregate(u, cast(0 as decimal(37,12)), "
+        "(acc, x) -> cast(acc + cast(x * x as decimal(28,12)) as decimal(37,12))"
+        ") as double))"
+    )
     for _ in range(_PCA_ITERS):
-        u = (
-            cm.join(v.select(F.col("i").alias("j"), "v"), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("cov") * F.col("v")).cast("decimal(28,12)"))
-                .cast("double")
-                .alias("u")
-            )
-        )
-        nrm = u.agg(
-            F.sqrt(
-                F.sum((F.col("u") * F.col("u")).cast("decimal(28,12)")).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            u.crossJoin(F.broadcast(nrm))
-            .select("i", (F.col("u") / F.col("nrm")).alias("v"))
+        state = (
+            state.selectExpr("m", f"{u_expr} AS u")
+            .selectExpr("m", "u", f"{nrm_expr} AS nrm")
+            .selectExpr("m", "transform(u, x -> x / nrm) AS v", "nrm")
             .localCheckpoint()
         )
-        nrm_last = nrm
     return (
-        v.crossJoin(F.broadcast(nrm_last.select(F.round("nrm", 9).alias("eigval"))))
-        .select("i", F.round("v", 6).alias("loading"), "eigval")
+        state.select(F.posexplode("v").alias("i", "loading"), "nrm")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.round("loading", 6).alias("loading"),
+            F.round("nrm", 9).alias("eigval"),
+        )
         .orderBy("i")
     )
 

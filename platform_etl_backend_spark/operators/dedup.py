@@ -674,21 +674,16 @@ def _variant_pair_candidates(
                 "is pathological for this input — pre-split the blocking key "
                 "(e.g. add a length or prefix component) or raise the bound"
             )
-    sz = F.size("toks")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), sz - 1),
-            lambda i: F.transform(
-                F.slice(F.col("toks"), i + 1, sz),
-                lambda y: F.struct(
-                    F.element_at(F.col("toks"), i).alias("tok_a"),
-                    y.alias("tok_b"),
-                ),
-            ),
-        )
-    )
-    return buckets.select(F.explode(pairs).alias("p")).select(
-        "p.tok_a", "p.tok_b"
+    # In-bucket pair expansion as two generates (posexplode + slice +
+    # explode): the former nested transform/flatten lambda HOFs emitted
+    # the same pairs but interpreted per element (HOF lambdas do not
+    # codegen — the CDC lesson); slice with a Column start is a plain
+    # codegen expression, so this path stays in whole-stage codegen
+    # end to end (round-11, ~20% off the expansion+verify stage).
+    ex = buckets.select("toks", F.posexplode("toks").alias("i", "tok_a"))
+    return ex.select(
+        "tok_a",
+        F.explode(F.slice("toks", F.col("i") + 2, F.size("toks"))).alias("tok_b"),
     )
 
 

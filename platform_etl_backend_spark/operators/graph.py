@@ -184,11 +184,15 @@ def connected_components(
     if not pre_normalized:
         e = e.where(F.col("a") != F.col("b")).distinct()
     e = e.localCheckpoint()
+    # nodes is consumed exactly once (the roots left_anti at the end) and
+    # derives from the checkpointed e, so it needs no checkpoint of its
+    # own — the former eager localCheckpoint here cost one extra job +
+    # materialization per CC call for nothing (round-11 orchestration
+    # audit: consumers are action-latency-bound, not data-bound).
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     # check_every > 1 amortizes the fixpoint check (two exceptAll shuffles
     # + an isEmpty action per check) across rounds: with a caller-supplied

@@ -59,11 +59,13 @@ CHANGED_CONTRACTS: dict[str, int] = {
     # (Helpers.scala:154-167) in round 10.
     "q_flatten_cat_labels": 10,
     # round-10 fuzzy-verify rewire (bounded levenshtein, verify-before-
-    # distinct, zip_with+substr transposition, bucket-checkpoint fence):
-    # same output, new plan shape for every _variant_pair_candidates
-    # consumer.
-    "q_fuzzy_damerau": 10,
-    "q_fuzzy_token_join": 10,
+    # distinct, zip_with+substr transposition, bucket-checkpoint fence);
+    # round-11: the in-bucket pair expansion moved from nested transform/
+    # flatten lambda HOFs to codegen posexplode+slice+explode (same pair
+    # multiset, new plan shape for every _variant_pair_candidates
+    # consumer).
+    "q_fuzzy_damerau": 11,
+    "q_fuzzy_token_join": 11,
     # round-10 fuzzy rewire; round-11: dedup=False feed into CC (one pair
     # dedup shuffle instead of two) + one-pass tail aggregation.
     "q_entity_resolution": 11,
@@ -100,6 +102,16 @@ CHANGED_CONTRACTS: dict[str, int] = {
     # the query gained a relational DuckDB oracle (left the rows-only set;
     # output contract changed from float score to bigint logit).
     "q_transformer_rerank": 11,
+    # round-11 optimization pass (same output, new plan shape):
+    # - retrieval/MAP eval: dl rides the explode map-side (= size(tokens))
+    #   and the token stream is filtered to the 8 query terms before the
+    #   only aggregation shuffle; the full-corpus tf/dl rollups are gone.
+    "q_retrieval_eval": 11,
+    "q_map_eval": 11,
+    # - PCA power iteration: the 64x64 matrix packs into one row and the
+    #   20 matrix-vector rounds run as decimal array folds (value-
+    #   identical; was 40 shuffles + 20 checkpoint jobs of orchestration).
+    "q_pca_power": 11,
 }
 
 
