@@ -146,12 +146,12 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 #   (q_asof_join, q_audio_decode, q_dedup_clusters, q_image_decode,
 #    q_range_join),
 # - the alphabetical prefix of the 49-name round-4-latest cohort that
-#   fits after the fronted changed-contract seats (35 names with the 5
-#   round-11 kernel-flip seats: q_agg_basic .. q_sentence_split). The
-#   14-name tail (q_sequence_match .. q_winsorized_mean) is the derived
-#   exemption and fronts the round-12 rotation. Changed contracts added
-#   mid-round seat by displacing from the BACK of the stale prefix —
-#   the rotation test recomputes the expected prefix.
+#   fits after the fronted changed-contract seats (24 names after the
+#   second optimization-pass batch: q_agg_basic .. q_kl_divergence...
+#   see the list itself — the rotation test recomputes the exact
+#   prefix). The tail is the derived exemption and fronts the round-12
+#   rotation. Changed contracts added mid-round seat by displacing from
+#   the BACK of the stale prefix.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -192,6 +192,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_retrieval_eval",
     "q_map_eval",
     "q_pca_power",
+    # -- round-11 optimization-pass changed plans, second batch: closure
+    #    double-method single-job rounds, NB single-explode tf rollup,
+    #    winnow explode+codegen-md5, viterbi lateral-alias selectExpr.
+    #    Seats displace the BACK of the stale prefix
+    #    (q_interp_lm .. q_kneser_ney → round-12 rotation).
+    "q_graph_closure",
+    "q_naive_bayes",
+    "q_nb_crossval",
+    "q_winnow_fingerprint",
+    "q_unigram_tokenize",
+    "q_unigram_em_costs",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -224,12 +235,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_funnel_windowed",
     "q_hard_negatives",
     "q_hll_estimate",
-    "q_interp_lm",
-    "q_interval_overlap",
-    "q_item_cooccur",
-    "q_jpeg_roundtrip",
-    "q_kl_divergence",
-    "q_kneser_ney",
 )
 
 

@@ -2910,7 +2910,14 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.month("o_orderdate").cast("bigint") / 12.0).alias("x2"),
         F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
     ).persist()
-    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint()
+    # lazy checkpoints (round-11): the count frame and each step's weight
+    # frame still cut lineage, but materialize inside the NEXT step's
+    # gradient-broadcast job instead of paying one eager driver job each
+    # (the query was construction-bound: 2.7 s of eager 1-row jobs vs
+    # 0.1 s of execution at sf0.1)
+    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )
     w = spark.sql("SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c")
     lr = float(_LR_RATE)
     for _ in range(_LR_STEPS):
@@ -2937,8 +2944,10 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # 1-row weight frame: checkpoint per step, or the final plan
             # nests every step's aggregation and Catalyst replans the
-            # whole chain at the end (measured 5.2 -> 3.8 s warm at sf0.1)
-            .localCheckpoint()
+            # whole chain at the end (measured 5.2 -> 3.8 s warm at
+            # sf0.1); eager=False so the materialization rides the next
+            # step's broadcast build instead of its own job
+            .localCheckpoint(eager=False)
         )
     acc = pts.crossJoin(F.broadcast(w)).agg(
         F.sum(

@@ -5097,20 +5097,22 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.explode(D.ws_tokens("text")).alias("w")
     )
-    # toks deliberately NOT persisted: re-scanning + re-exploding the
-    # columnar scan is cheaper than materializing 3.8M exploded rows
-    # (measured 4.9 s vs 6.1 s quiet at sf0.1)
+    # Round-11: ONE explode pass. tf carries source (functional on
+    # doc_id, so the group count is unchanged) and is persisted; the
+    # class-conditional counts then aggregate from the persisted tf frame
+    # (SUM(tf) == the former straight-off-the-token-scan COUNT) instead
+    # of re-scanning + re-exploding the corpus a second time. The r7
+    # lesson against materializing the 3.8M exploded TOKEN rows still
+    # holds — tf is the much smaller distinct (doc, word) rollup.
     # Every doc contributes >= 1 token (split of a trimmed string is never
     # an empty list on either engine), so the oracle's COUNT(DISTINCT
     # doc_id) frames collapse to plain doc counts — computed from the
     # 1-row-per-doc table, never by shuffling the token frame.
-    tf = toks.groupBy("doc_id", "w").agg(
+    tf = toks.groupBy("doc_id", "source", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    # class-conditional counts aggregate MAP-SIDE to |classes| x |vocab|
-    # rows straight off the token scan — no pass over the tf frame
-    cw = toks.groupBy(F.col("source").alias("s"), "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_ws")
+    ).persist()
+    cw = tf.groupBy(F.col("source").alias("s"), "w").agg(
+        F.sum("tf").cast("bigint").alias("c_ws")
     ).persist()
     vocab = cw.select("w").distinct()
     vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_n"))
@@ -5164,14 +5166,13 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         tf.join(F.broadcast(costp), "w")
-        .groupBy("doc_id")
+        .groupBy("doc_id", F.col("source").alias("actual"))
         .agg(
             *[
                 F.sum(F.col("tf") * F.col(f"c_{s}")).cast("bigint").alias(f"s_{s}")
                 for s in classes
             ]
         )
-        .join(d.select("doc_id", F.col("source").alias("actual")), "doc_id")
         .crossJoin(F.broadcast(priorp))
     )
     best = F.greatest(
@@ -5586,11 +5587,15 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "fold", "source", F.explode(D.ws_tokens("text")).alias("w")
     )
-    tf = toks.groupBy("doc_id", "fold", "w").agg(
+    # ONE explode pass (round-11, same shape as q_naive_bayes): tf
+    # carries source and is persisted; the per-fold class counts are
+    # SUM(tf) over the persisted rollup instead of a second corpus
+    # explode.
+    tf = toks.groupBy("doc_id", "fold", "source", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    cwf = toks.groupBy("fold", F.col("source").alias("s"), "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    cwf = tf.groupBy("fold", F.col("source").alias("s"), "w").agg(
+        F.sum("tf").cast("bigint").alias("c")
     ).persist()
     cwt = cwf.groupBy("s", "w").agg(F.sum("c").cast("bigint").alias("c"))
     vocab = cwt.select("w").distinct()
@@ -5663,14 +5668,13 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         tf.join(F.broadcast(costp), ["fold", "w"])
-        .groupBy("doc_id", "fold")
+        .groupBy("doc_id", "fold", F.col("source").alias("actual"))
         .agg(
             *[
                 F.sum(F.col("tf") * F.col(f"c_{s}")).cast("bigint").alias(f"s_{s}")
                 for s in classes
             ]
         )
-        .join(d.select("doc_id", F.col("source").alias("actual")), "doc_id")
         .join(F.broadcast(priorp), "fold")
     )
     best = F.greatest(

@@ -414,10 +414,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 def winnow_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over rolling k-gram
-    windows (rolling-hash family via md5)."""
-    sh = k_shingles(ws_tokens(text_col), k)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    windows (rolling-hash family via md5).
+
+    Round-11 shape: explode the k-gram windows and md5+min-aggregate by
+    doc instead of the former map-side array_min∘transform — the lambda
+    HOF interprets per shingle (no codegen) and dominated the operator
+    (measured ~3 s execute at sf0.1), while the generate → codegen md5 →
+    partial-agg min path is the wordcount shape the weighted-minhash
+    rewire already proved out. min over duplicates == min over the
+    distinct set, so dropping k_shingles' array_distinct is
+    value-neutral; the whole-doc fallback for docs shorter than k tokens
+    is preserved inline."""
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    # positions 1..n-k+1 when n >= k; position 0 marks the whole-doc gram
+    pos = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array(F.lit(0))
+    )
+    ex = spread(df, id_col).select(
+        F.col(id_col), toks.alias("t"), F.explode(pos).alias("i")
+    )
+    gram = F.when(
+        F.col("i") == 0, F.concat_ws(" ", F.col("t"))
+    ).otherwise(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), k)))
+    return (
+        ex.groupBy(id_col)
+        .agg(F.min(F.md5(gram)).alias("fingerprint"))
+    )
 
 
 def positional_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

@@ -57,15 +57,50 @@ def transitive_closure(
     hop = e.select(F.col("a").alias("j"), F.col("d").alias("d2"))
     converged = False
 
-    def _fresh_paths() -> DataFrame:
-        if method == "double":
-            # everything within 2^k hops is in closure after round k, so
-            # closure∘closure reaches 2^(k+1)
+    if method == "double":
+        # Round-11 orchestration rewrite: the former per-round
+        # fresh-paths checkpoint + isEmpty + union checkpoint cost three
+        # job boundaries per round on a frame whose data is tiny compared
+        # to the action latency. closure_{k+1} = (closure ∘ closure) ∪
+        # closure as ONE distinct + checkpoint (single job), convergence
+        # = the pair count stopped growing (a count() on the
+        # just-checkpointed frame is a near-free second action). Same
+        # final pair set: the left_anti formulation accumulated exactly
+        # this union, round for round.
+        prev = closure.count()
+        for _ in range(max_iter):
             step = closure.select(F.col("a").alias("j"), F.col("d").alias("d2"))
             left = closure.select("a", F.col("d").alias("j"))
-        else:
-            step = F.broadcast(hop) if broadcast_edges else hop
-            left = frontier.select("a", F.col("d").alias("j"))
+            nxt = left.join(step, "j").select("a", F.col("d2").alias("d"))
+            merged = closure.unionByName(nxt).distinct().localCheckpoint()
+            cnt = merged.count()
+            closure = merged
+            if cnt == prev:
+                converged = True
+                break
+            prev = cnt
+        if not converged:
+            # boundary case (round-11 ADVICE, same as hop): a graph whose
+            # closure completes on the LAST round is correct — one extra
+            # probe round distinguishes "complete" from "truncated".
+            step = closure.select(F.col("a").alias("j"), F.col("d").alias("d2"))
+            left = closure.select("a", F.col("d").alias("j"))
+            nxt = left.join(step, "j").select("a", F.col("d2").alias("d"))
+            probe = closure.unionByName(nxt).distinct().localCheckpoint()
+            converged = probe.count() == prev
+        if not converged:
+            raise RuntimeError(
+                f"transitive_closure(double): not converged after {max_iter} "
+                "rounds — graph deeper than the cap (or cyclic); raise "
+                "max_iter"
+            )
+        return closure.select(
+            F.col("a").alias("ancestor"), F.col("d").alias("descendant")
+        )
+
+    def _fresh_paths() -> DataFrame:
+        step = F.broadcast(hop) if broadcast_edges else hop
+        left = frontier.select("a", F.col("d").alias("j"))
         nxt = left.join(step, "j").select("a", F.col("d2").alias("d")).distinct()
         return nxt.join(closure, ["a", "d"], "left_anti").localCheckpoint()
 

@@ -127,93 +127,86 @@ def viterbi_segment(
     """Segment every word type: (word, freq, n_chars, pieces '|'-joined,
     n_pieces, cost_micro). The vocabulary arrives as a 1-row broadcast map
     (bounded size by construction), the DP is ``wmax`` static levels of
-    LEAST/CASE column expressions, the backtrack is ``wmax`` more — the
-    whole segmentation is map-side; zero shuffles past the inputs."""
+    LEAST/CASE expressions, the backtrack is ``wmax`` more — the whole
+    segmentation is map-side; zero shuffles past the inputs.
+
+    Round-11 build rewrite: the DP is emitted as ONE selectExpr whose
+    items reference earlier items by lateral column alias, instead of a
+    ~160-deep withColumn chain. Each withColumn call re-resolved the
+    whole accumulated plan (measured ~2 s of driver-side DataFrame
+    construction per run at this unroll depth); the lateral-alias form
+    is one analysis pass and CollapseProject yields the same executed
+    plan — expression for expression identical, so the segmentation is
+    value-identical.
+    """
     vmap = vocab.agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("piece", "cost_micro")))
         ).alias("m")
     )
-    w = words.crossJoin(F.broadcast(vmap)).withColumn(
-        "n", F.length("word").cast("int")
+    base = words.crossJoin(F.broadcast(vmap)).select(
+        "word", "freq", F.length("word").cast("int").alias("n"), "m"
     )
 
+    items: list[str] = ["word", "freq", "n"]
     # cost of the piece ENDING at position i with length j (1-based, fully
     # inside the word whenever j <= i <= n; positions i > n are computed
     # but provably never read — the backtrack walks down from n)
-    def c(i: int, j: int) -> str:
-        return f"c_{i}_{j}"
-
     for i in range(1, wmax + 1):
         for j in range(1, min(lmax, i) + 1):
-            w = w.withColumn(
-                c(i, j),
-                _cost_lookup(
-                    F.col("m"), F.substring(F.col("word"), i - j + 1, j), j
-                ),
+            fallback = UNI_UNK_MICRO if j == 1 else UNI_INF_MICRO
+            items.append(
+                f"COALESCE(try_element_at(m, substring(word, {i - j + 1}, {j})), "
+                f"CAST({fallback} AS BIGINT)) AS c_{i}_{j}"
             )
-
-    w = w.withColumn("best_0", F.lit(0).cast("bigint"))
+    items.append("CAST(0 AS BIGINT) AS best_0")
     for i in range(1, wmax + 1):
-        # materialize candidates as columns: best_i and bp_i then reference
-        # ATTRIBUTES instead of duplicating the add expressions — keeps the
-        # generated whole-stage code small (the duplicated-expression form
-        # compiled noticeably slower at this unroll depth)
-        names = []
-        for j in range(1, min(lmax, i) + 1):
-            name = f"cand_{i}_{j}"
-            w = w.withColumn(name, F.col(f"best_{i - j}") + F.col(c(i, j)))
-            names.append((j, name))
-        w = w.withColumn(
-            f"best_{i}",
-            F.least(*[F.col(n) for _, n in names]) if len(names) > 1 else F.col(names[0][1]),
+        # candidates as named items: best_i and bp_i then reference the
+        # ALIASES instead of duplicating the add expressions — keeps the
+        # generated whole-stage code small (the duplicated-expression
+        # form compiled noticeably slower at this unroll depth)
+        js = list(range(1, min(lmax, i) + 1))
+        for j in js:
+            items.append(f"best_{i - j} + c_{i}_{j} AS cand_{i}_{j}")
+        cands = ", ".join(f"cand_{i}_{j}" for j in js)
+        items.append(
+            (f"LEAST({cands})" if len(js) > 1 else f"cand_{i}_{js[0]}")
+            + f" AS best_{i}"
         )
-        bp: Column | None = None
-        for j, name in names:
-            hit = F.col(name) == F.col(f"best_{i}")
-            bp = F.when(hit, j) if bp is None else bp.when(hit, j)
-        w = w.withColumn(f"bp_{i}", bp.cast("int"))
+        bp = " ".join(
+            f"WHEN cand_{i}_{j} = best_{i} THEN {j}" for j in js
+        )
+        items.append(f"CAST(CASE {bp} END AS INT) AS bp_{i}")
 
-    def at(prefix: str, pos: Column) -> Column:
-        """prefix_<pos> for a runtime position (bounded CASE)."""
-        out: Column | None = None
-        for i in range(1, wmax + 1):
-            cond = pos == i
-            val = F.col(f"{prefix}_{i}")
-            out = F.when(cond, val) if out is None else out.when(cond, val)
-        return out
+    def at(prefix: str, pos: str) -> str:
+        # prefix_<pos> for a runtime position (bounded CASE)
+        arms = " ".join(
+            f"WHEN {pos} = {i} THEN {prefix}_{i}" for i in range(1, wmax + 1)
+        )
+        return f"CASE {arms} END"
 
-    w = w.withColumn("p_0", F.col("n"))
+    items.append("n AS p_0")
     for k in range(1, wmax + 1):
-        w = w.withColumn(
-            f"l_{k}",
-            F.when(F.col(f"p_{k - 1}") <= 0, F.lit(0)).otherwise(
-                at("bp", F.col(f"p_{k - 1}"))
-            ).cast("int"),
+        items.append(
+            f"CAST(CASE WHEN p_{k - 1} <= 0 THEN 0 ELSE "
+            + at("bp", f"p_{k - 1}")
+            + f" END AS INT) AS l_{k}"
         )
-        w = w.withColumn(f"p_{k}", (F.col(f"p_{k - 1}") - F.col(f"l_{k}")).cast("int"))
-        w = w.withColumn(
-            f"piece_{k}",
-            F.when(
-                F.col(f"l_{k}") > 0,
-                F.col("word").substr(F.col(f"p_{k}") + 1, F.col(f"l_{k}")),
-            ),
+        items.append(f"CAST(p_{k - 1} - l_{k} AS INT) AS p_{k}")
+        items.append(
+            f"CASE WHEN l_{k} > 0 THEN "
+            f"substr(word, p_{k - 1} - l_{k} + 1, l_{k}) END AS piece_{k}"
         )
-
     # backtrack emits last piece first — concat in reverse k order
     # (concat_ws skips NULL slots on both engines)
-    rev = [F.col(f"piece_{k}") for k in range(wmax, 0, -1)]
-    n_pieces = None
-    for k in range(1, wmax + 1):
-        term = (F.col(f"l_{k}") > 0).cast("int")
-        n_pieces = term if n_pieces is None else n_pieces + term
-    return w.select(
-        "word",
-        "freq",
-        F.col("n").alias("n_chars"),
-        F.concat_ws("|", *rev).alias("pieces"),
-        n_pieces.cast("int").alias("n_pieces"),
-        at("best", F.col("n")).cast("bigint").alias("cost_micro"),
+    rev = ", ".join(f"piece_{k}" for k in range(wmax, 0, -1))
+    npieces = " + ".join(f"CAST(l_{k} > 0 AS INT)" for k in range(1, wmax + 1))
+    items.append("n AS n_chars")
+    items.append(f"concat_ws('|', {rev}) AS pieces")
+    items.append(f"CAST({npieces} AS INT) AS n_pieces")
+    items.append(f"CAST({at('best', 'n')} AS BIGINT) AS cost_micro")
+    return base.selectExpr(*items).select(
+        "word", "freq", "n_chars", "pieces", "n_pieces", "cost_micro"
     )
 
 

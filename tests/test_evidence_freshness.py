@@ -71,7 +71,14 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_entity_resolution": 11,
     # round-10 iterative-plan fixes: graph closure path doubling (4 BSP
     # rounds, was 15 one-hop) and logreg's per-step weight checkpoint.
-    "q_graph_closure": 10,
+    # round-11 closure-double orchestration rewrite: one distinct+
+    # checkpoint job per round (union replaces the left_anti frontier
+    # diff) with count-converged detection — new plan shape.
+    # q_logreg_gd's round-11 eager=False checkpoints leave the executed
+    # plan STRUCTURALLY IDENTICAL (verified: plans/r11/q_logreg_gd_
+    # {before,after}.txt differ only in attribute ids), so its entry
+    # stays at 10.
+    "q_graph_closure": 11,
     "q_logreg_gd": 10,
     # round-10 Arrow cell-pair kernel (bit-identical sequential fold) for
     # the IVF pair-scoring stage.
@@ -112,6 +119,19 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   20 matrix-vector rounds run as decimal array folds (value-
     #   identical; was 40 shuffles + 20 checkpoint jobs of orchestration).
     "q_pca_power": 11,
+    # - naive bayes / crossval: ONE token-explode pass (tf carries
+    #   source/fold; class counts = SUM(tf) off the persisted rollup) and
+    #   the actual-label join folds into the per-doc groupBy.
+    "q_naive_bayes": 11,
+    "q_nb_crossval": 11,
+    # - winnowing fingerprint: interpreted array_min∘transform(md5) HOF
+    #   → explode positions + codegen md5 + partial-agg min.
+    "q_winnow_fingerprint": 11,
+    # - viterbi_segment: ~160-deep withColumn chain (stacked Projects,
+    #   2 s driver-side analysis per build) → one selectExpr with lateral
+    #   column aliases; same expressions, collapsed Project tree.
+    "q_unigram_tokenize": 11,
+    "q_unigram_em_costs": 11,
 }
 
 
