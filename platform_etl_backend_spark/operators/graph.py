@@ -16,7 +16,7 @@ Two ports:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 try:
@@ -200,7 +200,8 @@ def connected_components(
     component size — unlike min-label propagation, whose O(diameter)
     rounds crawl on long-chain duplicate graphs (the adversarial shape for
     chained near-dups at corpus scale). Each round is two key-partitioned
-    groupBy/join pairs; lineage is cut per round with localCheckpoint.
+    window passes (one exchange + sort per star phase) plus one distinct;
+    lineage is cut per round with localCheckpoint.
 
     Returns (node, component) where component is the minimum node id in
     the component.
@@ -237,35 +238,50 @@ def connected_components(
     # most check_every - 1 extra (cheap, already-converged) rounds run.
     cur = e  # already checkpointed above
     converged = False
+    # Per-neighborhood minima via a WINDOW over the partition key instead
+    # of the former groupBy(min) + self-join pair (round-11, guide §2.4
+    # "two operations keyed the same way share one exchange"): min(b)
+    # over (partition by a order by b) == first(b) in the sorted
+    # partition, so each star phase is ONE exchange + sort rather than an
+    # aggregation exchange PLUS a join of the same frame against it
+    # (which re-shuffled the frame a second time). Rows stay narrow — no
+    # collect_set of neighborhoods — so a giant component's root never
+    # materializes its member list in one task; WindowExec spills
+    # gracefully. Measured on the entity-resolution pair graph at sf0.1:
+    # 4.1 → 3.1 s for the CC stage, labels bit-identical.
+    w_ord = Window.partitionBy("a").orderBy("b")
     for it in range(max_iter):
         # large-star: Γ(u) from both edge directions; m = min(Γ(u) ∪ {u});
-        # emit (v, m) for v ∈ Γ(u), v > u.
+        # emit (v, m) for v ∈ Γ(u), v > u. No intermediate distinct: a
+        # pair emitted through several neighborhoods is re-deduplicated
+        # by small-star's distinct below, and the window min is
+        # duplicate-insensitive — the former per-phase distinct was one
+        # more full exchange per round.
         sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        lmins = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select("a", F.least("a", "mn").alias("m"))
+        lg = sym.select(
+            "a", "b", F.least(F.col("a"), F.first("b").over(w_ord)).alias("m")
         )
         large = (
-            sym.join(lmins, "a")
-            .where(F.col("b") > F.col("a"))
+            lg.where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
         )
-        # small-star: orient each edge large→small; m = min smaller
-        # neighbor; emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
-        # large's output is ALREADY oriented large→small (it emits (b, m)
-        # with m = min(Γ(a) ∪ {a}) <= a < b) and already distinct — the
-        # former greatest/least re-orientation + distinct here was a
-        # no-op shuffle per round.
-        oriented = large
-        smins = oriented.groupBy("a").agg(F.min("b").alias("m"))
-        joined = oriented.join(smins, "a")
+        # small-star: large's output is already oriented large→small (it
+        # emits (b, m) with m = min(Γ(a) ∪ {a}) <= a < b); m = min
+        # smaller neighbor; emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m. The
+        # (u, m) self-row is emitted exactly once per group via
+        # row_number == 1 (sharing the window sort), not once per input
+        # row as the former join shape did.
+        sm = large.select(
+            "a",
+            "b",
+            F.first("b").over(w_ord).alias("m"),
+            F.row_number().over(w_ord).alias("rn"),
+        )
         small = (
-            joined.where(F.col("b") != F.col("m"))
+            sm.where(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(joined.select("a", F.col("m").alias("b")))
+            .unionByName(sm.where(F.col("rn") == 1).select("a", F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
             .localCheckpoint(eager=False)  # lineage cut; materializes

@@ -101,7 +101,10 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_ann_multitable": 11,
     # round-11 connected_components fixpoint-check rewrite (star-forest
     # role-count on the new frame, fires a round earlier) — plan change
-    # for every CC consumer.
+    # for every CC consumer. Also round-11: star rounds rewired onto
+    # per-neighborhood window minima (one exchange + sort per star phase
+    # instead of groupBy(min) + self-join; large-star's intermediate
+    # distinct dropped) — labels bit-identical, new plan shape.
     "q_dedup_clusters": 11,
     "q_bipartite_check": 11,
     "q_grid_cluster": 11,
