@@ -203,6 +203,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_winnow_fingerprint",
     "q_unigram_tokenize",
     "q_unigram_em_costs",
+    # -- round-11 optimization-pass changed plans, third batch: the JPEG
+    #    roundtrip kernels now run once per distinct id%128 plane residue
+    #    and broadcast-join back (decide-with-small-rows; guide §8).
+    #    Seats displace the BACK of the stale prefix
+    #    (q_hard_negatives, q_hll_estimate → round-12 rotation).
+    "q_jpeg_roundtrip",
+    "q_jpeg_progressive",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -233,8 +240,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_embedding_covariance",
     "q_feature_hashing",
     "q_funnel_windowed",
-    "q_hard_negatives",
-    "q_hll_estimate",
 )
 
 

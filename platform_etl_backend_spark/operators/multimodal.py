@@ -149,15 +149,25 @@ def jpeg_roundtrip_features(
     would still pass."""
     from platform_etl_backend_spark.operators import jpeg as J
 
-    schema = f"{id_col} bigint, width int, height int, ok boolean"
+    # The plane is a pure function of id mod 128 (uint8 base wraps there),
+    # so the codec — the only expensive stage — runs ONCE per distinct
+    # residue and the results broadcast-join back to the id frame (the
+    # decide-with-small-rows pattern, guide §8; at sf0.1 the corpus hits
+    # each residue ~8-40x and the python kernel cost was pure repetition).
+    # The explicit partition count (128 = the residue space, a constant of
+    # the kernel, not of the cluster) spreads the <=128 single-plane tasks
+    # so AQE's size-based coalescing cannot serialize the python work into
+    # one partition; every run recomputes from the id frame — nothing is
+    # memoized across runs.
+    schema = "pkey int, width int, height int, ok boolean"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r = np.arange(height).reshape(-1, 1)
         c = np.arange(width).reshape(1, -1)
         for pdf in it:
             rows = []
-            for mid in pdf[id_col]:
-                img = ((int(mid) % 128) + r + c).astype(np.uint8)
+            for pkey in pdf["pkey"]:
+                img = (int(pkey) + r + c).astype(np.uint8)
                 out = J.decode_jpeg(
                     J.encode_jpeg(
                         img, quality,
@@ -171,10 +181,17 @@ def jpeg_roundtrip_features(
                 if ok and (progressive or restart_interval):
                     base = J.decode_jpeg(J.encode_jpeg(img, quality))
                     ok = bool(np.array_equal(out, base))
-                rows.append((mid, width, height, bool(ok)))
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "ok"])
+                rows.append((int(pkey), width, height, bool(ok)))
+            yield pd.DataFrame(rows, columns=["pkey", "width", "height", "ok"])
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    ids = df.select(id_col, (F.col(id_col) % 128).cast("int").alias("pkey"))
+    feats = (
+        ids.select("pkey").distinct().repartition(128, "pkey")
+        .mapInPandas(batches, schema)
+    )
+    return ids.join(F.broadcast(feats), "pkey").select(
+        id_col, "width", "height", "ok"
+    )
 
 
 def image_decode_features(

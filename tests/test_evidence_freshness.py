@@ -135,6 +135,12 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   column aliases; same expressions, collapsed Project tree.
     "q_unigram_tokenize": 11,
     "q_unigram_em_costs": 11,
+    # - JPEG roundtrip kernels: the plane is a pure function of id % 128,
+    #   so the codec runs once per distinct residue (repartitioned over
+    #   the 128-key space) and broadcast-joins back — same rows, new plan
+    #   (distinct + join around the mapInPandas stage).
+    "q_jpeg_roundtrip": 11,
+    "q_jpeg_progressive": 11,
 }
 
 
