@@ -210,6 +210,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    (q_hard_negatives, q_hll_estimate → round-12 rotation).
     "q_jpeg_roundtrip",
     "q_jpeg_progressive",
+    # -- round-11 optimization-pass changed plan: sequential patterns'
+    #    greedy match is relational user-keyed joins (no pattern-frame
+    #    crossJoins, no interpreted HOF lambdas). Displaces
+    #    q_funnel_windowed → round-12 rotation.
+    "q_sequential_patterns",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -239,7 +244,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_embedding_covariance",
     "q_feature_hashing",
-    "q_funnel_windowed",
 )
 
 

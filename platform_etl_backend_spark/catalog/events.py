@@ -5013,9 +5013,18 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after p1; any e3 after p2) — a classical equivalence for
     # subsequence EXISTENCE, so this computes the same support as the
     # oracle's positional self-joins WITHOUT the per-user cubic pair
-    # fan-out (the first implementation measured 22 s at sf0.1; this one
-    # is one user-keyed rollup + a 150-row broadcast pattern frame,
-    # map-side from there).
+    # fan-out (the first implementation measured 22 s at sf0.1).
+    # Round-11 rewire: the former per-user position-MAP × 150-pattern
+    # broadcast evaluated an interpreted filter/array lambda per (user,
+    # pattern) row (~9 µs each — HOF lambdas do not codegen, the CDC
+    # lesson; ~2 s of the 2.4 s wall). The greedy match is RELATIONAL
+    # instead: one (user, type) first/last rollup, then
+    #   supported (u, e1, e2) rows = events of type e2 after first(e1),
+    #   one user-keyed join + min-rollup (p2 = the greedy second match);
+    #   len-3 support = p2 rows joined against last(e3) > p2.
+    # Every stage is codegen (no lambdas, no per-user arrays), joins are
+    # user-keyed and hint-free (alphabet fan-out is a bounded ×5), and
+    # the supported-pair frame doubles as the len-2 support count.
     e = events_table(spark, sf_dir)
     r = e.select(
         "user_id", "event_type",
@@ -5023,44 +5032,43 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy("ep", "event_id"))
         .alias("pos"),
     )
-    per_type = r.groupBy("user_id", "event_type").agg(
-        F.sort_array(F.collect_list("pos")).alias("poss")
+    fl = r.groupBy("user_id", "event_type").agg(
+        F.min("pos").alias("first_pos"), F.max("pos").alias("last_pos")
     )
-    users = per_type.groupBy("user_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("event_type", "poss"))
-        ).alias("m")
+    # one row per supported (user, e1, e2): p2 = first e2 strictly after
+    # the user's first e1 (row count bounded by |users| × alphabet²)
+    p2 = (
+        r.join(
+            fl.select("user_id", F.col("event_type").alias("e1"), "first_pos"),
+            "user_id",
+        )
+        .where(F.col("pos") > F.col("first_pos"))
+        .groupBy("user_id", "e1", F.col("event_type").alias("e2"))
+        .agg(F.min("pos").alias("p2"))
     )
-    t1 = e.select(F.col("event_type").alias("e1")).distinct()
-    t2 = e.select(F.col("event_type").alias("e2")).distinct()
-    t3 = e.select(F.col("event_type").alias("e3")).distinct()
-    # alphabet-bounded sides: hint them so the plan can never flip to
-    # CartesianProduct under stats/AQE changes (the jonckheere lesson)
-    pat2 = t1.crossJoin(F.broadcast(t2)).select(
-        F.concat_ws(">", "e1", "e2").alias("pattern"),
-        F.lit(2).alias("len"), "e1", "e2",
-        F.lit(None).cast("string").alias("e3"),
-    )
-    pat3 = t1.crossJoin(F.broadcast(t2)).crossJoin(F.broadcast(t3)).select(
-        F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
-        F.lit(3).alias("len"), "e1", "e2", "e3",
-    )
-    pat_df = pat2.unionByName(pat3)  # alphabet^2 + alphabet^3 rows
-    j = users.crossJoin(F.broadcast(pat_df))
-    p1 = F.get(F.element_at("m", F.col("e1")), 0)
-    after1 = F.filter(
-        F.coalesce(F.element_at("m", F.col("e2")), F.array().cast("array<int>")),
-        lambda x: x > p1,
-    )
-    p2 = F.get(after1, 0)
-    tail3 = F.coalesce(F.element_at("m", F.col("e3")), F.array().cast("array<int>"))
-    sup2 = p1.isNotNull() & p2.isNotNull()
-    sup3 = sup2 & (F.array_max(tail3) > p2)
-    supported = F.when(F.col("len") == 2, sup2).otherwise(sup3)
-    return (
-        j.where(supported)
-        .groupBy("pattern", "len")
+    sup2 = (
+        p2.groupBy("e1", "e2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .select(
+            F.concat_ws(">", "e1", "e2").alias("pattern"),
+            F.lit(2).alias("len"), "support",
+        )
+    )
+    sup3 = (
+        p2.join(
+            fl.select("user_id", F.col("event_type").alias("e3"), "last_pos"),
+            "user_id",
+        )
+        .where(F.col("last_pos") > F.col("p2"))
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+            F.lit(3).alias("len"), "support",
+        )
+    )
+    return (
+        sup2.unionByName(sup3)
         .where(F.col("support") >= _SEQ_MINSUP)
         .select("pattern", F.col("len").cast("int").alias("len"), "support")
         .orderBy(F.desc("support"), "pattern")

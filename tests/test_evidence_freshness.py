@@ -141,6 +141,11 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   (distinct + join around the mapInPandas stage).
     "q_jpeg_roundtrip": 11,
     "q_jpeg_progressive": 11,
+    # - sequential patterns: greedy subsequence match rewired from the
+    #   per-user position-map × broadcast-pattern-frame (interpreted HOF
+    #   lambda per row) to relational user-keyed joins over a
+    #   (user, type) first/last rollup — same support counts, new plan.
+    "q_sequential_patterns": 11,
 }
 
 

@@ -366,11 +366,13 @@ def test_skyline_band_merge_and_item_similarity_shapes(spark, sf_dir):
 
 
 def test_sequential_patterns_pattern_frame_broadcast_no_cartesian(spark, sf_dir):
-    """The alphabet^2/alphabet^3 pattern frames are built from hinted
-    crossJoins of distinct-event-type sides; without the hints the plan
-    rests on Catalyst's size estimate and can flip to CartesianProduct
-    under stats/AQE changes (round-9 VERDICT #4, the jonckheere lesson)."""
+    """Round-11 relational rewire: the greedy match is user-keyed
+    equi-joins (supported-pair frame + last-occurrence probe), so the
+    plan must contain NO cross/nested-loop join at all — the former
+    pattern-frame crossJoins (and their hint obligations) are gone, and
+    no interpreted HOF lambda survives in the pattern stage."""
     df = q("q_sequential_patterns", spark, sf_dir)
     assert_no_cartesian(df)
     plan = explain_str(df, "simple")
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LambdaFunction" not in explain_str(df, "extended")
