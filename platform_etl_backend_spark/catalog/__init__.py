@@ -215,6 +215,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    crossJoins, no interpreted HOF lambdas). Displaces
     #    q_funnel_windowed → round-12 rotation.
     "q_sequential_patterns",
+    # -- round-11 optimization-pass changed plan: item similarity's
+    #    basket pairs come from one order-keyed collect_set + codegen
+    #    pair expansion (was distinct + two-sided self-join — three
+    #    exchanges of the basket frame collapse into one). Displaces
+    #    q_feature_hashing → round-12 rotation.
+    "q_item_similarity",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -243,7 +249,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_count_min_narrow",
     "q_dedup_keep_best",
     "q_embedding_covariance",
-    "q_feature_hashing",
 )
 
 

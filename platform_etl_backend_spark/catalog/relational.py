@@ -2318,14 +2318,32 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "recommendation"),
 )
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 (§2.4 remove shuffles): baskets come from ONE
+    # order-keyed collect_set (sorted) instead of a global
+    # (order, part) distinct PLUS a two-sided self-join on the order key
+    # — three exchanges of the 600k-row frame collapse into one, and the
+    # in-basket pair fan-out is the codegen posexplode+slice expansion
+    # (quadratic in basket size only, exactly like the oracle's
+    # x.l_partkey < y.l_partkey self-join; each unordered pair appears
+    # once per containing order, so the pair counts are identical).
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    x = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a"))
-    y = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b"))
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+    )
+    deg = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ex = baskets.select("items", F.posexplode("items").alias("i", "item_a"))
     co = (
-        x.join(y, "k")
-        .where(F.col("item_a") < F.col("item_b"))
+        ex.select(
+            "item_a",
+            F.explode(F.slice("items", F.col("i") + 2, F.size("items"))).alias(
+                "item_b"
+            ),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("co"))
     )

@@ -146,6 +146,10 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   lambda per row) to relational user-keyed joins over a
     #   (user, type) first/last rollup — same support counts, new plan.
     "q_sequential_patterns": 11,
+    # - item similarity: basket pairs via one order-keyed collect_set +
+    #   codegen posexplode/slice expansion instead of distinct + self-join
+    #   (three exchanges of the basket frame -> one); same pair counts.
+    "q_item_similarity": 11,
 }
 
 
