@@ -221,6 +221,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    exchanges of the basket frame collapse into one). Displaces
     #    q_feature_hashing → round-12 rotation.
     "q_item_similarity",
+    # -- round-11 optimization-pass changed plans, fourth batch: nearest-
+    #    centroid / nearest-codeword selection is a map-side argmax fold
+    #    over the broadcast centroid (codebook) array — the n×k crossJoin
+    #    + per-vid window exchange disappears from every IVF/kmeans/PQ
+    #    consumer; silhouette reads own+second-best off one sorted score
+    #    array (its own⋈oth self-join gone). Seats displace the BACK of
+    #    the stale prefix (q_bpe_encode .. q_embedding_covariance →
+    #    round-12 rotation).
+    "q_ann_ivf",
+    "q_ann_ivf_nprobe",
+    "q_ann_ivf_kmeans",
+    "q_semantic_dedup",
+    "q_silhouette_cells",
+    "q_davies_bouldin",
+    "q_pq_codes",
+    "q_pq_adc_topk",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -241,14 +257,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_bigram_logprob",
     "q_bloom_probe",
     "q_bm25_top_terms",
-    "q_bpe_encode",
-    "q_bpe_vocab",
-    "q_cdc_chunks",
-    "q_chi_square",
-    "q_conversion_latency",
-    "q_count_min_narrow",
-    "q_dedup_keep_best",
-    "q_embedding_covariance",
 )
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from platform_etl_backend_spark.catalog.registry import register, table
 from platform_etl_backend_spark.operators import similarity as S
@@ -428,22 +429,27 @@ def q_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vid"), S.as_double_array("embedding").alias("vec")
     ).withColumn("vn", S.norm(F.col("vec")))
     cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
-        "cell_id", F.col("vec").alias("cvec")
-    ).withColumn("cn", S.norm(F.col("cvec")))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vid", "cell_id",
-        F.round(S.cosine_pre(F.col("vec"), F.col("cvec"),
-                             F.col("vn"), F.col("cn")), 6).alias("cc"),
+        "cell_id", F.col("vec").alias("cv")
+    ).withColumn("cn", S.norm(F.col("cv")))
+    # own/second-best centroid MAP-SIDE off the broadcast centroid array
+    # (cc DESC, cell_id ASC — the fold twin of the old per-vid window):
+    # sorted element 1 is rn=1 (c_own), element 2 carries MAX(cc) of the
+    # rest (the array is cc-descending), so the n×k window exchange AND
+    # the own⋈oth self-join both disappear (guide §2.4). The size>=2
+    # guard replicates the old inner join's drop of single-cell fits.
+    carr = cents.agg(F.collect_list(F.struct("cell_id", "cv", "cn")).alias("cells"))
+    sortd = S._cells_sorted(S._scored_cells(F.col("vec"), F.col("vn")))
+    pv = (
+        v.crossJoin(F.broadcast(carr))
+        .select("vid", sortd.alias("sc"))
+        .where(F.size("sc") >= 2)
+        .select(
+            F.element_at(F.col("sc"), 1)["cell_id"].alias("cell_id"),
+            F.element_at(F.col("sc"), 1)["cc"].alias("c_own"),
+            F.element_at(F.col("sc"), 2)["cc"].alias("c_oth"),
+        )
     )
-    w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
-    rk = scored.withColumn("rn", F.row_number().over(w))
-    own = rk.where(F.col("rn") == 1).select(
-        "vid", "cell_id", F.col("cc").alias("c_own")
-    )
-    oth = rk.where(F.col("rn") > 1).groupBy("vid").agg(
-        F.max("cc").alias("c_oth")
-    )
-    sv = own.join(oth, "vid").select("cell_id", F.expr(_SIL_S).alias("s"))
+    sv = pv.select("cell_id", F.expr(_SIL_S).alias("s"))
     per = sv.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.sum("s") * 1000000).cast("bigint").alias("sum_micro"),
@@ -542,16 +548,21 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2).select(
         "cell_id", F.col("vec").alias("cvec")
     ).withColumn("cn", S.norm(F.col("cvec")))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vid", "cell_id",
-        F.round(S.cosine_pre(F.col("vec"), F.col("cvec"),
-                             F.col("vn"), F.col("cn")), 6).alias("cc"),
+    # own centroid MAP-SIDE off the broadcast centroid array — the fold
+    # twin of rn=1 over the old per-vid window; the n×k exchange is gone
+    # (guide §2.4; same ROUND(6) cosine_pre per pair, bit-identical)
+    carr = cents.agg(
+        F.collect_list(
+            F.struct("cell_id", F.col("cvec").alias("cv"), "cn")
+        ).alias("cells")
     )
-    w = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cell_id"))
+    best = S._best_cell(
+        S._scored_cells(F.col("vec"), F.col("vn")), IntegerType()
+    )
     own = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "cell_id", "cc")
+        v.crossJoin(F.broadcast(carr))
+        .select("vid", best.alias("b"))
+        .select("vid", F.col("b.cell_id").alias("cell_id"), F.col("b.cc").alias("cc"))
     )
     sc2 = (
         own.groupBy("cell_id")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.types import IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -128,28 +129,85 @@ def ivf_assign(
     )
 
 
+def _centroid_cells(centroids: DataFrame, id_col: str, vec_col: str):
+    """(one-row frame holding ALL centroids as an array of (cell_id, cv,
+    cn) structs, centroid-id DataType). crossJoin(broadcast(·)) attaches
+    the array to every corpus row so nearest-centroid selection runs
+    MAP-SIDE — the old shape scored an n×k crossJoin and picked rn=1
+    through Window.partitionBy(vid): an Exchange carrying k copies of
+    every vector payload just to compare k scalars produced in the same
+    task (guide §2.4 — remove shuffles outright). collect_list order is
+    nondeterministic, but every consumer selects with a TOTAL tie order
+    (score, then cell_id), so the result is array-order-invariant."""
+    idt = centroids.schema[id_col].dataType
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    carr = c.agg(F.collect_list(F.struct("cell_id", "cv", "cn")).alias("cells"))
+    return carr, idt
+
+
+def _scored_cells(vec: Column, vn: Column) -> Column:
+    """Per-row (cc, cell_id) structs over the attached centroid array —
+    the SAME ROUND(6) cosine_pre expression the n×k crossJoin evaluated,
+    so each pair's score is IEEE-bit-identical to the window shape."""
+    return F.transform(
+        F.col("cells"),
+        lambda s: F.struct(
+            F.round(cosine_pre(vec, s["cv"], vn, s["cn"]), 6).alias("cc"),
+            s["cell_id"].alias("cell_id"),
+        ),
+    )
+
+
+def _best_cell(scored: Column, idt) -> Column:
+    """Argmax with the (cc DESC, cell_id ASC) total order — the fold twin
+    of ``row_number() == 1`` over that window ordering. Primitive double
+    >/= comparisons match the window's sort order on every value these
+    scores take (ROUND(6) cosines in [-1, 1]; no NaNs — a NaN or a
+    -0.0/0.0 max tie would diverge, and the oracle gate would catch it)."""
+    init = F.struct(
+        F.lit(float("-inf")).alias("cc"), F.lit(None).cast(idt).alias("cell_id")
+    )
+    return F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(
+            (x["cc"] > acc["cc"])
+            | ((x["cc"] == acc["cc"]) & (x["cell_id"] < acc["cell_id"])),
+            x,
+        ).otherwise(acc),
+    )
+
+
+def _cells_sorted(scored: Column) -> Column:
+    """The full (cc DESC, cell_id ASC) ordering of the attached centroid
+    scores — for consumers that need more than the argmax (top-nprobe
+    probes, silhouette's second-best)."""
+    return F.array_sort(
+        scored,
+        lambda l, r: F.when(l["cc"] > r["cc"], F.lit(-1))
+        .when(l["cc"] < r["cc"], F.lit(1))
+        .when(l["cell_id"] < r["cell_id"], F.lit(-1))
+        .when(l["cell_id"] > r["cell_id"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
 def _ivf_assign_n(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """ivf_assign that also carries each vector's precomputed norm ``vn``
-    so downstream pair joins pay one fold per pair (cosine_pre)."""
-    c = centroids.select(
-        F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    so downstream pair joins pay one fold per pair (cosine_pre).
+    Assignment is one map-side argmax fold over the broadcast centroid
+    array — zero exchanges (see ``_centroid_cells``)."""
+    carr, idt = _centroid_cells(centroids, id_col, vec_col)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
     ).withColumn("vn", norm(F.col("vec")))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vid", "vec", "vn", "cell_id",
-        F.round(
-            cosine_pre(F.col("vec"), F.col("cv"), F.col("vn"), F.col("cn")), 6
-        ).alias("cell_cos"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "vec", "vn", "cell_id")
+    best = _best_cell(_scored_cells(F.col("vec"), F.col("vn")), idt)
+    return v.crossJoin(F.broadcast(carr)).select(
+        "vid", "vec", "vn", best["cell_id"].alias("cell_id")
     )
 
 
@@ -400,22 +458,23 @@ def ivf_topk(
     nprobe.
     """
     assigned = _ivf_assign_n(corpus, centroids, id_col, vec_col)
-    c = centroids.select(
-        F.col(id_col).alias("cell_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    carr, _idt = _centroid_cells(centroids, id_col, vec_col)
     v = corpus.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("vec")
     ).withColumn("vn", norm(F.col("vec")))
-    qscored = v.crossJoin(F.broadcast(c)).select(
-        "vid", "vec", "vn", "cell_id",
-        F.round(
-            cosine_pre(F.col("vec"), F.col("cv"), F.col("vn"), F.col("cn")), 6
-        ).alias("cell_cos"),
-    )
-    wq = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    # top-nprobe probe cells map-side: sort the attached centroid scores
+    # (cc DESC, cell_id ASC) and explode the first nprobe — the fold twin
+    # of row_number() <= nprobe over the old n×k window (guide §2.4);
+    # slice past the array end returns the whole array, matching the
+    # window's behavior when nprobe > |cells|.
+    sortd = _cells_sorted(_scored_cells(F.col("vec"), F.col("vn")))
     probes_n = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
+        v.crossJoin(F.broadcast(carr))
+        .select(
+            "vid", "vec", "vn",
+            F.explode(F.slice(sortd, 1, nprobe)).alias("p"),
+        )
+        .select("vid", "vec", "vn", F.col("p.cell_id").alias("cell_id"))
     )
     if use_kernel:
         pairs = (
@@ -489,19 +548,22 @@ def kmeans_fit(
         .localCheckpoint()
     )
     for _ in range(iters):
-        cn = cents.withColumn("cn", norm(F.col("cvec")))
-        scored = v.crossJoin(F.broadcast(cn)).select(
-            "vid", "vec", "cell_id",
-            F.round(
-                cosine_pre(F.col("vec"), F.col("cvec"), F.col("vn"), F.col("cn")),
-                6,
-            ).alias("cell_cos"),
+        # map-side argmax over the broadcast centroid array (same ROUND(6)
+        # cosine_pre per pair, (cc DESC, cell_id ASC) total order — the
+        # fold twin of the old n×k window; see _centroid_cells)
+        carr = (
+            cents.withColumn("cn", norm(F.col("cvec")))
+            .agg(
+                F.collect_list(
+                    F.struct("cell_id", F.col("cvec").alias("cv"), "cn")
+                ).alias("cells")
+            )
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "vec", "cell_id")
+        best = _best_cell(
+            _scored_cells(F.col("vec"), F.col("vn")), IntegerType()
+        )
+        assigned = v.crossJoin(F.broadcast(carr)).select(
+            "vid", "vec", best["cell_id"].alias("cell_id")
         )
         dims = (
             assigned.select("cell_id", F.posexplode("vec").alias("pos", "val"))
@@ -1022,6 +1084,44 @@ def _sub(vec: Column, s: int) -> Column:
     return F.slice(vec, s * PQ_DSUB + 1, PQ_DSUB)
 
 
+def _best_code(cells: Column, sv: Column) -> Column:
+    """Nearest-codeword argmin over the attached per-subspace codebook
+    array — (d ASC, cell_id ASC) total order, the fold twin of
+    ``row_number() == 1`` over the old (vid, s) window (guide §2.4: the
+    window exchanged K copies of every sub-vector payload to compare K
+    scalars computed in the same task). Same ROUND(6) l2sq per pair —
+    IEEE-bit-identical scores; collect order cannot matter under the
+    total tie order."""
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(
+            F.round(l2sq(sv, c["cvec"]), 6).alias("d"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d"),
+        F.lit(None).cast(IntegerType()).alias("cell_id"),
+    )
+    return F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(
+            (x["d"] < acc["d"])
+            | ((x["d"] == acc["d"]) & (x["cell_id"] < acc["cell_id"])),
+            x,
+        ).otherwise(acc),
+    )
+
+
+def _codebook_cells(codebooks: DataFrame) -> DataFrame:
+    """(s, cells): each subspace's codebook collected into one array row —
+    broadcast-joined on ``s`` so code assignment is map-side."""
+    return codebooks.groupBy("s").agg(
+        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+    )
+
+
 def pq_fit_codebooks(
     corpus: DataFrame, id_col: str, vec_col: str, iters: int = 2
 ) -> DataFrame:
@@ -1056,15 +1156,9 @@ def pq_fit_codebooks(
         "cell_id",
     ).select("e.s", "cell_id", "e.cvec").localCheckpoint()
     for _ in range(iters):
-        scored = subs.join(F.broadcast(cents), "s").select(
-            "vid", "s", "sv", "cell_id",
-            F.round(l2sq(F.col("sv"), F.col("cvec")), 6).alias("d"),
-        )
-        w = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("cell_id"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "s", "sv", "cell_id")
+        best = _best_code(F.col("cells"), F.col("sv"))
+        assigned = subs.join(F.broadcast(_codebook_cells(cents)), "s").select(
+            "vid", "s", "sv", best["cell_id"].alias("cell_id")
         )
         dims = (
             assigned.select("s", "cell_id", F.posexplode("sv").alias("pos", "val"))
@@ -1103,15 +1197,16 @@ def pq_encode(
             ])
         ).alias("e"),
     ).select("vid", "e.s", "e.sv")
-    scored = subs.join(F.broadcast(codebooks), "s").select(
-        "vid", "s", "cell_id",
-        F.round(l2sq(F.col("sv"), F.col("cvec")), 6).alias("d"),
-    )
-    w = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("cell_id"))
+    best = _best_code(F.col("cells"), F.col("sv"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "s", F.col("cell_id").alias("code"), F.col("d").alias("sub_err"))
+        subs.join(F.broadcast(_codebook_cells(codebooks)), "s")
+        # two-step projection: `b` is referenced twice below and
+        # CollapseProject will not duplicate a non-cheap fold
+        .select("vid", "s", best.alias("b"))
+        .select(
+            "vid", "s",
+            F.col("b.cell_id").alias("code"), F.col("b.d").alias("sub_err"),
+        )
     )
 
 

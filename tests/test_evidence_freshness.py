@@ -81,16 +81,30 @@ CHANGED_CONTRACTS: dict[str, int] = {
     "q_graph_closure": 11,
     "q_logreg_gd": 10,
     # round-10 Arrow cell-pair kernel (bit-identical sequential fold) for
-    # the IVF pair-scoring stage.
-    "q_ann_ivf": 10,
-    "q_ann_ivf_kmeans": 10,
-    "q_ann_ivf_nprobe": 10,
+    # the IVF pair-scoring stage. round-11: nearest-centroid assignment
+    # (and kmeans_fit's assign step) became a map-side argmax fold over
+    # the broadcast centroid array — the n×k crossJoin + per-vid window
+    # exchange is gone (same ROUND(6) cosine per pair, (cc DESC, cell_id
+    # ASC) total tie order → bit-identical).
+    "q_ann_ivf": 11,
+    "q_ann_ivf_kmeans": 11,
+    "q_ann_ivf_nprobe": 11,
     # round-10 block-tiled all-pairs kernel; round-11 planted
     # deterministic near-duplicates so the 0.95-threshold oracle compares
     # NON-empty frames (the r10 judge flagged the vacuous 0-row slot).
     "q_embedding_near_dup": 11,
-    # round-10 within-cell pair stage through the Arrow cell kernel.
-    "q_semantic_dedup": 10,
+    # round-10 within-cell pair stage through the Arrow cell kernel;
+    # round-11 map-side centroid argmax (see q_ann_ivf note).
+    "q_semantic_dedup": 11,
+    # round-11 map-side centroid / codeword argmax rewires (same fold
+    # family): silhouette additionally reads own+second-best off ONE
+    # sorted centroid-score array (the own⋈oth self-join is gone); the PQ
+    # pair use the per-subspace codebook array with an (d ASC, cell_id
+    # ASC) argmin fold.
+    "q_silhouette_cells": 11,
+    "q_davies_bouldin": 11,
+    "q_pq_codes": 11,
+    "q_pq_adc_topk": 11,
     # round-11 kernel default flip: brute_force_topk / bucketed_ann_top1 /
     # multitable_ann_top1 pair dots now route through the Arrow cell
     # kernel by default (bit-identical; parity pytests pin the twin).
