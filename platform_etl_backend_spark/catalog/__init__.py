@@ -237,6 +237,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_davies_bouldin",
     "q_pq_codes",
     "q_pq_adc_topk",
+    # -- round-11 optimization-pass changed plans, fifth batch: the LM
+    #    family (stupid backoff's derived bigram counts + window context
+    #    denominators; bigram_logprob / kneser_ney window context stats),
+    #    spearman's single-window-spec midranks, and the k_truss / k_core
+    #    fixpoint early exit. q_bigram_logprob was already seated in the
+    #    round-4 prefix below — it moves up here as a fronted changed
+    #    contract. Seats displace the BACK of the stale prefix
+    #    (q_assoc_rules .. q_bm25_top_terms → round-12 rotation).
+    "q_stupid_backoff",
+    "q_bigram_logprob",
+    "q_kneser_ney",
+    "q_spearman_corr",
+    "q_ktruss",
+    "q_kcore",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -249,14 +263,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_image_decode",
     "q_range_join",
-    # -- round-4-latest cohort, alphabetical prefix (40 of 49) ---------
+    # -- round-4-latest cohort, alphabetical prefix (1 of 49) ----------
     "q_agg_basic",
-    "q_assoc_rules",
-    "q_autocorr_lag1",
-    "q_benford_profile",
-    "q_bigram_logprob",
-    "q_bloom_probe",
-    "q_bm25_top_terms",
 )
 
 

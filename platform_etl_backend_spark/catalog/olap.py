@@ -965,15 +965,20 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
+    # 2*midrank = 2*rank + ties - 1 = rank + count(v' <= v): the tie count
+    # folds into the rank window's own (partition, order) spec as a
+    # RANGE-unbounded-to-current count, so each axis is ONE Window node
+    # (one grp exchange + one sort) instead of a second (grp, value)-keyed
+    # window pass per axis
     wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wxe = Window.partitionBy("l_returnflag", "l_quantity")
+    wxr = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     wy = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wye = Window.partitionBy("l_returnflag", "l_extendedprice")
+    wyr = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     r = li.select(
         F.col("l_returnflag").alias("grp"),
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxe) - 1)
+        (F.rank().over(wx) + F.count(F.lit(1)).over(wxr))
         .cast("bigint").alias("r2x"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wye) - 1)
+        (F.rank().over(wy) + F.count(F.lit(1)).over(wyr))
         .cast("bigint").alias("r2y"),
     )
     d38 = "decimal(38,0)"

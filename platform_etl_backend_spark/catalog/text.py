@@ -2063,7 +2063,8 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-order chain of IEEE-exact ops on integers (0.75 is exactly "
     "representable; each divide/multiply is correctly rounded identically on "
     "both engines), so NO transcendental scaffolding is needed; one "
-    "bigram-keyed shuffle + two context aggregations + hint-free joins, "
+    "bigram-keyed shuffle + the forward/backward context stats as window "
+    "sums over the model frame itself (no agg+join-back exchanges), "
     "top-50 as TakeOrderedAndProject",
     tags=("text", "quality", "scoring"),
 )
@@ -2086,11 +2087,18 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("bigram", " ", -1).alias("w2"),
         "c12",
     )
-    cw1 = c12.groupBy("w1").agg(
-        F.sum("c12").cast("bigint").alias("c1"),
-        F.count(F.lit(1)).cast("bigint").alias("n1_fw"),
+    # forward (c1, n1_fw) and backward (n1_bw) context stats as window
+    # sums over the bigram frame itself — the groupBy+join-back
+    # formulation exchanged the frame twice per direction (agg + join);
+    # one w1 window + one w2 window carry the same values in one
+    # exchange each
+    ww1 = Window.partitionBy("w1")
+    ww2 = Window.partitionBy("w2")
+    stats = (
+        c12.withColumn("c1", F.sum("c12").over(ww1).cast("bigint"))
+        .withColumn("n1_fw", F.count(F.lit(1)).over(ww1).cast("bigint"))
+        .withColumn("n1_bw", F.count(F.lit(1)).over(ww2).cast("bigint"))
     )
-    cw2 = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1_bw"))
     g = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
     pkn = (
         F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
@@ -2099,9 +2107,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n1_bw").cast("double") / F.col("n_types"))
     )
     return (
-        c12.join(cw1, "w1")
-        .join(cw2, "w2")
-        .crossJoin(F.broadcast(g))
+        stats.crossJoin(F.broadcast(g))
         .select("bigram", "c12", "c1", "n1_fw", "n1_bw", F.round(pkn, 9).alias("pkn"))
         .orderBy(F.desc("c12"), "bigram")
         .limit(50)

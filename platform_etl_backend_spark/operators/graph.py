@@ -691,7 +691,10 @@ def k_core(
     synchronous rounds (not run-to-convergence) keeps the computation
     bit-identical to an unrolled-CTE oracle; the paired pytest asserts the
     fixed budget reaches the true fixpoint on the catalog graph (one extra
-    round changes nothing).
+    round changes nothing). Converged rounds exit early — a no-drop round
+    leaves degrees unchanged, so later budgeted rounds are no-ops and the
+    result is bit-identical; detection is one count() per round on the
+    just-checkpointed frame.
 
     Scale: each round is two alive-set semi joins + one degree
     aggregation — all hash-partitioned on node ids, O(rounds·m) total;
@@ -708,8 +711,12 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    # Early exit at the fixpoint (bit-identical: a round that drops no
+    # edge leaves every degree unchanged, so the remaining budgeted
+    # rounds are no-ops — the unrolled oracle reaches the same final
+    # set). Detection is one count() on the just-checkpointed frame.
     cur = und
-    deg = None
+    prev = cur.count()
     for _ in range(rounds):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -724,6 +731,10 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
+        cnt = cur.count()
+        if cnt == prev:
+            break
+        prev = cnt
     final_deg = (
         cur.select(F.col("a").alias("node"))
         .unionAll(cur.select(F.col("b").alias("node")))
@@ -899,7 +910,10 @@ def k_truss(
     (every k-truss edge sits in >= k-2 triangles of the truss). A FIXED
     round budget keeps the computation bit-identical to an unrolled-CTE
     oracle; the paired pytest asserts the budget reaches the true
-    fixpoint (one extra round changes nothing).
+    fixpoint (one extra round changes nothing). Converged rounds exit
+    early (a no-drop round leaves every later budgeted round a no-op, so
+    the result is unchanged — the detection is one count() on the
+    just-checkpointed frame per round).
 
     Scale: per round one wedge self-join at the canonical-smaller
     endpoint + one closing semi join (the q_triangle_count shape, so hot
@@ -935,14 +949,27 @@ def k_truss(
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         )
 
+    # Early exit at the fixpoint (bit-identical: a round that drops no
+    # edge leaves support values unchanged, so every remaining budgeted
+    # round is a no-op — the unrolled oracle computes the same final
+    # set). The no-drop round's support values ARE the final subgraph's
+    # supports, so the converged round doubles as the output support
+    # pass instead of recomputing it once more after the loop.
     cur = und
+    prev = cur.count()
+    cur_sup = None
     for _ in range(rounds):
-        cur = (
+        nxt = (
             cur.join(support(cur), ["a", "b"])
             .where(F.col("support") >= k - 2)
-            .select("a", "b")
             .localCheckpoint()
         )
+        cnt = nxt.count()
+        if cnt == prev:
+            cur_sup = nxt
+            break
+        cur = nxt.select("a", "b")
+        prev = cnt
     # Invariant guard (ADVICE r6): every returned edge must satisfy the
     # k-truss bound support >= k-2. A fixed round budget that under-runs
     # the true fixpoint on new data would otherwise emit non-truss edges
@@ -958,6 +985,11 @@ def k_truss(
             )
         ).cast("bigint")
     )
+    if cur_sup is not None:
+        # converged inside the budget: every edge survived the no-drop
+        # round's inner support join, so the guard passes by construction
+        # but stays in the plan (same output contract as the slow path)
+        return cur_sup.select("a", "b", guarded.alias("support"))
     return cur.join(support(cur), ["a", "b"], "left").select(
         "a", "b", guarded.alias("support")
     )

@@ -359,11 +359,15 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
     )
     tf = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    c12 = tf.groupBy("bigram").agg(F.sum("tf").alias("c12"))
-    c1 = c12.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
-        F.sum("c12").alias("c1")
+    # context denominator c1 as a window sum over the model frame's own
+    # w1-keyed exchange — the agg+self-join formulation exchanged the
+    # same frame twice (once for the c1 rollup, once for the join)
+    c12 = (
+        tf.groupBy("bigram")
+        .agg(F.sum("tf").alias("c12"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
     )
-    model = c12.withColumn("w1", F.substring_index("bigram", " ", 1)).join(c1, "w1")
+    model = c12.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
     logp = F.round(portable_ln_ratio(F.col("c12"), F.col("c1")), 6).cast(
         "decimal(18,6)"
     )
@@ -398,9 +402,17 @@ def stupid_backoff_logprob(
     backoff is always defined; pruning is what makes backoff genuinely
     fire (singleton trigrams dominate any natural corpus).
 
-    Scale shape: positional trigrams/bigrams are built map-side with
-    slice-zips (no self-join); both models are counted with one
-    ngram-keyed shuffle each and join back on the ngram key WITHOUT a
+    Scale shape: positional trigrams are built map-side with slice-zips
+    (no self-join) and counted with ONE ngram-keyed shuffle; bigram
+    counts are DERIVED, not re-exploded — every bigram occurrence in a
+    doc of n tokens is either the 2-prefix of the trigram starting at
+    the same position (positions 1..n-2) or the doc's LAST bigram
+    (position n-1), so c(w1 w2) = Σ_{prefix2(t)=w1 w2} c(t) + #{docs
+    whose last bigram is w1 w2} — a rollup over the (small) distinct-
+    trigram frame plus a one-row-per-doc aggregate, replacing a second
+    full-corpus explode+shuffle. Context denominators (c(w1 w2·),
+    c(w2·)) ride window sums over the model frames (one exchange each,
+    no agg+self-join pair). Models join back on the ngram key WITHOUT a
     broadcast hint (ngram vocabulary is unbounded at corpus scale —
     same policy as TF-IDF/BM25). Log-scores use the engine-portable ln
     (functions/portable_math.py — libm ln differs across engines in the
@@ -429,7 +441,6 @@ def stupid_backoff_logprob(
     tg = base.where(F.size(toks) >= 3).select(
         F.col(id_col), F.explode(trigrams).alias("trigram")
     )
-    bg = base.where(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
 
     # Per-document term frequencies FIRST, then global counts as a rollup
     # of tf — the raw (doc, trigram) explode is shuffled once, not twice
@@ -438,37 +449,58 @@ def stupid_backoff_logprob(
     tf = tg.groupBy(id_col, "trigram").agg(F.count(F.lit(1)).alias("tf"))
 
     # trigram model: context counts use ALL trigram occurrences; the
-    # numerator table keeps only trigrams surviving count pruning
-    c123_all = tf.groupBy("trigram").agg(F.sum("tf").cast("bigint").alias("c123"))
-    c12 = c123_all.groupBy(
-        F.substring_index("trigram", " ", 2).alias("ctx12")
-    ).agg(F.sum("c123").alias("c12"))
-    tri_model = (
-        c123_all.where(F.col("c123") >= min_count)
+    # numerator table keeps only trigrams surviving count pruning. The
+    # context denominator c12 is a window sum over the SAME ctx12-keyed
+    # exchange the model frame needs anyway (agg+self-join would pay the
+    # exchange twice).
+    c123_all = (
+        tf.groupBy("trigram")
+        .agg(F.sum("tf").cast("bigint").alias("c123"))
         .withColumn("ctx12", F.substring_index("trigram", " ", 2))
-        .join(c12, "ctx12")
-        .select(
-            "trigram",
-            F.round(
-                portable_ln_ratio(F.col("c123"), F.col("c12")), 6
-            ).cast("decimal(18,6)").alias("tri_logp"),
-        )
+    )
+    w12 = Window.partitionBy("ctx12")
+    tri = c123_all.withColumn("c12", F.sum("c123").over(w12))
+    tri_model = tri.where(F.col("c123") >= min_count).select(
+        "trigram",
+        F.round(
+            portable_ln_ratio(F.col("c123"), F.col("c12")), 6
+        ).cast("decimal(18,6)").alias("tri_logp"),
     )
 
-    # bigram backoff model over the same corpus
-    c23 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c23"))
-    c2 = c23.groupBy(F.substring_index("bigram", " ", 1).alias("w2")).agg(
-        F.sum("c23").alias("c2")
+    # bigram backoff model over the same corpus, DERIVED from the trigram
+    # counts: a bigram occurrence at position i (1-based, i <= n-1) is the
+    # 2-prefix of the trigram at position i for i <= n-2, leaving exactly
+    # the doc's LAST bigram (i = n-1; docs with n == 2 have only it). So
+    # c23 = per-ctx12 trigram-count rollup + last-bigram doc counts — no
+    # second full-corpus explode. The ctx12 rollup is zero-exchange: `tri`
+    # is already partitioned by ctx12 after the window.
+    pre = tri.groupBy(F.col("ctx12").alias("bigram")).agg(
+        F.max("c12").alias("c_pre")  # c12 is constant within ctx12
     )
-    bi_model = (
-        c23.withColumn("w2", F.substring_index("bigram", " ", 1))
-        .join(c2, "w2")
+    last_bg = F.concat_ws(" ", F.element_at(toks, -2), F.element_at(toks, -1))
+    lastc = (
+        base.where(F.size(toks) >= 2)
+        .select(last_bg.alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_last"))
+    )
+    c23 = (
+        pre.join(lastc, "bigram", "full")
         .select(
             "bigram",
-            F.round(
-                F.lit(ln_alpha) + portable_ln_ratio(F.col("c23"), F.col("c2")), 6
-            ).cast("decimal(18,6)").alias("bo_logp"),
+            (
+                F.coalesce(F.col("c_pre"), F.lit(0))
+                + F.coalesce(F.col("c_last"), F.lit(0))
+            ).cast("bigint").alias("c23"),
         )
+        .withColumn("w2", F.substring_index("bigram", " ", 1))
+    )
+    w2win = Window.partitionBy("w2")
+    bi_model = c23.withColumn("c2", F.sum("c23").over(w2win)).select(
+        "bigram",
+        F.round(
+            F.lit(ln_alpha) + portable_ln_ratio(F.col("c23"), F.col("c2")), 6
+        ).cast("decimal(18,6)").alias("bo_logp"),
     )
 
     scored = (

@@ -164,6 +164,27 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   codegen posexplode/slice expansion instead of distinct + self-join
     #   (three exchanges of the basket frame -> one); same pair counts.
     "q_item_similarity": 11,
+    # - LM family (round-11 optimization pass, fifth batch): stupid
+    #   backoff derives bigram counts from the trigram rollup + per-doc
+    #   last bigrams (the second full-corpus explode+shuffle is gone) and
+    #   both context denominators ride window sums; bigram_logprob /
+    #   kneser_ney replace their agg+self-join context counts with window
+    #   sums over the model frame's own exchange. Values identical
+    #   (exact integer counts, same rounded logs), new plan shapes.
+    "q_stupid_backoff": 11,
+    "q_bigram_logprob": 11,
+    "q_kneser_ney": 11,
+    # - spearman: 2*midrank = rank + count(v' <= v) folds the tie count
+    #   into the rank window's own (partition, order) spec — one Window
+    #   node per axis instead of two (exact integer identity).
+    "q_spearman_corr": 11,
+    # - k_truss / k_core: fixed-budget peeling exits at the detected
+    #   fixpoint (a no-drop round makes every later budgeted round a
+    #   no-op — result bit-identical); k_truss's converged round doubles
+    #   as the output support pass, so its final plan drops the left
+    #   join + third support computation.
+    "q_ktruss": 11,
+    "q_kcore": 11,
 }
 
 

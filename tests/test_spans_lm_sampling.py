@@ -364,3 +364,67 @@ def test_fuzzy_damerau_transposition_boundary_positions(spark):
     # 'cbad' (non-adjacent swap of a/c) would be distance 2 — not built here,
     # but 'badc' vs 'abcd' (two adjacent transpositions) must also be out
     assert ("abcd", "badc") not in dam
+
+
+def _sb_python_model(texts, min_count=2, alpha=0.4):
+    """Brute-force Stupid Backoff model (full bigram re-count, NO derived
+    counts) — pins the operator's trigram-prefix + last-bigram bigram-count
+    derivation against the definitional formulation."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in texts.items()}
+    tg = Counter()
+    per_doc_tg = {}
+    bg = Counter()
+    for i, t in toks.items():
+        tri = [" ".join(t[j : j + 3]) for j in range(len(t) - 2)]
+        per_doc_tg[i] = Counter(tri)
+        tg.update(tri)
+        bg.update(" ".join(t[j : j + 2]) for j in range(len(t) - 1))
+    c12 = Counter()
+    for g, c in tg.items():
+        c12[" ".join(g.split()[:2])] += c
+    c2 = Counter()
+    for g, c in bg.items():
+        c2[g.split()[0]] += c
+    out = {}
+    for i, tf in per_doc_tg.items():
+        if not tf:
+            continue
+        s = 0
+        n = n_bo = 0
+        for g, f in tf.items():
+            if tg[g] >= min_count:
+                lp = round(math.log(tg[g] / c12[" ".join(g.split()[:2])]), 6)
+            else:
+                suf = " ".join(g.split()[1:])
+                lp = round(math.log(alpha) + math.log(bg[suf] / c2[suf.split()[0]]), 6)
+                n_bo += f
+            s += round(lp * 1e6) * f
+            n += f
+        # round-half-away integer mean in micro-nats
+        mean = -((2 * (-s) + n) // (2 * n)) if s < 0 else (2 * s + n) // (2 * n)
+        out[i] = (n, n_bo, mean)
+    return out
+
+
+def test_stupid_backoff_matches_python_model(spark):
+    """Edge cases for the derived bigram counts: docs of 1/2/3/4 tokens
+    (2-token docs contribute ONLY a last bigram; 1-token docs nothing),
+    repeated trigrams straddling the min_count prune, and a backoff whose
+    suffix bigram occurs only as a doc-final bigram elsewhere."""
+    from platform_etl_backend_spark.operators.textqa import stupid_backoff_logprob
+
+    texts = {
+        1: "a b c a b c a b",        # 'a b c' x2 survives prune; last bigram 'a b'
+        2: "b c",                     # 2-token doc: last-bigram-only contribution
+        3: "x",                       # 1-token doc: no contribution anywhere
+        4: "c a b c d",              # singleton trigrams -> backoff; 'c d' final
+        5: "q c d r",                # backoff suffix 'c d' seen as doc-4 final bigram
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_backoff, r.mean_score_micro)
+        for r in stupid_backoff_logprob(docs, "doc_id", "text").collect()
+    }
+    assert got == _sb_python_model(texts)
