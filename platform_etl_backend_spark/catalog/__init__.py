@@ -251,6 +251,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_spearman_corr",
     "q_ktruss",
     "q_kcore",
+    # -- round-11 optimization-pass changed plan, sixth batch: ngram
+    #    novelty's first-occurrence window (displaces q_agg_basic —
+    #    the round-4 prefix is now fully deferred to round 12).
+    "q_ngram_novelty",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -263,8 +267,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_image_decode",
     "q_range_join",
-    # -- round-4-latest cohort, alphabetical prefix (1 of 49) ----------
-    "q_agg_basic",
 )
 
 

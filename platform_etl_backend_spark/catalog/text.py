@@ -4880,17 +4880,25 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs is a crawl loop; high novelty marks content worth keeping "
     "(complements q_dup_spans' memorization view). Micro share is "
     "round-half-away integer arithmetic (the q_stupid_backoff rule). "
-    "SCALE: shingle-keyed min rollup + one shingle-keyed join back + a "
-    "doc-keyed rollup — all content-hash shuffles, no global order, no "
-    "window; the firsts frame is bounded by distinct-shingle count",
+    "SCALE: one shingle-keyed exchange (first_doc = window min over the "
+    "shingle partition — the rollup+join-back form paid the exchange "
+    "twice and scanned the corpus twice) + a doc-keyed rollup — all "
+    "content-hash shuffles, no global order",
     tags=("text", "dedup", "quality"),
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, "doc_id", "text", 3)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # first_doc as a window min over the shingle-keyed exchange the join
+    # formulation needed anyway: the groupBy(min)+join-back planned TWO
+    # scans+explodes of the corpus (the agg subtree and the join probe
+    # side are not canonically equal, so the exchange is not reused) —
+    # the window is one scan, one exchange, same values
+    first = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
     per = (
-        sh.join(firsts, "shingle")
+        first
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_types"),

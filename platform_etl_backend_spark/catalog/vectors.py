@@ -1496,14 +1496,14 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bv", micro(cosine(F.col("qv"), F.col("bv"))).alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_CAND)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = cand.select(F.col("vec_id").alias("u"), F.col("bv").alias("av"))
     b = cand.select(F.col("vec_id").alias("v"), F.col("bv").alias("bv2"))
     sims = (
         a.join(F.broadcast(b), F.col("u") != F.col("v"))
         .select("u", "v", micro(cosine(F.col("av"), F.col("bv2"))).alias("sim"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel = (
         cand.orderBy(F.desc("rel"), "vec_id")
@@ -1512,7 +1512,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.lit(1).alias("pos"),
             (7 * F.col("rel")).alias("score_milli"), "rel",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for pos in range(2, _MMR_K + 1):
         sel_ids = sel.select("vec_id")
@@ -1531,7 +1531,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         pick = scored.orderBy(F.desc("score_milli"), "vec_id").limit(1)
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         F.col("pos").cast("int").alias("pos"), "vec_id",
         F.col("rel").cast("bigint").alias("rel_micro"),

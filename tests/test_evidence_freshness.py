@@ -178,6 +178,13 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   into the rank window's own (partition, order) spec — one Window
     #   node per axis instead of two (exact integer identity).
     "q_spearman_corr": 11,
+    # - ngram novelty: first_doc = window min over the shingle partition
+    #   (the rollup+join-back form scanned+exploded the corpus twice);
+    #   4 parquet scans -> 2, 10 -> 8 Exchange. q_mmr_rerank's round-11
+    #   eager=False greedy-round checkpoints leave the executed plan
+    #   STRUCTURALLY IDENTICAL (LogicalRDD scans either way), so it
+    #   needs no entry (the q_logreg_gd precedent).
+    "q_ngram_novelty": 11,
     # - k_truss / k_core: fixed-budget peeling exits at the detected
     #   fixpoint (a no-drop round makes every later budgeted round a
     #   no-op — result bit-identical); k_truss's converged round doubles
