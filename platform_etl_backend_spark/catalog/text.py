@@ -2681,12 +2681,12 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the Viterbi branch consume it, and without the checkpoint the
     # corpus token explode runs twice (at 100 TB the type table is exactly
     # what you materialize)
-    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
+    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint(eager=False)
     # checkpoint the vocab as well: it rides into the DP as a 1-row
     # broadcast map, and without the cut the broadcast build re-executes
     # the whole substring-explode/top-k pipeline (measured ~1.6s of the
     # query's wall at sf0.1 on a 66-row table)
-    vocab = UNI.seed_piece_costs(words).localCheckpoint()
+    vocab = UNI.seed_piece_costs(words).localCheckpoint(eager=False)
     return UNI.viterbi_segment(words, vocab).orderBy("word")
 
 
@@ -2718,8 +2718,8 @@ def q_unigram_em_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the Viterbi branch consume it, and without the checkpoint the
     # corpus token explode runs twice (at 100 TB the type table is exactly
     # what you materialize)
-    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint()
-    vocab = UNI.seed_piece_costs(words).localCheckpoint()  # see q_unigram_tokenize
+    words = UNI.word_types(docs, "doc_id", "text").localCheckpoint(eager=False)
+    vocab = UNI.seed_piece_costs(words).localCheckpoint(eager=False)  # see q_unigram_tokenize
     return UNI.em_reestimate_costs(UNI.viterbi_segment(words, vocab)).orderBy("piece")
 
 
@@ -2832,7 +2832,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint()  # feeds raw, target AND the per-doc rollup
+        .localCheckpoint(eager=False)  # feeds raw, target AND the per-doc rollup
     )
     raw = m.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cr"))
     tgt = (
@@ -4811,7 +4811,7 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "bin",
         (0.5 + 0.5 * (F.col("score").cast("double") / 1000000)
          / (1 + F.abs(F.col("score").cast("double") / 1000000))).alias("prob"),
-    ).localCheckpoint()  # feeds the global frame, the brier sum, and bins
+    ).localCheckpoint(eager=False)  # feeds the global frame, the brier sum, and bins
     g = binned.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("label").cast("bigint").alias("npos"),
