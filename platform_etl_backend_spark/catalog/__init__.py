@@ -255,6 +255,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    novelty's first-occurrence window (displaces q_agg_basic —
     #    the round-4 prefix is now fully deferred to round 12).
     "q_ngram_novelty",
+    # -- round-11 optimization-pass changed plan, seventh batch: dup
+    #    spans' cross-doc window test (displaces q_topk_banded_labels
+    #    from the stale prefix -> round-12 rotation).
+    "q_dup_spans",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
@@ -266,7 +270,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q_audio_decode",
     "q_dedup_clusters",
     "q_image_decode",
-    "q_range_join",
 )
 
 

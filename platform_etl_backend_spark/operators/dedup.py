@@ -469,26 +469,31 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
 
     Instead of a suffix array (a global sort over the concatenated corpus —
     the paper's single-machine formulation), this computes positional
-    k-gram fingerprints map-side, marks fingerprints whose document
-    frequency is >= 2, and merges the hit positions per document into
-    maximal spans with a gaps-and-islands window. Two shuffles total (one
-    on fingerprint for the document-frequency count, one back on doc id for
-    the span merge) — both hash-partitioned on high-cardinality keys, so
-    the shape holds at 100 TB where a corpus-wide suffix sort would not.
+    k-gram fingerprints map-side, marks fingerprints seen in >= 2 distinct
+    documents (min(id) != max(id) over the fingerprint window — one
+    exchange, one corpus scan), and merges the hit positions per document
+    into maximal spans with a gaps-and-islands window. Two shuffles total
+    (fingerprint, then doc id) — both hash-partitioned on high-cardinality
+    keys, so the shape holds at 100 TB where a corpus-wide suffix sort
+    would not.
 
     Returns (id, n_spans, dup_tokens, spans) where spans is a
     '|'-serialized 'start-end' token-range list (canonicalizer-proof
     contract) and dup_tokens counts tokens covered by any duplicated span.
     """
     ps = positional_shingles(df, id_col, text_col, k)
-    dup_fp = (
-        ps.groupBy("fp")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .where(F.col("df") >= 2)
-        .select("fp")
-    )
-    hits = ps.join(dup_fp, "fp").select(
-        id_col, "pos", (F.col("pos") + (k - 1)).alias("end")
+    # cross-doc test as a window over the fingerprint partition:
+    # countDistinct(id) >= 2 is exactly min(id) != max(id), and the
+    # window rides ONE fp-keyed exchange — the former groupBy+join-back
+    # scanned and exploded the corpus twice (the agg subtree and the
+    # probe side are not canonically equal, so the exchange is not
+    # reused; the q_ngram_novelty lesson)
+    wfp = Window.partitionBy("fp")
+    hits = (
+        ps.withColumn("_mn", F.min(id_col).over(wfp))
+        .withColumn("_mx", F.max(id_col).over(wfp))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "pos", (F.col("pos") + (k - 1)).alias("end"))
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -588,28 +593,38 @@ def fuzzy_pairs_damerau1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     base = _variant_pair_candidates(df, id_col, str_col).withColumn(
         "lev2", F.levenshtein("tok_a", "tok_b", 2)
     )
-    easy = base.where((F.col("lev2") >= 0) & (F.col("lev2") <= 1)).select(
-        "tok_a", "tok_b", F.col("lev2").alias("dist")
-    )
     a, b = F.col("tok_a"), F.col("tok_b")
-    hard = base.where(
-        (F.col("lev2") == 2) & (F.length("tok_a") == F.length("tok_b"))
-    )
+    # Single-pass verify (round-11): the former easy/hard two-branch
+    # union re-ran the WHOLE pair expansion + bounded levenshtein once
+    # per branch (two filters over the same un-materialized subtree — no
+    # exchange between them, so Catalyst computes both). One combined
+    # predicate keeps expansion + lev2 to a single pass; Or
+    # short-circuits in codegen, so the transposition arm (the only
+    # interpreted HOF left) still evaluates only on same-length lev-2
+    # rows.
     eq = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x.eqNullSafe(y))
-    hard = hard.withColumn("_p1", F.array_position(eq, False))
-    p1 = F.col("_p1")
-    # p1 >= 1 always here (lev2 == 2 excludes equal strings); substr past
-    # the end returns "" on both sides, which is exactly right for a
-    # transposition of the last two characters
+    p1 = F.array_position(eq, False)
+    # p1 >= 1 always on the lev2 == 2 arm (equal strings are lev 0);
+    # substr past the end returns "" on both sides, which is exactly
+    # right for a transposition of the last two characters
     is_trans = (
         (a.substr(p1, F.lit(1)) == b.substr(p1 + 1, F.lit(1)))
         & (a.substr(p1 + 1, F.lit(1)) == b.substr(p1, F.lit(1)))
         & (a.substr(p1 + 2, F.length(a)) == b.substr(p1 + 2, F.length(b)))
     )
-    hardok = hard.where(is_trans).select(
-        "tok_a", "tok_b", F.lit(1).alias("dist")
+    accepted = base.where(
+        ((F.col("lev2") >= 0) & (F.col("lev2") <= 1))
+        | (
+            (F.col("lev2") == 2)
+            & (F.length("tok_a") == F.length("tok_b"))
+            & is_trans
+        )
+    ).select(
+        "tok_a",
+        "tok_b",
+        F.when(F.col("lev2") <= 1, F.col("lev2")).otherwise(F.lit(1)).alias("dist"),
     )
-    return easy.unionByName(hardok).distinct()
+    return accepted.distinct()
 
 
 def fuzzy_candidates_dist1(

@@ -185,6 +185,15 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   STRUCTURALLY IDENTICAL (LogicalRDD scans either way), so it
     #   needs no entry (the q_logreg_gd precedent).
     "q_ngram_novelty": 11,
+    # - duplicated_spans: the cross-doc fingerprint test is now
+    #   min(id) != max(id) over the fp window (== countDistinct >= 2) —
+    #   one corpus scan+exchange instead of the rollup+join-back's two
+    #   (4 parquet scans -> 2, 8 -> 6 Exchange); locally neutral, the
+    #   halved scan volume is the 100 TB term.
+    # - fuzzy_pairs_damerau1: single-pass verify (one combined predicate;
+    #   the easy/hard union re-ran the whole pair expansion + bounded
+    #   levenshtein per branch). q_fuzzy_damerau's entry is already 11.
+    "q_dup_spans": 11,
     # - k_truss / k_core: fixed-budget peeling exits at the detected
     #   fixpoint (a no-drop round makes every later budgeted round a
     #   no-op — result bit-identical); k_truss's converged round doubles
