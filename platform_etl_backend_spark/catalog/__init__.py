@@ -259,17 +259,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    spans' cross-doc window test (displaces q_topk_banded_labels
     #    from the stale prefix -> round-12 rotation).
     "q_dup_spans",
+    # -- round-11 optimization-pass changed plans, eighth batch: pagerank
+    #    outdeg hoist (3 consumers) + heaps bucket rollup. Seats displace
+    #    q_collect_set .. q_sorted_names_array from the stale prefix ->
+    #    round-12 rotation.
+    "q_pagerank",
+    "q_personalized_pagerank",
+    "q_textrank_keywords",
+    "q_heaps_law",
     # -- round-2-latest (oldest evidence) ------------------------------
     "q_collect_set",
     "q_flatten_collect",
     "q_running_collect",
     "q_sorted_names_array",
-    "q_topk_banded_labels",
     # -- round-3-latest (displaced from the round-10 window) -----------
-    "q_asof_join",
-    "q_audio_decode",
     "q_dedup_clusters",
-    "q_image_decode",
 )
 
 

@@ -4993,17 +4993,38 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .select("j", F.expr("(j * m) div 4").alias("thr"))
     )
+
+    # Each row lands in the SMALLEST checkpoint containing it (a CASE over
+    # the broadcast scalar m), so both big frames are passed ONCE and the
+    # per-checkpoint cumulative sums run on the <=4-row bucket rollups —
+    # the former crossJoin(cp) replicated lens and the distinct-shingle
+    # frame 4x each just to re-filter them per threshold.
+    def _bucket(col: str):
+        b = None
+        for j in range(1, 5):
+            cond = F.col(col) < F.expr(f"({j} * m) div 4")
+            b = F.when(cond, j) if b is None else b.when(cond, j)
+        return b  # doc ids are < m by construction, so always 1..4
+
+    tok_b = (
+        lens.crossJoin(F.broadcast(mx))
+        .groupBy(_bucket("doc_id").alias("jb"))
+        .agg(F.sum("n_tok").cast("bigint").alias("tk"))
+    )
+    typ_b = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(_bucket("first_doc").alias("jb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ty"))
+    )
     n_tok = (
-        lens.crossJoin(F.broadcast(cp))
-        .where(F.col("doc_id") < F.col("thr"))
+        cp.join(F.broadcast(tok_b), F.col("jb") <= F.col("j"))
         .groupBy("j", "thr")
-        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        .agg(F.sum("tk").cast("bigint").alias("n_tokens"))
     )
     n_typ = (
-        firsts.crossJoin(F.broadcast(cp))
-        .where(F.col("first_doc") < F.col("thr"))
+        cp.join(F.broadcast(typ_b), F.col("jb") <= F.col("j"))
         .groupBy("j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+        .agg(F.sum("ty").cast("bigint").alias("n_types"))
     )
     pts = n_tok.join(n_typ, "j")
     logs = pts.select(
@@ -5019,7 +5040,11 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,9)").alias("uv"),
         F.round(F.col("u").cast("double") * F.col("u").cast("double"), 9)
         .cast("decimal(28,9)").alias("uu"),
-    )
+    ).localCheckpoint(eager=False)
+    # prods (4 rows, but its lineage holds the corpus explode) feeds BOTH
+    # the OLS aggregate and the final projection — without the cut the
+    # whole pipeline executed twice; lazy checkpoint because the OLS side
+    # is a broadcast build (the unigram/DSIR pattern)
     ols = prods.agg(
         F.expr(
             "ROUND((4 * CAST(SUM(uv) AS DOUBLE)"

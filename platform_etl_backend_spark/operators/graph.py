@@ -449,12 +449,18 @@ def pagerank(
         return nodes.select("node", F.lit(None).cast("double").alias("pr"))
     # F.round (HALF_UP), not Python round (half-even) — must match SQL ROUND
     base = F.round(F.lit((1.0 - damping) / n), scale).cast(dec)
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    # outdeg rides ON the edge frame, attached once before the loop — the
+    # former per-iteration join(outdeg) paid one SMJ per round for a
+    # value that never changes (same operands per contribution, so ranks
+    # are bit-identical)
+    ed = (
+        e.join(e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")), "s")
+        .localCheckpoint()
+    )
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).cast(dec).alias("pr"))
     for i in range(iterations):
         contrib = (
-            ranks.join(e, ranks["node"] == e["s"])
-            .join(outdeg, "s")
+            ranks.join(ed, ranks["node"] == ed["s"])
             .select(
                 F.col("d").alias("node"),
                 F.round(
@@ -860,7 +866,12 @@ def personalized_pagerank(
     ns = nodes.where(F.col("is_seed") == 1).count()
     if ns == 0:
         return nodes.select("node", F.lit(None).cast("double").alias("ppr"))
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    # outdeg attached to the edge frame once (the q_pagerank hoist) —
+    # one SMJ per iteration removed, same contribution operands
+    ed = (
+        e.join(e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")), "s")
+        .localCheckpoint()
+    )
     zero = F.lit(0).cast(dec)
     seed_mass = F.round(F.lit(1.0 / ns), scale).cast(dec)
     base_mass = F.round(F.lit((1.0 - damping) / ns), scale).cast(dec)
@@ -870,8 +881,7 @@ def personalized_pagerank(
     )
     for _ in range(iterations):
         contrib = (
-            ranks.join(e, ranks["node"] == e["s"])
-            .join(outdeg, "s")
+            ranks.join(ed, ranks["node"] == ed["s"])
             .select(
                 F.col("d").alias("node"),
                 F.round(

@@ -194,6 +194,15 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   the easy/hard union re-ran the whole pair expansion + bounded
     #   levenshtein per branch). q_fuzzy_damerau's entry is already 11.
     "q_dup_spans": 11,
+    # - pagerank family: outdeg attached to the edge frame once before
+    #   the loop (one SMJ per iteration removed; 40 -> 30 Exchange each);
+    #   heaps' checkpoints land in buckets via a CASE over the broadcast
+    #   scalar instead of 4x crossJoin replication, and prods is
+    #   lazily checkpointed (50 -> 6 Exchange).
+    "q_pagerank": 11,
+    "q_personalized_pagerank": 11,
+    "q_textrank_keywords": 11,
+    "q_heaps_law": 11,
     # - k_truss / k_core: fixed-budget peeling exits at the detected
     #   fixpoint (a no-drop round makes every later budgeted round a
     #   no-op — result bit-identical); k_truss's converged round doubles
