@@ -135,145 +135,85 @@ from platform_etl_backend_spark.catalog import vectors  # noqa: E402,F401
 # q_running_collect, q_sorted_names_array, q_topk_banded_labels, and the
 # rows-only q_montecarlo_critical.
 #
-# ROUND-11 WINDOW (this round): the rotation is now AUTO-DERIVED —
+# ROUND-11 WINDOW: the rotation is now AUTO-DERIVED —
 # tests/test_evidence_freshness.py computes the deterministic rotation
 # order (oldest evidence round first, then alphabetical) over the stale
 # set and REQUIRES the window's non-fronted slots to consume exactly its
 # prefix; whatever doesn't fit is exempt automatically (no hand-curated
-# NEXT_WINDOW_STAGED list to maintain or forget). This round's prefix:
-# - the 5 round-2-latest rows (q_collect_set .. q_topk_banded_labels),
-# - the 5 round-3-latest rows displaced mid-round-10
-#   (q_asof_join, q_audio_decode, q_dedup_clusters, q_image_decode,
-#    q_range_join),
-# - the alphabetical prefix of the 49-name round-4-latest cohort that
-#   fits after the fronted changed-contract seats (24 names after the
-#   second optimization-pass batch: q_agg_basic .. q_kl_divergence...
-#   see the list itself — the rotation test recomputes the exact
-#   prefix). The tail is the derived exemption and fronts the round-12
-#   rotation. Changed contracts added mid-round seat by displacing from
-#   the BACK of the stale prefix.
+# NEXT_WINDOW_STAGED list to maintain or forget). Round-11 fronted 39
+# changed-contract/changed-plan seats + the 11-name front of the stale
+# order; the displaced round-4-latest tail fronts this round's rotation.
+#
+# ROUND-12 WINDOW (this round): no fronted members at round open (every
+# CHANGED_CONTRACTS entry got round-11 evidence), so the window is
+# exactly the 50-name stale rotation prefix: q_topk_banded_labels
+# (round-2-latest), the 4 remaining round-3-latest rows (q_asof_join,
+# q_audio_decode, q_image_decode, q_range_join), and the alphabetical
+# prefix of the round-4-latest cohort (q_agg_basic .. q_weighted_sample).
+# Changed plans added mid-round front by displacing from the BACK of the
+# prefix — the rotation test recomputes the exact expected set.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-11 changed contracts (kernel default flip: brute-force /
-    #    bucketed / multi-probe / multi-table ANN pair dots now route
-    #    through the Arrow cell kernel by default — plan change, output
-    #    bit-identical, parity pytests pin kernel == Catalyst twin).
-    #    These five displace the BACK of the stale prefix
-    #    (q_sequence_match .. q_text_normalize → round-12 rotation).
-    "q_cosine_topk",
-    "q_matryoshka_topk",
-    "q_ann_bucketed",
-    "q_ann_multiprobe",
-    "q_ann_multitable",
-    # -- round-11 changed contract: planted near-duplicates make the
-    #    0.95-threshold oracle non-vacuous (displaces q_sentence_split)
-    "q_embedding_near_dup",
-    # -- round-11 changed plans: connected_components' fixpoint check is
-    #    now the star-forest role-count on the new frame alone (fires a
-    #    round earlier, no exceptAll diff); the entity composite also
-    #    skips the pre-CC distinct and aggregates the tail in one pass.
-    #    Seats displace q_profile_table / q_rag_retrieve / q_rouge_overlap
-    #    (q_dedup_clusters already holds a slot below).
-    "q_entity_resolution",
-    "q_bipartite_check",
-    "q_grid_cluster",
-    # -- round-11 changed contract: q_transformer_rerank is now the
-    #    integer fixed-point cross-encoder with a relational DuckDB
-    #    oracle — it leaves the rows-only set (displaces q_png_decode)
-    "q_transformer_rerank",
-    # -- round-11 optimization-pass changed plans (see CHANGED_CONTRACTS):
-    #    fuzzy pair expansion now codegen posexplode+slice+explode (both
-    #    fuzzy consumers), retrieval/MAP eval term-filtered tf shape, PCA
-    #    one-row array-fold iteration. Seats displace the BACK of the
-    #    stale prefix (q_linear_trend .. q_ohlc_bars → round-12 rotation).
-    "q_fuzzy_damerau",
-    "q_fuzzy_token_join",
-    "q_retrieval_eval",
-    "q_map_eval",
-    "q_pca_power",
-    # -- round-11 optimization-pass changed plans, second batch: closure
-    #    double-method single-job rounds, NB single-explode tf rollup,
-    #    winnow explode+codegen-md5, viterbi lateral-alias selectExpr.
-    #    Seats displace the BACK of the stale prefix
-    #    (q_interp_lm .. q_kneser_ney → round-12 rotation).
-    "q_graph_closure",
-    "q_naive_bayes",
-    "q_nb_crossval",
-    "q_winnow_fingerprint",
-    "q_unigram_tokenize",
-    "q_unigram_em_costs",
-    # -- round-11 optimization-pass changed plans, third batch: the JPEG
-    #    roundtrip kernels now run once per distinct id%128 plane residue
-    #    and broadcast-join back (decide-with-small-rows; guide §8).
-    #    Seats displace the BACK of the stale prefix
-    #    (q_hard_negatives, q_hll_estimate → round-12 rotation).
-    "q_jpeg_roundtrip",
-    "q_jpeg_progressive",
-    # -- round-11 optimization-pass changed plan: sequential patterns'
-    #    greedy match is relational user-keyed joins (no pattern-frame
-    #    crossJoins, no interpreted HOF lambdas). Displaces
-    #    q_funnel_windowed → round-12 rotation.
-    "q_sequential_patterns",
-    # -- round-11 optimization-pass changed plan: item similarity's
-    #    basket pairs come from one order-keyed collect_set + codegen
-    #    pair expansion (was distinct + two-sided self-join — three
-    #    exchanges of the basket frame collapse into one). Displaces
-    #    q_feature_hashing → round-12 rotation.
-    "q_item_similarity",
-    # -- round-11 optimization-pass changed plans, fourth batch: nearest-
-    #    centroid / nearest-codeword selection is a map-side argmax fold
-    #    over the broadcast centroid (codebook) array — the n×k crossJoin
-    #    + per-vid window exchange disappears from every IVF/kmeans/PQ
-    #    consumer; silhouette reads own+second-best off one sorted score
-    #    array (its own⋈oth self-join gone). Seats displace the BACK of
-    #    the stale prefix (q_bpe_encode .. q_embedding_covariance →
-    #    round-12 rotation).
-    "q_ann_ivf",
-    "q_ann_ivf_nprobe",
-    "q_ann_ivf_kmeans",
-    "q_semantic_dedup",
-    "q_silhouette_cells",
-    "q_davies_bouldin",
-    "q_pq_codes",
-    "q_pq_adc_topk",
-    # -- round-11 optimization-pass changed plans, fifth batch: the LM
-    #    family (stupid backoff's derived bigram counts + window context
-    #    denominators; bigram_logprob / kneser_ney window context stats),
-    #    spearman's single-window-spec midranks, and the k_truss / k_core
-    #    fixpoint early exit. q_bigram_logprob was already seated in the
-    #    round-4 prefix below — it moves up here as a fronted changed
-    #    contract. Seats displace the BACK of the stale prefix
-    #    (q_assoc_rules .. q_bm25_top_terms → round-12 rotation).
-    "q_stupid_backoff",
-    "q_bigram_logprob",
-    "q_kneser_ney",
-    "q_spearman_corr",
-    "q_ktruss",
-    "q_kcore",
-    # -- round-11 optimization-pass changed plan, sixth batch: ngram
-    #    novelty's first-occurrence window (displaces q_agg_basic —
-    #    the round-4 prefix is now fully deferred to round 12).
-    "q_ngram_novelty",
-    # -- round-11 optimization-pass changed plan, seventh batch: dup
-    #    spans' cross-doc window test (displaces q_topk_banded_labels
-    #    from the stale prefix -> round-12 rotation).
-    "q_dup_spans",
-    # -- round-11 optimization-pass changed plans, eighth batch: pagerank
-    #    outdeg hoist (3 consumers) + heaps bucket rollup. Seats displace
-    #    q_collect_set .. q_sorted_names_array from the stale prefix ->
-    #    round-12 rotation.
-    "q_pagerank",
-    "q_personalized_pagerank",
-    "q_textrank_keywords",
-    "q_heaps_law",
-    # -- round-2-latest (oldest evidence) ------------------------------
-    "q_collect_set",
-    "q_flatten_collect",
-    "q_running_collect",
-    "q_sorted_names_array",
-    # -- round-3-latest (displaced from the round-10 window) -----------
-    "q_dedup_clusters",
+    # -- round-12 changed plans (first batch): recall-eval verify derived
+    #    from the truth pass; closure-double batched materialization.
+    #    Seats displace the BACK of the stale prefix (q_value_histogram,
+    #    q_weighted_sample -> next rotation).
+    "q_minhash_recall",
+    "q_weighted_minhash_recall",
+    # -- stale rotation prefix, deterministic order (evidence round asc,
+    #    then name) — derived by tests/test_evidence_freshness.py.
+    # round-2-latest:
+    "q_topk_banded_labels",
+    # round-3-latest:
+    "q_asof_join",
+    "q_audio_decode",
+    "q_image_decode",
+    "q_range_join",
+    # round-4-latest, alphabetical prefix:
+    "q_agg_basic",
+    "q_assoc_rules",
+    "q_autocorr_lag1",
+    "q_benford_profile",
+    "q_bloom_probe",
+    "q_bm25_top_terms",
+    "q_bpe_encode",
+    "q_bpe_vocab",
+    "q_cdc_chunks",
+    "q_chi_square",
+    "q_conversion_latency",
+    "q_count_min_narrow",
+    "q_dedup_keep_best",
+    "q_embedding_covariance",
+    "q_feature_hashing",
+    "q_funnel_windowed",
+    "q_hard_negatives",
+    "q_hll_estimate",
+    "q_interp_lm",
+    "q_interval_overlap",
+    "q_item_cooccur",
+    "q_kl_divergence",
+    "q_linear_trend",
+    "q_llr_contingency",
+    "q_lm_quantile_filter",
+    "q_mode_per_group",
+    "q_ohlc_bars",
+    "q_png_decode",
+    "q_profile_table",
+    "q_rag_retrieve",
+    "q_rouge_overlap",
+    "q_sentence_split",
+    "q_sequence_match",
+    "q_skipgram_pairs",
+    "q_snapshot_diff",
+    "q_sssp",
+    "q_text_normalize",
+    "q_tfidf_top_terms",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_unigram_surprisal",
 )
 
 

@@ -4311,7 +4311,7 @@ def _minhash_recall_oracle(
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_backend_spark.operators.dedup import (
-        _banded_keys, _min_hash, ngram_jaccard_pairs, shingle_docs,
+        _banded_keys, _min_hash, shingle_docs,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -4327,23 +4327,55 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint()  # feeds the count AND the verify join
+        .localCheckpoint()  # feeds the count AND the verified-flag join
     )
-    da = docs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    db = docs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    ver = (
-        cands.join(da, "id_a").join(db, "id_b")
-        .where(F.round(inter / union, 6) >= 0.5)
+    # Round-12: the verify pass is DERIVED from the truth pass instead of
+    # re-aggregated. ver == truth ∩ cands exactly: a candidate pair with
+    # no shared shingle has jaccard 0 (fails verify) and is absent from
+    # the shared-shingle truth join; a pair with shared shingles gets the
+    # IDENTICAL round(inter/union, 6) >= 0.5 test on identical integers
+    # (array_intersect size over the distinct-shingle arrays == the count
+    # of shared exploded distinct shingles). The truth side also reuses
+    # the ALREADY-persisted shingle frame — the old ngram_jaccard_pairs
+    # call re-tokenized and re-shingled the corpus with its own persists.
+    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    n_truth = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .where(
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            )
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    # one aggregation yields BOTH counts: n_truth = all truth pairs,
+    # n_verified = truth pairs that are also candidates (left join against
+    # the distinct candidate set adds a 0/1 flag, never duplicates)
+    flagged = truth.join(
+        cands.withColumn("is_cand", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("bigint").alias("n_verified"),
     )
     n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
     return (
-        n_truth.crossJoin(F.broadcast(n_cands)).crossJoin(F.broadcast(n_ver))
+        stats.crossJoin(F.broadcast(n_cands))
         .selectExpr(
             "n_truth", "n_candidates", "n_verified",
             "CAST(CASE WHEN n_truth = 0 THEN 0"
@@ -4531,31 +4563,39 @@ def q_weighted_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # feeds the count AND the verify join
     )
-    wtf = wtf.localCheckpoint()  # feeds sig, verify AND the all-pairs truth join
+    wtf = wtf.localCheckpoint()  # feeds sig, sizes AND the all-pairs truth join
     sizes = wtf.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("s"))
     za = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     wa = wtf.select(F.col("doc_id").alias("id_a"), "g", F.col("w").alias("w_a"))
     wb = wtf.select(F.col("doc_id").alias("id_b"), "g", F.col("w").alias("w_b"))
 
-    def _pass(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.groupBy("id_a", "id_b")
-            .agg(F.sum(F.least("w_a", "w_b")).cast("bigint").alias("m"))
-            .join(za, "id_a").join(zb, "id_b")
-            .where(3 * F.col("m") >= F.col("s_a") + F.col("s_b"))
-            .select("id_a", "id_b")
-        )
-
-    ver = _pass(cands.join(wa, "id_a").join(wb, ["id_b", "g"]))
-    truth = _pass(
-        wa.join(wb, "g").where(F.col("id_a") < F.col("id_b"))
+    # Round-12: the verify pass is DERIVED from the truth pass (the
+    # q_minhash_recall rewrite): ver == truth ∩ cands exactly — a
+    # candidate pair with no shared gram produces no sum-min row (absent
+    # from BOTH the old per-candidate aggregation and the all-pairs
+    # truth), and a pair with shared grams gets the IDENTICAL integer
+    # 3m >= s_a+s_b test on the identical SUM(LEAST(w_a, w_b)). The whole
+    # second pair aggregation (cands ⋈ wtf ⋈ wtf + groupBy) is gone.
+    truth = (
+        wa.join(wb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("w_a", "w_b")).cast("bigint").alias("m"))
+        .join(za, "id_a").join(zb, "id_b")
+        .where(3 * F.col("m") >= F.col("s_a") + F.col("s_b"))
+        .select("id_a", "id_b")
     )
-    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    flagged = truth.join(
+        cands.withColumn("is_cand", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("bigint").alias("n_verified"),
+    )
     n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    n_ver = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
     return (
-        n_truth.crossJoin(F.broadcast(n_cands)).crossJoin(F.broadcast(n_ver))
+        stats.crossJoin(F.broadcast(n_cands))
         .selectExpr(
             "n_truth", "n_candidates", "n_verified",
             "CAST(CASE WHEN n_truth = 0 THEN 0"

@@ -30,7 +30,7 @@ def main() -> None:
     from platform_etl_backend_spark.catalog import QUERIES
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(

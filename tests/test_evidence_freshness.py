@@ -210,6 +210,18 @@ CHANGED_CONTRACTS: dict[str, int] = {
     #   join + third support computation.
     "q_ktruss": 11,
     "q_kcore": 11,
+    # round-12 optimization pass, first batch (same outputs, new plan
+    # shapes):
+    # - recall-eval twins: the verify pass is DERIVED from the truth pass
+    #   (ver == truth ∩ cands exactly — a candidate pair with no shared
+    #   shingle/gram passes neither side; shared-gram pairs get the
+    #   identical threshold test on identical integers), so the whole
+    #   second per-candidate pair aggregation is gone, and
+    #   q_minhash_recall's truth side reuses the already-persisted
+    #   shingle frame instead of re-shingling the corpus
+    #   (36 → 26 / 36 → 20 Exchange).
+    "q_minhash_recall": 12,
+    "q_weighted_minhash_recall": 12,
 }
 
 
