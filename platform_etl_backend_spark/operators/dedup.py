@@ -105,18 +105,23 @@ def prefix_filtered_jaccard_pairs(
     scale path between the quadratic baseline and the approximate
     MinHash+LSH route.
 
-    Shuffle shape: one shingle-keyed df count, one hint-free join back on
-    the (unbounded) shingle key, one doc-keyed sort/collect (which also
-    yields each document's full sorted shingle ARRAY), one
-    prefix-shingle-keyed candidate join, then the LSH pipeline's row-wise
-    ``array_intersect`` verify — two doc-keyed array joins, never a
-    per-shingle verify shuffle. The doc frame feeds prefixes AND
-    verification, so it is persisted at the reuse point.
+    Shuffle shape: one shingle-keyed WINDOW count (round-12: the former
+    df rollup + hint-free join-back planned the corpus tokenize+shingle
+    subtree TWICE — the agg subtree and the probe side are not
+    canonically equal — and exchanged the exploded frame twice; the
+    window count over the shingle partition is one corpus pass and one
+    shingle exchange, the q_ngram_novelty rewrite), one doc-keyed
+    sort/collect (which also yields each document's full sorted shingle
+    ARRAY), one prefix-shingle-keyed candidate join, then the LSH
+    pipeline's row-wise ``array_intersect`` verify — two doc-keyed array
+    joins, never a per-shingle verify shuffle. The doc frame feeds
+    prefixes AND verification, so it is persisted at the reuse point.
     """
     sh = exploded_shingles(df, id_col, text_col, k)
-    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     docs = (
-        sh.join(dfs, "shingle")  # hint-free: shingle vocabulary is unbounded
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy(id_col)
         .agg(
             F.sort_array(
@@ -911,9 +916,14 @@ def containment_pairs(
     head-cap pattern) and route capped shingles through the pairwise
     fallback."""
     sh = exploded_shingles(df, id_col, text_col, k)
-    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window count over the shingle partition (round-12): the
+    # former rollup + join-back planned the corpus tokenize+shingle
+    # subtree twice and exchanged the exploded frame twice — the
+    # prefix_filtered_jaccard_pairs rewrite, same values.
     docs = (
-        sh.join(dfs, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct(F.col("df"), F.col("shingle")))).alias("lst"),
